@@ -1,13 +1,240 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.Fns._
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is exposed as a named query over the
+  * driver testdata, with a DuckDB-equivalent oracle in [[oracleSql]].
+  * Cross-engine determinism rules used throughout:
+  *  - double AVGs rounded to 4 dp (`r4`) — order-independent in practice;
+  *  - large money SUMs computed in DECIMAL(18,6) (exact, order-independent)
+  *    and emitted as DECIMAL(38,6) in both engines;
+  *  - counts/min/max left exact;
+  *  - no raw nanosecond timestamps emitted (Spark truncates parquet ns to
+  *    micros; DuckDB keeps ns) — always bucketed to date/hour first.
+  */
 object SparkEntry {
+
+  /** Exact order-independent money sum: accumulate in DECIMAL(18,6)
+    * (exact integers underneath, immune to summation-order fp drift),
+    * then emit as double — both engines produce the nearest double of
+    * the same exact decimal, and double avoids decimal-precision
+    * metadata mismatches in the comparator.
+    */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_monthly_topk")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference-parity hierarchy (SURVEY §2.4 A2–A7, §2.6 T1/T2/T4) ----
+    "q_hourly_agg" -> ((s, d) => {
+      Hierarchy.hourly(Tables.events(s, d))
+        .select(col("date"), col("hr"),
+          r4(col("avg_value")).as("avg_value"),
+          col("max_value"), col("min_value"), col("n_obs"))
+    }),
+    "q_daily_rollup" -> ((s, d) => {
+      Hierarchy.daily(Tables.events(s, d))
+        .select(col("date"),
+          r4(col("avg_value")).as("avg_value"),
+          r4(col("sum_hourly_max")).as("sum_hourly_max"),
+          col("max_value"), col("min_value"), col("n_obs"))
+    }),
+    "q_monthly_rollup" -> ((s, d) => {
+      Hierarchy.monthly(Tables.events(s, d))
+        .select(col("yr"), col("mon"),
+          r4(col("avg_value")).as("avg_value"),
+          r4(col("sum_hourly_max")).as("sum_hourly_max"),
+          col("max_value"), col("min_value"), col("n_obs"))
+    }),
+    "q_daily_topk" -> ((s, d) => {
+      Hierarchy.dailyTopK(Tables.events(s, d), 7)
+        .select(col("date"),
+          r4(col("avg_value")).as("avg_value"),
+          r4(col("avg_value_capped")).as("avg_value_capped"),
+          col("max_value"), col("n_obs"))
+    }),
+    "q_monthly_topk" -> ((s, d) => {
+      Hierarchy.monthlyTopK(Tables.events(s, d), 12)
+        .select(col("yr"), col("mon"),
+          r4(col("avg_value")).as("avg_value"),
+          r4(col("avg_value_capped")).as("avg_value_capped"),
+          col("max_value"), col("n_obs"))
+    }),
+    "q_grand_avg" -> ((s, d) => {
+      Hierarchy.grandAverages(Tables.events(s, d))
+        .select(
+          r4(col("overall_avg_value")).as("overall_avg_value"),
+          r4(col("total_sum")).as("total_sum"),
+          r4(col("overall_avg_max")).as("overall_avg_max"),
+          col("total_obs"), col("period_months"))
+    }),
+    "q_latest_record" -> ((s, d) =>
+      Hierarchy.latestRecord(Tables.events(s, d))),
+
+    // ---- scalar-function surface (SURVEY §2.3 F1–F5, F12) ----
+    "q_conversions" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        r4(kelvinToC(col("value"))).as("kelvin_to_c"),
+        r4(metersToMm(col("value") / 100)).as("meters_to_mm"),
+        r4(fToC(col("value"))).as("f_to_c"),
+        r4(cToF(col("value"))).as("c_to_f"),
+        r4(capHumidity(col("value"))).as("capped"))
+    }),
+
+    // ---- TPC-H-ish relational core (SURVEY §2.4/§2.5 generalization) ----
+    "q1_pricing" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r4(sum(col("l_quantity"))).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          r4(avg(col("l_quantity"))).as("avg_qty"),
+          r4(avg(col("l_extendedprice"))).as("avg_price"),
+          r4(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_hourly_agg" ->
+      """SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INT) AS hr,
+        | round(avg(value), 4) AS avg_value, max(value) AS max_value,
+        | min(value) AS min_value, count(*) AS n_obs
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    "q_daily_rollup" ->
+      """SELECT date, round(avg(avg_value), 4) AS avg_value,
+        | round(sum(max_value), 4) AS sum_hourly_max,
+        | max(max_value) AS max_value, min(min_value) AS min_value,
+        | CAST(sum(n_obs) AS BIGINT) AS n_obs
+        |FROM (
+        |  SELECT CAST(ts AS DATE) AS date, hour(ts) AS hr,
+        |   avg(value) AS avg_value, max(value) AS max_value,
+        |   min(value) AS min_value, count(*) AS n_obs
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |GROUP BY date""".stripMargin,
+    "q_monthly_rollup" ->
+      """SELECT CAST(year(date) AS INT) AS yr, CAST(month(date) AS INT) AS mon,
+        | round(avg(avg_value), 4) AS avg_value,
+        | round(sum(sum_hourly_max), 4) AS sum_hourly_max,
+        | max(max_value) AS max_value, min(min_value) AS min_value,
+        | CAST(sum(n_obs) AS BIGINT) AS n_obs
+        |FROM (
+        |  SELECT date, avg(avg_value) AS avg_value,
+        |   sum(max_value) AS sum_hourly_max, max(max_value) AS max_value,
+        |   min(min_value) AS min_value, sum(n_obs) AS n_obs
+        |  FROM (
+        |    SELECT CAST(ts AS DATE) AS date, hour(ts) AS hr,
+        |     avg(value) AS avg_value, max(value) AS max_value,
+        |     min(value) AS min_value, count(*) AS n_obs
+        |    FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY date)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_daily_topk" ->
+      """SELECT date, round(avg_value, 4) AS avg_value,
+        | round(CASE WHEN avg_value IS NOT NULL AND avg_value > 0
+        |        THEN least(avg_value, 100.0) ELSE avg_value END, 4)
+        |   AS avg_value_capped,
+        | max_value, n_obs
+        |FROM (
+        |  SELECT date, avg(avg_value) AS avg_value,
+        |   max(max_value) AS max_value,
+        |   CAST(sum(n_obs) AS BIGINT) AS n_obs
+        |  FROM (
+        |    SELECT CAST(ts AS DATE) AS date, hour(ts) AS hr,
+        |     avg(value) AS avg_value, max(value) AS max_value,
+        |     count(*) AS n_obs
+        |    FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY date)
+        |ORDER BY date DESC LIMIT 7""".stripMargin,
+    "q_monthly_topk" ->
+      """SELECT CAST(yr AS INT) AS yr, CAST(mon AS INT) AS mon,
+        | round(avg_value, 4) AS avg_value,
+        | round(CASE WHEN avg_value IS NOT NULL AND avg_value > 0
+        |        THEN least(avg_value, 100.0) ELSE avg_value END, 4)
+        |   AS avg_value_capped,
+        | max_value, n_obs
+        |FROM (
+        |  SELECT year(date) AS yr, month(date) AS mon,
+        |   avg(avg_value) AS avg_value, max(max_value) AS max_value,
+        |   CAST(sum(n_obs) AS BIGINT) AS n_obs
+        |  FROM (
+        |    SELECT date, avg(avg_value) AS avg_value,
+        |     max(max_value) AS max_value, sum(n_obs) AS n_obs
+        |    FROM (
+        |      SELECT CAST(ts AS DATE) AS date, hour(ts) AS hr,
+        |       avg(value) AS avg_value, max(value) AS max_value,
+        |       count(*) AS n_obs
+        |      FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |    GROUP BY date)
+        |  GROUP BY 1, 2)
+        |ORDER BY yr DESC, mon DESC LIMIT 12""".stripMargin,
+    "q_grand_avg" ->
+      """SELECT
+        | round(avg(CASE WHEN avg_value IS NOT NULL AND avg_value <> 0
+        |            THEN avg_value END), 4) AS overall_avg_value,
+        | round(sum(sum_hourly_max), 4) AS total_sum,
+        | round(avg(max_value), 4) AS overall_avg_max,
+        | CAST(sum(n_obs) AS BIGINT) AS total_obs,
+        | count(*) AS period_months
+        |FROM (
+        |  SELECT year(date) AS yr, month(date) AS mon,
+        |   avg(avg_value) AS avg_value,
+        |   sum(sum_hourly_max) AS sum_hourly_max,
+        |   max(max_value) AS max_value, sum(n_obs) AS n_obs
+        |  FROM (
+        |    SELECT date, avg(avg_value) AS avg_value,
+        |     sum(max_value) AS sum_hourly_max,
+        |     max(max_value) AS max_value, sum(n_obs) AS n_obs
+        |    FROM (
+        |      SELECT CAST(ts AS DATE) AS date, hour(ts) AS hr,
+        |       avg(value) AS avg_value, max(value) AS max_value,
+        |       min(value) AS min_value, count(*) AS n_obs
+        |      FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |    GROUP BY date)
+        |  GROUP BY 1, 2)""".stripMargin,
+    "q_latest_record" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+    "q_conversions" ->
+      """SELECT event_id,
+        | round(CASE WHEN value > 100 THEN value - 273.15 ELSE value END, 4)
+        |   AS kelvin_to_c,
+        | round(CASE WHEN value / 100 < 1 THEN (value / 100) * 1000
+        |       ELSE value / 100 END, 4) AS meters_to_mm,
+        | round((value - 32) * 5 / 9, 4) AS f_to_c,
+        | round(value * 9 / 5 + 32, 4) AS c_to_f,
+        | round(CASE WHEN value IS NOT NULL AND value > 0
+        |        THEN least(value, 100.0) ELSE value END, 4) AS capped
+        |FROM events""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |   AS DOUBLE) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  )
 }

