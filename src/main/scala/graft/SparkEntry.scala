@@ -33,7 +33,13 @@ object SparkEntry {
     queries("q_monthly_topk")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    hierarchyQueries ++
+      graft.registry.RelationalQueries.queries ++
+      graft.registry.TextQueries.queries
+
+  private def hierarchyQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity hierarchy (SURVEY §2.4 A2–A7, §2.6 T1/T2/T4) ----
     "q_hourly_agg" -> ((s, d) => {
       Hierarchy.hourly(Tables.events(s, d))
@@ -110,7 +116,12 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    hierarchyOracle ++
+      graft.registry.RelationalQueries.oracle ++
+      graft.registry.TextQueries.oracle
+
+  private def hierarchyOracle: Map[String, String] = Map(
     "q_hourly_agg" ->
       """SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INT) AS hr,
         | round(avg(value), 4) AS avg_value, max(value) AS max_value,

@@ -61,4 +61,12 @@ object Fns {
     */
   def r4(c: Column): Column = round(c, 4)
   def r2(c: Column): Column = round(c, 2)
+
+  /** Exact order-independent money sum: accumulate in DECIMAL(18,6)
+    * (exact integers underneath, immune to summation-order fp drift),
+    * then emit as double — both engines produce the nearest double of
+    * the same exact decimal. Map-side partial aggregation still applies;
+    * decimal sums stay inside whole-stage codegen.
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
 }

@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Fns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational core over the TPC-H-ish testdata — the join / window /
+  * grouping surface the reference lacks natively but the engine must
+  * generalize to (SURVEY.md §2.5, §2.6, §2.8; reference correlation is
+  * filter-based lookups only, Architecture_README.md:674-684).
+  *
+  * Scale design notes:
+  *  - Only bounded-small tables (region: 5 rows, nation: 25) carry an
+  *    explicit broadcast() hint. Customer/part/supplier grow linearly
+  *    with scale, so those joins are left to Catalyst + AQE: broadcast
+  *    at small SF, shuffle-hash/sort-merge on the pre-keyed natural key
+  *    at 100 TB. Fact⋈fact (lineitem⋈orders) is always a shuffle join
+  *    on the key both sides are already bucketed by in a real layout.
+  *  - Filters are applied before joins so pushdown reaches the parquet
+  *    scans and join inputs shrink first.
+  *  - Top-k uses orderBy+limit → TakeOrderedAndProject (no global sort).
+  */
+object Relational {
+
+  /** TPC-H Q3-style shipping priority: fact⋈fact shuffle join plus a
+    * broadcast dimension, aggregated revenue, deterministic top-10.
+    */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("date")
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate")) < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"))
+    val li = Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style revenue by geography: a 4-way join where every
+    * dimension hop is broadcast — lineitem is the only big input.
+    */
+  def regionRevenue(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date")
+        && to_date(col("o_orderdate")) < lit("1998-01-01").cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val geo = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(geo, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q14-style promo share: conditional aggregation over a
+    * broadcast part join; ratio of two exact decimal sums.
+    */
+  def promoShare(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val pt = Tables.part(s, d).select("p_partkey", "p_type")
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "ECONOMY", disc).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        dsum(disc).as("total_revenue"))
+      .select(
+        r4(col("promo_revenue") / col("total_revenue") * 100)
+          .as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"))
+  }
+
+  /** Left-semi join (EXISTS): orders with at least one returned item. */
+  def ordersWithReturns(s: SparkSession, d: String): DataFrame = {
+    val returned = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    Tables.orders(s, d)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers who never ordered. */
+  def customersWithoutOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Left-outer join preserving empty groups: per-customer order stats
+    * including zero-order customers.
+    */
+  def customerOrderStats(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d).select("o_custkey", "o_totalprice"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_totalprice")).as("n_orders"),
+        dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))
+
+  /** Ranking window: top-3 orders per customer (row_number). */
+  def topOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Analytic windows: running sum + lag delta per user over event time.
+    * Ordered by the raw nanosecond long so ordering (and therefore the
+    * sequential fp accumulation) is identical across engines.
+    */
+  def userRunningTotals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .withColumn("running_sum",
+        sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        r4(col("running_sum")).as("running_sum"),
+        r4(col("value") - col("prev_value")).as("delta"))
+  }
+
+  /** ROLLUP over (year, status) — the reference's hand-rolled
+    * hour→day→month nest expressed as a native grouping-set operator
+    * (SURVEY §2.4 note).
+    */
+  def orderRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(year(to_date(col("o_orderdate"))).as("yr"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .rollup(col("yr"), col("o_orderstatus"))
+      .agg(dsum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("n_orders"))
+
+  /** CUBE over the lineitem flag pair. */
+  def lineitemCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        r4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("n_items"))
+
+  /** Exact distinct counts per group (count-distinct expands to a
+    * two-phase aggregate — partial per partition, no row explosion).
+    */
+  def distinctCounts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_items"))
+
+  /** Approximate distinct (HyperLogLog++) — the 100 TB-scale variant of
+    * distinctCounts; constant memory per group. No SQL oracle (sketch
+    * values are engine-specific); driver records a rows-only check.
+    */
+  def approxDistinctCounts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders"))
+
+  private def custkeysByStatus(s: SparkSession, d: String, st: String) =
+    Tables.orders(s, d).filter(col("o_orderstatus") === st)
+      .select(col("o_custkey")).distinct()
+
+  /** INTERSECT: customers with both fulfilled and open orders. */
+  def customersIntersect(s: SparkSession, d: String): DataFrame =
+    custkeysByStatus(s, d, "F").intersect(custkeysByStatus(s, d, "O"))
+
+  /** EXCEPT: customers with fulfilled but no open orders. */
+  def customersExcept(s: SparkSession, d: String): DataFrame =
+    custkeysByStatus(s, d, "F").except(custkeysByStatus(s, d, "O"))
+
+  /** UNION (distinct): customers with either order status. */
+  def customersUnion(s: SparkSession, d: String): DataFrame =
+    custkeysByStatus(s, d, "F").union(custkeysByStatus(s, d, "O"))
+      .distinct()
+
+  /** Membership predicate (SURVEY §2.2 P7): IN-list filter. */
+  def returnedOrAvailable(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"))
+
+  /** Legacy daily-aggregate parser semantics (SURVEY §2.2 P10 + F12):
+    * midpoint of max/min with null fallback.
+    */
+  def dailyMidpoint(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts_event")).as("date"))
+      .agg(max(col("value")).as("mx"), min(col("value")).as("mn"))
+      .select(col("date"), r4(midpoint(col("mx"), col("mn"))).as("est_avg"))
+
+  /** Synthetic-key generation (F8–F10): split-tail + concat keys. */
+  def synthKeys(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      element_at(split(col("o_orderpriority"), "-"), -1)
+        .as("priority_name"),
+      concat_ws("_", col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).cast("long")).as("synth_key"))
+
+  /** JSON field extraction (F13) and re-serialization over event props. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), r4(avg(col("value"))).as("avg_value"))
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Fns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * Array[Float]`). Brute-force cosine top-k as the exact baseline, and
+  * an LSH-bucketed (random-hyperplane) variant as the 100 TB scale path.
+  *
+  * Dot products use `zip_with` + `aggregate` column expressions —
+  * sequential double accumulation, codegen'd, no UDFs. float×float is
+  * exactly representable in double, so both the Spark expression and any
+  * double-based oracle produce bit-identical sums for the same element
+  * order.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-label embedding stats — count and mean L2 norm. */
+  def labelStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        r4(avg(norm(col("embedding")))).as("avg_norm"))
+
+  /** Brute-force cosine top-k: the query set is small (it is broadcast);
+    * the corpus streams through once, each task keeps its own top-k via
+    * the ranking window after a broadcast nested-loop join. Exact
+    * baseline for recall measurement of the ANN variant.
+    */
+  def bruteForceTopK(s: SparkSession, d: String,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val sim = cosine(col("q"), col("embedding"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), r4(col("sim")).as("sim"),
+        col("rk"))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of dot products against
+    * `nPlanes` deterministic pseudo-random hyperplanes. Deterministic
+    * plane components derived from xxhash64(planeIdx, dimIdx) — no RNG,
+    * reproducible across runs and engines.
+    */
+  def lshBucket(v: Column, dim: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = (0 until dim).map { i =>
+        // hash → pseudo-uniform in [-1, 1)
+        val h = xxhash64(lit(p * 100003 + i))
+        (h.cast("double") / lit(Long.MaxValue.toDouble)) *
+          element_at(v, i + 1).cast("double")
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN top-k via LSH buckets: candidates are same-bucket vectors only.
+    * At 100 TB the corpus shuffles once on the bucket id (a few bytes);
+    * queries are broadcast. Recall is tunable via nPlanes (fewer planes
+    * → bigger buckets → higher recall, more compute). Multi-probe: also
+    * probes all buckets at Hamming distance 1 from the query's bucket,
+    * recovering most near-boundary misses.
+    */
+  def annTopK(s: SparkSession, d: String, dim: Int = 64,
+      nQueries: Int = 5, k: Int = 10, nPlanes: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes))
+    val probes = explode(array(
+      (col("bucket") +: (0 until nPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p)))): _*))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        probes.as("bucket"))
+    val sim = cosine(col("q"), col("embedding"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    emb.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), sim.as("sim"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("sim")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), r4(col("sim")).as("sim"),
+        col("rk"))
+  }
+}

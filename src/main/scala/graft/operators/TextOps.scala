@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Fns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table: tokenization, explode/flatten (the reference's
+  * P1/P2/P8 array surface, clickhouse_etl.py:103-116 / mongodb_etl.py:27
+  * — behavior only), quality scoring, language stats, token counting and
+  * a deterministic document fingerprint.
+  *
+  * All per-document work is narrow (no shuffle); only the final
+  * token-level groupBys shuffle, keyed on high-cardinality tokens —
+  * skew-safe at 100 TB. Everything stays in whole-stage codegen
+  * (built-in higher-order array functions, zero UDFs).
+  */
+object TextOps {
+
+  /** Whitespace tokens with empties dropped — the shared tokenizer. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** P1-style explode: token frequencies across the corpus. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+
+  /** P8-style slice: frequencies over only each doc's first 5 tokens. */
+  def headTokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(slice(tokens(col("text")), 1, 5)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+
+  private val stopwords = Seq("the", "a")
+
+  /** Per-document quality metrics: token counts, mean token length,
+    * stopword ratio — the classic pre-training quality-filter features.
+    */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq_tokens"),
+      r4(length(regexp_replace(col("text"), " ", ""))
+        .cast("double") / size(toks)).as("avg_token_len"),
+      r4(size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+        .cast("double") / size(toks)).as("stopword_ratio"))
+  }
+
+  /** Corpus stats per (lang, source): volume and quality score. The
+    * quality score is a simple length saturation — a placeholder with
+    * the right shape (bounded, monotone) for a real scorer.
+    */
+  def langSourceStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        r4(avg(col("n_chars"))).as("avg_chars"),
+        r4(avg(least(col("n_chars") / 500.0, lit(1.0)))).as("avg_quality"))
+
+  /** Deterministic 64-bit document fingerprint (xxhash64 of normalized
+    * text) + 64-bit SimHash over token hashes. Engine-specific hash
+    * values → no SQL oracle; used by dedup and covered by ScalaTest.
+    *
+    * SimHash: per token, xxhash64 gives 64 bits; each bit votes ±1;
+    * the sign vector re-packs into a long. Expressed with higher-order
+    * array functions so it is fully distributed and codegen-friendly.
+    */
+  def fingerprints(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      xxhash64(regexp_replace(lower(col("text")), "\\s+", " "))
+        .as("fingerprint"),
+      transform(toks, t => xxhash64(t)).as("tok_hashes"))
+    // For bit i: count tokens with bit set, compare against n/2.
+    val nToks = size(col("tok_hashes"))
+    val bitCols = (0 until 64).map { i =>
+      val votes = aggregate(col("tok_hashes"), lit(0),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1).cast("int"))
+      when(votes * 2 >= nToks, lit(1L << i)).otherwise(0L)
+    }
+    docs.select(col("doc_id"), col("fingerprint"),
+      bitCols.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Language-ID by character-n-gram profile: build per-lang trigram
+    * profiles from a deterministic training split (doc_id % 10 == 0),
+    * broadcast the compact profile table, score every document by
+    * profile overlap. Two narrow aggregations + one broadcast join —
+    * the scale-correct shape for classifier-ish ops (the model is tiny,
+    * the corpus is huge; never shuffle the corpus).
+    * Heuristic values are engine-specific → rows-only check.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grams = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("lang"), explode(charTrigrams(col("text"))).as("gram"))
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("n"))
+    // top-50 trigrams per language = the "model"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("gram"))
+    val profile = grams.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50).select(col("lang").as("p_lang"), col("gram"))
+    val docGrams = docs
+      .select(col("doc_id"), col("lang"),
+        explode(charTrigrams(col("text"))).as("gram"))
+    docGrams.join(broadcast(profile), Seq("gram"))
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("p_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("p_lang").as("predicted"))
+  }
+
+  /** Character trigrams of a lowercased string. */
+  def charTrigrams(text: Column): Column = {
+    val t = lower(text)
+    when(length(t) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(t) - 2),
+        i => t.substr(i, lit(3))))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.registry
+
+import graft.operators.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract registry for the relational operator family.
+  * Column names in the Spark results and the DuckDB oracle SQL must
+  * match exactly (the driver sorts columns by name before hashing).
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping" -> (Relational.shippingPriority _),
+    "q5_region" -> (Relational.regionRevenue _),
+    "q14_promo" -> (Relational.promoShare _),
+    "q_semi_join" -> (Relational.ordersWithReturns _),
+    "q_anti_join" -> (Relational.customersWithoutOrders _),
+    "q_outer_join" -> (Relational.customerOrderStats _),
+    "q_window_rank" -> (Relational.topOrdersPerCustomer _),
+    "q_window_running" -> (Relational.userRunningTotals _),
+    "q_rollup" -> (Relational.orderRollup _),
+    "q_cube" -> (Relational.lineitemCube _),
+    "q_distinct" -> (Relational.distinctCounts _),
+    "q_approx_distinct" -> (Relational.approxDistinctCounts _),
+    "q_intersect" -> (Relational.customersIntersect _),
+    "q_except" -> (Relational.customersExcept _),
+    "q_union" -> (Relational.customersUnion _),
+    "q_membership" -> (Relational.returnedOrAvailable _),
+    "q_midpoint" -> (Relational.dailyMidpoint _),
+    "q_synth_keys" -> (Relational.synthKeys _),
+    "q_json_extract" -> (Relational.jsonExtract _)
+  )
+
+  /** DECIMAL(18,6)-accumulated sums emitted as DOUBLE — see Fns.dsum. */
+  private def ds(e: String) =
+    s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         | ${ds("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+         |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+         |GROUP BY 1, 2
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region" ->
+      s"""SELECT r_name, n_name,
+         | ${ds("l_extendedprice * (1 - l_discount)")} AS revenue,
+         | count(*) AS n_items
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+         |GROUP BY r_name, n_name""".stripMargin,
+    "q14_promo" ->
+      s"""SELECT
+         | round(promo_revenue / total_revenue * 100, 4) AS promo_pct,
+         | promo_revenue, total_revenue
+         |FROM (
+         |  SELECT
+         |   ${ds("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+         |   ${ds("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin,
+    "q_semi_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         | ${ds("o_totalprice")} AS total_price
+         |FROM orders
+         |WHERE EXISTS (SELECT 1 FROM lineitem
+         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         |GROUP BY o_orderstatus""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
+    "q_outer_join" ->
+      s"""SELECT c_custkey, count(o_totalprice) AS n_orders,
+         | ${ds("coalesce(o_totalprice, 0)")} AS total_spent
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        | round(sum(value) OVER w, 4) AS running_sum,
+        | round(value - lag(value, 1) OVER w, 4) AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+         | ${ds("o_totalprice")} AS total_price, count(*) AS n_orders
+         |FROM orders
+         |GROUP BY ROLLUP (1, o_orderstatus)""".stripMargin,
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${ds("l_quantity")} AS sum_qty,
+         | round(avg(l_discount), 4) AS avg_disc, count(*) AS n_items
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q_union" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q_membership" ->
+      """SELECT l_returnflag, count(*) AS n_items
+        |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag""".stripMargin,
+    "q_midpoint" ->
+      """SELECT date,
+        | round(coalesce((mx + mn) / 2, mx, mn), 4) AS est_avg
+        |FROM (
+        |  SELECT CAST(ts AS DATE) AS date, max(value) AS mx,
+        |   min(value) AS mn
+        |  FROM events GROUP BY 1)""".stripMargin,
+    "q_synth_keys" ->
+      """SELECT o_orderkey,
+        | str_split(o_orderpriority, '-')[-1] AS priority_name,
+        | concat_ws('_', o_custkey, CAST(epoch(o_orderdate) AS BIGINT))
+        |   AS synth_key
+        |FROM orders""".stripMargin,
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        | count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}
