@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.pipeline.Warehouse
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming tier (SURVEY.md §2.9 ST1–ST7): the reference's
+  * micro-batch scheduler cadence, incremental loads, late-data backfill
+  * and TTL cache become native streaming concepts:
+  *
+  *  - ST1/ST7: `Trigger.AvailableNow` for the eager first sync, then
+  *    `Trigger.ProcessingTime` for the cadence.
+  *  - ST2: checkpointed file-source reads replace "re-extract all":
+  *    each micro-batch sees only new files — the principled incremental
+  *    load the reference approximates by re-reading everything.
+  *  - ST3: `foreachBatch` recomputes + overwrites aggregate tables.
+  *  - ST4: a 7-day watermark bounds state exactly like the reference's
+  *    7-day historical backfill window.
+  *  - ST5: `dropDuplicatesWithinWatermark` on the observation key.
+  *  - ST6: state TTL via GroupState timeouts.
+  */
+object Streams {
+
+  /** File-based raw-document stream → parsed observation rows.
+    * Checkpointing makes this the true incremental Mongo→warehouse sync.
+    */
+  def observationStream(spark: SparkSession, rawJsonDir: String): DataFrame =
+    Warehouse.parseObservations(
+      spark.readStream
+        .schema(graft.pipeline.WeatherSchemas.rawDocument)
+        .json(rawJsonDir))
+
+  /** ST4+ST5: watermarked exact-dedup stream of observations. */
+  def dedupedObservations(obs: DataFrame): DataFrame =
+    obs.withWatermark("timestamp", "7 days")
+      .dropDuplicatesWithinWatermark("observation_id")
+
+  /** Tumbling-window hourly aggregate with late-data tolerance — the
+    * streaming twin of Warehouse.hourlyAggregates (same metric mix).
+    */
+  def hourlyWindowed(obs: DataFrame): DataFrame =
+    obs.filter(col("temperature_c").isNotNull)
+      .withWatermark("timestamp", "7 days")
+      .groupBy(window(col("timestamp"), "1 hour"))
+      .agg(
+        avg(col("temperature_c")).as("avg_temperature_c"),
+        max(col("rainfall_mm")).as("max_rainfall_per_hour"),
+        avg(col("humidity_percent")).as("avg_humidity_percent"),
+        max(col("temperature_c")).as("max_temperature_c"),
+        min(col("temperature_c")).as("min_temperature_c"),
+        count(lit(1)).as("observation_count"))
+      .select(col("window.start").as("hour"), col("*"))
+      .drop("window")
+
+  /** ST3: per-micro-batch full aggregate refresh — mirrors the
+    * reference's recompute-then-upsert cycle with an idempotent
+    * overwrite. `Trigger.AvailableNow` gives the eager first sync (ST7);
+    * restart the query for each scheduled cadence tick, or pass a
+    * ProcessingTime trigger for a long-lived sync.
+    */
+  def aggregateRefresh(obs: DataFrame, obsPath: String, dailyPath: String,
+      monthlyPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    obs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Warehouse.writeObservations(batch, obsPath)
+          val all = Warehouse.readObservations(batch.sparkSession, obsPath)
+          Warehouse.refreshAggregate(Warehouse.dailyAggregates(all),
+            dailyPath, 60, "incremental")
+          Warehouse.refreshAggregate(Warehouse.monthlyAggregates(all),
+            monthlyPath, 60, "incremental")
+        }
+      }
+      .start()
+
+  /** Session state for the TTL-cache analog (ST6). */
+  final case class CacheState(payload: String, updatedAtMs: Long)
+  final case class KeyedValue(key: String, payload: String, tsMs: Long)
+  final case class CacheAnswer(key: String, payload: Option[String],
+    fresh: Boolean)
+
+  /** ST6 as a stateful operator: a keyed cache whose entries expire via
+    * processing-time timeout — the Redis `setex`/`ttl` behavior inside
+    * the engine. Input is a stream of cache writes; output reports
+    * freshness transitions (expired keys emit `fresh = false`).
+    */
+  def ttlCache(writes: Dataset[KeyedValue], ttlMs: Long)
+      : Dataset[CacheAnswer] = {
+    import writes.sparkSession.implicits._
+    writes.groupByKey(_.key)
+      .mapGroupsWithState[CacheState, CacheAnswer](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: String, values: Iterator[KeyedValue],
+         state: GroupState[CacheState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            CacheAnswer(key, None, fresh = false)
+          } else {
+            val latest = values.toSeq.maxByOption(_.tsMs)
+            latest.foreach { v =>
+              state.update(CacheState(v.payload, v.tsMs))
+              state.setTimeoutDuration(ttlMs)
+            }
+            CacheAnswer(key, state.getOption.map(_.payload), fresh = true)
+          }
+      }
+  }
+
+  /** Events-table stream twin of Hierarchy.hourly for the testdata:
+    * hour-windowed value aggregates with watermark.
+    */
+  def eventHourly(events: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .withWatermark("ts_event", "1 day")
+      .groupBy(window(col("ts_event"), "1 hour"))
+      .agg(avg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        count(lit(1)).as("n_obs"))
+      .select(to_date(col("window.start")).as("date"),
+        hour(col("window.start")).as("hr"),
+        col("avg_value"), col("max_value"), col("min_value"),
+        col("n_obs"))
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator tests: dedup families, similarity search,
+  * multimodal plumbing.
+  */
+class DedupSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("exact dedup: one keep row per distinct text, copies counted") {
+    val d = Dedup.exact(spark, sf())
+    val nDocs = Tables.documents(spark, sf()).count()
+    val agg = d.agg(sum("n_copies"), count(lit(1))).collect().head
+    assert(agg.getLong(0) === nDocs) // copies partition the corpus
+    assert(agg.getLong(1) <= nDocs)
+  }
+
+  test("shingles: distinct word 3-grams; short docs collapse to one") {
+    val sh = Seq("a b c d", "x y").toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).toSet === Set("a b c", "b c d"))
+    assert(sh(1).toSeq === Seq("x y"))
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i =>
+      if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = tmpDir("minhash")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashPairs(spark, dir, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L)))
+    val j = pairs.head.getAs[Double]("jaccard")
+    assert(j > 0.8 && j < 1.0)
+    // and the blocked exact-jaccard path agrees
+    val exact = Dedup.ngramJaccardPairs(spark, dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((1L, 2L)))
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f)),
+      (Array(1f, 0f, 0f), Array(0f, 3f, 0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(math.abs(df(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(df(1).getDouble(0)) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows per query, descending similarity") {
+    val tk = Similarity.bruteForceTopK(spark, sf(), nQueries = 3, k = 5)
+      .collect()
+    val byQ = tk.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.length === 5)
+      val sims = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("sim"))
+      assert(sims.toSeq === sims.sorted.reverse.toSeq)
+    }
+  }
+
+  test("ANN top-k recall vs brute force is usable (>= 0.5)") {
+    val brute = Similarity.bruteForceTopK(spark, sf(), nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(spark, sf(), nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("multimodal: deterministic features, frame sampling, stats") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length === 30)
+    feats.foreach { f =>
+      assert(f.feature.length === 8)
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3)
+      assert(f.width >= 1 && f.height >= 1)
+    }
+    // determinism: second run identical
+    val again = Multimodal.extractFeatures(assets).collect()
+    assert(feats.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
+    val frames = Multimodal.sampleFrames(assets).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 4 == 0))
+    val stats = Multimodal.assetStats(assets.toDF()).collect()
+    assert(stats.map(_.getAs[String]("kind")).toSet
+      === Set("image", "audio", "video"))
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+/** Driver-contract smoke: every declared query runs at sf0.001 and
+  * returns rows; oracle keys are a subset of query keys; the flagship
+  * entry returns rows.
+  */
+class EntrySpec extends SparkSuite {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle without query: $extra")
+  }
+
+  test("every query runs and returns rows at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = fn(spark, sf()).count()
+        if (n == 0 && name != "q_anti_join" && name != "q_minhash_pairs"
+          && name != "q_ngram_jaccard") Some(name)
+        else None
+    }
+    assert(empties.isEmpty, s"empty results: $empties")
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+/** End-to-end weather pipeline on the §1.1 fixture docs: raw JSON →
+  * lake → warehouse → aggregates → serving, asserted against
+  * hand-computed goldens, including a duplicate-heavy batch (SURVEY §5.4).
+  */
+class PipelineSpec extends SparkSuite {
+
+  private lazy val fixtureDir = {
+    val dir = tmpDir("weather_fix")
+    WeatherFixtures.writeJson(dir, "batch1.json",
+      WeatherFixtures.standardBatch)
+    dir
+  }
+
+  test("enrichment computes per-document metrics with conversions") {
+    val raw = Lake.readRaw(spark, s"$fixtureDir/batch1.json")
+    assert(raw.count() === 1)
+    val m = Lake.enrich(raw).select("calculated_metrics.*").collect().head
+    // temps: 35.0 (Kelvin), 35.0 (dup), 100.0 (boundary stays), 26.85
+    // (300 K, null-ts feature still counts in per-doc metrics), 25.5,
+    // 17.0 (290.15 K)
+    assert(m.getAs[Int]("temperature_count") === 6)
+    // rainfall: 0.5, 0.5, 1.0, 2.5, 1.0 (0.001 m → 1.0 stays? 0.001 < 1
+    // → ×1000 = 1.0), 3.0
+    assert(m.getAs[Int]("rainfall_count") === 6)
+    val expTemps = Seq(35.0, 35.0, 100.0, 26.85, 25.5, 17.0)
+    assert(math.abs(m.getAs[Double]("avg_temperature_c") -
+      expTemps.sum / expTemps.size) < 1e-9)
+    val expRain = Seq(0.5, 0.5, 1.0, 2.5, 1.0, 3.0)
+    assert(math.abs(m.getAs[Double]("total_rainfall_mm") -
+      expRain.sum) < 1e-9)
+    assert(m.getAs[Int]("humidity_count") === 5)
+    assert(m.getAs[Int]("observation_count") === 7) // incl. null-ts row
+  }
+
+  test("forecast summary keeps first 7 periods with F→C conversion") {
+    val raw = Lake.readRaw(spark, s"$fixtureDir/batch1.json")
+    val f = Lake.enrich(raw)
+      .select(explode(col("forecast_summary")).as("p"))
+      .select("p.name", "p.temperature_f", "p.temperature_c").collect()
+    assert(f.length === 2)
+    assert(f.head.getAs[String]("name") === "Today")
+    assert(math.abs(f.head.getAs[Double]("temperature_c") -
+      (95.0 - 32) * 5 / 9) < 1e-9)
+  }
+
+  test("observation parse drops null timestamps, converts, keys rows") {
+    val raw = Lake.readRaw(spark, s"$fixtureDir/batch1.json")
+    val obs = Warehouse.parseObservations(raw)
+    val rows = obs.collect()
+    assert(rows.length === 6) // 7 features minus the null-timestamp one
+    val byStation = rows.groupBy(_.getAs[String]("station_id"))
+    assert(byStation.keySet === Set("KSCK", "KSJC"))
+    // Kelvin converted at parse too
+    val ksck = rows.filter(r => r.getAs[String]("observation_id")
+      .startsWith("KSCK_"))
+    assert(ksck.exists(r =>
+      math.abs(r.getAs[Double]("temperature_c") - 35.0) < 1e-9))
+    // null temperature survives parse (P4 filters happen at agg time)
+    assert(rows.count(_.isNullAt(rows.head.fieldIndex("temperature_c")))
+      === 1)
+  }
+
+  test("full pipeline run produces capped monthly serving rows") {
+    val paths = Pipeline.Paths(tmpDir("weather_pipe"))
+    val monthly = Pipeline.run(spark,
+      s"$fixtureDir/batch1.json", paths).collect()
+    // fixture spans 2026-07 and 2026-08
+    assert(monthly.length === 2)
+    monthly.foreach { r =>
+      val h = r.getAs[Double]("avg_humidity_percent")
+      assert(h <= 100.0) // read-time cap (120 input would exceed)
+    }
+    // null-temperature observation row excluded everywhere (§8.7)
+    val total = monthly.map(_.getAs[Long]("observation_count")).sum
+    assert(total === 5) // 6 parsed minus 1 null-temperature
+    // cache envelope is fresh & parseable
+    val payload = Serving.readCacheIfFresh(spark, paths.cache, 3600)
+    assert(payload.isDefined)
+    assert(payload.get.contains("\"overall_averages\""))
+    assert(Serving.readCacheIfFresh(spark, paths.cache, 0).isEmpty)
+  }
+
+  test("incremental re-run duplicates observations; hourly agg masks " +
+    "metric values (SURVEY §8.5 parity)") {
+    val paths = Pipeline.Paths(tmpDir("weather_dup"))
+    Pipeline.run(spark, s"$fixtureDir/batch1.json", paths)
+    val before = Warehouse.readObservations(spark, paths.observations)
+    val aggBefore = Warehouse.dailyAggregates(before)
+      .select("date", "avg_temperature_c", "total_rainfall_mm")
+      .collect().toSet
+    Pipeline.run(spark, s"$fixtureDir/batch1.json", paths) // second sync
+    val after = Warehouse.readObservations(spark, paths.observations)
+    // re-extract-all: the 2nd sync re-parses BOTH enriched docs (12 rows)
+    // and appends them to the 6 already stored
+    assert(after.count() === before.count() * 3)
+    val aggAfter = Warehouse.dailyAggregates(after)
+      .select("date", "avg_temperature_c", "total_rainfall_mm")
+      .collect().toSet
+    assert(aggBefore === aggAfter) // dedup-by-aggregation holds
+  }
+
+  test("legacy daily documents parse via midpoint fallback") {
+    import spark.implicits._
+    val legacy = Seq(
+      ("2026-07-01", Some(30.0), Some(10.0), Some(1.2)),
+      ("2026-07-02", Some(28.0), None, None))
+      .toDF("date", "max_temp_c", "min_temp_c", "precip_mm")
+    val rows = Warehouse.parseLegacyDaily(legacy).collect()
+    assert(rows.length === 2)
+    assert(rows.head.getAs[Double]("temperature_c") === 20.0)
+    assert(rows(1).getAs[Double]("temperature_c") === 28.0)
+  }
+}

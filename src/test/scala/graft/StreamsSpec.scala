@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.Hierarchy
+import graft.pipeline.{Warehouse, WeatherSchemas}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming tier (SURVEY §2.9): file-driven micro-batches
+  * against memory sinks; streaming results must equal their batch twins.
+  */
+class StreamsSpec extends SparkSuite {
+
+  private lazy val fixtureDir = {
+    val dir = tmpDir("stream_fix")
+    WeatherFixtures.writeJson(dir, "batch1.json",
+      WeatherFixtures.standardBatch)
+    dir
+  }
+
+  test("streaming hourly window equals batch hourly aggregate") {
+    val stream = Streams.observationStream(spark, fixtureDir)
+    // complete mode: the 7-day watermark would withhold every window of
+    // the 20-hour fixture in append mode
+    val q = Streams.hourlyWindowed(stream)
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("hourly_stream")
+      .select(col("hour"), col("avg_temperature_c"),
+        col("observation_count"))
+      .collect().map(r => (r.get(0).toString,
+        r.getDouble(1), r.getLong(2))).toSet
+    val batchObs = Warehouse.parseObservations(
+      spark.read.schema(WeatherSchemas.rawDocument).json(fixtureDir))
+    val want = Warehouse.hourlyAggregates(batchObs)
+      .select(col("hour"), col("avg_temperature_c"),
+        col("observation_count"))
+      .collect().map(r => (r.get(0).toString,
+        r.getDouble(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("watermarked dedup stream drops re-sent observation ids") {
+    val obs = Streams.observationStream(spark, fixtureDir)
+    val q = Streams.dedupedObservations(obs)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("dedup_stream")
+      .select("observation_id").collect().map(_.getString(0))
+    assert(ids.length === ids.distinct.length)
+    // the fixture contains an exact duplicate feature → raw parse has
+    // one more row than the deduped stream
+    val rawCount = Warehouse.parseObservations(
+      spark.read.schema(WeatherSchemas.rawDocument).json(fixtureDir))
+      .count()
+    assert(ids.length.toLong === rawCount - 1)
+  }
+
+  test("foreachBatch aggregate refresh writes warehouse tables") {
+    val root = tmpDir("stream_agg")
+    val obs = Streams.observationStream(spark, fixtureDir)
+    val q = Streams.aggregateRefresh(obs,
+      s"$root/obs", s"$root/daily", s"$root/monthly",
+      s"$root/ckpt")
+    q.awaitTermination(120000)
+    val daily = spark.read.parquet(s"$root/daily")
+    assert(daily.count() >= 2)
+    assert(daily.columns.contains("warehouse_load_time"))
+    assert(daily.columns.contains("load_mode"))
+    // restart with no new files → no duplicate appends (checkpointing)
+    val q2 = Streams.aggregateRefresh(obs,
+      s"$root/obs", s"$root/daily", s"$root/monthly", s"$root/ckpt")
+    q2.awaitTermination(120000)
+    val obsCount = spark.read.parquet(s"$root/obs").count()
+    assert(obsCount === Warehouse.parseObservations(
+      spark.read.schema(WeatherSchemas.rawDocument).json(fixtureDir))
+      .count())
+  }
+
+  test("streaming event hourly matches batch Hierarchy.hourly") {
+    // file-source streaming needs a directory: stage the events file
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stageDir = tmpDir("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$stageDir/events.parquet"))
+    val schema = Tables.events(spark, sf()).schema
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        schema.filter(_.name != "ts_event")))
+      .parquet(stageDir)
+      .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.eventHourly(stream)
+      .writeStream.format("memory").queryName("ev_hourly")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("ev_hourly")
+      .select("date", "hr", "avg_value", "n_obs")
+      .collect().map(r => (r.get(0).toString, r.getInt(1),
+        math.rint(r.getDouble(2) * 1e6), r.getLong(3))).toSet
+    val want = Hierarchy.hourly(Tables.events(spark, sf()))
+      .select("date", "hr", "avg_value", "n_obs")
+      .collect().map(r => (r.get(0).toString, r.getInt(1),
+        math.rint(r.getDouble(2) * 1e6), r.getLong(3))).toSet
+    assert(got.subsetOf(want))
+    // append mode withholds only windows newer than the watermark
+    assert(got.size >= want.size - 26)
+    assert(got.nonEmpty)
+  }
+}
