@@ -30,9 +30,14 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** Word 3-gram shingles of a document, distinct. */
-  def shingles(text: Column): Column = {
-    val toks = tokens(text)
+  /** Word 3-gram shingles from a token-array COLUMN. The tokens must be
+    * a materialized column (not an inline expression): higher-order
+    * lambdas re-evaluate non-attribute subexpressions per element, so an
+    * inlined tokenizer would re-split the document for every shingle.
+    * Referencing `toks` three times also keeps CollapseProject from
+    * inlining a non-cheap producer.
+    */
+  def shinglesFromTokens(toks: Column): Column =
     array_distinct(
       when(size(toks) < 3, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(0), size(toks) - 3),
@@ -40,49 +45,80 @@ object Dedup {
             element_at(toks, i + 1),
             element_at(toks, i + 2),
             element_at(toks, i + 3)))))
-  }
 
-  /** MinHash signature: k independent permutations approximated by
-    * seeding xxhash64 with the hash index. Array of k longs per doc.
+  /** Convenience wrapper for single-shot use (tests, tiny inputs) —
+    * quadratic in tokens if used inside another lambda; hot paths stage
+    * `tokens(text)` first and call [[shinglesFromTokens]].
     */
-  def minhashSignature(text: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      h => array_min(transform(shingles(text),
-        sh => xxhash64(sh, h))))
+  def shingles(text: Column): Column = shinglesFromTokens(tokens(text))
+
+  /** Stage documents → (doc_id, sh) with tokenization and shingling
+    * each evaluated exactly once per document.
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
+
+  /** MinHash signature from a shingle-array column — SINGLE pass over
+    * the shingles: each shingle contributes its k seeded hashes to an
+    * elementwise running minimum. The array argument of `aggregate` is
+    * evaluated once per row (only the fold body runs per element), so
+    * this stays linear even if Catalyst inlines the shingle expression.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    aggregate(sh,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, x) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)), h => xxhash64(x, h)),
+        (a, b) => least(a, b)))
 
   /** MinHash+LSH near-duplicate pairs, verified with true Jaccard over
     * shingle sets. `bands` × `rowsPerBand` must equal the signature
     * length k. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    *
+    * Plan shape (scale-critical): the LSH join carries ONLY
+    * (band, bucket, doc_id) — 24 bytes per row — never the shingle
+    * arrays; candidate pairs (rare) then fetch both shingle sets via two
+    * id-keyed joins for exact verification. At 100 TB the wide document
+    * payload is touched exactly twice (once to shingle, once per
+    * verified candidate side), and the quadratic step only ever sees
+    * fixed-width keys.
     */
   def minhashPairs(s: SparkSession, d: String,
       bands: Int = 4, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
-    val docs = Tables.documents(s, d).select(
-      col("doc_id"),
-      shingles(col("text")).as("sh"),
-      minhashSignature(col("text"), k).as("sig"))
+    val withSh = shingled(s, d)
+    val withSig = withSh
+      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
     // one row per (doc, band): bucket key = hash of that band's slice
-    val banded = docs.select(
-      col("doc_id"), col("sh"),
+    val banded = withSig.select(
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))
             .as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("sh"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val candidates = banded
+      .join(banded.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b")), Seq("band", "bucket"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val shA = withSh.select(col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val shB = withSh.select(col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(array_union(col("sh_a"), col("sh_b")))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    candidates
+      .join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / union).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
@@ -94,9 +130,16 @@ object Dedup {
     */
   def ngramJaccardPairs(s: SparkSession, d: String,
       threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(s, d).select(
-      col("lang"), col("source"), col("doc_id"),
-      shingles(col("text")).as("sh"))
+    // staged projections: tokenize, shingle, then hash each shingle to
+    // a long — the quadratic intersect/union step compares 8-byte
+    // hashes, not 3-word strings (collision odds ~n²/2⁶⁴, negligible)
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("doc_id"),
+        tokens(col("text")).as("toks"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        shinglesFromTokens(col("toks")).as("sh_str"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        transform(col("sh_str"), x => xxhash64(x)).as("sh"))
     val a = docs.select(col("lang"), col("source"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("lang"), col("source"),

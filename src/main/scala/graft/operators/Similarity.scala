@@ -56,19 +56,27 @@ object Similarity {
         col("rk"))
   }
 
+  /** Deterministic pseudo-uniform plane weight in [-1, 1): splitmix64
+    * of (plane, dim) — fixed across runs, no RNG state.
+    */
+  private def planeWeight(p: Int, i: Int): Double = {
+    var z = p.toLong * 0x9e3779b97f4a7c15L + i.toLong + 1
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of dot products against
-    * `nPlanes` deterministic pseudo-random hyperplanes. Deterministic
-    * plane components derived from xxhash64(planeIdx, dimIdx) — no RNG,
-    * reproducible across runs and engines.
+    * `nPlanes` deterministic hyperplanes. Each plane is a literal weight
+    * array, so the projection is one zip_with+aggregate per plane — a
+    * compact codegen'd loop, not a dim×planes expression tree.
     */
   def lshBucket(v: Column, dim: Int, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val proj = (0 until dim).map { i =>
-        // hash → pseudo-uniform in [-1, 1)
-        val h = xxhash64(lit(p * 100003 + i))
-        (h.cast("double") / lit(Long.MaxValue.toDouble)) *
-          element_at(v, i + 1).cast("double")
-      }.reduce(_ + _)
+      val weights = array((0 until dim).map(i => lit(planeWeight(p, i))): _*)
+      val proj = aggregate(
+        zip_with(v, weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, t) => acc + t)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }
     bits.reduce(_.bitwiseOR(_))

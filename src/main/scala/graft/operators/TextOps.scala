@@ -101,9 +101,12 @@ object TextOps {
     * Heuristic values are engine-specific → rows-only check.
     */
   def langId(s: SparkSession, d: String): DataFrame = {
+    // stage the lowered text: charTrigrams' lambda must reference an
+    // attribute, or the lowercasing re-runs per trigram
     val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
     val grams = docs.filter(col("doc_id") % 10 === 0)
-      .select(col("lang"), explode(charTrigrams(col("text"))).as("gram"))
+      .select(col("lang"), explode(charTrigrams(col("lt"))).as("gram"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("n"))
     // top-50 trigrams per language = the "model"
     val w = org.apache.spark.sql.expressions.Window
@@ -112,7 +115,7 @@ object TextOps {
       .filter(col("rk") <= 50).select(col("lang").as("p_lang"), col("gram"))
     val docGrams = docs
       .select(col("doc_id"), col("lang"),
-        explode(charTrigrams(col("text"))).as("gram"))
+        explode(charTrigrams(col("lt"))).as("gram"))
     docGrams.join(broadcast(profile), Seq("gram"))
       .groupBy(col("doc_id"), col("lang"), col("p_lang"))
       .agg(count(lit(1)).as("score"))
@@ -124,11 +127,12 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("p_lang").as("predicted"))
   }
 
-  /** Character trigrams of a lowercased string. */
-  def charTrigrams(text: Column): Column = {
-    val t = lower(text)
-    when(length(t) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(t) - 2),
-        i => t.substr(i, lit(3))))
-  }
+  /** Character trigrams of an ALREADY-LOWERED string column. Callers
+    * must pass an attribute (stage `lower(text)` first): the transform
+    * lambda re-evaluates non-attribute children per element.
+    */
+  def charTrigrams(lowered: Column): Column =
+    when(length(lowered) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(lowered) - 2),
+        i => lowered.substr(i, lit(3))))
 }
