@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object Warehouse {
 
+  /** S16: idempotent DDL bootstrap — external tables over the parquet
+    * tier locations so the whole warehouse is SQL-addressable
+    * (`spark.sql("SELECT ... FROM weather_observations")`), mirroring
+    * the reference's CREATE-IF-NOT-EXISTS startup.
+    */
+  def bootstrapTables(spark: SparkSession, obsPath: String,
+      dailyPath: String, monthlyPath: String): Unit = {
+    Seq(
+      "weather_observations" -> obsPath,
+      "daily_weather_aggregates" -> dailyPath,
+      "monthly_weather_aggregates" -> monthlyPath
+    ).foreach { case (name, path) =>
+      // a view (not an external table) so the partitioned observation
+      // dirs get partition discovery on every read, and re-bootstrap
+      // after a schema-evolving rewrite stays idempotent
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $name
+                   |AS SELECT * FROM parquet.`$path`""".stripMargin)
+    }
+  }
+
   /** P1+P3+P6+F1/F2/F6/F8/F9: one observation row per array element.
     * Null/unparseable timestamps are dropped (to_timestamp yields null);
     * unit conversions match the reference parser exactly.

@@ -104,6 +104,22 @@ class PipelineSpec extends SparkSuite {
     assert(aggBefore === aggAfter) // dedup-by-aggregation holds
   }
 
+  test("DDL bootstrap makes warehouse tables SQL-addressable (S16)") {
+    val paths = Pipeline.Paths(tmpDir("weather_sql"))
+    Pipeline.run(spark, s"$fixtureDir/batch1.json", paths)
+    Warehouse.bootstrapTables(spark, paths.observations,
+      paths.dailyAgg, paths.monthlyAgg)
+    val n = spark.sql(
+      "SELECT count(*) FROM weather_observations WHERE temperature_c " +
+        "IS NOT NULL").collect().head.getLong(0)
+    assert(n === 5)
+    // idempotent re-bootstrap
+    Warehouse.bootstrapTables(spark, paths.observations,
+      paths.dailyAgg, paths.monthlyAgg)
+    assert(spark.sql("SELECT count(*) FROM daily_weather_aggregates")
+      .collect().head.getLong(0) >= 2)
+  }
+
   test("legacy daily documents parse via midpoint fallback") {
     import spark.implicits._
     val legacy = Seq(
