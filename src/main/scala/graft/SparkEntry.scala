@@ -36,7 +36,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     hierarchyQueries ++
       graft.registry.RelationalQueries.queries ++
-      graft.registry.TextQueries.queries
+      graft.registry.TextQueries.queries ++
+      graft.registry.ExtrasQueries.queries
 
   private def hierarchyQueries
       : Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -119,7 +120,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     hierarchyOracle ++
       graft.registry.RelationalQueries.oracle ++
-      graft.registry.TextQueries.oracle
+      graft.registry.TextQueries.oracle ++
+      graft.registry.ExtrasQueries.oracle
 
   private def hierarchyOracle: Map[String, String] = Map(
     "q_hourly_agg" ->

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Fns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Engine-completeness surface beyond the survey inventory: analytic
+  * windows, grouping sets through the SQL front-end, argmax aggregates,
+  * string/date scalar families, exact + approximate percentiles.
+  * Everything is a Spark built-in (codegen'd); the value here is the
+  * verified cross-engine semantics (see registry oracles).
+  */
+object Extras {
+
+  /** dense_rank / ntile / percent_rank / cume_dist over order values
+    * per customer — deterministic via the orderkey tiebreak.
+    */
+  def windowAnalytics(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("tile", ntile(4).over(w))
+      .withColumn("prk", r4(percent_rank().over(w)))
+      .withColumn("cd", r4(cume_dist().over(w)))
+  }
+
+  /** GROUPING SETS via the SQL front-end (the DataFrame rollup/cube
+    * cousins are in Relational) — also exercises view registration +
+    * spark.sql, the engine's second query API.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT year(o_orderdate) AS yr, o_orderstatus,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS total_price,
+        | count(*) AS n_orders
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+        |""".stripMargin)
+  }
+
+  /** max_by/min_by argmax aggregates per nation. */
+  def argmaxPerNation(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        max_by(col("c_name"), col("c_acctbal")).as("richest"),
+        min_by(col("c_name"), col("c_acctbal")).as("poorest"),
+        r4(max(col("c_acctbal"))).as("max_bal"))
+
+  /** String scalar family over part names. */
+  def stringFunctions(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("uname"),
+      length(col("p_name")).as("name_len"),
+      lpad(col("p_brand"), 12, "*").as("brand_padded"),
+      substring(col("p_type"), 1, 3).as("type_prefix"),
+      regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      trim(lit("  x  ")).as("trimmed"))
+
+  /** Date/time scalar family over order dates (cross-engine-aligned
+    * semantics: Spark dayofweek is 1-based Sunday, DuckDB 0-based).
+    */
+  def dateFunctions(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      to_date(col("o_orderdate")).as("od"))
+      .select(
+        col("o_orderkey"), col("od"),
+        year(col("od")).as("yr"),
+        quarter(col("od")).as("qtr"),
+        (dayofweek(col("od")) - 1).as("dow"),
+        date_add(col("od"), 30).as("plus30"),
+        datediff(col("od"), lit("1998-01-01").cast("date")).as("day_offset"),
+        last_day(col("od")).as("month_end"),
+        trunc(col("od"), "quarter").as("quarter_start"))
+
+  /** Exact interpolated percentiles per return flag (median, p90) plus
+    * the sketch-based approximation for the 100 TB path.
+    */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(percentile(col("l_quantity"), lit(0.5))).as("median_qty"),
+        r4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"),
+        r4(percentile(col("l_extendedprice"), lit(0.5))).as("median_price"))
+
+  /** Approximate percentiles (t-digest-style sketch) — constant memory,
+    * engine-specific values → rows-only check.
+    */
+  def approxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_quantity"), lit(0.5), lit(1000))
+          .as("median_qty"),
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000))
+          .as("p90_price"))
+}

@@ -1,0 +1,71 @@
+package graft.registry
+
+import graft.operators.Extras
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract registry for the engine-completeness extras. */
+object ExtrasQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_analytics" -> (Extras.windowAnalytics _),
+    "q_grouping_sets" -> (Extras.groupingSets _),
+    "q_argmax" -> (Extras.argmaxPerNation _),
+    "q_strings" -> (Extras.stringFunctions _),
+    "q_dates" -> (Extras.dateFunctions _),
+    "q_percentiles" -> (Extras.percentiles _),
+    "q_approx_percentiles" -> (Extras.approxPercentiles _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | CAST(dense_rank() OVER w AS INT) AS drk,
+        | CAST(ntile(4) OVER w AS INT) AS tile,
+        | round(percent_rank() OVER w, 4) AS prk,
+        | round(cume_dist() OVER w, 4) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS total_price,
+        | count(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+        |""".stripMargin,
+    "q_argmax" ->
+      """SELECT c_nationkey,
+        | arg_max(c_name, c_acctbal) AS richest,
+        | arg_min(c_name, c_acctbal) AS poorest,
+        | round(max(c_acctbal), 4) AS max_bal
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q_strings" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS uname,
+        | CAST(length(p_name) AS INT) AS name_len,
+        | lpad(p_brand, 12, '*') AS brand_padded,
+        | substr(p_type, 1, 3) AS type_prefix,
+        | replace(p_name, ' ', '_') AS snake_name,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | trim('  x  ') AS trimmed
+        |FROM part""".stripMargin,
+    "q_dates" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        | CAST(year(o_orderdate) AS INT) AS yr,
+        | CAST(quarter(o_orderdate) AS INT) AS qtr,
+        | CAST(dayofweek(o_orderdate) AS INT) AS dow,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | CAST(datediff('day', DATE '1998-01-01',
+        |               CAST(o_orderdate AS DATE)) AS INT) AS day_offset,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+        |FROM orders""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        | round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}
