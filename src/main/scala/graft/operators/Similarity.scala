@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Fns._
+import graft.functions.FusedCosineSimilarity.fusedCosine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -25,6 +26,9 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Composed built-in cosine — three array passes; kept as the
+    * reference implementation the fused expression is tested against.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
@@ -45,7 +49,7 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val sim = cosine(col("q"), col("embedding"))
+    val sim = fusedCosine(col("q"), col("embedding"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -104,7 +108,7 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         probes.as("bucket"))
-    val sim = cosine(col("q"), col("embedding"))
+    val sim = fusedCosine(col("q"), col("embedding"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     emb.join(broadcast(queries), Seq("bucket"))

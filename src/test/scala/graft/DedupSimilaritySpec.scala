@@ -77,6 +77,26 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("fused cosine Expression is bit-identical to the composed form " +
+    "and SQL-registrable") {
+    import graft.functions.FusedCosineSimilarity
+    val emb = Tables.embeddings(spark, sf())
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.filter(col("vec_id") < 3)
+        .select(col("embedding").as("b")))
+    val diff = pairs.select(
+      (Similarity.cosine(col("a"), col("b")) -
+        FusedCosineSimilarity.fusedCosine(col("a"), col("b"))).as("d"))
+      .agg(max(abs(col("d")))).collect().head.getDouble(0)
+    assert(diff === 0.0) // same accumulation order → bit-identical
+    FusedCosineSimilarity.register(spark)
+    emb.createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      "SELECT fused_cosine(embedding, embedding) AS c FROM emb_v LIMIT 5")
+      .collect().map(_.getDouble(0))
+    viaSql.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
   test("multimodal: deterministic features, frame sampling, stats") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val feats = Multimodal.extractFeatures(assets).collect()
