@@ -112,6 +112,57 @@ object Streams {
       }
   }
 
+  /** Sliding windows: 1-hour windows advancing every 15 minutes — each
+    * event lands in 4 windows. State is bounded by the watermark.
+    */
+  def eventSliding(events: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .withWatermark("ts_event", "1 day")
+      .groupBy(window(col("ts_event"), "1 hour", "15 minutes"))
+      .agg(avg(col("value")).as("avg_value"),
+        count(lit(1)).as("n_obs"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("avg_value"), col("n_obs"))
+
+  /** Session windows per user: activity bursts separated by ≥30 min of
+    * silence become separate sessions. session_window works identically
+    * on static DataFrames, which is what the batch-equivalence test
+    * exploits.
+    */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_event", "1 day")
+      .groupBy(session_window(col("ts_event"), "30 minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Stream-stream interval join: each purchase joined to the clicks of
+    * the same user in the preceding hour. Both sides are watermarked, so
+    * the join state is bounded — the canonical attribution shape.
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_event").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_event").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user")
+        .as("user_id"), col("value"))
+  }
+
   /** Events-table stream twin of Hierarchy.hourly for the testdata:
     * hour-windowed value aggregates with watermark.
     */

@@ -80,6 +80,69 @@ class StreamsSpec extends SparkSuite {
       .count())
   }
 
+  test("session windows: streaming result equals static session_window") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stageDir = tmpDir("events_sessions")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$stageDir/events.parquet"))
+    val schema = Tables.events(spark, sf()).schema
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        schema.filter(_.name != "ts_event")))
+      .parquet(stageDir)
+      .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.userSessions(stream)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.get(0).toString, r.get(1).toString, r.getLong(2), r.getLong(3))
+    val got = spark.table("sessions_stream")
+      .select(col("session_start"), col("session_end"), col("user_id"),
+        col("n_events")).collect().map(key).toSet
+    val want = Streams.userSessions(Tables.events(spark, sf()))
+      .select(col("session_start"), col("session_end"), col("user_id"),
+        col("n_events")).collect().map(key).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("sliding windows place each event in 4 overlapping windows") {
+    val sliding = Streams.eventSliding(Tables.events(spark, sf()))
+      .agg(sum(col("n_obs"))).collect().head.getLong(0)
+    val total = Tables.events(spark, sf())
+      .filter(col("value").isNotNull).count()
+    assert(sliding === total * 4)
+  }
+
+  test("stream-stream interval join attributes purchases to clicks") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stageDir = tmpDir("events_attr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$stageDir/events.parquet"))
+    val schema = Tables.events(spark, sf()).schema
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        schema.filter(_.name != "ts_event")))
+      .parquet(stageDir)
+      .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.purchaseAttribution(stream)
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("attr_stream")
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin over the static table (same join condition)
+    val want = Streams.purchaseAttribution(Tables.events(spark, sf()))
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming event hourly matches batch Hierarchy.hourly") {
     // file-source streaming needs a directory: stage the events file
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
