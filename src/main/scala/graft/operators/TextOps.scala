@@ -92,12 +92,14 @@ object TextOps {
       bitCols.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** Language-ID by character-n-gram profile: build per-lang trigram
+  /** Language-ID by character-n-gram profile: fit per-lang trigram
     * profiles from a deterministic training split (doc_id % 10 == 0),
-    * broadcast the compact profile table, score every document by
-    * profile overlap. Two narrow aggregations + one broadcast join —
-    * the scale-correct shape for classifier-ish ops (the model is tiny,
-    * the corpus is huge; never shuffle the corpus).
+    * then score every document by distinct-trigram overlap with each
+    * profile — the profiles ship to executors as literal arrays (model
+    * fitting collects ~langs×50 strings to the driver, the one
+    * legitimate collect: the model is tiny, the corpus is huge and
+    * never reshuffles). Scoring is `size(array_intersect(...))` per
+    * language — a narrow pass, no explode/join/window over the corpus.
     * Heuristic values are engine-specific → rows-only check.
     */
   def langId(s: SparkSession, d: String): DataFrame = {
@@ -108,23 +110,30 @@ object TextOps {
     val grams = docs.filter(col("doc_id") % 10 === 0)
       .select(col("lang"), explode(charTrigrams(col("lt"))).as("gram"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("n"))
-    // top-50 trigrams per language = the "model"
+    // top-50 trigrams per language = the "model" (fit → driver → lit)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("n").desc, col("gram"))
-    val profile = grams.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 50).select(col("lang").as("p_lang"), col("gram"))
-    val docGrams = docs
+    val profiles: Seq[(String, Seq[String])] = grams
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50)
+      .groupBy(col("lang")).agg(collect_list(col("gram")).as("grams"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).sorted.toSeq)
+      .sortBy(_._1).toSeq
+    val scored = docs
       .select(col("doc_id"), col("lang"),
-        explode(charTrigrams(col("lt"))).as("gram"))
-    docGrams.join(broadcast(profile), Seq("gram"))
-      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
-      .agg(count(lit(1)).as("score"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("p_lang"))))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("lang"), col("p_lang").as("predicted"))
+        array_distinct(charTrigrams(col("lt"))).as("dg"))
+    val scores = profiles.map { case (lang, gs) =>
+      struct(
+        size(array_intersect(col("dg"),
+          array(gs.map(lit(_)): _*))).as("score"),
+        lit(lang).as("p_lang"))
+    }
+    // argmax via array_max over (score, lang) structs — ties break on
+    // the lexicographically LAST lang, mirrored in nothing external
+    // (rows-only check); no window, no shuffle
+    scored.select(col("doc_id"), col("lang"),
+      array_max(array(scores: _*)).getField("p_lang").as("predicted"))
   }
 
   /** Character trigrams of an ALREADY-LOWERED string column. Callers

@@ -1,12 +1,13 @@
 package graft.registry
 
-import graft.operators.Extras
+import graft.operators.{AsOf, Extras}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the engine-completeness extras. */
 object ExtrasQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (AsOf.purchaseAsOfClick _),
     "q_window_analytics" -> (Extras.windowAnalytics _),
     "q_grouping_sets" -> (Extras.groupingSets _),
     "q_argmax" -> (Extras.argmaxPerNation _),
@@ -17,6 +18,23 @@ object ExtrasQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT event_id AS purchase_id, user_id, asof_click_value
+        |FROM (
+        |  SELECT event_id, user_id, side,
+        |   last_value(click_value IGNORE NULLS) OVER (
+        |     PARTITION BY user_id ORDER BY ts, side, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS asof_click_value
+        |  FROM (
+        |    SELECT user_id, ts, event_id, 0 AS side,
+        |     value AS click_value
+        |    FROM events WHERE event_type = 'click'
+        |    UNION ALL
+        |    SELECT user_id, ts, event_id, 1 AS side,
+        |     CAST(NULL AS DOUBLE) AS click_value
+        |    FROM events WHERE event_type = 'purchase'))
+        |WHERE side = 1""".stripMargin,
     "q_window_analytics" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         | CAST(dense_rank() OVER w AS INT) AS drk,
