@@ -104,4 +104,77 @@ object Extras {
           .as("median_qty"),
         approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000))
           .as("p90_price"))
+
+  /** Pivot: event counts and mean values per user, one column per
+    * event type (explicit value list keeps the schema static — the only
+    * scalable form; discovery pivots scan twice).
+    */
+  def pivotEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type",
+        Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep
+    * multiplicities (one row per unmatched duplicate).
+    */
+  def statusExceptAll(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.orders(s, d).filter(col("o_orderstatus") =!= "O")
+      .select(col("o_custkey"))
+    val p = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey"))
+    f.exceptAll(p)
+  }
+
+  /** Statistical aggregate family: stddev/variance/correlation/
+    * covariance per return flag.
+    */
+  def statsAggregates(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(stddev(col("l_quantity"))).as("sd_qty"),
+        r4(variance(col("l_quantity"))).as("var_qty"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("qty_price_corr"),
+        r4(covar_samp(col("l_discount"), col("l_tax"))).as("disc_tax_covar"))
+
+  /** Sorted collect: deterministic array-valued aggregation, emitted as
+    * joined strings (array values normalize differently across engines'
+    * client layers; strings hash identically).
+    */
+  def collectStatuses(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+        array_join(
+          transform(
+            slice(sort_array(collect_set(to_date(col("l_shipdate")))),
+              1, 5),
+            dt => date_format(dt, "yyyy-MM-dd")), ",")
+          .as("first_ship_dates"))
+
+  /** HAVING (post-aggregation filter): big-spender customers. */
+  def bigSpenders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("total_spent") > 1000000.0)
+
+  /** Scalar subquery: customers with above-average account balance,
+    * counted per market segment (the Q22 shape).
+    */
+  def aboveAvgBalance(s: SparkSession, d: String): DataFrame = {
+    val avgBal = Tables.customer(s, d)
+      .agg(avg(col("c_acctbal"))).collect().head.getDouble(0)
+    Tables.customer(s, d)
+      .filter(col("c_acctbal") > avgBal)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        r4(avg(col("c_acctbal"))).as("avg_bal"))
+  }
 }

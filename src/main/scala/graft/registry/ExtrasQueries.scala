@@ -14,7 +14,13 @@ object ExtrasQueries {
     "q_strings" -> (Extras.stringFunctions _),
     "q_dates" -> (Extras.dateFunctions _),
     "q_percentiles" -> (Extras.percentiles _),
-    "q_approx_percentiles" -> (Extras.approxPercentiles _)
+    "q_approx_percentiles" -> (Extras.approxPercentiles _),
+    "q_pivot" -> (Extras.pivotEvents _),
+    "q_except_all" -> (Extras.statusExceptAll _),
+    "q_stats_agg" -> (Extras.statsAggregates _),
+    "q_collect" -> (Extras.collectStatuses _),
+    "q_having" -> (Extras.bigSpenders _),
+    "q_scalar_subquery" -> (Extras.aboveAvgBalance _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -84,6 +90,51 @@ object ExtrasQueries {
         | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
         | round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'view') AS view,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus <> 'O'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        | round(covar_samp(l_discount, l_tax), 4) AS disc_tax_covar
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_collect" ->
+      """SELECT l_returnflag,
+        | list_aggregate(list_sort(list(DISTINCT l_linestatus)),
+        |                'string_agg', ',') AS statuses,
+        | list_aggregate(
+        |   list_transform(
+        |     list_slice(list_sort(list(DISTINCT CAST(l_shipdate AS DATE))),
+        |                1, 5),
+        |     d -> strftime(d, '%Y-%m-%d')),
+        |   'string_agg', ',') AS first_ship_dates
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS total_spent,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |       > 1000000.0""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        | round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }
