@@ -122,6 +122,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** SimHash near-duplicate pairs: 64-bit SimHash (TextOps.fingerprints)
+    * split into 4 16-bit bands; docs sharing any band pair up, verified
+    * by Hamming distance over the full signature. Near-dups differ in
+    * few bits, so they almost surely agree on at least one band
+    * (pigeonhole: ≤3 flipped bits can dirty at most 3 of 4 bands).
+    * The band join again carries only (band, key, id).
+    */
+  def simhashPairs(s: SparkSession, d: String,
+      maxHamming: Int = 6): DataFrame = {
+    val fp = TextOps.fingerprints(s, d).select(col("doc_id"), col("simhash"))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL)
+          .as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val candidates = banded
+      .join(banded.select(col("band"), col("bkey"),
+        col("doc_id").as("doc_b"), col("simhash").as("sim_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        bit_count(col("simhash").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+    candidates.filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    * generation (same random-hyperplane buckets as ANN search) with
+    * fused-cosine verification above `threshold`. The pairing join sees
+    * only (bucket, id); embeddings come back per candidate.
+    */
+  def embeddingNearDups(s: SparkSession, d: String, dim: Int = 64,
+      nPlanes: Int = 4, threshold: Double = 0.95): DataFrame = {
+    import graft.functions.FusedCosineSimilarity.fusedCosine
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
+    val candidates = emb
+      .join(emb.select(col("bucket"), col("vec_id").as("vec_b")),
+        Seq("bucket"))
+      .filter(col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"))
+      .distinct()
+    val ea = Tables.embeddings(s, d)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    candidates.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        fusedCosine(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Direct n-gram Jaccard among documents sharing a (lang, source)
     * blocking key — the exact-verification path when buckets are small
     * enough to pair exhaustively. The blocking key bounds the quadratic

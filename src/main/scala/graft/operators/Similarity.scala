@@ -86,6 +86,60 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF (inverted-file) ANN top-k: the second index family. Centroids
+    * are a deterministic sample of the corpus (every nth vector — at
+    * 100 TB you would k-means a sample; determinism matters more here);
+    * the corpus partitions into Voronoi cells by fused-cosine argmax
+    * against the literal centroid arrays (a narrow pass — the "model"
+    * ships inside the plan), and each query probes its `nProbe` nearest
+    * cells. Cell assignment shuffles only (cell, id); candidate
+    * verification fetches embeddings per cell like every other
+    * candidate path here.
+    */
+  def ivfTopK(s: SparkSession, d: String, nCells: Int = 16,
+      nQueries: Int = 5, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    import graft.functions.FusedCosineSimilarity.fusedCosine
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val step = math.max(n / nCells, 1L)
+    val centroids: Seq[(Int, Seq[Float])] = emb
+      .filter(col("vec_id") % step === 0).limit(nCells)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).zipWithIndex.map(_.swap).toSeq
+    def centroidLit(c: Seq[Float]) =
+      array(c.map(x => lit(x)): _*).cast("array<float>")
+    // argmax over (similarity, cellId) structs — no shuffle
+    def cellOf(v: Column) = array_max(array(centroids.map { case (i, c) =>
+      struct(fusedCosine(v, centroidLit(c)).as("sim"),
+        lit(i).as("cell"))
+    }: _*)).getField("cell")
+    // top-nProbe cells per query via the same struct trick, exploded
+    def probeCells(v: Column) = {
+      val sims = array(centroids.map { case (i, c) =>
+        struct(fusedCosine(v, centroidLit(c)).as("sim"), lit(i).as("cell"))
+      }: _*)
+      slice(reverse(array_sort(sims)), 1, nProbe)
+    }
+    val assigned = emb.select(col("vec_id"), cellOf(col("embedding"))
+      .as("cell"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        explode(probeCells(col("embedding")).getField("cell")).as("cell"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q"), col("vec_id")).distinct()
+      .join(corpus, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        fusedCosine(col("q"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), r4(col("sim")).as("sim"),
+        col("rk"))
+  }
+
   /** ANN top-k via LSH buckets: candidates are same-bucket vectors only.
     * At 100 TB the corpus shuffles once on the bucket id (a few bytes);
     * queries are broadcast. Recall/cost tunes via nPlanes (fewer planes

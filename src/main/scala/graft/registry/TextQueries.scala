@@ -26,7 +26,13 @@ object TextQueries {
     "q_ann_brute" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) =>
-      Similarity.annTopK(s, d))
+      Similarity.annTopK(s, d)),
+    "q_ann_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopK(s, d)),
+    "q_simhash_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.simhashPairs(s, d)),
+    "q_embedding_neardups" -> ((s: SparkSession, d: String) =>
+      Dedup.embeddingNearDups(s, d, threshold = 0.8))
   )
 
   val oracle: Map[String, String] = Map(

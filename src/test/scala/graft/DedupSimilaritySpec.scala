@@ -47,6 +47,46 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(exact === Set((1L, 2L)))
   }
 
+  test("simhash bands find a planted near-duplicate; far docs excluded") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 59).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val far = (1 to 60).map(i => s"zz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = tmpDir("simhash")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.simhashPairs(spark, dir, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("embedding near-dups finds a planted duplicate vector") {
+    val rnd = new scala.util.Random(1)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val v0 = vec()
+    val nearV = v0.clone(); nearV(0) = nearV(0) + 0.01f
+    val rows = Seq((0L, v0, 0), (1L, nearV, 0)) ++
+      (2L until 50L).map(i => (i, vec(), 1))
+    val dir = tmpDir("embdup")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dups = Dedup.embeddingNearDups(spark, dir, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups === Set((0L, 1L)))
+  }
+
+  test("IVF top-k recall vs brute force is usable (>= 0.5)") {
+    val brute = Similarity.bruteForceTopK(spark, sf(), nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf(), nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("cosine: self-similarity is 1, orthogonal is 0") {
     val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f)),
       (Array(1f, 0f, 0f), Array(0f, 3f, 0f)))
