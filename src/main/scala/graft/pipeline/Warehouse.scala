@@ -103,7 +103,13 @@ object Warehouse {
       loadMode: String = "incremental"): Unit = {
     val mode =
       if (loadMode == "overwrite") SaveMode.Overwrite else SaveMode.Append
+    // partition pruning by date + row-group clustering on (timestamp,
+    // station_id) — the parquet analog of the reference warehouse's
+    // MergeTree ORDER BY: min/max stats make time/station range reads
+    // skip row groups
     obs.withColumn("obs_date", to_date(col("timestamp")))
+      .sortWithinPartitions(col("obs_date"), col("timestamp"),
+        col("station_id"))
       .write.partitionBy("obs_date").mode(mode).parquet(path)
   }
 

@@ -15,13 +15,15 @@ class EntrySpec extends SparkSuite {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
+  // duplicate-detection queries are legitimately empty on clean testdata
+  private val mayBeEmpty = Set("q_anti_join", "q_minhash_pairs",
+    "q_ngram_jaccard", "q_simhash_pairs", "q_embedding_neardups")
+
   test("every query runs and returns rows at sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val n = fn(spark, sf()).count()
-        if (n == 0 && name != "q_anti_join" && name != "q_minhash_pairs"
-          && name != "q_ngram_jaccard") Some(name)
-        else None
+        if (n == 0 && !mayBeEmpty(name)) Some(name) else None
     }
     assert(empties.isEmpty, s"empty results: $empties")
   }

@@ -120,6 +120,39 @@ class PipelineSpec extends SparkSuite {
       .collect().head.getLong(0) >= 2)
   }
 
+  test("serving fallback ladder: full from cache, partial when stale, " +
+    "out-of-sync when empty (§3.2, §8.6)") {
+    val paths = Pipeline.Paths(tmpDir("weather_serve"))
+    // no data at all
+    val none = Scheduler.servingData(spark, paths)
+    assert(none.syncStatus === "out-of-sync" && none.monthlyJson.isEmpty)
+    Pipeline.run(spark, s"$fixtureDir/batch1.json", paths)
+    // fresh cache → full, monthly from cache, daily still live
+    val full = Scheduler.servingData(spark, paths)
+    assert(full.syncStatus === "full" && full.fromCache)
+    assert(full.monthlyJson.get.contains("overall_averages"))
+    assert(full.daily.columns.contains("avg_temperature_f"))
+    assert(full.daily.count() >= 2) // §8.6: live daily series
+    // expired cache → partial, recomputed json
+    val partial = Scheduler.servingData(spark, paths, ttlSeconds = 0)
+    assert(partial.syncStatus === "partial" && !partial.fromCache)
+    assert(partial.monthlyJson.get.contains("overall_averages"))
+  }
+
+  test("scheduled loop runs staged syncs with catch-continue (§3.3)") {
+    val paths = Pipeline.Paths(tmpDir("weather_sched"))
+    val errors = Scheduler.runScheduled(spark,
+      s"$fixtureDir/batch1.json", paths, ticks = 2)
+    assert(errors === 0)
+    // two API syncs ran → re-extract-all duplication (2 docs → 6 + 12)
+    assert(Warehouse.readObservations(spark, paths.observations)
+      .count() === 18)
+    // bad input path → errors counted, loop continues
+    val bad = Scheduler.runScheduled(spark,
+      s"$fixtureDir/missing.json", paths, ticks = 2)
+    assert(bad === 2)
+  }
+
   test("legacy daily documents parse via midpoint fallback") {
     import spark.implicits._
     val legacy = Seq(
