@@ -102,6 +102,9 @@ object Dedup {
             .as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+      // same ReuseExchange trick: one minhash computation for both
+      // sides of the candidate self-join
+      .repartition(col("band"), col("bucket"))
     val candidates = banded
       .join(banded.select(col("band"), col("bucket"),
         col("doc_id").as("doc_b")), Seq("band", "bucket"))
@@ -132,12 +135,16 @@ object Dedup {
   def simhashPairs(s: SparkSession, d: String,
       maxHamming: Int = 6): DataFrame = {
     val fp = TextOps.fingerprints(s, d).select(col("doc_id"), col("simhash"))
+    // repartition on the join key puts an Exchange under both sides of
+    // the self-join; ReuseExchange then computes the 64-pass SimHash
+    // subtree once instead of once per side
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL)
           .as("bkey"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .repartition(col("band"), col("bkey"))
     val candidates = banded
       .join(banded.select(col("band"), col("bkey"),
         col("doc_id").as("doc_b"), col("simhash").as("sim_b")),

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders,
+  SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data pipelines. At 100 TB, sampling
+  * must be deterministic (reruns and retries see the same sample — no
+  * rand()), distributed (no driver state), and pushdown-friendly.
+  */
+object Sampling {
+
+  /** Deterministic hash sample: keep rows whose key hashes into the
+    * first `fraction` of the hash space. Stable across runs, retries and
+    * cluster layouts; sampling by KEY (not row) keeps all rows of a key
+    * together — sample by document id, get whole documents.
+    */
+  def hashSample(df: DataFrame, keyCol: String,
+      fraction: Double): DataFrame =
+    df.filter(
+      pmod(xxhash64(col(keyCol)), lit(1000000L)) < (fraction * 1000000).toLong)
+
+  /** Deterministic stratified sample over documents: an exact modulo
+    * rule per stratum so the sample is reproducible AND SQL-expressible
+    * (oracle-able), with per-stratum counts to audit the rate.
+    */
+  def stratifiedDocSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("first_id"))
+
+  /** Typed reservoir-sample Aggregator: uniform k-sample per group in a
+    * single pass with O(k) state — the Dataset-API custom-aggregate
+    * surface (`Aggregator[IN, BUF, OUT]`). Selection is deterministic
+    * (splitmix64 of the value), so merges commute and retries agree:
+    * each element gets a stable pseudo-random priority; the reservoir
+    * keeps the k smallest priorities (a distributed bottom-k).
+    */
+  final case class Reservoir(k: Int,
+      items: Vector[(Long, Long)]) { // (priority, value)
+    def add(value: Long): Reservoir = {
+      val pr = Sampling.mix64(value)
+      insert((pr, value))
+    }
+    def insert(p: (Long, Long)): Reservoir = {
+      val merged = (items :+ p).sortBy(x => (x._1, x._2)).distinct.take(k)
+      copy(items = merged)
+    }
+    def merge(other: Reservoir): Reservoir =
+      other.items.foldLeft(this)(_.insert(_))
+  }
+
+  def mix64(v: Long): Long = {
+    var z = v + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  class ReservoirSampleAgg(k: Int)
+      extends Aggregator[(String, Long), Reservoir, Seq[Long]] {
+    override def zero: Reservoir = Reservoir(k, Vector.empty)
+    override def reduce(b: Reservoir, a: (String, Long)): Reservoir =
+      b.add(a._2)
+    override def merge(b1: Reservoir, b2: Reservoir): Reservoir =
+      b1.merge(b2)
+    override def finish(r: Reservoir): Seq[Long] =
+      r.items.map(_._2).sorted
+    override def bufferEncoder: Encoder[Reservoir] =
+      Encoders.kryo[Reservoir]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** k event ids uniformly sampled per event type (typed API). */
+  def sampledEventIds(s: SparkSession, d: String, k: Int = 5)
+      : Dataset[(String, Seq[Long])] = {
+    val ev = Tables.events(s, d)
+    import ev.sparkSession.implicits._
+    ev.select(col("event_type"), col("event_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new ReservoirSampleAgg(k).toColumn.name("sample"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
@@ -32,7 +32,8 @@ object TextQueries {
     "q_simhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairs(s, d)),
     "q_embedding_neardups" -> ((s: SparkSession, d: String) =>
-      Dedup.embeddingNearDups(s, d, threshold = 0.8))
+      Dedup.embeddingNearDups(s, d, threshold = 0.8)),
+    "q_stratified_sample" -> (Sampling.stratifiedDocSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -70,6 +71,10 @@ object TextQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
+        |FROM documents WHERE doc_id % 10 = 0
+        |GROUP BY lang""".stripMargin,
     "q_embedding_stats" ->
       """SELECT label, count(*) AS n,
         | round(avg(sqrt(list_sum(list_transform(embedding,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 
 /** LLM-pipeline operator tests: dedup families, similarity search,
@@ -135,6 +135,37 @@ class DedupSimilaritySpec extends SparkSuite {
       "SELECT fused_cosine(embedding, embedding) AS c FROM emb_v LIMIT 5")
       .collect().map(_.getDouble(0))
     viaSql.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("hash sampling is deterministic, key-coherent, near-rate") {
+    val docs = Tables.documents(spark, sf())
+    val s1 = Sampling.hashSample(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2) // stable across runs
+    val rate = s1.size.toDouble / docs.count()
+    assert(rate > 0.1 && rate < 0.3, s"rate $rate")
+    // monotone: a smaller fraction is a subset of a larger one
+    val s3 = Sampling.hashSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+  }
+
+  test("typed reservoir Aggregator: k per group, deterministic, valid") {
+    val sample1 = Sampling.sampledEventIds(spark, sf(), k = 5).collect()
+      .map { case (t, ids) => t -> ids }.toMap
+    val sample2 = Sampling.sampledEventIds(spark, sf(), k = 5).collect()
+      .map { case (t, ids) => t -> ids }.toMap
+    assert(sample1 === sample2) // deterministic priorities → stable
+    val byType = Tables.events(spark, sf())
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (t, n) =>
+      val ids = sample1(t)
+      assert(ids.length === math.min(5L, n))
+      assert(ids.distinct.length === ids.length)
+    }
   }
 
   test("multimodal: deterministic features, frame sampling, stats") {
