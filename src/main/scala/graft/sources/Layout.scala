@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout helpers — the write-side half of join/scan
+  * performance at 100 TB:
+  *
+  *  - partitioned+sorted parquet (partition pruning + row-group
+  *    min/max skipping), the MergeTree-ORDER-BY analog;
+  *  - bucketed tables: both sides of a recurring equi-join bucketed by
+  *    the key join WITHOUT a shuffle — the exchange disappears from the
+  *    plan entirely, which is the single biggest win for repeated
+  *    fact⋈fact joins at scale.
+  */
+object Layout {
+
+  /** Partitioned, sorted-within-partition parquet. */
+  def writePartitionedSorted(df: DataFrame, path: String,
+      partitionCol: String, sortCols: Seq[String]): Unit =
+    df.sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+      .write.partitionBy(partitionCol).mode(SaveMode.Overwrite)
+      .parquet(path)
+
+  /** Bucket a DataFrame into a managed table, clustered and sorted by
+    * the join key. Joins between two tables bucketed the same way plan
+    * as shuffle-free sort-merge joins.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Co-located join of two same-bucketed tables. */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Similarity
+import graft.plans.FuseCosineRule
+import graft.sources.Layout
+import org.apache.spark.sql.functions._
+
+/** Extensions rule + storage-layout tests. The rule is applied through
+  * `experimental.extraOptimizations` (equivalent injection point to
+  * `SparkSessionExtensions.injectOptimizerRule`) because the shared
+  * test JVM may already hold a session — `getOrCreate` would silently
+  * ignore `withExtensions`.
+  */
+class PlansLayoutSpec extends SparkSuite {
+
+  test("FuseCosineRule rewrites composed cosine to the fused expression") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ FuseCosineRule
+    try {
+      val emb = Tables.embeddings(spark, sf())
+      val composed = emb.select(col("vec_id"),
+        Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      val optimized = composed.queryExecution.optimizedPlan
+      assert(optimized.toString.contains("fused_cosine"),
+        s"rule did not fire:\n$optimized")
+      // and it still evaluates correctly
+      composed.collect().foreach(r =>
+        assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+      // non-matching shapes are untouched
+      val notCosine = emb.select(
+        (Similarity.dot(col("embedding"), col("embedding")) / 2).as("x"))
+      assert(!notCosine.queryExecution.optimizedPlan.toString
+        .contains("fused_cosine"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == FuseCosineRule)
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    Layout.writeBucketed(
+      Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice"),
+      "orders_b", "o_orderkey", 4)
+    Layout.writeBucketed(
+      Tables.lineitem(spark, sf())
+        .select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 4)
+    val joined = Layout.bucketedJoin(spark, "lineitem_b", "orders_b",
+      "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    // correctness: equals the plain join
+    val expected = Tables.lineitem(spark, sf()).join(
+      Tables.orders(spark, sf()),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() === expected)
+  }
+
+  test("partitioned+sorted layout prunes partitions in the plan") {
+    val root = tmpDir("graft_layout")
+    val ev = Tables.events(spark, sf())
+      .withColumn("date", to_date(col("ts_event")))
+      .select("event_id", "date", "value")
+    Layout.writePartitionedSorted(ev, s"$root/events", "date",
+      Seq("event_id"))
+    val pruned = spark.read.parquet(s"$root/events")
+      .filter(col("date") === "2024-01-05")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    // partition filter present on the scan (pruning, not a data filter)
+    assert(scan.contains("PartitionFilters"))
+  }
+}
