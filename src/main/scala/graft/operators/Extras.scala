@@ -165,6 +165,42 @@ object Extras {
         count(lit(1)).as("n_orders"))
       .filter(col("total_spent") > 1000000.0)
 
+  /** Unpivot/melt: the daily rollup's metric columns to long form
+    * (metric, value) rows — the pivot inverse.
+    */
+  def unpivotDaily(s: SparkSession, d: String): DataFrame =
+    Hierarchy.daily(Tables.events(s, d))
+      .select(col("date"), r4(col("avg_value")).as("avg_value"),
+        col("max_value"), col("min_value"))
+      .unpivot(Array(col("date")),
+        Array(col("avg_value"), col("max_value"), col("min_value")),
+        "metric", "value")
+
+  /** Pattern predicates: LIKE / NOT LIKE / regexp matching. */
+  def patternFilters(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_type"),
+        col("p_name").like("%a%").as("has_a"),
+        col("p_type").startsWith("ECO").as("is_eco"),
+        col("p_name").rlike("^[a-m]").as("first_half_alphabet"))
+      .filter(col("p_name").like("%e%") || col("p_type").endsWith("L"))
+
+  /** Null-handling scalar family: coalesce/nullif/nvl2/greatest/least
+    * over a derived nullable column.
+    */
+  def nullFunctions(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_or_null"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("disc_or_null"), lit(-1.0)).as("disc_filled"),
+        nvl2(col("disc_or_null"), lit("discounted"), lit("full_price"))
+          .as("price_kind"),
+        greatest(col("disc_or_null"), lit(0.05)).as("at_least_5pct"),
+        least(coalesce(col("disc_or_null"), lit(1.0)), lit(0.05))
+          .as("capped_5pct"))
+
   /** Scalar subquery: customers with above-average account balance,
     * counted per market segment (the Q22 shape).
     */

@@ -20,7 +20,10 @@ object ExtrasQueries {
     "q_stats_agg" -> (Extras.statsAggregates _),
     "q_collect" -> (Extras.collectStatuses _),
     "q_having" -> (Extras.bigSpenders _),
-    "q_scalar_subquery" -> (Extras.aboveAvgBalance _)
+    "q_scalar_subquery" -> (Extras.aboveAvgBalance _),
+    "q_unpivot" -> (Extras.unpivotDaily _),
+    "q_pattern_filters" -> (Extras.patternFilters _),
+    "q_null_fns" -> (Extras.nullFunctions _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -135,6 +138,37 @@ object ExtrasQueries {
         | round(avg(c_acctbal), 4) AS avg_bal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_unpivot" ->
+      """WITH daily AS (
+        |  SELECT date, round(avg(avg_value), 4) AS avg_value,
+        |   max(max_value) AS max_value, min(min_value) AS min_value
+        |  FROM (
+        |    SELECT CAST(ts AS DATE) AS date, hour(ts) AS hr,
+        |     avg(value) AS avg_value, max(value) AS max_value,
+        |     min(value) AS min_value
+        |    FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY date)
+        |SELECT date, 'avg_value' AS metric, avg_value AS value FROM daily
+        |UNION ALL
+        |SELECT date, 'max_value', max_value FROM daily
+        |UNION ALL
+        |SELECT date, 'min_value', min_value FROM daily""".stripMargin,
+    "q_pattern_filters" ->
+      """SELECT p_partkey, p_name, p_type,
+        | p_name LIKE '%a%' AS has_a,
+        | p_type LIKE 'ECO%' AS is_eco,
+        | regexp_matches(p_name, '^[a-m]') AS first_half_alphabet
+        |FROM part
+        |WHERE p_name LIKE '%e%' OR p_type LIKE '%L'""".stripMargin,
+    "q_null_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        | coalesce(nullif(l_discount, 0.0), -1.0) AS disc_filled,
+        | CASE WHEN nullif(l_discount, 0.0) IS NOT NULL
+        |      THEN 'discounted' ELSE 'full_price' END AS price_kind,
+        | greatest(nullif(l_discount, 0.0), 0.05) AS at_least_5pct,
+        | least(coalesce(nullif(l_discount, 0.0), 1.0), 0.05)
+        |   AS capped_5pct
+        |FROM lineitem""".stripMargin
   )
 }

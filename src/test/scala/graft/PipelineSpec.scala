@@ -153,6 +153,28 @@ class PipelineSpec extends SparkSuite {
     assert(bad === 2)
   }
 
+  test("quality gate quarantines implausible rows with reasons") {
+    import spark.implicits._
+    val obs = Seq(
+      (Some("2026-08-01 10:00:00"), Some(25.0), Some(1.0), Some(50.0)),
+      (Some("2026-08-01 11:00:00"), Some(300.0), Some(1.0), Some(50.0)),
+      (Some("2026-08-01 12:00:00"), Some(25.0), Some(-2.0), Some(120.0)),
+      (None, Some(25.0), None, None),
+      (Some("2026-08-01 13:00:00"), None, None, None))
+      .toDF("ts", "temperature_c", "rainfall_mm", "humidity_percent")
+      .select(col("ts").cast("timestamp").as("timestamp"),
+        col("temperature_c"), col("rainfall_mm"), col("humidity_percent"))
+    val (valid, quarantine) = Quality.split(obs)
+    assert(valid.count() === 1)
+    assert(quarantine.count() === 4)
+    val reasons = Quality.report(obs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reasons === Map(
+      "temperature_implausible" -> 1L, "rainfall_negative" -> 1L,
+      "humidity_out_of_bounds" -> 1L, "missing_timestamp" -> 1L,
+      "all_metrics_null" -> 1L))
+  }
+
   test("legacy daily documents parse via midpoint fallback") {
     import spark.implicits._
     val legacy = Seq(
