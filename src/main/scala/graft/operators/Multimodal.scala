@@ -91,6 +91,26 @@ object Multimodal {
         sum(length(col("content"))).as("total_bytes"),
         avg(length(col("content"))).as("avg_bytes"))
 
+  /** Driver-visible multimodal stats: documents re-interpreted as
+    * binary assets (kind from id, content = utf-8 text bytes) → the
+    * opaque-binary metadata pass every media pipeline runs before
+    * decode. SQL-expressible (octet_length), so it is oracle-checked
+    * end-to-end even though the container has no codecs.
+    */
+  def docAssetStats(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Fns.r4
+    graft.Tables.documents(spark, d)
+      .select(
+        (col("doc_id") % 3).cast("int").as("kind_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        col("lang"))
+      .groupBy(col("kind_id"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length(col("content"))).as("total_bytes"),
+        r4(avg(length(col("content")))).as("avg_bytes"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   /** Deterministic synthetic assets for tests/benches (no external
     * media needed): content bytes derived from the asset id.
     */

@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.operators.{Dedup, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
@@ -33,7 +33,8 @@ object TextQueries {
       Dedup.simhashPairs(s, d)),
     "q_embedding_neardups" -> ((s: SparkSession, d: String) =>
       Dedup.embeddingNearDups(s, d, threshold = 0.8)),
-    "q_stratified_sample" -> (Sampling.stratifiedDocSample _)
+    "q_stratified_sample" -> (Sampling.stratifiedDocSample _),
+    "q_multimodal_stats" -> (Multimodal.docAssetStats _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -75,6 +76,14 @@ object TextQueries {
       """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
         |FROM documents WHERE doc_id % 10 = 0
         |GROUP BY lang""".stripMargin,
+    "q_multimodal_stats" ->
+      """SELECT CAST(doc_id % 3 AS INT) AS kind_id,
+        | count(*) AS n_assets,
+        | CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT)
+        |   AS total_bytes,
+        | round(avg(octet_length(CAST(text AS BLOB))), 4) AS avg_bytes,
+        | count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_embedding_stats" ->
       """SELECT label, count(*) AS n,
         | round(avg(sqrt(list_sum(list_transform(embedding,
