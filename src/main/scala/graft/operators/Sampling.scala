@@ -76,6 +76,41 @@ object Sampling {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Bounded top-k by score — the aggregate form of top-k-per-group.
+    * Unlike `row_number().over(window) <= k` (which shuffles and sorts
+    * EVERY candidate row per group), this aggregator's buffer holds at
+    * most k entries, and partial aggregation combines per-partition
+    * top-ks before the shuffle: the exchange carries k rows per group
+    * per map partition instead of the full candidate set — the
+    * difference between shuffling ~k×partitions rows and shuffling the
+    * corpus at 100 TB.
+    * Ties break toward the smaller id (matches the window ordering
+    * `sim DESC, vec_id ASC`).
+    */
+  final case class TopK(k: Int, items: Vector[(Double, Long)]) {
+    def insert(p: (Double, Long)): TopK = {
+      val merged = (items :+ p)
+        .sortBy { case (score, id) => (-score, id) }
+        .take(k)
+      copy(items = merged)
+    }
+  }
+
+  class TopKByScoreAgg(k: Int)
+      extends Aggregator[(Long, Long, Double), TopK, Seq[(Long, Double)]] {
+    override def zero: TopK = TopK(k, Vector.empty)
+    override def reduce(b: TopK, a: (Long, Long, Double)): TopK =
+      b.insert((a._3, a._2))
+    override def merge(b1: TopK, b2: TopK): TopK =
+      b2.items.foldLeft(b1)(_.insert(_))
+    override def finish(r: TopK): Seq[(Long, Double)] =
+      r.items.map { case (score, id) => (id, score) }
+    override def bufferEncoder: Encoder[TopK] = Encoders.kryo[TopK]
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
   /** k event ids uniformly sampled per event type (typed API). */
   def sampledEventIds(s: SparkSession, d: String, k: Int = 5)
       : Dataset[(String, Seq[Long])] = {

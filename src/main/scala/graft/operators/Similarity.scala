@@ -60,6 +60,34 @@ object Similarity {
         col("rk"))
   }
 
+  /** Brute-force top-k via the bounded TopK aggregator instead of a
+    * ranking window: the window form shuffles and sorts every
+    * (query, candidate) pair; this form partial-aggregates per
+    * partition so the exchange carries at most k rows per query per
+    * map partition. Same results (tie semantics match) — asserted in
+    * tests; the scale path for corpus-sized candidate sets.
+    */
+  def bruteForceTopKAgg(s: SparkSession, d: String,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import graft.functions.FusedCosineSimilarity.fusedCosine
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val pairs = emb
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        fusedCosine(col("q"), col("embedding")).as("sim"))
+    import pairs.sparkSession.implicits._
+    pairs.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.operators.Sampling.TopKByScoreAgg(k)
+        .toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col._1").as("vec_id"),
+        r4(col("col._2")).as("sim"), (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** Deterministic pseudo-uniform plane weight in [-1, 1): splitmix64
     * of (plane, dim) — fixed across runs, no RNG state.
     */

@@ -25,6 +25,8 @@ object TextQueries {
     "q_embedding_stats" -> (Similarity.labelStats _),
     "q_ann_brute" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(s, d)),
+    "q_ann_brute_agg" -> ((s: SparkSession, d: String) =>
+      Similarity.bruteForceTopKAgg(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.annTopK(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) =>
@@ -37,7 +39,14 @@ object TextQueries {
     "q_multimodal_stats" -> (Multimodal.docAssetStats _)
   )
 
-  val oracle: Map[String, String] = Map(
+  /** q_ann_brute_agg produces identical results to q_ann_brute (the
+    * aggregate formulation changes the plan, not the semantics), so it
+    * shares the same oracle SQL.
+    */
+  lazy val oracle: Map[String, String] =
+    baseOracle + ("q_ann_brute_agg" -> baseOracle("q_ann_brute"))
+
+  private lazy val baseOracle: Map[String, String] = Map(
     "q_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(list_filter(string_split(text, ' '),

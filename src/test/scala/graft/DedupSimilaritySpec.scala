@@ -137,6 +137,17 @@ class DedupSimilaritySpec extends SparkSuite {
     viaSql.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
   }
 
+  test("aggregate top-k equals the window top-k exactly") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val win = Similarity.bruteForceTopK(spark, sf(), nQueries = 4, k = 7)
+      .collect().map(key).toSet
+    val agg = Similarity.bruteForceTopKAgg(spark, sf(), nQueries = 4, k = 7)
+      .collect().map(key).toSet
+    assert(agg === win)
+    assert(agg.size === 28)
+  }
+
   test("hash sampling is deterministic, key-coherent, near-rate") {
     val docs = Tables.documents(spark, sf())
     val s1 = Sampling.hashSample(docs, "doc_id", 0.2)
