@@ -37,7 +37,8 @@ object SparkEntry {
     hierarchyQueries ++
       graft.registry.RelationalQueries.queries ++
       graft.registry.TextQueries.queries ++
-      graft.registry.ExtrasQueries.queries
+      graft.registry.ExtrasQueries.queries ++
+      graft.registry.TpcHQueries.queries
 
   private def hierarchyQueries
       : Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -121,7 +122,8 @@ object SparkEntry {
     hierarchyOracle ++
       graft.registry.RelationalQueries.oracle ++
       graft.registry.TextQueries.oracle ++
-      graft.registry.ExtrasQueries.oracle
+      graft.registry.ExtrasQueries.oracle ++
+      graft.registry.TpcHQueries.oracle
 
   private def hierarchyOracle: Map[String, String] = Map(
     "q_hourly_agg" ->

@@ -1,0 +1,89 @@
+package graft.registry
+
+import graft.operators.TpcH
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract registry for the adapted TPC-H suite. */
+object TpcHQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_nation_trade" -> (TpcH.nationPairTrade _),
+    "q8_market_share" -> ((s: SparkSession, d: String) =>
+      TpcH.marketShare(s, d)),
+    "q10_returned" -> (TpcH.returnedRevenue _),
+    "q19_banded" -> (TpcH.bandedRevenue _),
+    "q16_supplier_cnt" -> (TpcH.supplierCounts _),
+    "q18_large_orders" -> ((s: SparkSession, d: String) =>
+      TpcH.largeOrders(s, d))
+  )
+
+  private def ds(e: String) =
+    s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "q7_nation_trade" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         | CAST(year(l_shipdate) AS INT) AS yr,
+         | ${ds("l_extendedprice * (1 - l_discount)")} AS volume,
+         | count(*) AS n_items
+         |FROM lineitem
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name <> n2.n_name
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT yr, round(nation_volume / total_volume, 4) AS mkt_share,
+         | nation_volume, total_volume
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         |   ${ds("CASE WHEN n_name = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+         |     AS nation_volume,
+         |   ${ds("l_extendedprice * (1 - l_discount)")} AS total_volume
+         |  FROM lineitem
+         |   JOIN supplier ON l_suppkey = s_suppkey
+         |   JOIN nation ON s_nationkey = n_nationkey
+         |   JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1)""".stripMargin,
+    "q10_returned" ->
+      s"""SELECT c_custkey, c_name, c_nationkey,
+         | ${ds("l_extendedprice * (1 - l_discount)")} AS revenue,
+         | count(*) AS n_returned_items
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_nationkey
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q19_banded" ->
+      s"""SELECT
+         | ${ds("l_extendedprice * (1 - l_discount)")} AS revenue,
+         | count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+         |       AND l_quantity BETWEEN 10 AND 40)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+         |       AND l_quantity BETWEEN 20 AND 60)""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (
+        |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY p_brand, p_type""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE)
+        |   AS o_orderdate, o_totalprice,
+        | round(total_qty, 4) AS total_qty
+        |FROM orders
+        | JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |       FROM lineitem GROUP BY l_orderkey
+        |       HAVING sum(l_quantity) > 150) big
+        |   ON o_orderkey = big.l_orderkey
+        | JOIN customer ON o_custkey = c_custkey""".stripMargin
+  )
+}

@@ -15,9 +15,11 @@ class EntrySpec extends SparkSuite {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
-  // duplicate-detection queries are legitimately empty on clean testdata
+  // duplicate-detection queries are legitimately empty on clean
+  // testdata; q16's NOT-IN prunes all 10 suppliers at sf0.001
   private val mayBeEmpty = Set("q_anti_join", "q_minhash_pairs",
-    "q_ngram_jaccard", "q_simhash_pairs", "q_embedding_neardups")
+    "q_ngram_jaccard", "q_simhash_pairs", "q_embedding_neardups",
+    "q16_supplier_cnt")
 
   test("every query runs and returns rows at sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -38,6 +38,19 @@ class PlansLayoutSpec extends SparkSuite {
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a previous JVM may have left the managed location behind with a
+      // fresh in-memory catalog that no longer knows the table
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     Layout.writeBucketed(
       Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice"),
       "orders_b", "o_orderkey", 4)
