@@ -117,13 +117,21 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Every `round(x, n)` is rewritten to `round(1e-9 + x, n)` to mirror
+    * `Fns.r4`'s half-boundary nudge (see its scaladoc): both engines
+    * shift identically, so values sitting on an exact rounding boundary
+    * — common with discrete decimal inputs — round the same way
+    * regardless of summation-order drift.
+    */
   def oracleSql: Map[String, String] =
-    hierarchyOracle ++
+    (hierarchyOracle ++
       graft.registry.RelationalQueries.oracle ++
       graft.registry.TextQueries.oracle ++
       graft.registry.ExtrasQueries.oracle ++
-      graft.registry.TpcHQueries.oracle
+      graft.registry.TpcHQueries.oracle)
+      .view.mapValues(_.replace("round(", "round(1e-9 + ")).toMap
 
   private def hierarchyOracle: Map[String, String] = Map(
     "q_hourly_agg" ->

@@ -55,12 +55,18 @@ object Fns {
   def truthy(c: Column): Column = c.isNotNull && c =!= 0
 
   /** Round a double aggregate for deterministic cross-engine comparison.
-    * Summation order differs between engines (and between Spark partition
-    * layouts); rounding to 4 dp makes results order-independent in
-    * practice while keeping full analytic fidelity at 100 TB.
+    * Summation order differs between engines (and between Spark
+    * partition layouts), drifting results by ~1e-15 relative — and
+    * discrete decimal inputs regularly produce EXACT half-boundaries at
+    * 4 dp (e.g. avg of 2-dp values over a power-of-two group size), so
+    * plain round() flips the last digit depending on which side of the
+    * boundary each engine's sum lands. The 1e-9 nudge (applied
+    * identically in the SQL oracles — see SparkEntry.oracleSql) moves
+    * every half-boundary case deterministically up: far larger than the
+    * fp drift, far smaller than data resolution.
     */
-  def r4(c: Column): Column = round(c, 4)
-  def r2(c: Column): Column = round(c, 2)
+  def r4(c: Column): Column = round(c + lit(1e-9), 4)
+  def r2(c: Column): Column = round(c + lit(1e-9), 2)
 
   /** Exact order-independent money sum: accumulate in DECIMAL(18,6)
     * (exact integers underneath, immune to summation-order fp drift),
