@@ -1,0 +1,34 @@
+package graft
+
+/** Cross-layout determinism: every rounded aggregate must be identical
+  * under different shuffle widths (different partial-aggregation merge
+  * orders). This is the property the oracle compare depends on — the
+  * epsilon-nudged rounding (Fns.r4) exists precisely to make it hold,
+  * including on exact half-boundary values from discrete decimal data.
+  */
+class DeterminismSpec extends SparkSuite {
+
+  private val sample = Seq("q1_pricing", "q_daily_rollup", "q_grand_avg",
+    "q_json_extract", "q_stats_agg", "q8_market_share", "q_percentiles",
+    "q_embedding_stats", "q_window_running")
+
+  test("rounded aggregates are identical across shuffle widths") {
+    val original = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAll(parts: String): Map[String, Seq[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      sample.map { name =>
+        name -> SparkEntry.queries(name)(spark, sf("sf0.01"))
+          .collect().map(_.toString).sorted.toSeq
+      }.toMap
+    }
+    try {
+      val wide = runAll("32")
+      val narrow = runAll("3")
+      sample.foreach { name =>
+        assert(wide(name) === narrow(name), s"drift in $name")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", original)
+    }
+  }
+}
