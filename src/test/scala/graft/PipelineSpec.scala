@@ -153,6 +153,38 @@ class PipelineSpec extends SparkSuite {
     assert(bad === 2)
   }
 
+  test("late-arriving batch lands in earlier days after recompute (ST4)") {
+    val paths = Pipeline.Paths(tmpDir("weather_late"))
+    Pipeline.run(spark, s"$fixtureDir/batch1.json", paths)
+    val before = Warehouse.dailyAggregates(
+      Warehouse.readObservations(spark, paths.observations))
+      .collect().map(r => r.getAs[java.sql.Date]("date").toString ->
+        r.getAs[Long]("observation_count")).toMap
+    // a second batch carrying only LATE observations (an earlier day)
+    val lateDir = tmpDir("weather_late_fix")
+    val lateDoc = WeatherFixtures.rawDoc("batch_late", Seq(
+      """{"properties": {"timestamp": "2026-07-30T12:00:00+00:00",
+        | "station": "https://api.example.test/stations/KSCK",
+        | "temperature": {"value": 301.15},
+        | "precipitationLastHour": {"value": 0.002},
+        | "relativeHumidity": {"value": 40.0},
+        | "windSpeed": {"value": 1.0},
+        | "seaLevelPressure": {"value": 101000.0}}}"""
+        .stripMargin.replaceAll("\n", " ")), Seq())
+    WeatherFixtures.writeJson(lateDir, "late.json", Seq(lateDoc))
+    Pipeline.run(spark, s"$lateDir/late.json", paths)
+    val after = Warehouse.dailyAggregates(
+      Warehouse.readObservations(spark, paths.observations))
+      .collect().map(r => r.getAs[java.sql.Date]("date").toString ->
+        r.getAs[Long]("observation_count")).toMap
+    // the new earlier day appears; full recompute rebuilt it from scratch
+    assert(!before.contains("2026-07-30"))
+    assert(after("2026-07-30") === 1L)
+    // stage 2 re-extracts everything, so existing days double (parity
+    // §8.5) — but they are still present and aggregated consistently
+    assert(before.keySet.subsetOf(after.keySet))
+  }
+
   test("quality gate quarantines implausible rows with reasons") {
     import spark.implicits._
     val obs = Seq(
