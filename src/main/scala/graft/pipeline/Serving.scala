@@ -47,6 +47,12 @@ object Serving {
       r4(avg(col("avg_humidity_percent"))).as("avg_humidity_percent"),
       count(lit(1)).as("period_months"))
 
+  /** T5: chart-ready ascending re-sort of a latest-N serving result
+    * (the reference's client re-sorts desc-limited series for plotting).
+    */
+  def chartSeries(df: DataFrame, timeCols: String*): DataFrame =
+    df.orderBy(timeCols.map(col): _*)
+
   /** F4: display conversion added to a serving result. */
   def withFahrenheit(df: DataFrame): DataFrame =
     df.withColumn("avg_temperature_f", cToF(col("avg_temperature_c")))
