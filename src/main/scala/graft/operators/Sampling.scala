@@ -111,6 +111,29 @@ object Sampling {
         .ExpressionEncoder[Seq[(Long, Double)]]()
   }
 
+  /** Weighted k-sample per group (Efraimidis–Spirakis): each row gets
+    * priority u^(1/w) for a deterministic uniform u derived from its
+    * key hash; the k highest priorities per group form a weighted
+    * sample without replacement. Single pass, map-side partial top-k,
+    * deterministic under retries — the distributed weighted-sampling
+    * shape for quality-weighted corpus selection.
+    */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    // u in (0,1): hash → [-1,1] → shifted/halved; endpoints have
+    // measure ~2^-63 and pow handles them finitely
+    val u = (xxhash64(col(idCol)).cast("double") /
+      lit(Long.MaxValue.toDouble) + 1.0) / 2.0
+    val priority = pow(u, lit(1.0) / col(weightCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__priority").desc, col(idCol))
+    df.withColumn("__priority", priority)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__priority", "__rk")
+  }
+
   /** k event ids uniformly sampled per event type (typed API). */
   def sampledEventIds(s: SparkSession, d: String, k: Int = 5)
       : Dataset[(String, Seq[Long])] = {

@@ -163,6 +163,25 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(s3.subsetOf(s1))
   }
 
+  test("weighted sampling: heavy weights dominate, deterministic") {
+    val df = spark.range(200)
+      .select(col("id"),
+        (col("id") % 2).as("grp"),
+        when(col("id") < 4, lit(1e9)).otherwise(lit(1e-3)).as("wt"))
+    val picked = Sampling.weightedSample(df, "grp", "id", "wt", k = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // ids 0-3 carry ~all the weight (two per group) → always selected
+    assert(picked === Set(0L, 1L, 2L, 3L))
+    val again = Sampling.weightedSample(df, "grp", "id", "wt", k = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === picked)
+    // equal weights: still exactly k per group, stable
+    val eq = df.withColumn("wt", lit(1.0))
+    val eqPick = Sampling.weightedSample(eq, "grp", "id", "wt", k = 5)
+    assert(eqPick.groupBy("grp").count().collect()
+      .forall(_.getLong(1) === 5L))
+  }
+
   test("typed reservoir Aggregator: k per group, deterministic, valid") {
     val sample1 = Sampling.sampledEventIds(spark, sf(), k = 5).collect()
       .map { case (t, ids) => t -> ids }.toMap
