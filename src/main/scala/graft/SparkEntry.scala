@@ -87,6 +87,8 @@ object SparkEntry {
     }),
     "q_latest_record" -> ((s, d) =>
       Hierarchy.latestRecord(Tables.events(s, d))),
+    "q_time_rollup" -> ((s, d) =>
+      Hierarchy.timeRollup(Tables.events(s, d))),
 
     // ---- scalar-function surface (SURVEY §2.3 F1–F5, F12) ----
     "q_conversions" -> ((s, d) => {
@@ -234,6 +236,14 @@ object SparkEntry {
     "q_latest_record" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+    "q_time_rollup" ->
+      """SELECT CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mon,
+        | CAST(ts AS DATE) AS date, CAST(hour(ts) AS INT) AS hr,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | max(value) AS max_value, min(value) AS min_value,
+        | count(*) AS n_obs
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY ROLLUP (1, 2, 3, 4)""".stripMargin,
     "q_conversions" ->
       """SELECT event_id,
         | round(CASE WHEN value > 100 THEN value - 273.15 ELSE value END, 4)

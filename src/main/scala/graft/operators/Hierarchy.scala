@@ -91,6 +91,30 @@ object Hierarchy {
       sum(col("n_obs")).as("total_obs"),
       count(lit(1)).as("period_months"))
 
+  /** The hand-rolled hour→day→month nest as a NATIVE grouping-set
+    * rollup over (year, month, date, hour) — the summarization form the
+    * engine offers alongside the faithful avg-of-avgs chain (SURVEY
+    * §2.4 note): one pass, four summary levels, additive aggregates
+    * only (sums/counts/extrema compose across levels; the reference's
+    * unweighted avg-of-avgs deliberately does not, which is why both
+    * forms exist).
+    */
+  def timeRollup(events: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .select(
+        year(col("ts_event")).as("yr"),
+        month(col("ts_event")).as("mon"),
+        to_date(col("ts_event")).as("date"),
+        hour(col("ts_event")).as("hr"),
+        col("value"))
+      .rollup(col("yr"), col("mon"), col("date"), col("hr"))
+      .agg(
+        graft.functions.Fns.dsum(col("value")).as("sum_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        count(lit(1)).as("n_obs"))
+
   /** T4/S10 analog — latest-record argmax, deterministic via id tiebreak. */
   def latestRecord(events: DataFrame): DataFrame =
     events

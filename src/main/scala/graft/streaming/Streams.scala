@@ -24,13 +24,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
 object Streams {
 
   /** File-based raw-document stream → parsed observation rows.
-    * Checkpointing makes this the true incremental Mongo→warehouse sync.
+    * Checkpointing makes this the true incremental Mongo→warehouse
+    * sync. `maxFilesPerTrigger` is the ingest rate limit (the engine
+    * analog of the reference's request throttling, SURVEY §2.1 S6):
+    * each micro-batch consumes at most that many files.
     */
-  def observationStream(spark: SparkSession, rawJsonDir: String): DataFrame =
-    Warehouse.parseObservations(
-      spark.readStream
-        .schema(graft.pipeline.WeatherSchemas.rawDocument)
-        .json(rawJsonDir))
+  def observationStream(spark: SparkSession, rawJsonDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .schema(graft.pipeline.WeatherSchemas.rawDocument)
+    val limited = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    Warehouse.parseObservations(limited.json(rawJsonDir))
+  }
 
   /** ST4+ST5: watermarked exact-dedup stream of observations. */
   def dedupedObservations(obs: DataFrame): DataFrame =

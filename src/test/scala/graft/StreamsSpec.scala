@@ -59,6 +59,25 @@ class StreamsSpec extends SparkSuite {
     assert(ids.length.toLong === rawCount - 1)
   }
 
+  test("maxFilesPerTrigger rate-limits ingest to one file per batch") {
+    val dir = tmpDir("stream_rate")
+    WeatherFixtures.writeJson(dir, "b1.json", WeatherFixtures.standardBatch)
+    WeatherFixtures.writeJson(dir, "b2.json", WeatherFixtures.standardBatch)
+    val batches = new java.util.concurrent.atomic.AtomicInteger()
+    val q = Streams.observationStream(spark, dir,
+      maxFilesPerTrigger = Some(1))
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) batches.incrementAndGet(): Unit
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(batches.get() === 2) // two files → two throttled micro-batches
+  }
+
   test("foreachBatch aggregate refresh writes warehouse tables") {
     val root = tmpDir("stream_agg")
     val obs = Streams.observationStream(spark, fixtureDir)
