@@ -116,6 +116,40 @@ object Warehouse {
   def readObservations(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S13 done surgically: delete observation rows by key, rewriting
+    * ONLY the date partitions that contain a match (dynamic partition
+    * overwrite). The reference's keyed `ALTER TABLE … DELETE`; at 100 TB
+    * this touches a handful of partitions instead of the table. Also the
+    * GDPR-style record-erasure shape for a partitioned lake.
+    */
+  def deleteObservations(spark: SparkSession, path: String,
+      observationIds: Seq[String]): Long = {
+    val all = readObservations(spark, path)
+    val hit = org.apache.spark.sql.functions.col("observation_id")
+      .isin(observationIds: _*)
+    val affectedDates = all.filter(hit)
+      .select(col("obs_date")).distinct().collect()
+      .map(_.get(0))
+    if (affectedDates.isEmpty) return 0L
+    val affected = all.filter(col("obs_date").isin(affectedDates: _*))
+    val deleted = affected.filter(hit).count()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      affected.filter(!hit)
+        .write.partitionBy("obs_date").mode(SaveMode.Overwrite)
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf
+          .unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    deleted
+  }
+
   /** A2: the hourly dedup-aggregate over observation rows — the quirk
     * ledger applies (SURVEY §8.1/§8.7): `temperature_c IS NOT NULL`
     * gates every metric; rainfall dedups via max-per-hour.

@@ -185,6 +185,32 @@ class PipelineSpec extends SparkSuite {
     assert(before.keySet.subsetOf(after.keySet))
   }
 
+  test("keyed delete rewrites only the affected date partitions (S13)") {
+    val paths = Pipeline.Paths(tmpDir("weather_del"))
+    Pipeline.run(spark, s"$fixtureDir/batch1.json", paths)
+    val before = Warehouse.readObservations(spark, paths.observations)
+    val total = before.count()
+    val victim = before
+      .filter(col("obs_date") === "2026-07-31")
+      .select("observation_id").collect().head.getString(0)
+    val untouchedDateCount =
+      before.filter(col("obs_date") === "2026-08-01").count()
+    val deleted = Warehouse.deleteObservations(spark,
+      paths.observations, Seq(victim))
+    assert(deleted === 1L)
+    val after = Warehouse.readObservations(spark, paths.observations)
+    assert(after.count() === total - 1)
+    assert(after.filter(col("observation_id") === victim).count() === 0)
+    // the other partition is intact
+    assert(after.filter(col("obs_date") === "2026-08-01").count()
+      === untouchedDateCount)
+    // deleting a non-existent key is a no-op
+    assert(Warehouse.deleteObservations(spark, paths.observations,
+      Seq("nope_123")) === 0L)
+    assert(Warehouse.readObservations(spark, paths.observations).count()
+      === total - 1)
+  }
+
   test("quality gate quarantines implausible rows with reasons") {
     import spark.implicits._
     val obs = Seq(
