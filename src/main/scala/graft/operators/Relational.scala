@@ -231,6 +231,30 @@ object Relational {
       concat_ws("_", col("o_custkey"),
         unix_timestamp(col("o_orderdate")).cast("long")).as("synth_key"))
 
+  /** Batch sessionization (gaps-and-islands): a new session starts when
+    * the gap to the previous event exceeds 30 minutes. Computed on the
+    * raw nanosecond longs — exact integer arithmetic, so session
+    * boundaries are bit-identical across engines (the streaming twin
+    * uses session_window; this is the batch/oracle-checkable form).
+    */
+  def sessionize(s: SparkSession, d: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val gapNs = gapMinutes * 60L * 1000000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("new_session",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"),
+        r4(sum(col("value"))).as("session_value"))
+  }
+
   /** JSON field extraction (F13) and re-serialization over event props. */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

@@ -28,7 +28,9 @@ object RelationalQueries {
     "q_membership" -> (Relational.returnedOrAvailable _),
     "q_midpoint" -> (Relational.dailyMidpoint _),
     "q_synth_keys" -> (Relational.synthKeys _),
-    "q_json_extract" -> (Relational.jsonExtract _)
+    "q_json_extract" -> (Relational.jsonExtract _),
+    "q_sessionize" -> ((s: SparkSession, d: String) =>
+      Relational.sessionize(s, d))
   )
 
   /** DECIMAL(18,6)-accumulated sums emitted as DOUBLE — see Fns.dsum. */
@@ -150,6 +152,23 @@ object RelationalQueries {
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
         | count(*) AS n, round(avg(value), 4) AS avg_value
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+        | count(*) AS n_events, min(event_id) AS first_event_id,
+        | round(sum(value), 4) AS session_value
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |   sum(new_session) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS session_idx
+        |  FROM (
+        |    SELECT user_id, ts, event_id, value,
+        |     CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER (
+        |            PARTITION BY user_id ORDER BY ts, event_id)
+        |          > 1800000000000 THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY user_id, session_idx""".stripMargin
   )
 }
