@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * Every operator from SURVEY.md §2 is exposed as a named query over the
   * driver testdata, with a DuckDB-equivalent oracle in [[oracleSql]].
   * Cross-engine determinism rules used throughout:
-  *  - double AVGs rounded to 4 dp (`r4`) — order-independent in practice;
-  *  - large money SUMs computed in DECIMAL(18,6) (exact, order-independent)
-  *    and emitted as DECIMAL(38,6) in both engines;
+  *  - double AVGs rounded to 4 dp with the epsilon nudge (`r4`);
+  *  - large money SUMs accumulated in DECIMAL(18,6) (exact,
+  *    order-independent) and emitted as DOUBLE in both engines;
   *  - counts/min/max left exact;
   *  - no raw nanosecond timestamps emitted (Spark truncates parquet ns to
   *    micros; DuckDB keeps ns) — always bucketed to date/hour first.

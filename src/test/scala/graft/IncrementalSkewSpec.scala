@@ -40,6 +40,21 @@ class IncrementalSkewSpec extends SparkSuite {
     assert(Incremental.readNew(spark, s"$root/data", wm, "ts").count() === 1)
   }
 
+  test("sessionization partitions every event into exactly one session") {
+    val sessions = graft.operators.Relational.sessionize(spark, sf())
+    val total = sessions.agg(sum(col("n_events")))
+      .collect().head.getLong(0)
+    assert(total === Tables.events(spark, sf()).count())
+    // session indexes are contiguous from 0 per user
+    val byUser = sessions.groupBy(col("user_id"))
+      .agg(min(col("session_idx")).as("mn"), max(col("session_idx"))
+        .as("mx"), count(lit(1)).as("n")).collect()
+    byUser.foreach { r =>
+      assert(r.getAs[Int]("mn") === 0)
+      assert(r.getAs[Int]("mx") === r.getAs[Long]("n") - 1)
+    }
+  }
+
   test("salted join equals the plain join on skewed data") {
     // 90% of rows share one hot key
     val big = spark.range(2000)
