@@ -25,7 +25,8 @@ object Skew {
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val bigS = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*),
+        lit(salts)).cast("int"))
     val saltRange = explode(
       array((0 until salts).map(lit(_)): _*)).as("__salt")
     val smallS = small.select(col("*"), saltRange)

@@ -62,7 +62,8 @@ object Serving {
     */
   def cacheEnvelope(monthly: DataFrame, overall: DataFrame): DataFrame = {
     val monthlyRows = monthly.agg(
-      collect_list(struct(monthly.columns.map(col): _*)).as("monthly_data"))
+      collect_list(struct(monthly.columns.toIndexedSeq.map(col): _*))
+        .as("monthly_data"))
     monthlyRows.crossJoin(overall)
       .select(to_json(struct(
         date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'")

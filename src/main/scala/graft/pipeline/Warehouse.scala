@@ -131,7 +131,8 @@ object Warehouse {
       .select(col("obs_date")).distinct().collect()
       .map(_.get(0))
     if (affectedDates.isEmpty) return 0L
-    val affected = all.filter(col("obs_date").isin(affectedDates: _*))
+    val affected =
+      all.filter(col("obs_date").isin(affectedDates.toIndexedSeq: _*))
     val deleted = affected.filter(hit).count()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
