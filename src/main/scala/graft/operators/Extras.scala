@@ -130,15 +130,48 @@ object Extras {
 
   /** Statistical aggregate family: stddev/variance/correlation/
     * covariance per return flag.
+    *
+    * Built-in stddev/corr accumulate doubles in partition order, so the
+    * result drifts across engines and partition layouts — the one red
+    * oracle row in round 1. Instead accumulate EXACT decimal moments
+    * (n, Σx, Σx², Σxy — decimal products and sums are exact, order-free)
+    * and derive the statistics from them in double with the same
+    * closed-form expressions the oracle SQL uses. Identical exact inputs
+    * + identical IEEE double expression tree = identical output bits;
+    * map-side partial aggregation still applies to the moment sums.
     */
-  def statsAggregates(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  def statsAggregates(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(18,6)"
+    val m = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(dec).as("q"),
+        col("l_extendedprice").cast(dec).as("p"),
+        col("l_discount").cast(dec).as("dc"),
+        col("l_tax").cast(dec).as("tx"))
       .groupBy(col("l_returnflag"))
       .agg(
-        r4(stddev(col("l_quantity"))).as("sd_qty"),
-        r4(variance(col("l_quantity"))).as("var_qty"),
-        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("qty_price_corr"),
-        r4(covar_samp(col("l_discount"), col("l_tax"))).as("disc_tax_covar"))
+        count(lit(1)).cast("double").as("n"),
+        sum(col("q")).cast("double").as("sq"),
+        sum(col("q") * col("q")).cast("double").as("sqq"),
+        sum(col("p")).cast("double").as("sp"),
+        sum(col("p") * col("p")).cast("double").as("spp"),
+        sum(col("q") * col("p")).cast("double").as("sqp"),
+        sum(col("dc")).cast("double").as("sd"),
+        sum(col("tx")).cast("double").as("st"),
+        sum(col("dc") * col("tx")).cast("double").as("sdt"))
+    val n = col("n"); val nm1 = col("n") * (col("n") - lit(1.0))
+    val varQty = (n * col("sqq") - col("sq") * col("sq")) / nm1
+    m.select(
+      col("l_returnflag"),
+      r4(sqrt(varQty)).as("sd_qty"),
+      r4(varQty).as("var_qty"),
+      r4((n * col("sqp") - col("sq") * col("sp")) /
+        (sqrt(n * col("sqq") - col("sq") * col("sq")) *
+          sqrt(n * col("spp") - col("sp") * col("sp"))))
+        .as("qty_price_corr"),
+      r4((n * col("sdt") - col("sd") * col("st")) / nm1)
+        .as("disc_tax_covar"))
+  }
 
   /** Sorted collect: deterministic array-valued aggregation, emitted as
     * joined strings (array values normalize differently across engines'
@@ -202,13 +235,16 @@ object Extras {
           .as("capped_5pct"))
 
   /** Scalar subquery: customers with above-average account balance,
-    * counted per market segment (the Q22 shape).
+    * counted per market segment (the Q22 shape). The 1-row aggregate is
+    * broadcast-cross-joined onto the scan — one logical plan, no driver
+    * collect, optimizer sees both sides (same pattern as
+    * pipeline/Serving.scala grand averages).
     */
   def aboveAvgBalance(s: SparkSession, d: String): DataFrame = {
-    val avgBal = Tables.customer(s, d)
-      .agg(avg(col("c_acctbal"))).collect().head.getDouble(0)
-    Tables.customer(s, d)
-      .filter(col("c_acctbal") > avgBal)
+    val cust = Tables.customer(s, d)
+    val avgBal = cust.agg(avg(col("c_acctbal")).as("avg_all"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_all"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
         r4(avg(col("c_acctbal"))).as("avg_bal"))

@@ -134,6 +134,14 @@ object Warehouse {
     val affected =
       all.filter(col("obs_date").isin(affectedDates.toIndexedSeq: _*))
     val deleted = affected.filter(hit).count()
+    // Dynamic overwrite only replaces partitions PRESENT in the output:
+    // a date whose every row matches the delete set emits nothing, so its
+    // directory would silently survive. Find those fully-emptied dates
+    // (before the write mutates the source) and drop them explicitly.
+    val survivingDates = affected.filter(!hit)
+      .select(col("obs_date")).distinct().collect()
+      .map(_.get(0)).toSet
+    val emptiedDates = affectedDates.filterNot(survivingDates)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -146,6 +154,14 @@ object Warehouse {
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf
           .unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    if (emptiedDates.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptiedDates.foreach { dte =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(root, s"obs_date=$dte"), true)
       }
     }
     deleted

@@ -108,12 +108,38 @@ object ExtrasQueries {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
         |""".stripMargin,
     "q_stats_agg" ->
-      """SELECT l_returnflag,
-        | round(stddev_samp(l_quantity), 4) AS sd_qty,
-        | round(var_samp(l_quantity), 4) AS var_qty,
-        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-        | round(covar_samp(l_discount, l_tax), 4) AS disc_tax_covar
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |   CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(q) AS DOUBLE) AS sq,
+        |   CAST(sum(q*q) AS DOUBLE) AS sqq,
+        |   CAST(sum(p) AS DOUBLE) AS sp,
+        |   CAST(sum(p*p) AS DOUBLE) AS spp,
+        |   CAST(sum(q*p) AS DOUBLE) AS sqp,
+        |   CAST(sum(dc) AS DOUBLE) AS sd,
+        |   CAST(sum(tx) AS DOUBLE) AS st,
+        |   CAST(sum(dc*tx) AS DOUBLE) AS sdt
+        |  FROM (
+        |    -- DECIMAL(19,6): >18 digits forces int128 storage so the
+        |    -- scale-12 products can't overflow DuckDB's int64 multiply;
+        |    -- same values as Spark's decimal(18,6) operands
+        |    SELECT l_returnflag,
+        |     CAST(l_quantity AS DECIMAL(19,6)) AS q,
+        |     CAST(l_extendedprice AS DECIMAL(19,6)) AS p,
+        |     CAST(l_discount AS DECIMAL(19,6)) AS dc,
+        |     CAST(l_tax AS DECIMAL(19,6)) AS tx
+        |    FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | round(sqrt((n*sqq - sq*sq) / (n*(n-1.0))), 4) AS sd_qty,
+        | round((n*sqq - sq*sq) / (n*(n-1.0)), 4) AS var_qty,
+        | -- "+ 0.0" maps IEEE -0.0 → 0.0 (Spark's BigDecimal round never
+        | -- emits a negative zero; DuckDB's IEEE round does)
+        | round((n*sqp - sq*sp) /
+        |       (sqrt(n*sqq - sq*sq) * sqrt(n*spp - sp*sp)), 4) + 0.0
+        |   AS qty_price_corr,
+        | round((n*sdt - sd*st) / (n*(n-1.0)), 4) + 0.0 AS disc_tax_covar
+        |FROM m""".stripMargin,
     "q_collect" ->
       """SELECT l_returnflag,
         | list_aggregate(list_sort(list(DISTINCT l_linestatus)),

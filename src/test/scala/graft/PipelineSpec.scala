@@ -211,6 +211,31 @@ class PipelineSpec extends SparkSuite {
       === total - 1)
   }
 
+  test("keyed delete drops a fully-emptied date partition (S13)") {
+    val paths = Pipeline.Paths(tmpDir("weather_del_all"))
+    Pipeline.run(spark, s"$fixtureDir/batch1.json", paths)
+    val before = Warehouse.readObservations(spark, paths.observations)
+    val total = before.count()
+    // every observation_id of one date — dynamic overwrite alone would
+    // emit no rows for it and leave the directory (and rows) behind
+    val victims = before.filter(col("obs_date") === "2026-07-31")
+      .select("observation_id").collect().map(_.getString(0)).toSeq
+    assert(victims.nonEmpty)
+    val otherCount =
+      before.filter(col("obs_date") =!= "2026-07-31").count()
+    val deleted = Warehouse.deleteObservations(spark,
+      paths.observations, victims)
+    assert(deleted === victims.size.toLong)
+    val after = Warehouse.readObservations(spark, paths.observations)
+    assert(after.count() === total - victims.size)
+    assert(after.filter(col("obs_date") === "2026-07-31").count() === 0)
+    assert(after.count() === otherCount)
+    // the partition directory itself is gone, not just empty
+    val dir = new java.io.File(
+      s"${paths.observations}/obs_date=2026-07-31")
+    assert(!dir.exists())
+  }
+
   test("quality gate quarantines implausible rows with reasons") {
     import spark.implicits._
     val obs = Seq(
