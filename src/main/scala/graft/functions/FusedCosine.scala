@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
   Expression}
@@ -20,13 +19,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
   * array; this fuses dot product and both norms into one allocation-free
   * loop inside whole-stage codegen.
   *
-  * Accumulation order matches the composed form (sequential, in double,
-  * float×float exact in double), so results are bit-identical to the
-  * built-in composition and to a sequential double-based SQL oracle.
-  *
-  * Nulls: a null array yields null (BinaryExpression null-safe eval);
-  * null ELEMENTS are treated as 0 (embeddings never carry them — this
-  * keeps the generated loop branch-light).
+  * Semantics mirror the composed form EXACTLY so [[graft.plans.FuseCosineRule]]
+  * is a safe global rewrite:
+  *  - a null array yields null (BinaryExpression null-safe eval);
+  *  - arrays of UNEQUAL length yield null (zip_with pads with null, the
+  *    null product nulls the whole aggregate sum);
+  *  - a null ELEMENT in either array yields null (null propagates
+  *    through multiply and add);
+  *  - otherwise: the same sequential double accumulation (float×float
+  *    exact in double), so results are bit-identical to the built-in
+  *    composition and to a sequential double-based SQL oracle.
   */
 case class FusedCosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,19 +46,24 @@ case class FusedCosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null also on length mismatch / null elements, not just null inputs
+  override def nullable: Boolean = true
+
   override def prettyName: String = "fused_cosine"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
-      val yi = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
@@ -76,17 +83,27 @@ case class FusedCosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
-         |  double $yi = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
-         |  $dot += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot /
+         |      (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |""".stripMargin
     })
 
@@ -104,6 +121,12 @@ object FusedCosineSimilarity {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fused_cosine",
-      exprs => FusedCosineSimilarity(exprs.head, exprs(1)),
+      exprs => {
+        if (exprs.length != 2) {
+          throw GraftBridge.wrongNumArgsError("fused_cosine", 2,
+            exprs.length)
+        }
+        FusedCosineSimilarity(exprs.head, exprs(1))
+      },
       "built-in")
 }

@@ -185,33 +185,100 @@ object Dedup {
   }
 
   /** Direct n-gram Jaccard among documents sharing a (lang, source)
-    * blocking key — the exact-verification path when buckets are small
-    * enough to pair exhaustively. The blocking key bounds the quadratic
-    * term: at 100 TB you block on something with enough cardinality
-    * that each block fits comfortably in a task.
+    * blocking key. The naive form is quadratic per block, and a
+    * low-cardinality blocking key WILL have a dominant block at scale
+    * (e.g. en/web is most of a real corpus), so block size is guarded:
+    *
+    *  - blocks with ≤ `maxBlockSize` docs pair exhaustively (exact);
+    *  - larger blocks switch to MinHash-LSH candidate generation WITHIN
+    *    the block (keys-only join, same machinery as [[minhashPairs]])
+    *    followed by exact Jaccard verification — emitted similarity is
+    *    still the true Jaccard, only candidate recall is probabilistic
+    *    (near 1 at the 0.5 default threshold with 8×2 banding:
+    *    1-(1-j^2)^8 ≈ 0.99 at j=0.5).
+    *
+    * The exhaustive self-join is therefore bounded by maxBlockSize²/2
+    * comparisons per block regardless of skew, and the big-block path
+    * shuffles only (block, band, bucket, id) keys. A block of mutual
+    * near-duplicates still yields quadratic OUTPUT pairs — run [[exact]]
+    * dedup first, as any pipeline should.
     */
   def ngramJaccardPairs(s: SparkSession, d: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBlockSize: Int = 1000): DataFrame =
+    ngramJaccardPairsOf(
+      Tables.documents(s, d).select(
+        col("lang"), col("source"), col("doc_id"), col("text")),
+      threshold, maxBlockSize)
+
+  /** [[ngramJaccardPairs]] over an explicit (lang, source, doc_id, text)
+    * frame — the testable/core form.
+    */
+  def ngramJaccardPairsOf(documents: DataFrame, threshold: Double,
+      maxBlockSize: Int, bands: Int = 8, rowsPerBand: Int = 2)
+      : DataFrame = {
     // staged projections: tokenize, shingle, then hash each shingle to
     // a long — the quadratic intersect/union step compares 8-byte
     // hashes, not 3-word strings (collision odds ~n²/2⁶⁴, negligible)
-    val docs = Tables.documents(s, d)
+    val docs = documents
       .select(col("lang"), col("source"), col("doc_id"),
         tokens(col("text")).as("toks"))
       .select(col("lang"), col("source"), col("doc_id"),
         shinglesFromTokens(col("toks")).as("sh_str"))
       .select(col("lang"), col("source"), col("doc_id"),
         transform(col("sh_str"), x => xxhash64(x)).as("sh"))
-    val a = docs.select(col("lang"), col("source"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("lang"), col("source"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // block sizes: a tiny (≤ #blocks rows) aggregate joined back on the
+    // block key — AQE broadcasts it; no per-row window sort
+    val sizes = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("block_n"))
+    val sized = docs.join(sizes, Seq("lang", "source"))
+
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(array_union(col("sh_a"), col("sh_b")))
-    a.join(b, Seq("lang", "source"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    def verified(pairs: DataFrame): DataFrame =
+      pairs.select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / union).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        .filter(col("jaccard") >= threshold)
+
+    // exhaustive path: bounded by maxBlockSize²/2 comparisons per block
+    val small = sized.filter(col("block_n") <= maxBlockSize)
+    val smallPairs = small
+      .select(col("lang"), col("source"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(small.select(col("lang"), col("source"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+
+    // oversized-block path: LSH banding inside the block; the pairing
+    // join carries only (lang, source, band, bucket, id)
+    val big = sized.filter(col("block_n") > maxBlockSize)
+    val k = bands * rowsPerBand
+    val banded = big
+      .select(col("lang"), col("source"), col("doc_id"),
+        minhashSignature(col("sh"), k).as("sig"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("sig"), b * rowsPerBand + lit(1),
+                lit(rowsPerBand)))).as("bucket")))).as("bb"))
+      .select(col("lang"), col("source"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("doc_id"))
+      .repartition(col("band"), col("bucket"))
+    val bigCandidates = banded
+      .join(banded.select(col("lang"), col("source"), col("band"),
+        col("bucket"), col("doc_id").as("doc_b")),
+        Seq("lang", "source", "band", "bucket"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val shA = big.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = big.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val bigPairs = bigCandidates.join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b"))
+
+    // blocks route entirely to one path, so the union is disjoint
+    verified(smallPairs).unionByName(verified(bigPairs))
   }
 }

@@ -33,12 +33,21 @@ object Sampling {
       .agg(count(lit(1)).as("n_sampled"),
         min(col("doc_id")).as("first_id"))
 
-  /** Typed reservoir-sample Aggregator: uniform k-sample per group in a
-    * single pass with O(k) state — the Dataset-API custom-aggregate
-    * surface (`Aggregator[IN, BUF, OUT]`). Selection is deterministic
-    * (splitmix64 of the value), so merges commute and retries agree:
-    * each element gets a stable pseudo-random priority; the reservoir
-    * keeps the k smallest priorities (a distributed bottom-k).
+  /** Typed reservoir-sample Aggregator: uniform k-sample of the
+    * DISTINCT values per group in a single pass with O(k) state — the
+    * Dataset-API custom-aggregate surface (`Aggregator[IN, BUF, OUT]`).
+    * Selection is deterministic (splitmix64 of the value), so merges
+    * commute and retries agree: each value gets a stable pseudo-random
+    * priority; the reservoir keeps the k smallest priorities (a
+    * distributed bottom-k).
+    *
+    * Multiset semantics: duplicate values collapse (the priority is a
+    * pure function of the value, so repeats carry no extra mass) — this
+    * samples the value SET uniformly, the right shape for id sampling.
+    * Per-row multiplicity would need a stable per-row identity to seed
+    * the priority, which a deterministic distributed fold doesn't have;
+    * callers who want row weighting should use [[weightedSample]] with a
+    * count weight instead.
     */
   final case class Reservoir(k: Int,
       items: Vector[(Long, Long)]) { // (priority, value)
@@ -117,6 +126,11 @@ object Sampling {
     * sample without replacement. Single pass, map-side partial top-k,
     * deterministic under retries — the distributed weighted-sampling
     * shape for quality-weighted corpus selection.
+    *
+    * Precondition: weights must be > 0 — u^(1/w) is only the ES priority
+    * for positive w (w=0 gives 1/w=Inf, w<0 priorities >1, both corrupt
+    * the ordering). Rows with null or non-positive weight are excluded,
+    * which matches the math: zero weight = zero selection probability.
     */
   def weightedSample(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, k: Int): DataFrame = {
@@ -128,7 +142,8 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("__priority").desc, col(idCol))
-    df.withColumn("__priority", priority)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__priority", priority)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__priority", "__rk")

@@ -128,10 +128,12 @@ object Similarity {
       nQueries: Int = 5, k: Int = 10, nProbe: Int = 4): DataFrame = {
     import graft.functions.FusedCosineSimilarity.fusedCosine
     val emb = Tables.embeddings(s, d)
-    val n = emb.count()
-    val step = math.max(n / nCells, 1L)
+    // deterministic "random" sample of exactly nCells vectors: bottom-k
+    // by id hash (TakeOrderedAndProject — one corpus pass, no separate
+    // count() job to derive a stride)
     val centroids: Seq[(Int, Seq[Float])] = emb
-      .filter(col("vec_id") % step === 0).limit(nCells)
+      .select(col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h")).limit(nCells)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toSeq).zipWithIndex.map(_.swap).toSeq
     def centroidLit(c: Seq[Float]) =

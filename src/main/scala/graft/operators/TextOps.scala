@@ -95,19 +95,21 @@ object TextOps {
       bitCols.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** Language-ID by character-n-gram profile: fit per-lang trigram
-    * profiles from a deterministic training split (doc_id % 10 == 0),
-    * then score every document by distinct-trigram overlap with each
-    * profile — the profiles ship to executors as literal arrays (model
-    * fitting collects ~langs×50 strings to the driver, the one
-    * legitimate collect: the model is tiny, the corpus is huge and
-    * never reshuffles). Scoring is `size(array_intersect(...))` per
-    * language — a narrow pass, no explode/join/window over the corpus.
-    * Heuristic values are engine-specific → rows-only check.
+  /** Language-ID trigram profiles: per-language top-50 character
+    * trigrams. Split fit/score API — fit once, score many: the fit scans
+    * the training split (one aggregate + window + a tiny collect — the
+    * model is ~langs×50 strings, the one legitimate collect); scoring
+    * never refits.
     */
-  def langId(s: SparkSession, d: String): DataFrame = {
-    // stage the lowered text: charTrigrams' lambda must reference an
-    // attribute, or the lowercasing re-runs per trigram
+  type LangProfiles = Seq[(String, Seq[String])]
+
+  private val profileCache =
+    new scala.collection.concurrent.TrieMap[String, LangProfiles]()
+
+  /** Fit per-language trigram profiles from a deterministic training
+    * split (doc_id % 10 == 0) of the documents at `d`.
+    */
+  def fitLangProfiles(s: SparkSession, d: String): LangProfiles = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
     val grams = docs.filter(col("doc_id") % 10 === 0)
@@ -116,14 +118,31 @@ object TextOps {
     // top-50 trigrams per language = the "model" (fit → driver → lit)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("n").desc, col("gram"))
-    val profiles: Seq[(String, Seq[String])] = grams
+    grams
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 50)
       .groupBy(col("lang")).agg(collect_list(col("gram")).as("grams"))
       .collect()
       .map(r => r.getString(0) -> r.getSeq[String](1).sorted.toSeq)
       .sortBy(_._1).toSeq
-    val scored = docs
+  }
+
+  /** The cached model for a data dir — fit at most once per JVM. */
+  def langProfiles(s: SparkSession, d: String): LangProfiles =
+    profileCache.getOrElseUpdate(d, fitLangProfiles(s, d))
+
+  /** Score documents against fitted profiles: distinct-trigram overlap
+    * per language; the profiles ship to executors as literal arrays (the
+    * corpus never reshuffles). Scoring is `size(array_intersect(...))`
+    * per language — a narrow pass, no explode/join/window over the
+    * corpus. Heuristic values are engine-specific → rows-only check.
+    */
+  def scoreLangId(documents: DataFrame,
+      profiles: LangProfiles): DataFrame = {
+    // stage the lowered text: charTrigrams' lambda must reference an
+    // attribute, or the lowercasing re-runs per trigram
+    val scored = documents
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
       .select(col("doc_id"), col("lang"),
         array_distinct(charTrigrams(col("lt"))).as("dg"))
     val scores = profiles.map { case (lang, gs) =>
@@ -138,6 +157,10 @@ object TextOps {
     scored.select(col("doc_id"), col("lang"),
       array_max(array(scores: _*)).getField("p_lang").as("predicted"))
   }
+
+  /** Fit-once language-ID over the documents at `d`. */
+  def langId(s: SparkSession, d: String): DataFrame =
+    scoreLangId(Tables.documents(s, d), langProfiles(s, d))
 
   /** Character trigrams of an ALREADY-LOWERED string column. Callers
     * must pass an attribute (stage `lower(text)` first): the transform

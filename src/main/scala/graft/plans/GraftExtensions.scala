@@ -13,9 +13,11 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   * and rewrite it to the fused single-pass [[FusedCosineSimilarity]]
   * expression. Users (and SQL authors) write the natural composed form;
   * the engine runs the fused loop. The rewrite is semantics-preserving
-  * bit-for-bit: both evaluate the same sequential double accumulation
-  * (see FusedCosine.scala). Anything that doesn't match the full shape
-  * is left untouched.
+  * bit-for-bit: both evaluate the same sequential double accumulation,
+  * and the fused expression reproduces the composed form's null behavior
+  * (null on unequal lengths and on null elements — see FusedCosine.scala),
+  * so firing globally on user plans can't change results. Anything that
+  * doesn't match the full shape is left untouched.
   */
 object FuseCosineRule extends Rule[LogicalPlan] {
 
