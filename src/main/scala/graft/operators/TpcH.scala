@@ -123,6 +123,60 @@ object TpcH {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
+  /** Q21-style waiting suppliers: late lineitems (shipped >60 days after
+    * the order date) on finalized multi-supplier orders where this
+    * supplier was the ONLY late one — the correlated EXISTS/NOT-EXISTS
+    * family, expressed as equi-keyed semi/anti self-joins with a
+    * residual supplier-inequality condition (each is a single shuffle on
+    * l_orderkey; no correlated re-execution per row).
+    */
+  def waitingSuppliers(s: SparkSession, d: String,
+      lateDays: Int = 60): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = li
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    // EXISTS: another supplier contributed to the same order
+    val hasOther = late.join(
+      li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+      col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+      "left_semi")
+    // NOT EXISTS: no OTHER supplier was also late on that order
+    val soleLate = hasOther.join(
+      late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
+      col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+      "left_anti")
+    soleLate
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** Q22-style dormant accounts via the SQL front-end: customers with an
+    * above-average balance (scalar subquery) and no in-progress orders
+    * (correlated NOT EXISTS — Catalyst rewrites it to one anti join, not
+    * a per-row probe), counted per nation.
+    */
+  def dormantRichCustomers(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_q22")
+    Tables.orders(s, d).createOrReplaceTempView("orders_q22")
+    s.sql(
+      """SELECT c_nationkey, count(*) AS numcust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS totacctbal
+        |FROM customer_q22 c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_q22
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_q22 o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'P')
+        |GROUP BY c_nationkey""".stripMargin)
+  }
+
   /** Q18-style large orders: orders whose total quantity exceeds a
     * threshold (HAVING-subquery membership via semi join on the
     * aggregated key set).

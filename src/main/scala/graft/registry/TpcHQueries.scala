@@ -14,7 +14,10 @@ object TpcHQueries {
     "q19_banded" -> (TpcH.bandedRevenue _),
     "q16_supplier_cnt" -> (TpcH.supplierCounts _),
     "q18_large_orders" -> ((s: SparkSession, d: String) =>
-      TpcH.largeOrders(s, d))
+      TpcH.largeOrders(s, d)),
+    "q21_waiting_supplier" -> ((s: SparkSession, d: String) =>
+      TpcH.waitingSuppliers(s, d)),
+    "q22_dormant_rich" -> (TpcH.dormantRichCustomers _)
   )
 
   private def ds(e: String) =
@@ -84,6 +87,33 @@ object TpcHQueries {
         |       FROM lineitem GROUP BY l_orderkey
         |       HAVING sum(l_quantity) > 150) big
         |   ON o_orderkey = big.l_orderkey
-        | JOIN customer ON o_custkey = c_custkey""".stripMargin
+        | JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND datediff('day', o_orderdate, l1.l_shipdate) > 60
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND datediff('day', o_orderdate, l3.l_shipdate)
+        |                    > 60)
+        |GROUP BY s_name""".stripMargin,
+    "q22_dormant_rich" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'P')
+        |GROUP BY c_nationkey""".stripMargin
   )
 }
