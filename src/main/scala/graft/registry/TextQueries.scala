@@ -4,9 +4,17 @@ import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
-  * Hash-based operators (minhash, simhash, LSH, lang-id profiles) have
-  * engine-specific values → no oracle entry (driver records a rows-only
-  * check); everything else gets exact DuckDB SQL.
+  * Hash-VALUED operators (simhash, fingerprints, LSH/IVF rankings,
+  * lang-id profiles) have engine-specific values → no oracle entry
+  * (driver records a rows-only check; ScalaTest covers semantics).
+  *
+  * The near-dup PAIR operators do get full oracles even though their
+  * candidate generation is hash-based: the emitted (pair, metric) rows
+  * are pure data facts — DuckDB recomputes the exhaustive shingle
+  * Jaccard / cosine sets over the same parquet and the driver
+  * hash-compares. This also pins LSH recall at 1.0 on the driver data
+  * (verified: 25/25 minhash pairs at sf0.01); a recall regression now
+  * fails correctness instead of hiding in a rows-only check.
   */
 object TextQueries {
 
@@ -46,7 +54,72 @@ object TextQueries {
   lazy val oracle: Map[String, String] =
     baseOracle + ("q_ann_brute_agg" -> baseOracle("q_ann_brute"))
 
+  /** Word-3-gram shingle sets per document, as a DuckDB CTE — mirrors
+    * Dedup.shinglesFromTokens (whitespace tokens, empties dropped,
+    * short docs collapse to one whole-text shingle, distinct).
+    */
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source,
+      |   list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, lang, source,
+      |   list_distinct(CASE WHEN len(t) < 3
+      |     THEN [array_to_string(t, ' ')]
+      |     ELSE list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+      |  FROM toks
+      |)""".stripMargin
+
+  /** Sequential-order cosine over two float lists in double — same
+    * accumulation order as Similarity.cosine / FusedCosineSimilarity,
+    * so values are bit-identical.
+    */
+  private def cosineSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+       |    (acc, x) -> acc + x)
+       |  / (sqrt(list_reduce(list_transform($a,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |       (acc, x) -> acc + x))
+       |     * sqrt(list_reduce(list_transform($b,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |         (acc, x) -> acc + x)))""".stripMargin
+
   private lazy val baseOracle: Map[String, String] = Map(
+    // exhaustive blocked jaccard — the Spark side's small-block path is
+    // exhaustive too, so the sets are identical by construction
+    "q_ngram_jaccard" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |FROM sh a JOIN sh b
+         |  ON a.lang = b.lang AND a.source = b.source
+         |  AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+    // exhaustive jaccard at the minhash threshold: equality asserts the
+    // banded-LSH candidate stage has recall 1.0 on this data
+    "q_minhash_pairs" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / len(list_distinct(a.sh || b.sh)) >= 0.7""".stripMargin,
+    // exhaustive cosine at the near-dup threshold (empty on the driver
+    // data — the oracle still catches false positives and threshold
+    // drift)
+    "q_embedding_neardups" ->
+      s"""SELECT * FROM (
+         |  WITH e AS (SELECT vec_id, embedding FROM embeddings)
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |   ${cosineSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.8""".stripMargin,
     "q_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(list_filter(string_split(text, ' '),
