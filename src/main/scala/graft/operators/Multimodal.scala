@@ -32,10 +32,36 @@ object Multimodal {
   final case class Frame(asset_id: Long, frame_idx: Int,
     frame_bytes: Array[Byte])
 
+  /** The codec seam: what any real decoder must provide to slot into
+    * the pipeline without touching the distributed plumbing. The
+    * contract (enforced by `MediaCodecContractSpec` against every
+    * implementation):
+    *
+    *  - total: never throws, for any byte array including empty;
+    *  - deterministic: equal bytes → equal outputs (retries and
+    *    cross-run reproducibility depend on this);
+    *  - `feature` always returns exactly `featureDim` finite floats;
+    *  - `dims` returns non-negative width/height.
+    *
+    * Implementations are shipped to executors inside `mapPartitions`,
+    * hence `Serializable`; `open()` runs once per partition for
+    * amortized init (codec contexts, model weights).
+    */
+  trait MediaCodec extends Serializable {
+    def featureDim: Int
+    /** Per-partition init hook; default no-op. */
+    def open(): Unit = {}
+    def checksum(bytes: Array[Byte]): Long
+    def dims(bytes: Array[Byte]): (Int, Int)
+    def feature(bytes: Array[Byte]): Array[Float]
+  }
+
   /** STUB decoder — deterministic fake in place of a real codec. */
-  object FakeCodec {
+  object FakeCodec extends MediaCodec {
     // ??? real implementation would decode image/audio here; the fake
     // derives stable pseudo-features from the raw bytes instead.
+    override val featureDim: Int = 8
+
     def checksum(bytes: Array[Byte]): Long =
       bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
 
@@ -54,16 +80,19 @@ object Multimodal {
     }
   }
 
-  /** Decode + feature-extract, batched per partition. */
-  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+  /** Decode + feature-extract, batched per partition; any conforming
+    * [[MediaCodec]] slots in.
+    */
+  def extractFeatures(assets: Dataset[Asset],
+      codec: MediaCodec = FakeCodec): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // per-partition init for a real codec would happen here
+      codec.open() // per-partition init (codec context, model load)
       it.map { a =>
-        val (w, h) = FakeCodec.dims(a.content)
+        val (w, h) = codec.dims(a.content)
         AssetFeatures(a.asset_id, a.kind, a.content.length,
-          FakeCodec.checksum(a.content), w, h,
-          FakeCodec.feature(a.content))
+          codec.checksum(a.content), w, h,
+          codec.feature(a.content))
       }
     }
   }
