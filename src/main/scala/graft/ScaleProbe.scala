@@ -9,9 +9,17 @@ import graft.functions.Fns._
   * 160k documents), so per-query fixed overhead stops dominating and
   * the compute slope shows. Compare against the DuckDB numbers in
   * COMPARE.md. Usage: `runMain graft.ScaleProbe [replication]`.
+  *
+  * `runMain graft.ScaleProbe shard` instead measures SCAN parallelism:
+  * the driver testdata is one parquet file per table (= one scan task,
+  * the known cap noted in COMPARE.md), so it copies lineitem/documents
+  * to a 32-file layout in /tmp and times identical scan-bound
+  * aggregations against both layouts. On a real deployment data arrives
+  * multi-file; this records the slope the single-file cap hides.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("shard")) { shardProbe(); return }
     val reps = args.headOption.map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -59,6 +67,73 @@ object ScaleProbe {
           .as("token"))
         .groupBy(col("token")).agg(count(lit(1))))
     }
+    spark.stop()
+  }
+
+  /** Single-file vs 32-file scan-parallelism probe (see class doc).
+    * The sf0.1 tables are replicated 8× ON DISK (≈4.8M lineitem rows /
+    * 40k documents) so the scan dominates task-setup noise, written in
+    * both layouts. A single parquet file is still byte-range-splittable
+    * (maxPartitionBytes), so the single-file penalty is bounded — the
+    * probe measures how much the multi-file layout actually buys.
+    */
+  private def shardProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    val reps = 8
+    val singleDir = "/tmp/graft_scan_single"
+    val shardDir = "/tmp/graft_scan_sharded"
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $s%.2f s")
+      s
+    }
+    Seq("lineitem", "documents").foreach { t =>
+      val rep = spark.read.parquet(s"$d/$t.parquet")
+        .withColumn("__rep", explode(lit((0 until reps).toArray)))
+        .drop("__rep")
+      if (!new java.io.File(s"$singleDir/$t.parquet").exists())
+        rep.coalesce(1).write.mode("overwrite")
+          .parquet(s"$singleDir/$t.parquet")
+      if (!new java.io.File(s"$shardDir/$t.parquet").exists())
+        rep.repartition(32).write.mode("overwrite")
+          .parquet(s"$shardDir/$t.parquet")
+    }
+    def q1(dir: String) = {
+      val li = Tables.lineitem(spark, dir)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), r4(avg(col("l_extendedprice"))),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          count(lit(1)))
+    }
+    def tok(dir: String) = Tables.documents(spark, dir)
+      .select(explode(graft.operators.TextOps.tokens(col("text")))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)))
+    def scanParts(dir: String): Int =
+      Tables.lineitem(spark, dir).rdd.getNumPartitions
+    println(s"lineitem scan splits: single=${scanParts(singleDir)} " +
+      s"sharded=${scanParts(shardDir)}")
+    noop(q1(singleDir).limit(1)) // warm
+    def bestOf(name: String, n: Int)(f: => Unit): Double =
+      (1 to n).map(_ => time(name)(f)).min
+    val q1Single = bestOf(s"q1 ${reps}x single-file", 3)(noop(q1(singleDir)))
+    val q1Shard = bestOf(s"q1 ${reps}x 32-file", 3)(noop(q1(shardDir)))
+    val tokSingle =
+      bestOf(s"tokens ${reps}x single-file", 3)(noop(tok(singleDir)))
+    val tokShard =
+      bestOf(s"tokens ${reps}x 32-file", 3)(noop(tok(shardDir)))
+    println(f"speedup q1: ${q1Single / q1Shard}%.1fx, " +
+      f"tokens: ${tokSingle / tokShard}%.1fx")
     spark.stop()
   }
 }
