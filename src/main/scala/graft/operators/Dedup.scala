@@ -68,9 +68,18 @@ object Dedup {
     * the expensive string hashing happens once per shingle upstream;
     * the k "permutations" re-hash the 8-byte longs with k seeds —
     * ~20x less data through the hash function than seeding over the
-    * 3-word shingle strings k times.
+    * 3-word shingle strings k times. Computed by the fused single-pass
+    * Expression; [[composedMinhashSignature]] keeps the k-pass built-in
+    * form it is bit-equality-tested against.
     */
   def minhashSignature(shHashes: Column, k: Int): Column =
+    graft.functions.FusedMinHashSignature.fusedMinhash(shHashes, k)
+
+  /** The composed built-in form of [[minhashSignature]] — k array
+    * passes; reference implementation for the fused Expression's
+    * equality test.
+    */
+  def composedMinhashSignature(shHashes: Column, k: Int): Column =
     array((0 until k).map(i =>
       array_min(transform(shHashes, h => xxhash64(h, lit(i))))): _*)
 

