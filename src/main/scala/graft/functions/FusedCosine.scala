@@ -26,6 +26,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
   *    null product nulls the whole aggregate sum);
   *  - a null ELEMENT in either array yields null (null propagates
   *    through multiply and add);
+  *  - a ZERO-NORM side (all-zero vector, or empty arrays) yields null:
+  *    the composed form ([[graft.operators.Similarity.cosine]]) uses
+  *    `try_divide`, which returns null on a zero divisor in every SQL
+  *    mode, so the fused form must too (raw IEEE division would produce
+  *    NaN and break rewrite parity; FuseCosineRule refuses to rewrite
+  *    ANSI-mode divides, which throw instead);
   *  - otherwise: the same sequential double accumulation (float×float
   *    exact in double), so results are bit-identical to the built-in
   *    composition and to a sequential double-based SQL oracle.
@@ -69,7 +75,10 @@ case class FusedCosineSimilarity(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // try_divide(x, 0.0) is null; match it so FuseCosineRule never
+    // changes results.
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -100,8 +109,12 @@ case class FusedCosineSimilarity(left: Expression, right: Expression)
          |    $nb += $yi * $yi;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot /
-         |      (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot /
+         |        (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    }
          |  }
          |}
          |""".stripMargin

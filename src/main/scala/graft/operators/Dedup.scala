@@ -166,23 +166,53 @@ object Dedup {
     candidates.filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
-    * generation (same random-hyperplane buckets as ANN search) with
-    * fused-cosine verification above `threshold`. The pairing join sees
-    * only (bucket, id); embeddings come back per candidate.
+  /** Banded LSH candidate pairs over the embedding table: a pair is a
+    * candidate when it shares a bucket in ANY of `nBands` independent
+    * random-hyperplane plane sets (band b uses plane offset b·planes —
+    * same band structure as [[minhashPairs]]). The self-join carries
+    * only (band, bucket, id).
+    *
+    * `nPlanes <= 0` derives planes-per-band from the corpus row count
+    * ([[Similarity.planesFor]]): expected bucket occupancy — and with it
+    * within-bucket pair generation — stays bounded as the corpus grows,
+    * instead of trending n²/2^planes with a fixed plane count. Bands
+    * recover the recall that extra planes cost: a 0.95-cosine pair
+    * agrees with a random hyperplane w.p. ≈ 1−θ/π ≈ 0.90, so at e.g. 12
+    * planes per band a single band catches it w.p. 0.90¹² ≈ 0.28 but 8
+    * bands reach 1−(1−0.28)⁸ ≈ 0.93 — and candidate cost stays linear.
+    * Exposed separately so tests can bound the candidate count itself.
     */
-  def embeddingNearDups(s: SparkSession, d: String, dim: Int = 64,
-      nPlanes: Int = 4, threshold: Double = 0.95): DataFrame = {
-    import graft.functions.FusedCosineSimilarity.fusedCosine
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        Similarity.lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
-    val candidates = emb
-      .join(emb.select(col("bucket"), col("vec_id").as("vec_b")),
-        Seq("bucket"))
+  def embeddingCandidates(s: SparkSession, d: String, dim: Int = 64,
+      nPlanes: Int = 0, nBands: Int = 4): DataFrame = {
+    val embAll = Tables.embeddings(s, d)
+    val planes =
+      if (nPlanes > 0) nPlanes else Similarity.planesFor(embAll.count())
+    val banded = embAll.select(col("vec_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          Similarity.lshBucket(col("embedding"), dim, planes, b * planes)
+            .as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    banded
+      .join(banded.select(col("band"), col("bucket"),
+        col("vec_id").as("vec_b")), Seq("band", "bucket"))
       .filter(col("vec_id") < col("vec_b"))
       .select(col("vec_id").as("vec_a"), col("vec_b"))
       .distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs: banded-LSH candidate
+    * generation ([[embeddingCandidates]]) with fused-cosine verification
+    * above `threshold`. The pairing join sees only (band, bucket, id);
+    * embeddings come back per candidate, so extra candidates from the
+    * band union can add cost but never false positives.
+    */
+  def embeddingNearDups(s: SparkSession, d: String, dim: Int = 64,
+      nPlanes: Int = 0, threshold: Double = 0.95,
+      nBands: Int = 4): DataFrame = {
+    import graft.functions.FusedCosineSimilarity.fusedCosine
+    val candidates = embeddingCandidates(s, d, dim, nPlanes, nBands)
     val ea = Tables.embeddings(s, d)
       .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val eb = Tables.embeddings(s, d)

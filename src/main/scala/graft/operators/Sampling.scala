@@ -50,14 +50,29 @@ object Sampling {
     * count weight instead.
     */
   final case class Reservoir(k: Int,
-      items: Vector[(Long, Long)]) { // (priority, value)
+      items: Vector[(Long, Long)]) { // (priority, value), kept sorted asc
     def add(value: Long): Reservoir = {
       val pr = Sampling.mix64(value)
       insert((pr, value))
     }
+    // bounded insertion into the sorted vector: O(log k) search +
+    // O(k) copy only when the item actually lands in the bottom-k —
+    // no per-row sort/distinct/allocation storm
     def insert(p: (Long, Long)): Reservoir = {
-      val merged = (items :+ p).sortBy(x => (x._1, x._2)).distinct.take(k)
-      copy(items = merged)
+      var lo = 0
+      var hi = items.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val it = items(mid)
+        val c =
+          if (it._1 != p._1) java.lang.Long.compare(it._1, p._1)
+          else java.lang.Long.compare(it._2, p._2)
+        if (c < 0) lo = mid + 1 else hi = mid
+      }
+      if (lo < items.length && items(lo) == p) this // dup value, no mass
+      else if (items.length >= k && lo >= k) this   // not in bottom-k
+      else copy(items =
+        ((items.take(lo) :+ p) ++ items.drop(lo)).take(k))
     }
     def merge(other: Reservoir): Reservoir =
       other.items.foldLeft(this)(_.insert(_))
@@ -79,8 +94,10 @@ object Sampling {
       b1.merge(b2)
     override def finish(r: Reservoir): Seq[Long] =
       r.items.map(_._2).sorted
+    // structured (not Kryo) buffer: Tungsten rows the partial-agg
+    // exchange can size and spill, no opaque blobs
     override def bufferEncoder: Encoder[Reservoir] =
-      Encoders.kryo[Reservoir]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Reservoir]()
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
@@ -97,24 +114,39 @@ object Sampling {
     * `sim DESC, vec_id ASC`).
     */
   final case class TopK(k: Int, items: Vector[(Double, Long)]) {
+    // items kept sorted best-first (score DESC, id ASC); bounded
+    // insertion — a row worse than the current kth is a single
+    // comparison, not a sort
     def insert(p: (Double, Long)): TopK = {
-      val merged = (items :+ p)
-        .sortBy { case (score, id) => (-score, id) }
-        .take(k)
-      copy(items = merged)
+      var lo = 0
+      var hi = items.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val it = items(mid)
+        // it ranks before p?
+        val before = it._1 > p._1 || (it._1 == p._1 && it._2 < p._2)
+        if (before) lo = mid + 1 else hi = mid
+      }
+      if (items.length >= k && lo >= k) this
+      else copy(items =
+        ((items.take(lo) :+ p) ++ items.drop(lo)).take(k))
     }
   }
 
-  class TopKByScoreAgg(k: Int)
-      extends Aggregator[(Long, Long, Double), TopK, Seq[(Long, Double)]] {
+  /** Bounded top-k aggregator; the group key type `K` is only consumed
+    * by `groupByKey`, so any key shape works (vector ids, strata names).
+    */
+  class TopKByScoreAgg[K](k: Int)
+      extends Aggregator[(K, Long, Double), TopK, Seq[(Long, Double)]] {
     override def zero: TopK = TopK(k, Vector.empty)
-    override def reduce(b: TopK, a: (Long, Long, Double)): TopK =
+    override def reduce(b: TopK, a: (K, Long, Double)): TopK =
       b.insert((a._3, a._2))
     override def merge(b1: TopK, b2: TopK): TopK =
       b2.items.foldLeft(b1)(_.insert(_))
     override def finish(r: TopK): Seq[(Long, Double)] =
       r.items.map { case (score, id) => (id, score) }
-    override def bufferEncoder: Encoder[TopK] = Encoders.kryo[TopK]
+    override def bufferEncoder: Encoder[TopK] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TopK]()
     override def outputEncoder: Encoder[Seq[(Long, Double)]] =
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[Seq[(Long, Double)]]()
@@ -132,18 +164,54 @@ object Sampling {
     * the ordering). Rows with null or non-positive weight are excluded,
     * which matches the math: zero weight = zero selection probability.
     */
-  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
-      weightCol: String, k: Int): DataFrame = {
-    // u in (0,1): hash → [-1,1] → shifted/halved; endpoints have
-    // measure ~2^-63 and pow handles them finitely
+  /** ES priority column: u^(1/w) for a deterministic uniform u derived
+    * from the id hash. u in (0,1): hash → [-1,1] → shifted/halved;
+    * endpoints have measure ~2^-63 and pow handles them finitely.
+    */
+  private def esPriority(idCol: String, weightCol: String)
+      : org.apache.spark.sql.Column = {
     val u = (xxhash64(col(idCol)).cast("double") /
       lit(Long.MaxValue.toDouble) + 1.0) / 2.0
-    val priority = pow(u, lit(1.0) / col(weightCol))
+    pow(u, lit(1.0) / col(weightCol))
+  }
+
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    // priorities flow through the bounded TopK aggregator: partial
+    // per-partition top-k, so the exchange carries at most k rows per
+    // group per map partition — never the corpus. (A ranking window
+    // here would shuffle and SORT every row per group; that form
+    // survives only as the test oracle, weightedSampleWindow.)
+    val scored = df.filter(col(weightCol) > 0)
+      .select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"),
+        esPriority(idCol, weightCol).as("pr"))
+    import df.sparkSession.implicits._
+    val picked = scored.as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKByScoreAgg[String](k).toColumn.name("topk"))
+      .toDF("__g", "topk")
+      .select(col("__g"), explode(col("topk")).as("kv"))
+      .select(col("__g"), col("kv._1").as("__id"))
+    // recover the full rows with a semi-join against the (≤ k×groups,
+    // broadcast-able) sampled-id set
+    df.join(picked,
+      df(groupCol).cast("string") === col("__g") &&
+        df(idCol).cast("long") === col("__id"),
+      "left_semi")
+  }
+
+  /** The ranking-window form of [[weightedSample]] — identical output,
+    * O(group) shuffle+sort cost. Kept ONLY as the equality oracle for
+    * tests; never use it on corpus-sized data.
+    */
+  def weightedSampleWindow(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("__priority").desc, col(idCol))
     df.filter(col(weightCol) > 0)
-      .withColumn("__priority", priority)
+      .withColumn("__priority", esPriority(idCol, weightCol))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__priority", "__rk")

@@ -28,9 +28,13 @@ object Similarity {
 
   /** Composed built-in cosine — three array passes; kept as the
     * reference implementation the fused expression is tested against.
+    * `try_divide` (not `/`) so a zero-norm vector yields null in every
+    * SQL mode — under ANSI (Spark 4's default) a plain Divide would
+    * throw DIVIDE_BY_ZERO on all-zero or empty embeddings, which is not
+    * a useful semantics for a similarity score.
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Per-label embedding stats — count and mean L2 norm. */
   def labelStats(s: SparkSession, d: String): DataFrame =
@@ -80,7 +84,7 @@ object Similarity {
     import pairs.sparkSession.implicits._
     pairs.as[(Long, Long, Double)]
       .groupByKey(_._1)
-      .agg(new graft.operators.Sampling.TopKByScoreAgg(k)
+      .agg(new graft.operators.Sampling.TopKByScoreAgg[Long](k)
         .toColumn.name("topk"))
       .toDF("query_id", "topk")
       .select(col("query_id"), posexplode(col("topk")))
@@ -102,10 +106,14 @@ object Similarity {
     * `nPlanes` deterministic hyperplanes. Each plane is a literal weight
     * array, so the projection is one zip_with+aggregate per plane — a
     * compact codegen'd loop, not a dim×planes expression tree.
+    * `planeOffset` selects an independent plane set, so callers can
+    * build banded multi-set LSH (band b = offset b*nPlanes).
     */
-  def lshBucket(v: Column, dim: Int, nPlanes: Int): Column = {
+  def lshBucket(v: Column, dim: Int, nPlanes: Int,
+      planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val weights = array((0 until dim).map(i => lit(planeWeight(p, i))): _*)
+      val weights = array((0 until dim).map(i =>
+        lit(planeWeight(planeOffset + p, i))): _*)
       val proj = aggregate(
         zip_with(v, weights, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, t) => acc + t)
@@ -114,15 +122,42 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Planes needed so the EXPECTED bucket occupancy `n / 2^planes` stays
+    * at or below `targetOccupancy` — the knob that keeps within-bucket
+    * candidate generation ~linear in corpus size instead of quadratic
+    * (n²/2^planes pairs per plane set). Fixed plane counts are the
+    * classic LSH scale trap: 4 planes = 16 buckets is fine at 10⁴
+    * vectors and catastrophic at 10¹⁰. Capped at `maxPlanes` because
+    * past ~24 planes per set recall collapses faster than banding can
+    * recover; beyond that, scale bands (independent plane sets), not
+    * planes.
+    */
+  def planesFor(n: Long, targetOccupancy: Long = 4096,
+      maxPlanes: Int = 24): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(4, needed))
+  }
+
+  /** All bucket-perturbation masks with at most `radius` bits set, for
+    * multiprobe LSH. Enumerated as bit combinations — O(nPlanes^radius)
+    * — never by filtering all 2^nPlanes masks, which stops being
+    * enumerable exactly when planesFor starts returning big counts.
+    */
+  def probeMasks(nPlanes: Int, radius: Int): Seq[Long] =
+    (0 to radius).flatMap(r =>
+      (0 until nPlanes).combinations(r)
+        .map(_.foldLeft(0L)((acc, b) => acc | (1L << b))).toSeq)
+
   /** IVF (inverted-file) ANN top-k: the second index family. Centroids
     * are a deterministic sample of the corpus (every nth vector — at
     * 100 TB you would k-means a sample; determinism matters more here);
     * the corpus partitions into Voronoi cells by fused-cosine argmax
     * against the literal centroid arrays (a narrow pass — the "model"
     * ships inside the plan), and each query probes its `nProbe` nearest
-    * cells. Cell assignment shuffles only (cell, id); candidate
-    * verification fetches embeddings per cell like every other
-    * candidate path here.
+    * cells through one broadcast join with inline scoring; the corpus
+    * is neither shuffled nor re-scanned (see the no-dedup note below).
     */
   def ivfTopK(s: SparkSession, d: String, nCells: Int = 16,
       nQueries: Int = 5, k: Int = 10, nProbe: Int = 4): DataFrame = {
@@ -150,18 +185,26 @@ object Similarity {
       }: _*)
       slice(reverse(array_sort(sims)), 1, nProbe)
     }
-    val assigned = emb.select(col("vec_id"), cellOf(col("embedding"))
-      .as("cell"))
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        explode(probeCells(col("embedding")).getField("cell")).as("cell"))
-    val corpus = emb.select(col("vec_id"), col("embedding"))
+    // No candidate dedup is needed — or correct to pay for: Voronoi
+    // assignment puts each corpus vector in EXACTLY ONE cell and a
+    // query's probe list holds nProbe DISTINCT cells, so a (query,
+    // candidate) pair can match at most once. The corpus therefore
+    // streams through ONE broadcast join, keeps its embedding out of
+    // any exchange (broadcast joins don't shuffle the stream side),
+    // and is scored exactly once per matching pair; the only exchange
+    // in the plan is the narrow (query_id, vec_id, sim) top-k window
+    // input. (A distinct here — r2 carried one that even shuffled the
+    // query embedding — is pure waste.)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      cellOf(col("embedding")).as("cell"))
+    val queryVecs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val queryProbes = queryVecs.select(col("query_id"), col("q"),
+      explode(probeCells(col("q")).getField("cell")).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(queries), Seq("cell"))
+    assigned.join(broadcast(queryProbes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("q"), col("vec_id")).distinct()
-      .join(corpus, Seq("vec_id"))
       .select(col("query_id"), col("vec_id"),
         fusedCosine(col("q"), col("embedding")).as("sim"))
       .withColumn("rk", row_number().over(w))
@@ -171,8 +214,15 @@ object Similarity {
   }
 
   /** ANN top-k via LSH buckets: candidates are same-bucket vectors only.
-    * At 100 TB the corpus shuffles once on the bucket id (a few bytes);
-    * queries are broadcast. Recall/cost tunes via nPlanes (fewer planes
+    * At 100 TB the corpus is never shuffled and never scored twice:
+    * each corpus vector hashes to exactly one bucket and a query's
+    * multiprobe masks are distinct, so a (query, candidate) pair can
+    * match at most once — the corpus streams through ONE broadcast
+    * probe join with inline scoring, and the only exchange is the
+    * narrow (query_id, vec_id, sim) window input. (Candidate dedup
+    * belongs to the BANDED multi-plane-set path,
+    * [[Dedup.embeddingCandidates]], where a pair can match in several
+    * bands.) Recall/cost tunes via nPlanes (fewer planes
     * → bigger buckets → higher recall, more compute) and probeRadius:
     * the query probes every bucket within that Hamming distance of its
     * own. Defaults (4 planes, radius 2 → 11 of 16 buckets) target
@@ -181,25 +231,32 @@ object Similarity {
     * radius.
     */
   def annTopK(s: SparkSession, d: String, dim: Int = 64,
-      nQueries: Int = 5, k: Int = 10, nPlanes: Int = 4,
+      nQueries: Int = 5, k: Int = 10, nPlanes: Int = 0,
       probeRadius: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, d)
-      .withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes))
-    val masks = (0 until (1 << nPlanes))
-      .filter(m => Integer.bitCount(m) <= probeRadius)
-    val probes = explode(array(masks.map(m =>
-      col("bucket").bitwiseXOR(lit(m.toLong))): _*))
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        probes.as("bucket"))
-    val sim = fusedCosine(col("q"), col("embedding"))
+    // nPlanes <= 0 → derive from corpus size (parquet-footer count, no
+    // data read) so bucket occupancy — and with it per-query candidate
+    // work — stays bounded as the corpus grows
+    val planes = if (nPlanes > 0) nPlanes else planesFor(emb.count())
+    val buckets = emb.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, planes).as("bucket"))
+    val masks = probeMasks(planes, probeRadius)
+    val queryVecs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val qb = lshBucket(col("q"), dim, planes)
+    val queryProbes = queryVecs.select(col("query_id"), col("q"),
+      explode(array(masks.map(m =>
+        qb.bitwiseXOR(lit(m))): _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    emb.join(broadcast(queries), Seq("bucket"))
+    // single corpus pass, inline scoring: the bucket partition + the
+    // distinct probe masks guarantee each (query, candidate) pair
+    // appears at most once (see scaladoc), so there is nothing to
+    // dedup and the fused cosine runs exactly once per pair
+    buckets.join(broadcast(queryProbes), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), sim.as("sim"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(first(col("sim")).as("sim"))
+      .select(col("query_id"), col("vec_id"),
+        fusedCosine(col("q"), col("embedding")).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), r4(col("sim")).as("sim"),

@@ -127,9 +127,25 @@ object TextOps {
       .sortBy(_._1).toSeq
   }
 
-  /** The cached model for a data dir — fit at most once per JVM. */
+  /** The cached model for a data dir — fit at most once per JVM.
+    *
+    * CONTRACT: the cache keys on the path and NEVER self-invalidates —
+    * a long-lived driver (or test JVM) that rewrites the documents at
+    * `d` in place keeps scoring with the model fit from the OLD data.
+    * That is the intended trade (immutable corpus paths are the norm at
+    * scale; refitting per query is the scale bug this cache fixes).
+    * Callers that do rewrite a path in place must call
+    * [[clearLangProfiles]] for it first.
+    */
   def langProfiles(s: SparkSession, d: String): LangProfiles =
     profileCache.getOrElseUpdate(d, fitLangProfiles(s, d))
+
+  /** Drop the cached model for `d` (all paths when `d` is null) so the
+    * next [[langProfiles]] call refits — the explicit invalidation hook
+    * for in-place rewrites.
+    */
+  def clearLangProfiles(d: String = null): Unit =
+    if (d == null) profileCache.clear() else { profileCache.remove(d); () }
 
   /** Score documents against fitted profiles: distinct-trigram overlap
     * per language; the profiles ship to executors as literal arrays (the

@@ -15,9 +15,15 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   * the engine runs the fused loop. The rewrite is semantics-preserving
   * bit-for-bit: both evaluate the same sequential double accumulation,
   * and the fused expression reproduces the composed form's null behavior
-  * (null on unequal lengths and on null elements — see FusedCosine.scala),
-  * so firing globally on user plans can't change results. Anything that
-  * doesn't match the full shape is left untouched.
+  * (null on unequal lengths, on null elements, and on a zero-norm
+  * divisor — see FusedCosine.scala), so firing globally on user plans
+  * can't change results. The one shape deliberately left untouched is a
+  * Divide in ANSI eval mode: ANSI division THROWS on a zero divisor
+  * (all-zero or empty embeddings) where the fused form yields null, so
+  * rewriting it would swallow a user-visible error. TRY and LEGACY
+  * divides both return null on zero — exactly the fused semantics — and
+  * are rewritten. Anything else that doesn't match the full shape is
+  * left untouched.
   */
 object FuseCosineRule extends Rule[LogicalPlan] {
 
@@ -55,7 +61,8 @@ object FuseCosineRule extends Rule[LogicalPlan] {
     def unapply(e: Expression): Option[(Expression, Expression)] =
       e match {
         case Divide(dot,
-            Multiply(SqrtOfSelfDot(n1), SqrtOfSelfDot(n2), _), _) =>
+            Multiply(SqrtOfSelfDot(n1), SqrtOfSelfDot(n2), _), evalMode)
+            if evalMode != EvalMode.ANSI =>
           matchDot(dot).collect {
             case (a, b)
                 if (a.semanticEquals(n1) && b.semanticEquals(n2)) ||

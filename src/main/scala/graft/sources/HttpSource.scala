@@ -44,6 +44,35 @@ final class FileTransport extends HttpTransport {
   }
 }
 
+/** Real-network transport over `java.net.http.HttpClient` (JDK 11+, no
+  * extra dependency): one client per reader (instantiated on the
+  * executor via the reflective seam), redirects followed, bounded
+  * connect/request timeouts so a hung endpoint can't wedge a task.
+  * Non-2xx statuses are returned as data — the connector's retry
+  * ladder, not this class, decides what is retryable. The sandbox has
+  * no egress, so tests exercise this class against unroutable
+  * localhost endpoints (exception → audit row) and real fetching is a
+  * deployment concern only:
+  * `.option("transport", "graft.sources.JavaHttpTransport")`.
+  */
+final class JavaHttpTransport extends HttpTransport {
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .build()
+
+  override def fetch(url: String): HttpResponse = {
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(30))
+      .header("User-Agent", "graft-spark")
+      .GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    HttpResponse(resp.statusCode(), resp.body())
+  }
+}
+
 /** DataSource V2 batch connector for fan-out URL ingestion — the
   * reference's station-fetch orchestration as a first-class Spark
   * source:
@@ -103,9 +132,21 @@ private[sources] class HttpScanBuilder(options: CaseInsensitiveStringMap)
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan = {
-    val urls = Option(options.get("urls"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+    // 'urls' accepts a JSON array (`["u1","u2"]`) — the robust form,
+    // safe for URLs containing commas — or a delimited list, with the
+    // delimiter overridable via 'urlsDelimiter' (default ",") for
+    // callers whose URLs embed commas in query strings
+    val raw = Option(options.get("urls")).map(_.trim).getOrElse("")
+    val urls: Seq[String] =
+      if (raw.startsWith("["))
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(raw, classOf[Array[String]])
+          .toSeq.map(_.trim).filter(_.nonEmpty)
+      else {
+        val delim = Option(options.get("urlsDelimiter")).getOrElse(",")
+        raw.split(java.util.regex.Pattern.quote(delim))
+          .map(_.trim).filter(_.nonEmpty).toSeq
+      }
     require(urls.nonEmpty, "graft-http requires a non-empty 'urls' option")
     val fanout = math.max(1, math.min(
       Option(options.get("fanout")).map(_.toInt).getOrElse(32),
@@ -167,7 +208,10 @@ private[sources] class HttpPartitionReader(urls: Array[String],
 
   /** The reference's retry ladder: up to `retries` attempts, break on
     * the first success; a still-failing URL becomes an auditable row,
-    * not a task failure.
+    * not a task failure. Only TRANSIENT failures are retried —
+    * transport exceptions (status -1) and 5xx. A 4xx is deterministic
+    * (the URL is wrong, not the network) and is final on first sight;
+    * retrying it only hammers the backend.
     */
   private def fetchRow(url: String): InternalRow = {
     var attempt = 0
@@ -177,8 +221,8 @@ private[sources] class HttpPartitionReader(urls: Array[String],
       attempt += 1
       resp =
         try transport.fetch(url)
-        catch { case e: Exception => HttpResponse(-1, null) }
-      done = resp.status == 200
+        catch { case _: Exception => HttpResponse(-1, null) }
+      done = !(resp.status < 0 || resp.status >= 500)
     }
     InternalRow.fromSeq(required.fieldNames.toSeq.map {
       case "url" => UTF8String.fromString(url)

@@ -43,6 +43,20 @@ object Streams {
     obs.withWatermark("timestamp", "7 days")
       .dropDuplicatesWithinWatermark("observation_id")
 
+  /** Streaming twin of the LLM-tier [[graft.operators.Dedup.exact]]:
+    * content-hash dedup of a document stream. The dedup key is the
+    * 8-byte `xxhash64(text)` — state stores the hash, never the
+    * document — and `dropDuplicatesWithinWatermark` bounds that state
+    * to the watermark horizon, so re-ingesting the same documents
+    * across micro-batches (crawler re-fetch, backfill overlap) emits
+    * no new rows while state stays O(docs-per-horizon × 8 B).
+    */
+  def dedupedDocuments(docs: DataFrame, tsCol: String = "ingest_ts",
+      watermark: String = "7 days"): DataFrame =
+    docs.withColumn("text_hash", xxhash64(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Tumbling-window hourly aggregate with late-data tolerance — the
     * streaming twin of Warehouse.hourlyAggregates (same metric mix).
     */

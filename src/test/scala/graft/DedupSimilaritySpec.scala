@@ -133,6 +133,71 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(dups === Set((0L, 1L)))
   }
 
+  test("corpus-scaled LSH planes keep candidate counts ~linear on a " +
+    "growing clustered corpus") {
+    val dim = 16
+    // deterministic pseudo-random float in [-1, 1) — no RNG state
+    def h(a: Int, b: Int): Float = {
+      var z = a.toLong * 0x9e3779b97f4a7c15L + b.toLong + 17
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble).toFloat
+    }
+    // fixed-size clusters whose COUNT grows with n — the regime where
+    // candidate pairs should stay linear-in-n if buckets scale with the
+    // corpus (a single growing cluster is genuinely quadratic output)
+    def write(n: Int): String = {
+      val clusterSize = 20
+      val rows = (0 until n).map { i =>
+        val c = i / clusterSize
+        val emb = Array.tabulate(dim)(j => h(c, j) + 0.05f * h(i, j + 999))
+        (i.toLong, emb, c)
+      }
+      val dir = tmpDir(s"lshscale$n")
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val (n1, n2) = (2000, 8000)
+    val (d1, d2) = (write(n1), write(n2))
+    val occupancy = 64L
+    val pSmall = Similarity.planesFor(n1, occupancy) // 5 planes, 32 buckets
+    val pBig = Similarity.planesFor(n2, occupancy)   // 7 planes, 128 buckets
+    assert(pBig > pSmall) // the knob actually moves with corpus size
+    val candSmall =
+      Dedup.embeddingCandidates(spark, d1, dim, pSmall).count()
+    val candBig = Dedup.embeddingCandidates(spark, d2, dim, pBig).count()
+    val candBigFixed =
+      Dedup.embeddingCandidates(spark, d2, dim, pSmall).count()
+    // 4× the corpus with scaled planes: ~4× the candidates (slack 8× for
+    // bucket unevenness), NOT the ~16× a fixed plane count trends toward
+    assert(candBig <= 8L * candSmall,
+      s"candidates not ~linear: $candSmall -> $candBig")
+    assert(candBig < candBigFixed,
+      s"scaled planes ($pBig) should prune vs fixed ($pSmall): " +
+        s"$candBig >= $candBigFixed")
+    // recall safety: every same-cluster near-dup pair a full scan finds
+    // is still found through the banded candidates
+    import graft.functions.FusedCosineSimilarity.fusedCosine
+    val emb = Tables.embeddings(spark, d2)
+    val exhaustive = emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("label").as("la"))
+      .join(emb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("label").as("lb")),
+        col("vec_a") < col("vec_b") && col("la") === col("lb"))
+      .filter(fusedCosine(col("ea"), col("eb")) >= 0.995)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.embeddingNearDups(spark, d2, dim, pBig,
+        threshold = 0.995)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall =
+      if (exhaustive.isEmpty) 1.0
+      else (exhaustive & found).size.toDouble / exhaustive.size
+    AccuracyLedger.assertAtLeast("embedding_banded_lsh_recall", recall,
+      0.9, band = 0.05)
+  }
+
   test("IVF top-k recall vs brute force is usable (>= 0.5)") {
     val brute = Similarity.bruteForceTopK(spark, sf(), nQueries = 5, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -203,7 +268,12 @@ class DedupSimilaritySpec extends SparkSuite {
     val df = Seq(
       (Seq(Option(1.0f), Option(2.0f)), Seq(Option(3.0f), Option(4.0f))),
       (Seq(Option(1.0f), Option(2.0f)), Seq(Option(3.0f))),
-      (Seq(Option(1.0f), None), Seq(Option(3.0f), Option(4.0f))))
+      (Seq(Option(1.0f), None), Seq(Option(3.0f), Option(4.0f))),
+      // zero-norm divisor: composed Divide yields null (non-ANSI),
+      // fused must match, not NaN
+      (Seq(Option(0.0f), Option(0.0f)), Seq(Option(3.0f), Option(4.0f))),
+      (Seq(Option(1.0f), Option(2.0f)), Seq(Option(0.0f), Option(0.0f))),
+      (Seq.empty[Option[Float]], Seq.empty[Option[Float]]))
       .toDF("a", "b")
       .select(col("a").cast("array<float>").as("a"),
         col("b").cast("array<float>").as("b"))
@@ -219,6 +289,9 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!rows(0).isNullAt(1)) // equal-length non-null → a number
     assert(rows(1).isNullAt(1))  // ragged → null, like zip_with padding
     assert(rows(2).isNullAt(1))  // null element → null propagates
+    assert(rows(3).isNullAt(1))  // all-zero left vector → null, not NaN
+    assert(rows(4).isNullAt(1))  // all-zero right vector → null, not NaN
+    assert(rows(5).isNullAt(1))  // empty arrays (0/0) → null, not NaN
     FusedCosineSimilarity.register(spark)
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT fused_cosine(array(CAST(1.0 AS FLOAT)))")
@@ -278,6 +351,21 @@ class DedupSimilaritySpec extends SparkSuite {
     val mixedPick = Sampling.weightedSample(mixed, "grp", "id", "wt",
       k = 20).select("id").collect().map(_.getLong(0)).toSet
     assert(mixedPick === (15L until 20L).toSet)
+    // aggregator form ≡ window-oracle form on less-degenerate weights,
+    // and its plan is a partial aggregation, not a full window sort
+    val varied = spark.range(500).select(col("id"),
+      (col("id") % 7).as("grp"),
+      (pmod(xxhash64(col("id")), lit(97)) + 1).cast("double").as("wt"))
+    val aggIds = Sampling.weightedSample(varied, "grp", "id", "wt", k = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val winIds = Sampling
+      .weightedSampleWindow(varied, "grp", "id", "wt", k = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(aggIds === winIds)
+    val plan = Sampling.weightedSample(varied, "grp", "id", "wt", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"weightedSample should not rank with a window:\n$plan")
   }
 
   test("typed reservoir Aggregator: k per group, deterministic, valid") {
@@ -325,12 +413,18 @@ class DedupSimilaritySpec extends SparkSuite {
     val p1 = TextOps.langProfiles(spark, dir)
     val p2 = TextOps.langProfiles(spark, dir)
     assert(p1 eq p2) // fit-once: second call is the cached model
+    // explicit invalidation hook for in-place rewrites: next call refits
+    TextOps.clearLangProfiles(dir)
+    val p3 = TextOps.langProfiles(spark, dir)
+    assert(!(p3 eq p1) && p3 === p1) // fresh fit, same data → same model
     assert(p1.map(_._1).toSet === Set("en", "xx"))
     val scored = TextOps
       .scoreLangId(Tables.documents(spark, dir), p1)
       .collect().map(r => (r.getString(1), r.getString(2)))
     val acc = scored.count { case (l, p) => l == p }.toDouble / scored.length
-    assert(acc >= 0.9, s"accuracy $acc")
+    // floor + round-over-round ledger band (synthetic corpus is
+    // deterministic, so the recorded value is stable across runs)
+    AccuracyLedger.assertAtLeast("lang_id_synthetic_accuracy", acc, 0.9)
   }
 
   test("multimodal: deterministic features, frame sampling, stats") {

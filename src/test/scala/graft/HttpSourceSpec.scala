@@ -46,8 +46,8 @@ class HttpSourceSpec extends SparkSuite {
     }
   }
 
-  test("missing URLs become auditable rows after the retry ladder, " +
-    "not task failures") {
+  test("missing URLs become auditable rows, and a deterministic 4xx " +
+    "is final on FIRST attempt (no retry waste)") {
     val dir = tmpDir("http_missing")
     val ok = writeFixture(dir, "ok.json", """{"a": 1}""")
     val df = spark.read.format("graft-http")
@@ -58,7 +58,43 @@ class HttpSourceSpec extends SparkSuite {
       .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2),
         r.getString(3))).toMap
     assert(byUrl(ok) === ((200, 1, """{"a": 1}""")))
-    assert(byUrl(s"$dir/nope.json") === ((404, 3, null)))
+    // 404 is not transient: one attempt, then the audit row
+    assert(byUrl(s"$dir/nope.json") === ((404, 1, null)))
+  }
+
+  test("urls option: JSON-array form carries comma-containing URLs; " +
+    "urlsDelimiter overrides the split") {
+    val dir = tmpDir("http_commas")
+    // a filename WITH a comma — the comma-split form would shred it
+    val weird = writeFixture(dir, "q,page=1.json", """{"q": 1}""")
+    val plain = writeFixture(dir, "plain.json", """{"p": 2}""")
+    val jsonUrls =
+      s"""["$weird", "$plain"]"""
+    val viaJson = spark.read.format("graft-http")
+      .option("urls", jsonUrls).load()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaJson === Map(weird -> 200, plain -> 200))
+    val viaDelim = spark.read.format("graft-http")
+      .option("urls", s"$weird|$plain")
+      .option("urlsDelimiter", "|").load()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaDelim === Map(weird -> 200, plain -> 200))
+  }
+
+  test("JavaHttpTransport loads through the reflective seam; an " +
+    "unroutable endpoint yields transport-error audit rows") {
+    // no egress in the sandbox: a connection-refused localhost URL
+    // exercises the real HttpClient path end-to-end (exception → -1 →
+    // retried as transient → audit row, task alive)
+    val df = spark.read.format("graft-http")
+      .option("urls", "http://127.0.0.1:1/unreachable")
+      .option("retries", "2")
+      .option("transport", classOf[graft.sources.JavaHttpTransport].getName)
+      .load()
+    val rows = df.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getInt(2), r.getString(3)))
+    assert(rows.toSeq === Seq(
+      ("http://127.0.0.1:1/unreachable", -1, 2, null)))
   }
 
   test("retry ladder stops on first success (flaky transport)") {

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 /** Secondary value-level checks for the sketch-based operators whose
   * outputs are engine-specific (no DuckDB oracle): each sketch must land
   * within its stated error of the exact answer computed over the same
-  * data. A sketch that silently degrades now fails correctness instead
-  * of hiding behind a rows-only check.
+  * data, AND within [[AccuracyLedger]]'s regression band of the value
+  * recorded last round — so a sketch that degrades-but-still-clears-the-
+  * floor fails too, and `tools/accuracy_ledger.json` gives the driver a
+  * round-over-round accuracy diff.
   */
 class SketchAccuracySpec extends SparkSuite {
 
@@ -18,12 +20,11 @@ class SketchAccuracySpec extends SparkSuite {
     val approx = Relational.approxDistinctCounts(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(approx.keySet === exact.keySet)
-    // 0.01 rsd → allow 5 sigma
-    exact.foreach { case (flag, (nParts, _)) =>
-      val aParts = approx(flag)._1
-      assert(math.abs(aParts - nParts).toDouble / nParts <= 0.05,
-        s"$flag n_parts: approx $aParts vs exact $nParts")
-    }
+    val maxRelErr = exact.map { case (flag, (nParts, _)) =>
+      math.abs(approx(flag)._1 - nParts).toDouble / nParts
+    }.max
+    // 0.01 rsd → allow 5 sigma absolute; band vs last round on top
+    AccuracyLedger.assertAtMost("hll_parts_max_rel_err", maxRelErr, 0.05)
   }
 
   test("approx_percentile is within rank tolerance of exact percentiles") {
@@ -37,18 +38,20 @@ class SketchAccuracySpec extends SparkSuite {
     // accuracy 1000 → rank error ≤ 1/1000; quantity is 1..50 uniform-ish
     // and price spans ~1e5, so translate rank slack to generous value
     // slack: 5% relative
-    exact.foreach { case (flag, (medQty, _, medPrice)) =>
-      val (aMedQty, aP90Price) = approx(flag)
-      assert(math.abs(aMedQty - medQty) / medQty <= 0.05,
-        s"$flag median_qty: approx $aMedQty vs exact $medQty")
+    val maxMedErr = exact.map { case (flag, (medQty, _, _)) =>
+      math.abs(approx(flag)._1 - medQty) / medQty
+    }.max
+    exact.foreach { case (flag, (_, _, medPrice)) =>
+      val aP90Price = approx(flag)._2
       assert(aP90Price > medPrice,
         s"$flag p90_price $aP90Price should exceed exact median " +
           s"price $medPrice")
     }
+    AccuracyLedger.assertAtMost("approx_median_qty_max_rel_err",
+      maxMedErr, 0.05)
   }
 
-  test("ANN recall artifacts: LSH and IVF recall vs brute force " +
-    "recorded at sf0.01") {
+  test("ANN recall vs brute force: floors + round-over-round band") {
     import graft.operators.Similarity
     val dir = sf("sf0.01")
     val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 5, k = 10)
@@ -62,7 +65,8 @@ class SketchAccuracySpec extends SparkSuite {
     val ivfRecall = (brute & ivf).size.toDouble / brute.size
     info(f"sf0.01 recall@10 over 5 queries: lsh=$lshRecall%.2f " +
       f"ivf=$ivfRecall%.2f")
-    assert(lshRecall >= 0.5, s"lsh recall $lshRecall")
-    assert(ivfRecall >= 0.5, s"ivf recall $ivfRecall")
+    AccuracyLedger.assertAtLeast("ann_lsh_recall_at_10", lshRecall, 0.5)
+    AccuracyLedger.assertAtLeast("ann_ivf_recall_at_10", ivfRecall, 0.5)
   }
+
 }

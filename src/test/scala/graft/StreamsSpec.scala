@@ -59,6 +59,33 @@ class StreamsSpec extends SparkSuite {
     assert(ids.length.toLong === rawCount - 1)
   }
 
+  test("streaming document dedup: re-ingesting the same docs across " +
+    "micro-batches yields no new rows") {
+    val stage = tmpDir("docs_dedup_stream")
+    // the same corpus staged twice = a full re-ingestion; with
+    // maxFilesPerTrigger=1 the copy arrives in a LATER micro-batch, so
+    // suppression must come from cross-batch dedup state, not
+    // within-batch distinct
+    for (f <- Seq("d1.parquet", "d2.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${sf()}/documents.parquet"),
+        java.nio.file.Paths.get(s"$stage/$f"))
+    val schema = Tables.documents(spark, sf()).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .withColumn("ingest_ts",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000L))
+    val q = Streams.dedupedDocuments(stream)
+      .writeStream.format("memory").queryName("docs_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("docs_dedup").count()
+    val distinctTexts = Tables.documents(spark, sf())
+      .select("text").distinct().count()
+    assert(got === distinctTexts,
+      s"expected one row per distinct text ($distinctTexts), got $got")
+  }
+
   test("maxFilesPerTrigger rate-limits ingest to one file per batch") {
     val dir = tmpDir("stream_rate")
     WeatherFixtures.writeJson(dir, "b1.json", WeatherFixtures.standardBatch)
