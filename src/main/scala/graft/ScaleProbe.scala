@@ -20,6 +20,7 @@ import graft.functions.Fns._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("shard")) { shardProbe(); return }
+    if (args.headOption.contains("shardbench")) { shardBench(); return }
     val reps = args.headOption.map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -134,6 +135,59 @@ object ScaleProbe {
       bestOf(s"tokens ${reps}x 32-file", 3)(noop(tok(shardDir)))
     println(f"speedup q1: ${q1Single / q1Shard}%.1fx, " +
       f"tokens: ${tokSingle / tokShard}%.1fx")
+    spark.stop()
+  }
+
+  /** `runMain graft.ScaleProbe shardbench`: the FULL registered query
+    * suite timed against the driver's single-file sf0.1 layout AND a
+    * same-data 32-file copy (the layout any real deployment has). The
+    * per-query single/sharded ratio separates scan-bound queries (big
+    * speedup from file parallelism) from shuffle/compute-bound ones
+    * (flat) — the honest multi-file baseline the single-file bench
+    * understates. Results land in tools/bench_sharded.json for SCALE.md
+    * and round-over-round diffs.
+    */
+  private def shardBench(): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/graft_sf01_sharded"
+    // nanos flag before touching events (Tables.events also sets it)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      if (!new java.io.File(s"$dst/$t.parquet").exists())
+        spark.read.parquet(s"$src/$t.parquet").repartition(32)
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    spark.read.parquet(s"$dst/region.parquet").count() // warm
+    def run(dir: String): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count(); () }
+        catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val single = run(src).toMap
+    val sharded = run(dst).toMap
+    val rows = single.keys.toSeq.sorted.map { q =>
+      f""""$q": {"single": ${single(q)}%.3f, "sharded": ${sharded(q)}%.3f}"""
+    }
+    val json = rows.mkString(
+      s"""{"sf": "$src", "files": 32, "queries": {\n  """,
+      ",\n  ", "\n}}\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("tools/bench_sharded.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(f"single total: ${single.values.sum}%.1f s, " +
+      f"sharded total: ${sharded.values.sum}%.1f s " +
+      "(tools/bench_sharded.json written)")
     spark.stop()
   }
 }
