@@ -17,7 +17,24 @@ object TpcHQueries {
       TpcH.largeOrders(s, d)),
     "q21_waiting_supplier" -> ((s: SparkSession, d: String) =>
       TpcH.waitingSuppliers(s, d)),
-    "q22_dormant_rich" -> (TpcH.dormantRichCustomers _)
+    "q22_dormant_rich" -> (TpcH.dormantRichCustomers _),
+    "q2_min_cost" -> ((s: SparkSession, d: String) =>
+      TpcH.minCostSupplier(s, d)),
+    "q4_priority" -> ((s: SparkSession, d: String) =>
+      TpcH.priorityOrderCheck(s, d)),
+    "q6_forecast" -> (TpcH.forecastRevenue _),
+    "q9_profit" -> ((s: SparkSession, d: String) =>
+      TpcH.productTypeProfit(s, d)),
+    "q11_concentration" -> ((s: SparkSession, d: String) =>
+      TpcH.supplierValueConcentration(s, d)),
+    "q12_priority_class" -> ((s: SparkSession, d: String) =>
+      TpcH.shipmentPriorityClasses(s, d)),
+    "q13_order_dist" -> (TpcH.customerOrderDistribution _),
+    "q15_top_supplier" -> (TpcH.topSupplier _),
+    "q17_small_qty" -> ((s: SparkSession, d: String) =>
+      TpcH.smallQuantityRevenue(s, d)),
+    "q20_excess_share" -> ((s: SparkSession, d: String) =>
+      TpcH.excessShareSuppliers(s, d))
   )
 
   private def ds(e: String) =
@@ -114,6 +131,118 @@ object TpcHQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderstatus = 'P')
-        |GROUP BY c_nationkey""".stripMargin
+        |GROUP BY c_nationkey""".stripMargin,
+    "q2_min_cost" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey, s_name,
+        |   min(l_extendedprice / l_quantity) AS unit_price
+        |  FROM lineitem
+        |   JOIN supplier ON l_suppkey = s_suppkey
+        |   JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_regionkey = 3
+        |  GROUP BY 1, 2, 3)
+        |SELECT p_partkey, p_brand, s_name,
+        | round(unit_price, 4) AS unit_price
+        |FROM offers o JOIN part ON p_partkey = o.l_partkey
+        |WHERE p_size <= 5
+        |  AND unit_price = (SELECT min(o2.unit_price) FROM offers o2
+        |                    WHERE o2.l_partkey = o.l_partkey)"""
+        .stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND datediff('day', o_orderdate, l_shipdate)
+        |                    > 30)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q6_forecast" ->
+      s"""SELECT ${ds("l_extendedprice * l_discount")} AS revenue,
+         | count(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN CAST(0.05 AS DOUBLE)
+         |                     AND CAST(0.07 AS DOUBLE)
+         |  AND l_quantity < 24""".stripMargin,
+    "q9_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,
+         | ${ds("l_extendedprice * (1 - l_discount) - " +
+               "CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity")}
+         |   AS profit
+         |FROM lineitem
+         | JOIN part ON l_partkey = p_partkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         | JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2""".stripMargin,
+    "q11_concentration" ->
+      s"""SELECT l_suppkey,
+         | ${ds("l_extendedprice * (1 - l_discount)")} AS value
+         |FROM lineitem
+         |GROUP BY l_suppkey
+         |HAVING ${ds("l_extendedprice * (1 - l_discount)")} >
+         |  (SELECT ${ds("l_extendedprice * (1 - l_discount)")} *
+         |    CAST(0.001 AS DOUBLE) FROM lineitem)""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT
+        | CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+        |      THEN 'late' ELSE 'ontime' END AS ship_class,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |          THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q13_order_dist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey,
+         |   ${ds("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-07-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)"""
+        .stripMargin,
+    "q17_small_qty" ->
+      s"""SELECT
+         | round(${ds("l_extendedprice")} / 7.0, 4) AS avg_yearly,
+         | count(*) AS n_lines
+         |FROM lineitem
+         | JOIN part ON l_partkey = p_partkey
+         | JOIN (SELECT l_partkey AS pk, sum(l_quantity) AS sum_qty,
+         |              count(*) AS cnt
+         |       FROM lineitem GROUP BY l_partkey) per_part
+         |   ON l_partkey = pk
+         |WHERE p_brand = 'Brand#1' AND p_size < 10
+         |  AND l_quantity * cnt * 5 < sum_qty""".stripMargin,
+    "q20_excess_share" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'),
+        | per_part AS (SELECT l_partkey AS pk, sum(l_quantity)
+        |   AS part_qty FROM li GROUP BY 1),
+        | per_supp AS (SELECT l_partkey, l_suppkey, sum(l_quantity)
+        |   AS sup_qty FROM li GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, s_nationkey
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM per_supp JOIN per_part ON l_partkey = pk
+        |  WHERE sup_qty * 8 > part_qty)""".stripMargin
   )
 }
