@@ -223,6 +223,69 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Connected components over near-duplicate pair edges — the step a
+    * real dedup pipeline needs AFTER pair generation: near-duplication
+    * is not transitive, so pairs (a,b) and (b,c) must collapse into one
+    * cluster {a,b,c} before a canonical document can be chosen.
+    *
+    * Algorithm: iterative min-label propagation. Every node starts
+    * labeled with its own id; each round every node takes the min of
+    * its own and its neighbors' labels; at fixpoint the label is the
+    * component's minimum id (= the canonical id, matching
+    * [[exact]]'s min-doc_id keep rule). Rounds are whole-graph
+    * DataFrame joins — state is (node, label) pairs, never an adjacency
+    * matrix — and `localCheckpoint` cuts lineage so the plan does not
+    * grow with iterations. Converges in O(component diameter) rounds:
+    * near-dup components are overwhelmingly tiny (pairs/stars), so the
+    * practical bound is 2–4 rounds; `maxIters` caps adversarial chains
+    * (a path of n near-dups needs O(log n) doubling — not provided —
+    * or O(n) simple rounds; the cap trades exactness on such chains for
+    * a bounded job count, and the standard large-star/small-star
+    * contraction is the upgrade path if real corpora ever hit it).
+    */
+  def clusterPairs(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      iter += 1
+      val next = edges
+        .join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(
+        labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Duplicate clusters over the corpus: minhash near-dup pairs →
+    * connected components → one row per cluster with its canonical id
+    * (the min member, so `cluster_id` doubles as the keep-id), member
+    * count, and the sorted member list (string-joined — array columns
+    * don't hash portably across engines).
+    */
+  def dupClusters(s: SparkSession, d: String,
+      threshold: Double = 0.7): DataFrame = {
+    val labels = clusterPairs(
+      minhashPairs(s, d, threshold = threshold)
+        .select(col("doc_a"), col("doc_b")))
+    labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(array_sort(collect_list(col("doc_id"))), ",")
+          .as("members"))
+  }
+
   /** Direct n-gram Jaccard among documents sharing a (lang, source)
     * blocking key. The naive form is quadratic per block, and a
     * low-cardinality blocking key WILL have a dominant block at scale

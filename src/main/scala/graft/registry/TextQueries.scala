@@ -44,7 +44,9 @@ object TextQueries {
     "q_embedding_neardups" -> ((s: SparkSession, d: String) =>
       Dedup.embeddingNearDups(s, d, threshold = 0.8)),
     "q_stratified_sample" -> (Sampling.stratifiedDocSample _),
-    "q_multimodal_stats" -> (Multimodal.docAssetStats _)
+    "q_multimodal_stats" -> (Multimodal.docAssetStats _),
+    "q_dup_clusters" -> ((s: SparkSession, d: String) =>
+      Dedup.dupClusters(s, d))
   )
 
   /** q_ann_brute_agg produces identical results to q_ann_brute (the
@@ -110,6 +112,30 @@ object TextQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |   / len(list_distinct(a.sh || b.sh)) >= 0.7""".stripMargin,
+    // connected components over the exhaustive-jaccard pair set via a
+    // recursive reachability CTE: label(n) = min id reachable from n.
+    // Hash-equality therefore checks pair recall AND the transitive
+    // clustering in one row set.
+    "q_dup_clusters" ->
+      s"""${shingleCte.replace("WITH toks", "WITH RECURSIVE toks")},
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |     / len(list_distinct(a.sh || b.sh)) >= 0.7),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r
+         |    ON r.node = e.dst)
+         |SELECT cluster_id, count(*) AS n_members,
+         | array_to_string(list_sort(list(node)), ',') AS members
+         |FROM (SELECT node, min(lab) AS cluster_id FROM reach
+         |      GROUP BY node)
+         |GROUP BY cluster_id""".stripMargin,
     // exhaustive cosine at the near-dup threshold (empty on the driver
     // data — the oracle still catches false positives and threshold
     // drift)

@@ -102,6 +102,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(guardEdge === 3)
   }
 
+  test("clusterPairs: transitive chains collapse to one component " +
+    "with the min id as canonical") {
+    // chain 1-2-3 (NO direct 1-3 edge: tests transitivity), pair 10-11,
+    // triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // end-to-end: planted near-dup pair forms a 2-cluster over documents
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i =>
+      if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((5L, base), (9L, near), (3L, far))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = tmpDir("dupclust")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clusters = Dedup.dupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(clusters.toSeq === Seq((5L, 2L, "5,9")))
+  }
+
   test("simhash bands find a planted near-duplicate; far docs excluded") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = ((1 to 59).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
