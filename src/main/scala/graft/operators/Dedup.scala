@@ -180,15 +180,21 @@ object Dedup {
     * agrees with a random hyperplane w.p. ≈ 1−θ/π ≈ 0.90, so at e.g. 12
     * planes per band a single band catches it w.p. 0.90¹² ≈ 0.28 but 8
     * bands reach 1−(1−0.28)⁸ ≈ 0.93 — and candidate cost stays linear.
-    * Exposed separately so tests can bound the candidate count itself.
+    * `nBands <= 0` derives the band count jointly with the planes
+    * ([[Similarity.bandsFor]]): at the planesFor floor buckets are
+    * coarse and 2 bands already hold recall, so a small corpus does not
+    * pay a big corpus's banding overhead; bands grow only as planes
+    * climb toward their cap. Exposed separately so tests can bound the
+    * candidate count itself.
     */
   def embeddingCandidates(s: SparkSession, d: String, dim: Int = 64,
-      nPlanes: Int = 0, nBands: Int = 4): DataFrame = {
+      nPlanes: Int = 0, nBands: Int = 0): DataFrame = {
     val embAll = Tables.embeddings(s, d)
     val planes =
       if (nPlanes > 0) nPlanes else Similarity.planesFor(embAll.count())
+    val bands = if (nBands > 0) nBands else Similarity.bandsFor(planes)
     val banded = embAll.select(col("vec_id"),
-      explode(array((0 until nBands).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           Similarity.lshBucket(col("embedding"), dim, planes, b * planes)
             .as("bucket"))): _*)).as("bb"))
@@ -210,7 +216,7 @@ object Dedup {
     */
   def embeddingNearDups(s: SparkSession, d: String, dim: Int = 64,
       nPlanes: Int = 0, threshold: Double = 0.95,
-      nBands: Int = 4): DataFrame = {
+      nBands: Int = 0): DataFrame = {
     import graft.functions.FusedCosineSimilarity.fusedCosine
     val candidates = embeddingCandidates(s, d, dim, nPlanes, nBands)
     val ea = Tables.embeddings(s, d)

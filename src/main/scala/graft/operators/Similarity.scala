@@ -140,6 +140,31 @@ object Similarity {
     math.min(maxPlanes, math.max(4, needed))
   }
 
+  /** Bands (independent plane sets) to pair with `planes` planes per
+    * band — derived JOINTLY with [[planesFor]] so small corpora are not
+    * over-banded: a fixed band count is the mirror image of the fixed
+    * plane count trap. With few planes, buckets are coarse and a single
+    * band already catches near-dup pairs with high probability, so extra
+    * bands only multiply bucketing/explode/join work; as planesFor climbs
+    * toward its cap, per-band collision probability decays geometrically
+    * and bands must grow to hold recall.
+    *
+    * Sizing math: a near-dup pair comfortably above a 0.95-cosine
+    * threshold (cos ≈ 0.98–0.99) agrees with one random hyperplane
+    * w.p. ≈ 1 − θ/π ≈ 0.95, hence with a whole band of p planes w.p.
+    * 0.95^p; b bands miss it w.p. (1 − 0.95^p)^b. Solving for ≥0.95
+    * collision: b = ln(0.05)/ln(1 − 0.95^p) — 2 bands at the 4-plane
+    * floor, 3 at 8, 4 at 12, rising to the 8-band cap at 24 planes.
+    * Pairs exactly AT the threshold see less (the sharp-threshold
+    * property every LSH family has); the measured recall is pinned per
+    * round in `tools/accuracy_ledger.json`.
+    */
+  def bandsFor(planes: Int, maxBands: Int = 8): Int = {
+    val perBand = math.pow(0.95, planes)
+    val needed = math.ceil(math.log(0.05) / math.log1p(-perBand)).toInt
+    math.min(maxBands, math.max(1, needed))
+  }
+
   /** All bucket-perturbation masks with at most `radius` bits set, for
     * multiprobe LSH. Enumerated as bit combinations — O(nPlanes^radius)
     * — never by filtering all 2^nPlanes masks, which stops being

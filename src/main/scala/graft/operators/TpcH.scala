@@ -378,15 +378,23 @@ object TpcH {
     */
   def smallQuantityRevenue(s: SparkSession, d: String,
       brand: String = "Brand#1", maxSize: Int = 10): DataFrame = {
-    val perPart = Tables.lineitem(s, d)
+    // The correlated per-part average is only ever consumed for the
+    // brand/size-filtered parts, so prune lineitem with a broadcast semi
+    // join BEFORE the aggregate: both the per-part aggregate and its
+    // exchange see ~the brand's share of the fact table instead of all
+    // of it. (Part keys are unique, so semi-join + reuse ≡ the inner
+    // filter join — same rows, same hash.)
+    val parts = Tables.part(s, d)
+      .filter(col("p_brand") === brand && col("p_size") < maxSize)
+      .select(col("p_partkey"))
+    val relevant = Tables.lineitem(s, d)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+    val perPart = relevant
       .groupBy(col("l_partkey").as("pk"))
       .agg(sum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("cnt"))
-    Tables.lineitem(s, d)
-      .join(Tables.part(s, d)
-          .filter(col("p_brand") === brand && col("p_size") < maxSize)
-          .select(col("p_partkey")),
-        col("l_partkey") === col("p_partkey"))
+    relevant
       .join(perPart, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") * col("cnt") * 5 < col("sum_qty"))
       .agg(r4(dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),

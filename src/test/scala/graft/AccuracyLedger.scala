@@ -38,28 +38,36 @@ object AccuracyLedger {
   }
 
   /** Higher-is-better metric (recall, accuracy): must clear both the
-    * absolute floor and (last recorded − band).
+    * absolute floor and (last recorded − band). The recorded value only
+    * moves when the measurement IMPROVES — recording a within-band-but-
+    * worse value would let the anchor ratchet downward by `band` every
+    * round until a slow degradation reaches the absolute floor without
+    * ever failing. An intentional accuracy trade-down must edit the
+    * ledger file explicitly (a visible, diffable act).
     */
   def assertAtLeast(name: String, measured: Double, floor: Double,
       band: Double = 0.1): Unit = {
     assert(measured >= floor, s"$name=$measured below floor $floor")
-    read().get(name).foreach { prev =>
-      assert(measured >= prev - band,
-        s"$name regressed: $measured vs recorded $prev (band $band)")
+    val prev = read().get(name)
+    prev.foreach { p =>
+      assert(measured >= p - band,
+        s"$name regressed: $measured vs recorded $p (band $band)")
     }
-    record(name -> measured)
+    if (prev.forall(measured > _)) record(name -> measured)
   }
 
   /** Lower-is-better metric (relative error): must stay under both the
-    * absolute cap and (last recorded + band).
+    * absolute cap and (last recorded + band). Anchored like
+    * [[assertAtLeast]]: only an improvement overwrites the record.
     */
   def assertAtMost(name: String, measured: Double, cap: Double,
       band: Double = 0.02): Unit = {
     assert(measured <= cap, s"$name=$measured above cap $cap")
-    read().get(name).foreach { prev =>
-      assert(measured <= prev + band,
-        s"$name regressed: $measured vs recorded $prev (band $band)")
+    val prev = read().get(name)
+    prev.foreach { p =>
+      assert(measured <= p + band,
+        s"$name regressed: $measured vs recorded $p (band $band)")
     }
-    record(name -> measured)
+    if (prev.forall(measured < _)) record(name -> measured)
   }
 }
