@@ -234,45 +234,84 @@ object Dedup {
     * is not transitive, so pairs (a,b) and (b,c) must collapse into one
     * cluster {a,b,c} before a canonical document can be chosen.
     *
-    * Algorithm: iterative min-label propagation. Every node starts
-    * labeled with its own id; each round every node takes the min of
-    * its own and its neighbors' labels; at fixpoint the label is the
-    * component's minimum id (= the canonical id, matching
-    * [[exact]]'s min-doc_id keep rule). Rounds are whole-graph
-    * DataFrame joins — state is (node, label) pairs, never an adjacency
-    * matrix — and `localCheckpoint` cuts lineage so the plan does not
-    * grow with iterations. Converges in O(component diameter) rounds:
-    * near-dup components are overwhelmingly tiny (pairs/stars), so the
-    * practical bound is 2–4 rounds; `maxIters` caps adversarial chains
-    * (a path of n near-dups needs O(log n) doubling — not provided —
-    * or O(n) simple rounds; the cap trades exactness on such chains for
-    * a bounded job count, and the standard large-star/small-star
-    * contraction is the upgrade path if real corpora ever hit it).
+    * Algorithm: alternating large-star/small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond"). Each
+    * round rewires every node's strictly-larger neighbors to its
+    * neighborhood minimum (large-star), then collapses each node and
+    * its smaller neighbors onto their minimum (small-star); the edge
+    * set converges to a star per component centered at the component's
+    * MINIMUM id (= the canonical id, matching [[exact]]'s min-doc_id
+    * keep rule) in O(log n) rounds — a 2^20-hop near-dup chain fits
+    * the default 20-round budget, where plain min-label propagation
+    * needs O(diameter) rounds and silently splits long chains.
+    * State is only the (u, v) edge set — no adjacency matrix — and
+    * `localCheckpoint` cuts lineage per round so the plan does not grow
+    * with iterations. Convergence is detected with an O(1)-row
+    * signature (count + order-independent hash sum), a bounded
+    * control-plane read; if the round budget is ever exhausted anyway
+    * the result may under-merge, so it WARNs loudly instead of letting
+    * a wrong fixpoint pass as converged.
     */
   def clusterPairs(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      iter += 1
-      val next = edges
-        .join(labels, col("dst") === col("node"))
-        .select(col("src").as("node"), col("label"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      changed = next.join(
-        labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+    // canonical big→small orientation, self-loops and dup pairs dropped
+    var edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    val allNodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .distinct().localCheckpoint()
+    // order-independent edge-set signature: (n, sum of row hashes)
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    var converged = false
+    var iter = 0
+    var prevSig = sig(edges)
+    while (!converged && iter < maxIters) {
+      iter += 1
+      // large-star: every neighbor v > u attaches to m = min(Γ(u) ∪ u);
+      // output edges keep the big→small invariant (v > u ≥ m)
+      val nbrs = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = nbrs.join(lsMins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: u and all its (smaller) neighbors attach to their
+      // minimum m = min of u's smaller neighborhood
+      val ssMins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = ls.join(ssMins, Seq("u"))
+      val ss = withM.select(col("v").as("n"), col("m"))
+        .union(withM.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint()
+      val ssSig = sig(ss) // one agg per round; prior round's sig reused
+      converged = ssSig == prevSig
+      prevSig = ssSig
+      edges = ss
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusterPairs: round budget ($maxIters) exhausted before the " +
+          "star fixpoint — labels may under-merge long chains")
+    // at the star fixpoint every non-minimum node has exactly one edge,
+    // to its component minimum; minimums label themselves
+    allNodes
+      .join(edges.select(col("u").as("node"), col("v").as("label")),
+        Seq("node"), "left")
+      .groupBy(col("node"))
+      .agg(min(coalesce(col("label"), col("node"))).as("cluster_id"))
+      .select(col("node").as("doc_id"), col("cluster_id"))
   }
 
   /** Duplicate clusters over the corpus: minhash near-dup pairs →
@@ -290,6 +329,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"),
         array_join(array_sort(collect_list(col("doc_id"))), ",")
           .as("members"))
+  }
+
+  /** Scale form of the per-cluster summary: member COUNT plus only the
+    * `sampleSize` smallest member ids. [[dupClusters]]' full
+    * `collect_list` materializes one row per cluster holding EVERY
+    * member — a boilerplate-page mega-cluster at 100 TB becomes a
+    * single multi-GB array row that kills its executor. The bounded
+    * TopK aggregator keeps O(sampleSize) state per cluster and
+    * partial-aggregates map-side, so the exchange carries ≤ sampleSize
+    * ids per cluster per partition. (Kept separate from the full form,
+    * which remains the cross-engine oracle query.)
+    */
+  def dupClustersSample(labels: DataFrame, sampleSize: Int = 10)
+      : DataFrame = {
+    import labels.sparkSession.implicits._
+    labels.select(col("cluster_id"), col("doc_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.operators.Sampling.BottomKCountAgg(sampleSize)
+        .toColumn.name("summary"))
+      .toDF("cluster_id", "summary")
+      .select(col("cluster_id"),
+        col("summary._1").as("n_members"),
+        array_join(col("summary._2"), ",").as("member_sample"))
   }
 
   /** Direct n-gram Jaccard among documents sharing a (lang, source)

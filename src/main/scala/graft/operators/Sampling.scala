@@ -152,6 +152,48 @@ object Sampling {
         .ExpressionEncoder[Seq[(Long, Double)]]()
   }
 
+  /** Bounded bottom-k + total count in one pass: keeps the k smallest
+    * values AND the full group cardinality with O(k) state. The
+    * per-group summary shape for skew-proof cluster reporting
+    * ([[graft.operators.Dedup.dupClustersSample]]) — a mega-group
+    * contributes a count and k ids to the exchange, never its whole
+    * membership.
+    */
+  final case class BottomK(k: Int, n: Long, items: Vector[Long]) {
+    def add(value: Long): BottomK = {
+      var lo = 0
+      var hi = items.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (items(mid) < value) lo = mid + 1 else hi = mid
+      }
+      val kept =
+        if (items.length >= k && lo >= k) items
+        else ((items.take(lo) :+ value) ++ items.drop(lo)).take(k)
+      copy(n = n + 1, items = kept)
+    }
+    def merge(other: BottomK): BottomK = {
+      val merged = other.items.foldLeft(this)(_ insertOnly _)
+      merged.copy(n = n + other.n)
+    }
+    private def insertOnly(value: Long): BottomK = {
+      val r = add(value); r.copy(n = n)
+    }
+  }
+
+  class BottomKCountAgg(k: Int)
+      extends Aggregator[(Long, Long), BottomK, (Long, Seq[Long])] {
+    override def zero: BottomK = BottomK(k, 0L, Vector.empty)
+    override def reduce(b: BottomK, a: (Long, Long)): BottomK = b.add(a._2)
+    override def merge(b1: BottomK, b2: BottomK): BottomK = b1.merge(b2)
+    override def finish(r: BottomK): (Long, Seq[Long]) = (r.n, r.items)
+    override def bufferEncoder: Encoder[BottomK] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[BottomK]()
+    override def outputEncoder: Encoder[(Long, Seq[Long])] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Seq[Long])]()
+  }
+
   /** Weighted k-sample per group (Efraimidis–Spirakis): each row gets
     * priority u^(1/w) for a deterministic uniform u derived from its
     * key hash; the k highest priorities per group form a weighted
@@ -175,17 +217,30 @@ object Sampling {
     pow(u, lit(1.0) / col(weightCol))
   }
 
+  /** @param priorityOverride replaces the default xxhash64-seeded ES
+    *   priority — used when the priority must be reproducible OUTSIDE
+    *   Spark (e.g. the DuckDB oracle can't compute xxhash64; see
+    *   [[weightedDocSample]]'s portable Lehmer-style uniform).
+    *
+    * Precondition: `idCol` must be unique within each group — the
+    * recovery semi-join matches on (group, id), so a duplicated id
+    * would return more than k rows. Null group keys form their own
+    * group (`<=>` join), matching the window-form oracle's null
+    * partition.
+    */
   def weightedSample(df: DataFrame, groupCol: String, idCol: String,
-      weightCol: String, k: Int): DataFrame = {
+      weightCol: String, k: Int,
+      priorityOverride: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     // priorities flow through the bounded TopK aggregator: partial
     // per-partition top-k, so the exchange carries at most k rows per
     // group per map partition — never the corpus. (A ranking window
     // here would shuffle and SORT every row per group; that form
     // survives only as the test oracle, weightedSampleWindow.)
+    val pr = priorityOverride.getOrElse(esPriority(idCol, weightCol))
     val scored = df.filter(col(weightCol) > 0)
       .select(col(groupCol).cast("string").as("g"),
-        col(idCol).cast("long").as("id"),
-        esPriority(idCol, weightCol).as("pr"))
+        col(idCol).cast("long").as("id"), pr.as("pr"))
     import df.sparkSession.implicits._
     val picked = scored.as[(String, Long, Double)]
       .groupByKey(_._1)
@@ -194,9 +249,10 @@ object Sampling {
       .select(col("__g"), explode(col("topk")).as("kv"))
       .select(col("__g"), col("kv._1").as("__id"))
     // recover the full rows with a semi-join against the (≤ k×groups,
-    // broadcast-able) sampled-id set
+    // broadcast-able) sampled-id set; `<=>` keeps a null group key as
+    // its own partition, same as the window form
     df.join(picked,
-      df(groupCol).cast("string") === col("__g") &&
+      df(groupCol).cast("string") <=> col("__g") &&
         df(idCol).cast("long") === col("__id"),
       "left_semi")
   }
@@ -226,5 +282,36 @@ object Sampling {
       .as[(String, Long)]
       .groupByKey(_._1)
       .agg(new ReservoirSampleAgg(k).toColumn.name("sample"))
+  }
+
+  /** Driver-contract form of [[sampledEventIds]]: reservoir sample as a
+    * DataFrame (event_type, id list as a sorted CSV string). Hash-valued
+    * (splitmix64 priorities aren't portable SQL) → rows-only check;
+    * `SamplingSpec` pins the value-level semantics.
+    */
+  def reservoirEventSample(s: SparkSession, d: String, k: Int = 5)
+      : DataFrame =
+    sampledEventIds(s, d, k)
+      .toDF("event_type", "sample")
+      .select(col("event_type"),
+        concat_ws(",", col("sample")).as("sampled_ids"),
+        size(col("sample")).as("n_sampled"))
+
+  /** Weighted document sample, length-weighted (w = n_chars), k per
+    * lang — the driver-contract form of [[weightedSample]]. The ES
+    * uniform here is a Lehmer-style multiplicative hash instead of
+    * xxhash64 so the oracle engine can recompute it exactly in plain
+    * SQL: u = ((doc_id * 2654435761) % 2147483647 + 0.5) / 2^31,
+    * strictly inside (0,1). Priority pow(u, 1/w) — identical IEEE
+    * double math in both engines.
+    */
+  def weightedDocSample(s: SparkSession, d: String, k: Int = 5)
+      : DataFrame = {
+    val docs = Tables.documents(s, d)
+    val u = (((col("doc_id") * lit(2654435761L)) % lit(2147483647L))
+      .cast("double") + lit(0.5)) / lit(2147483648.0)
+    val pr = pow(u, lit(1.0) / col("n_chars").cast("double"))
+    weightedSample(docs, "lang", "doc_id", "n_chars", k, Some(pr))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 }

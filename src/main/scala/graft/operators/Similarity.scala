@@ -175,27 +175,76 @@ object Similarity {
       (0 until nPlanes).combinations(r)
         .map(_.foldLeft(0L)((acc, b) => acc | (1L << b))).toSeq)
 
+  /** Spherical k-means over a driver-side sample: Lloyd iterations with
+    * cosine assignment (vectors and centroids L2-normalized, mean +
+    * renormalize update). Deterministic — init is the hash-order head of
+    * the sample, no RNG. An empty cell keeps its previous centroid.
+    * Driver cost is O(iters × sample × k × dim) — bounded, the model-fit
+    * shape (like TextOps.langId's profile fit), NOT a per-row collect.
+    */
+  def kmeansCentroids(sample: Array[Array[Double]], k: Int,
+      iters: Int = 10): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(normalize)
+    var cents = pts.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](pts.head.length))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0; var bestSim = Double.MinValue
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var i = 0
+          while (i < p.length) { dot += p(i) * cents(c)(i); i += 1 }
+          if (dot > bestSim) { bestSim = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map(c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c))).toArray
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN top-k: the second index family. Centroids
-    * are a deterministic sample of the corpus (every nth vector — at
-    * 100 TB you would k-means a sample; determinism matters more here);
-    * the corpus partitions into Voronoi cells by fused-cosine argmax
-    * against the literal centroid arrays (a narrow pass — the "model"
-    * ships inside the plan), and each query probes its `nProbe` nearest
-    * cells through one broadcast join with inline scoring; the corpus
-    * is neither shuffled nor re-scanned (see the no-dedup note below).
+    * are spherical k-means over a deterministic bounded sample (bottom
+    * `sampleSize` by id hash — at 100 TB the sample stays bounded and
+    * the fit stays a driver-side model fit); the corpus partitions into
+    * Voronoi cells by fused-cosine argmax against the literal centroid
+    * arrays (a narrow pass — the "model" ships inside the plan), and
+    * each query probes its `nProbe` nearest cells through one broadcast
+    * join with inline scoring; the corpus is neither shuffled nor
+    * re-scanned (see the no-dedup note below).
+    *
+    * Tuning (IvfTune sweep at sf0.01, recall@10 over 5 queries vs brute
+    * force): random-corpus-vector centroids at 16 cells/8 probes gave
+    * 0.70; the k-means fit lifts the same config to 0.80, and
+    * nProbe=10 reaches 0.90. The driver embeddings are weakly
+    * clustered, so recall tracks probe fraction closely — strongly
+    * clustered real corpora get the same recall at far lower nProbe.
     */
   def ivfTopK(s: SparkSession, d: String, nCells: Int = 16,
-      nQueries: Int = 5, k: Int = 10, nProbe: Int = 4): DataFrame = {
+      nQueries: Int = 5, k: Int = 10, nProbe: Int = 10,
+      sampleSize: Int = 2048): DataFrame = {
     import graft.functions.FusedCosineSimilarity.fusedCosine
     val emb = Tables.embeddings(s, d)
-    // deterministic "random" sample of exactly nCells vectors: bottom-k
-    // by id hash (TakeOrderedAndProject — one corpus pass, no separate
-    // count() job to derive a stride)
-    val centroids: Seq[(Int, Seq[Float])] = emb
+    // deterministic "random" sample: bottom-sampleSize by id hash
+    // (TakeOrderedAndProject — one corpus pass, no separate count() job
+    // to derive a stride), then k-means refinement on the driver
+    val sample: Array[Array[Double]] = emb
       .select(col("embedding"), xxhash64(col("vec_id")).as("h"))
-      .orderBy(col("h")).limit(nCells)
+      .orderBy(col("h")).limit(sampleSize)
       .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toSeq).zipWithIndex.map(_.swap).toSeq
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids: Seq[(Int, Seq[Float])] =
+      kmeansCentroids(sample, nCells)
+        .map(_.map(_.toFloat).toSeq).zipWithIndex.map(_.swap).toSeq
     def centroidLit(c: Seq[Float]) =
       array(c.map(x => lit(x)): _*).cast("array<float>")
     // argmax over (similarity, cellId) structs — no shuffle

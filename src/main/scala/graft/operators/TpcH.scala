@@ -219,7 +219,16 @@ object TpcH {
         col("s_nationkey") === col("n_nationkey"))
       .filter(col("n_regionkey") === regionKey)
       .select(col("s_suppkey"), col("s_name"))
+    // Per-part minima are only ever consumed for the size-filtered
+    // parts, and each part's minimum depends only on that part's own
+    // lineitems — so prune lineitem with a broadcast semi join BEFORE
+    // both aggregates (same move as smallQuantityRevenue below): the
+    // offers aggregate and its exchange shrink by ~the size filter's
+    // selectivity, result rows and hash unchanged.
+    val smallParts = Tables.part(s, d).filter(col("p_size") <= maxSize)
     val offers = Tables.lineitem(s, d)
+      .join(broadcast(smallParts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"))
       .agg(min(col("l_extendedprice") / col("l_quantity"))
@@ -228,8 +237,7 @@ object TpcH {
       .agg(min(col("unit_price")).as("min_price"))
     offers.join(minPerPart, Seq("l_partkey"))
       .filter(col("unit_price") === col("min_price"))
-      .join(Tables.part(s, d).filter(col("p_size") <= maxSize),
-        col("l_partkey") === col("p_partkey"))
+      .join(smallParts, col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_brand"), col("s_name"),
         r4(col("unit_price")).as("unit_price"))
   }

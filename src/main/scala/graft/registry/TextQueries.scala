@@ -44,6 +44,10 @@ object TextQueries {
     "q_embedding_neardups" -> ((s: SparkSession, d: String) =>
       Dedup.embeddingNearDups(s, d, threshold = 0.8)),
     "q_stratified_sample" -> (Sampling.stratifiedDocSample _),
+    "q_weighted_sample" -> ((s: SparkSession, d: String) =>
+      Sampling.weightedDocSample(s, d)),
+    "q_reservoir" -> ((s: SparkSession, d: String) =>
+      Sampling.reservoirEventSample(s, d)),
     "q_multimodal_stats" -> (Multimodal.docAssetStats _),
     "q_dup_clusters" -> ((s: SparkSession, d: String) =>
       Dedup.dupClusters(s, d))
@@ -184,6 +188,20 @@ object TextQueries {
       """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
         |FROM documents WHERE doc_id % 10 = 0
         |GROUP BY lang""".stripMargin,
+    // Efraimidis–Spirakis weighted k-sample per lang, w = n_chars.
+    // Uniform is the portable Lehmer hash (see Sampling.weightedDocSample)
+    // so pow(u, 1/w) is bit-identical across engines; ties break on
+    // doc_id like TopKByScoreAgg.
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |   row_number() OVER (PARTITION BY lang ORDER BY
+        |     pow(((doc_id * 2654435761) % 2147483647 + 0.5)
+        |          / 2147483648.0,
+        |         1.0 / CAST(n_chars AS DOUBLE)) DESC,
+        |     doc_id) AS rk
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE rk <= 5""".stripMargin,
     "q_multimodal_stats" ->
       """SELECT CAST(doc_id % 3 AS INT) AS kind_id,
         | count(*) AS n_assets,

@@ -128,6 +128,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(clusters.toSeq === Seq((5L, 2L, "5,9")))
   }
 
+  test("clusterPairs: a 100-node path converges inside the round " +
+    "budget (star contraction is O(log n), not O(diameter))") {
+    // the adversarial shape for label propagation: a single chain —
+    // min-label would need 99 rounds; large-star/small-star needs ~log
+    val pairs = (1L until 100L).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs, maxIters = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 100)
+    assert(got.forall(_._2 == 1L),
+      s"unconverged labels: ${got.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
+  test("dupClustersSample: bounded member sample + exact count") {
+    val labels = ((1L to 50L).map(i => (i, 1L)) ++ Seq((100L, 100L)))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.dupClustersSample(labels, sampleSize = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      .sortBy(_._1)
+    assert(got === Seq(
+      (1L, 50L, (1L to 10L).mkString(",")),
+      (100L, 1L, "100")))
+  }
+
   test("simhash bands find a planted near-duplicate; far docs excluded") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = ((1 to 59).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
