@@ -167,17 +167,22 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
     spark.read.parquet(s"$dst/region.parquet").count() // warm
-    def run(dir: String): Seq[(String, Double)] =
+    // a query that throws records ok=false, NOT a timing — a
+    // time-to-failure must never be mistaken for a valid measurement
+    def run(dir: String): Seq[(String, (Double, Boolean))] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, dir).count(); () }
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, dir).count(); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
     val single = run(src).toMap
     val sharded = run(dst).toMap
+    def cell(r: (Double, Boolean)): String =
+      if (r._2) f"${r._1}%.3f" else "\"error\""
     val rows = single.keys.toSeq.sorted.map { q =>
-      f""""$q": {"single": ${single(q)}%.3f, "sharded": ${sharded(q)}%.3f}"""
+      s""""$q": {"single": ${cell(single(q))}, "sharded": ${cell(sharded(q))}}"""
     }
     val json = rows.mkString(
       s"""{"sf": "$src", "files": 32, "queries": {\n  """,
@@ -185,8 +190,11 @@ object ScaleProbe {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("tools/bench_sharded.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(f"single total: ${single.values.sum}%.1f s, " +
-      f"sharded total: ${sharded.values.sum}%.1f s " +
+    def total(m: Map[String, (Double, Boolean)]): Double =
+      m.values.collect { case (t, true) => t }.sum
+    val failed = single.count(!_._2._2) + sharded.count(!_._2._2)
+    println(f"single total: ${total(single)}%.1f s, " +
+      f"sharded total: ${total(sharded)}%.1f s, $failed failures " +
       "(tools/bench_sharded.json written)")
     spark.stop()
   }

@@ -105,6 +105,28 @@ object Extras {
         approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000))
           .as("p90_price"))
 
+  /** Oracle-checkable companion to [[approxPercentiles]]: exact
+    * percentiles plus booleans asserting the sketch landed within
+    * tolerance (±1 quantity unit for the median over 1..50 integer
+    * quantities; 2% relative for the p90 price — both generous vs the
+    * accuracy=1000 rank-error bound of n/1000). DuckDB recomputes the
+    * exact values (`quantile_cont`) and asserts TRUE.
+    */
+  def approxPercentileTolerance(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(percentile(col("l_quantity"), lit(0.5))).as("median_qty"),
+        r4(percentile(col("l_extendedprice"), lit(0.9))).as("p90_price"),
+        approx_percentile(col("l_quantity"), lit(0.5), lit(1000))
+          .as("aq"),
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000))
+          .as("ap"))
+      .select(col("l_returnflag"), col("median_qty"), col("p90_price"),
+        (abs(col("aq") - col("median_qty")) <= lit(1.0)).as("median_ok"),
+        (abs(col("ap") - col("p90_price"))
+          <= col("p90_price") * 0.02).as("p90_ok"))
+
   /** Pivot: event counts and mean values per user, one column per
     * event type (explicit value list keeps the schema static — the only
     * scalable form; discovery pivots scan twice).

@@ -189,6 +189,29 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders"))
 
+  /** Oracle-checkable companion to [[approxDistinctCounts]]: exact
+    * distinct counts plus booleans asserting the HLL sketch landed
+    * within 5% of them (rsd = 0.01; measured max rel err 0.0065 in the
+    * accuracy ledger — 5% is noise-proof margin, not slack in the
+    * claim). DuckDB recomputes the exact counts and asserts TRUE, so a
+    * sketch drifting out of tolerance fails CORRECTNESS, not just the
+    * ledger.
+    */
+  def approxDistinctTolerance(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        countDistinct(col("l_orderkey")).as("n_orders_exact"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+      .select(col("l_returnflag"),
+        col("n_parts_exact"), col("n_orders_exact"),
+        (abs(col("ap") - col("n_parts_exact"))
+          <= col("n_parts_exact") * 0.05).as("parts_ok"),
+        (abs(col("ao") - col("n_orders_exact"))
+          <= col("n_orders_exact") * 0.05).as("orders_ok"))
+
   private def custkeysByStatus(s: SparkSession, d: String, st: String) =
     Tables.orders(s, d).filter(col("o_orderstatus") === st)
       .select(col("o_custkey")).distinct()

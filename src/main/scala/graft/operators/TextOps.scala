@@ -186,4 +186,33 @@ object TextOps {
     when(length(lowered) < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), length(lowered) - 2),
         i => lowered.substr(i, lit(3))))
+
+  /** Regression-pinning companion to [[langId]]: the (true lang,
+    * predicted lang, count) confusion matrix. The whole path is
+    * deterministic — profile fit breaks ties on (count desc, gram),
+    * scoring argmax on the lexicographically-last lang — so the matrix
+    * is a stable fingerprint of the heuristic's behavior on a fixed
+    * corpus, checkable against a precomputed golden. (The driver
+    * corpus draws all languages from one shared token pool, so
+    * ACCURACY there is chance-level by construction — the ledger's 1.0
+    * is measured on separable synthetic docs in `TextOpsSpec`; this
+    * companion pins behavior, not accuracy.)
+    */
+  def langIdConfusion(s: SparkSession, d: String): DataFrame =
+    langId(s, d).groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Oracle-checkable companion to [[fingerprints]]: the histogram of
+    * fingerprint equivalence-class sizes. The fingerprint is
+    * xxhash64(whitespace-normalized lowered text), so — absent 64-bit
+    * collisions, vanishingly unlikely at verify scale — its classes are
+    * exactly the normalized-text classes, which DuckDB computes directly
+    * by grouping on the normalized string. Catches both a broken
+    * normalization and a degenerate hash, without needing xxhash64 in
+    * the oracle engine.
+    */
+  def fingerprintClasses(s: SparkSession, d: String): DataFrame =
+    fingerprints(s, d)
+      .groupBy(col("fingerprint")).agg(count(lit(1)).as("n_copies"))
+      .groupBy(col("n_copies")).agg(count(lit(1)).as("n_classes"))
 }

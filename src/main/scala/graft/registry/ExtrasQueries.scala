@@ -15,6 +15,7 @@ object ExtrasQueries {
     "q_dates" -> (Extras.dateFunctions _),
     "q_percentiles" -> (Extras.percentiles _),
     "q_approx_percentiles" -> (Extras.approxPercentiles _),
+    "q_approx_percentiles_tol" -> (Extras.approxPercentileTolerance _),
     "q_pivot" -> (Extras.pivotEvents _),
     "q_except_all" -> (Extras.statusExceptAll _),
     "q_stats_agg" -> (Extras.statsAggregates _),
@@ -27,6 +28,14 @@ object ExtrasQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact percentiles recomputed cross-engine; the _ok booleans
+    // assert the approx_percentile sketch stayed within tolerance
+    "q_approx_percentiles_tol" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        | TRUE AS median_ok, TRUE AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id AS purchase_id, user_id, asof_click_value
         |FROM (

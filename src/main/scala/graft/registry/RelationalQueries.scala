@@ -22,6 +22,7 @@ object RelationalQueries {
     "q_cube" -> (Relational.lineitemCube _),
     "q_distinct" -> (Relational.distinctCounts _),
     "q_approx_distinct" -> (Relational.approxDistinctCounts _),
+    "q_approx_distinct_tol" -> (Relational.approxDistinctTolerance _),
     "q_intersect" -> (Relational.customersIntersect _),
     "q_except" -> (Relational.customersExcept _),
     "q_union" -> (Relational.customersUnion _),
@@ -38,6 +39,14 @@ object RelationalQueries {
     s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    // exact distinct counts recomputed cross-engine; the _ok booleans
+    // assert the Spark HLL sketch stayed within 5% of them
+    "q_approx_distinct_tol" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts_exact,
+        | count(DISTINCT l_orderkey) AS n_orders_exact,
+        | TRUE AS parts_ok, TRUE AS orders_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q3_shipping" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
          | ${ds("l_extendedprice * (1 - l_discount)")} AS revenue

@@ -137,16 +137,25 @@ private[sources] class HttpScanBuilder(options: CaseInsensitiveStringMap)
     // delimiter overridable via 'urlsDelimiter' (default ",") for
     // callers whose URLs embed commas in query strings
     val raw = Option(options.get("urls")).map(_.trim).getOrElse("")
+    def splitDelimited(): Seq[String] = {
+      val delim = Option(options.get("urlsDelimiter")).getOrElse(",")
+      raw.split(java.util.regex.Pattern.quote(delim))
+        .map(_.trim).filter(_.nonEmpty).toSeq
+    }
     val urls: Seq[String] =
       if (raw.startsWith("["))
-        new com.fasterxml.jackson.databind.ObjectMapper()
+        // a leading '[' is USUALLY a JSON array, but a delimited list
+        // may legitimately start with an IPv6-literal URL like
+        // http://[::1]/x once a scheme-less form is passed — fall back
+        // to delimiter parsing rather than dying on a Jackson error
+        try new com.fasterxml.jackson.databind.ObjectMapper()
           .readValue(raw, classOf[Array[String]])
           .toSeq.map(_.trim).filter(_.nonEmpty)
-      else {
-        val delim = Option(options.get("urlsDelimiter")).getOrElse(",")
-        raw.split(java.util.regex.Pattern.quote(delim))
-          .map(_.trim).filter(_.nonEmpty).toSeq
-      }
+        catch {
+          case _: com.fasterxml.jackson.core.JacksonException =>
+            splitDelimited()
+        }
+      else splitDelimited()
     require(urls.nonEmpty, "graft-http requires a non-empty 'urls' option")
     val fanout = math.max(1, math.min(
       Option(options.get("fanout")).map(_.toInt).getOrElse(32),
