@@ -197,20 +197,29 @@ object Relational {
     * sketch drifting out of tolerance fails CORRECTNESS, not just the
     * ledger.
     */
-  def approxDistinctTolerance(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts_exact"),
-        countDistinct(col("l_orderkey")).as("n_orders_exact"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+  def approxDistinctTolerance(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    // exact and approx run as SEPARATE aggregations joined on the tiny
+    // group key: fusing them puts the rsd-0.01 HLL buffers (~100 KB
+    // each) inside the multi-distinct Expand plan, where partial HLLs
+    // ride the distinct-KEY shuffle — measured 6.3 MB shuffled at
+    // sf0.01 vs ~0.1 MB split. Split, the exact side shuffles only the
+    // distinct keys (the canonical exact-distinct plan) and the approx
+    // side ships one sketch per group per partition.
+    val exact = li.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_partkey")).as("n_parts_exact"),
+      countDistinct(col("l_orderkey")).as("n_orders_exact"))
+    val approx = li.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+    exact.join(broadcast(approx), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         col("n_parts_exact"), col("n_orders_exact"),
         (abs(col("ap") - col("n_parts_exact"))
           <= col("n_parts_exact") * 0.05).as("parts_ok"),
         (abs(col("ao") - col("n_orders_exact"))
           <= col("n_orders_exact") * 0.05).as("orders_ok"))
+  }
 
   private def custkeysByStatus(s: SparkSession, d: String, st: String) =
     Tables.orders(s, d).filter(col("o_orderstatus") === st)
