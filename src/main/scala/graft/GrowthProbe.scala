@@ -1,0 +1,158 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-growth probe for the text/dedup family: measures candidate-
+  * pair counts and runtimes for the minhash, n-gram-jaccard, and
+  * embedding LSH paths across 10–50× synthetic corpus growth, backing
+  * the banding math in Dedup/Similarity with numbers instead of
+  * argument. The claim under test: candidate pairs grow ~LINEARLY in
+  * corpus size because (a) true near-dups are injected at a fixed rate
+  * (1 in 20 docs duplicates its predecessor), (b) random cross-doc
+  * similarity is negligible, and (c) the embedding path derives planes
+  * and bands from the corpus count (Similarity.planesFor/bandsFor), so
+  * bucket occupancy — and with it accidental collisions — stays bounded
+  * as n grows.
+  *
+  * Corpora are fully deterministic (every value derives from
+  * xxhash64(seed, salt)); the testdata parquet is never touched.
+  * Usage: `runMain graft.GrowthProbe` → tools/growth_probe.json +
+  * stdout summary. ~1 min at the default sizes.
+  */
+object GrowthProbe {
+
+  // mirrors the driver corpus: ~25-word shared vocab, 40-token docs
+  private val Vocab = Seq("group", "row", "vector", "table", "data",
+    "value", "key", "hash", "spark", "scan", "filter", "window", "sort",
+    "merge", "join", "line", "query", "order", "slow", "big", "small",
+    "column", "part", "stream", "agg")
+  private val Langs = Seq("en", "de", "es", "fr", "zh")
+  private val Sources = Seq("web", "wiki", "books")
+
+  /** Write a deterministic n-doc corpus (documents + embeddings) under
+    * `outDir`. Doc i with i % 20 == 0 (i > 0) reuses doc i−1's seed —
+    * an exact text/vector duplicate — so the true near-dup pair count
+    * is exactly ⌊(n−1)/20⌋: linear in n by construction.
+    */
+  def writeCorpus(s: SparkSession, n: Long, outDir: String): Unit = {
+    val vocabLit = array(Vocab.map(lit(_)): _*)
+    val seed = when(col("id") % 20 === 0 && col("id") > 0, col("id") - 1)
+      .otherwise(col("id"))
+    val base = s.range(n).select(col("id").as("doc_id"),
+      seed.as("seed"))
+    val toks = transform(sequence(lit(1), lit(40)),
+      i => element_at(vocabLit,
+        (pmod(xxhash64(col("seed"), i), lit(Vocab.size)) + 1)
+          .cast("int")))
+    val docs = base
+      .select(col("doc_id"), col("seed"),
+        concat_ws(" ", toks).as("text"))
+      .select(col("doc_id"), col("text"),
+        element_at(array(Langs.map(lit(_)): _*),
+          (pmod(xxhash64(col("seed"), lit(-1)), lit(Langs.size)) + 1)
+            .cast("int")).as("lang"),
+        element_at(array(Sources.map(lit(_)): _*),
+          (pmod(xxhash64(col("seed"), lit(-2)), lit(Sources.size)) + 1)
+            .cast("int")).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // dense 64-d vectors, components uniform in [-1, 1]
+    val emb = transform(sequence(lit(0), lit(63)),
+      i => ((pmod(xxhash64(col("seed"), i + 1000), lit(2000001L))
+        - lit(1000000L)).cast("double") / 1e6).cast("float"))
+    base.select(col("doc_id").as("vec_id"), emb.as("embedding"),
+        pmod(col("seed"), lit(3)).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sizes = Seq(500L, 5000L, 12500L, 25000L)
+    val rows = sizes.map { n =>
+      val dir = s"/tmp/graft_growth/n$n"
+      if (!new java.io.File(s"$dir/documents.parquet").exists())
+        writeCorpus(spark, n, dir)
+      // candidate stages (the growth claim) + verified outputs (recall
+      // that the verify step holds at every size)
+      val (mhCand, tMhc) = timed(
+        Dedup.minhashCandidates(spark, dir).count())
+      val (mhPairs, tMhp) = timed(Dedup.minhashPairs(spark, dir).count())
+      val (embCand, tEc) = timed(
+        Dedup.embeddingCandidates(spark, dir).count())
+      val (embDups, tEd) = timed(
+        Dedup.embeddingNearDups(spark, dir, threshold = 0.95).count())
+      val (ngPairs, tNg) = timed(
+        Dedup.ngramJaccardPairs(spark, dir, threshold = 0.5,
+          maxBlockSize = 1000).count())
+      // the exhaustive-path comparison volume: sum of m·(m−1)/2 over
+      // (lang, source) blocks ≤ maxBlockSize — the quantity the block
+      // guard bounds
+      val ngCand = Tables.documents(spark, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("m"))
+        .agg(sum(when(col("m") <= 1000,
+          col("m") * (col("m") - 1) / 2).otherwise(0L)).cast("long"))
+        .head().getLong(0)
+      val trueDups = (n - 1) / 20
+      println(f"n=$n%6d true=$trueDups%5d | minhash cand=$mhCand%7d " +
+        f"pairs=$mhPairs%5d (${tMhc + tMhp}%4.1fs) | emb cand=$embCand%7d " +
+        f"dups=$embDups%5d (${tEc + tEd}%4.1fs) | ngram cand=$ngCand%9d " +
+        f"pairs=$ngPairs%5d ($tNg%4.1fs)")
+      (n, trueDups, mhCand, mhPairs, embCand, embDups, ngCand, ngPairs,
+        tMhc + tMhp, tEc + tEd, tNg)
+    }
+    val json = rows.map { case (n, t, mc, mp, ec, ed, nc, np, t1, t2, t3) =>
+      f"""  {"n": $n, "true_dups": $t, "minhash_candidates": $mc, """ +
+        f""""minhash_pairs": $mp, "embedding_candidates": $ec, """ +
+        f""""embedding_neardups": $ed, "ngram_block_comparisons": $nc, """ +
+        f""""ngram_pairs": $np, "sec_minhash": $t1%.2f, """ +
+        f""""sec_embedding": $t2%.2f, "sec_ngram": $t3%.2f}"""
+    }.mkString("[\n", ",\n", "\n]\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("tools/growth_probe.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // growth checks. minhash: candidates/doc is flat (true-dup rate +
+    // negligible random band collisions). embedding: candidates must
+    // respect the designed occupancy bound n·(occ/2)·bands with
+    // occ = n/2^planesFor(n) — the bound is tight on isotropic data
+    // (uniform bucket splits), so a 1.5x fudge covers split skew.
+    // This is exactly the assertion that caught the r6 finding: with
+    // the old 4096 occupancy target the 25k corpus measured 39M
+    // candidates against a designed expectation of ~2M.
+    val perDoc = rows.map { case (n, _, mc, _, ec, _, _, _, _, _, _) =>
+      (n, mc.toDouble / n, ec.toDouble / n) }
+    val (n0, m0, _) = perDoc(1) // 5000-doc point
+    val (n1, m1, _) = perDoc.last
+    println(f"minhash candidates/doc: $m0%.2f@$n0 -> $m1%.2f@$n1")
+    assert(m1 <= m0 * 3 + 1,
+      s"minhash candidate growth super-linear: $m0/doc -> $m1/doc")
+    rows.foreach { case (n, _, _, _, ec, _, _, _, _, _, _) =>
+      val planes = graft.operators.Similarity.planesFor(n)
+      val bands = graft.operators.Similarity.bandsFor(planes)
+      val occ = n.toDouble / (1L << planes)
+      val bound = n * (occ / 2) * bands * 1.5
+      println(f"embedding n=$n%6d cand=$ec%9d designed-bound=$bound%12.0f" +
+        f" (planes=$planes bands=$bands occ=$occ%.0f)")
+      assert(ec <= bound,
+        s"embedding candidates $ec exceed designed bound $bound at n=$n")
+    }
+    println("growth probe OK (tools/growth_probe.json written)")
+    spark.stop()
+  }
+}

@@ -95,14 +95,15 @@ object Dedup {
     * verified candidate side), and the quadratic step only ever sees
     * fixed-width keys.
     */
-  def minhashPairs(s: SparkSession, d: String,
-      bands: Int = 4, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
-    val k = bands * rowsPerBand
-    val withSh = shingled(s, d)
-    val withSig = withSh
-      .select(col("doc_id"), minhashSignature(col("shh"), k).as("sig"))
-    // one row per (doc, band): bucket key = hash of that band's slice
+  /** The banded-LSH candidate stage of [[minhashPairs]] over a
+    * (doc_id, sig) frame: one row per (doc, band) with bucket key =
+    * hash of that band's signature slice; docs sharing any (band,
+    * bucket) pair up. The self-join carries only (band, bucket, id);
+    * the repartition puts one Exchange under both sides so
+    * ReuseExchange computes the signature subtree once.
+    */
+  def minhashCandidatesOf(withSig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val banded = withSig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -112,15 +113,34 @@ object Dedup {
             .as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-      // same ReuseExchange trick: one minhash computation for both
-      // sides of the candidate self-join
       .repartition(col("band"), col("bucket"))
-    val candidates = banded
+    banded
       .join(banded.select(col("band"), col("bucket"),
         col("doc_id").as("doc_b")), Seq("band", "bucket"))
       .filter(col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"))
       .distinct()
+  }
+
+  /** [[minhashCandidatesOf]] over the documents at `d` — the
+    * measurable candidate stage (growth probes, recall audits).
+    */
+  def minhashCandidates(s: SparkSession, d: String,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = shingled(s, d)
+      .select(col("doc_id"), minhashSignature(col("shh"), k).as("sig"))
+    minhashCandidatesOf(withSig, bands, rowsPerBand)
+  }
+
+  def minhashPairs(s: SparkSession, d: String,
+      bands: Int = 4, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSh = shingled(s, d)
+    val withSig = withSh
+      .select(col("doc_id"), minhashSignature(col("shh"), k).as("sig"))
+    val candidates = minhashCandidatesOf(withSig, bands, rowsPerBand)
     val shA = withSh.select(col("doc_id").as("doc_a"),
       col("sh").as("sh_a"))
     val shB = withSh.select(col("doc_id").as("doc_b"),

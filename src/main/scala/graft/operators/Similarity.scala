@@ -127,13 +127,22 @@ object Similarity {
     * candidate generation ~linear in corpus size instead of quadratic
     * (n²/2^planes pairs per plane set). Fixed plane counts are the
     * classic LSH scale trap: 4 planes = 16 buckets is fine at 10⁴
-    * vectors and catastrophic at 10¹⁰. Capped at `maxPlanes` because
-    * past ~24 planes per set recall collapses faster than banding can
-    * recover; beyond that, scale bands (independent plane sets), not
-    * planes.
+    * vectors and catastrophic at 10¹⁰.
+    *
+    * The 256 default target bounds verify work at ~128·bands cosine
+    * evaluations per vector. The r6 growth probe (tools/
+    * growth_probe.json) demonstrated why this must be small: at the
+    * earlier 4096 target the derivation stayed at the 4-plane floor
+    * for every corpus under 65k vectors, so candidates measured
+    * n²/16 — 39M candidate pairs at just 25k vectors. `maxPlanes` 32
+    * bounds bucket-key compute (one dot product per plane per band);
+    * past it occupancy grows linearly again — at 10¹⁰+ vectors raise
+    * bands (independent plane sets) or shard the corpus, don't chase
+    * planes: per-band recall decays geometrically in planes and
+    * banding can only recover ~8 bands' worth.
     */
-  def planesFor(n: Long, targetOccupancy: Long = 4096,
-      maxPlanes: Int = 24): Int = {
+  def planesFor(n: Long, targetOccupancy: Long = 256,
+      maxPlanes: Int = 32): Int = {
     val needed = math.ceil(
       math.log(math.max(1.0, n.toDouble / targetOccupancy)) /
         math.log(2.0)).toInt
