@@ -34,4 +34,24 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Parallelism floor for COMPUTE-HEAVY corpus stages (shingling,
+    * signature hashing, trigram scoring, bucket projections): when the
+    * scan yields fewer than half the cluster's cores worth of
+    * partitions — a single unsplittable parquet file, an upstream dump
+    * of a few huge files — repartition to full parallelism before the
+    * expensive per-row work. The round-robin exchange moves only the
+    * pruned input columns (the text corpus is a fraction of the CPU
+    * cost it unlocks); on a properly-sharded layout the condition never
+    * fires and this is a no-op. Deliberately NOT applied to the
+    * relational tables: their per-row work is cheap enough that the
+    * extra exchange loses (measured in the r3 layout bench — small
+    * dimension-join queries regressed 0.4–0.6× under forced sharding
+    * while the text family gained 1.6–2.8×).
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target)
+    else df
+  }
 }

@@ -54,11 +54,14 @@ object Dedup {
 
   /** Stage documents → (doc_id, sh, shh): tokenization, shingling and
     * per-shingle hashing each evaluated exactly once per document.
-    * `sh` (strings) feeds exact Jaccard verification; `shh` (longs)
-    * feeds the minhash signature.
+    * `shh` (8-byte longs) feeds both the minhash signature and the
+    * exact Jaccard verification (set sizes match the string form
+    * absent 64-bit collisions); `sh` (strings) remains for callers
+    * that need the readable shingles — Catalyst prunes it elsewhere.
     */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.parallelized(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
       .select(col("doc_id"), col("sh"),
@@ -137,19 +140,35 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
-    val withSh = shingled(s, d)
-    val withSig = withSh
+    val withShh = shingled(s, d)
+    val withSig = withShh
       .select(col("doc_id"), minhashSignature(col("shh"), k).as("sig"))
     val candidates = minhashCandidatesOf(withSig, bands, rowsPerBand)
-    val shA = withSh.select(col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"))
-    val shB = withSh.select(col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"))
+    // Verification runs on the 8-byte shingle HASHES (set sizes are
+    // identical to the string form absent 64-bit collisions, ~n²/2⁶⁴)
+    // and fetches BOTH pair sides in ONE corpus join: candidates
+    // explode to (pair, member doc_id) rows, the corpus joins once on
+    // doc_id, and a candidate-sized groupBy reassembles the pair. The
+    // old two-join form re-evaluated the tokenize→shingle→hash
+    // pipeline once per side (three corpus passes total, measured
+    // ~1.2 s each at sf0.1) and at scale shuffled the wide shingle
+    // arrays twice; this form is two corpus passes (signature +
+    // verify) and one wide exchange. AQE broadcasts the candidate
+    // side when it is small.
+    val sides = candidates.select(
+      col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    val paired = withShh.select(col("doc_id"), col("shh"))
+      .join(sides, Seq("doc_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("shh")), true)
+          .as("sh_a"),
+        first(when(col("doc_id") === col("doc_b"), col("shh")), true)
+          .as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(array_union(col("sh_a"), col("sh_b")))
-    candidates
-      .join(shA, Seq("doc_a"))
-      .join(shB, Seq("doc_b"))
+    paired
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / union).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -209,9 +228,12 @@ object Dedup {
     */
   def embeddingCandidates(s: SparkSession, d: String, dim: Int = 64,
       nPlanes: Int = 0, nBands: Int = 0): DataFrame = {
-    val embAll = Tables.embeddings(s, d)
+    val embRaw = Tables.embeddings(s, d)
+    // count BEFORE the parallelism floor: on the raw scan it is a
+    // parquet-footer read, after a repartition it would run the shuffle
     val planes =
-      if (nPlanes > 0) nPlanes else Similarity.planesFor(embAll.count())
+      if (nPlanes > 0) nPlanes else Similarity.planesFor(embRaw.count())
+    val embAll = Tables.parallelized(embRaw)
     val bands = if (nBands > 0) nBands else Similarity.bandsFor(planes)
     val banded = embAll.select(col("vec_id"),
       explode(array((0 until bands).map(b =>
@@ -397,8 +419,8 @@ object Dedup {
   def ngramJaccardPairs(s: SparkSession, d: String,
       threshold: Double = 0.5, maxBlockSize: Int = 1000): DataFrame =
     ngramJaccardPairsOf(
-      Tables.documents(s, d).select(
-        col("lang"), col("source"), col("doc_id"), col("text")),
+      Tables.parallelized(Tables.documents(s, d).select(
+        col("lang"), col("source"), col("doc_id"), col("text"))),
       threshold, maxBlockSize)
 
   /** [[ngramJaccardPairs]] over an explicit (lang, source, doc_id, text)

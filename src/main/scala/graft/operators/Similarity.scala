@@ -316,11 +316,13 @@ object Similarity {
   def annTopK(s: SparkSession, d: String, dim: Int = 64,
       nQueries: Int = 5, k: Int = 10, nPlanes: Int = 0,
       probeRadius: Int = 2): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    // nPlanes <= 0 → derive from corpus size (parquet-footer count, no
-    // data read) so bucket occupancy — and with it per-query candidate
-    // work — stays bounded as the corpus grows
-    val planes = if (nPlanes > 0) nPlanes else planesFor(emb.count())
+    val embRaw = Tables.embeddings(s, d)
+    // nPlanes <= 0 → derive from corpus size (parquet-footer count on
+    // the RAW scan — counting after the parallelism floor would run
+    // the repartition shuffle) so bucket occupancy — and with it
+    // per-query candidate work — stays bounded as the corpus grows
+    val planes = if (nPlanes > 0) nPlanes else planesFor(embRaw.count())
+    val emb = Tables.parallelized(embRaw)
     val buckets = emb.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), dim, planes).as("bucket"))
     val masks = probeMasks(planes, probeRadius)

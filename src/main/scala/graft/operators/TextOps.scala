@@ -80,11 +80,13 @@ object TextOps {
     // an explode + 64-sum hash-aggregate here (measured 0.3s vs 4.4s at
     // sf0.1): the array passes stay in a register-resident loop with no
     // shuffle, no hash-map updates, no row materialization
-    val docs = Tables.documents(s, d).select(
-      col("doc_id"),
-      xxhash64(regexp_replace(lower(col("text")), "\\s+", " "))
-        .as("fingerprint"),
-      transform(toks, t => xxhash64(t)).as("tok_hashes"))
+    val docs = Tables.parallelized(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(
+        col("doc_id"),
+        xxhash64(regexp_replace(lower(col("text")), "\\s+", " "))
+          .as("fingerprint"),
+        transform(toks, t => xxhash64(t)).as("tok_hashes"))
     val nToks = size(col("tok_hashes"))
     val bitCols = (0 until 64).map { i =>
       val votes = aggregate(col("tok_hashes"), lit(0),
@@ -110,7 +112,8 @@ object TextOps {
     * split (doc_id % 10 == 0) of the documents at `d`.
     */
   def fitLangProfiles(s: SparkSession, d: String): LangProfiles = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.parallelized(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
     val grams = docs.filter(col("doc_id") % 10 === 0)
       .select(col("lang"), explode(charTrigrams(col("lt"))).as("gram"))
@@ -176,7 +179,10 @@ object TextOps {
 
   /** Fit-once language-ID over the documents at `d`. */
   def langId(s: SparkSession, d: String): DataFrame =
-    scoreLangId(Tables.documents(s, d), langProfiles(s, d))
+    scoreLangId(
+      Tables.parallelized(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))),
+      langProfiles(s, d))
 
   /** Character trigrams of an ALREADY-LOWERED string column. Callers
     * must pass an attribute (stage `lower(text)` first): the transform
