@@ -496,4 +496,51 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(stats.map(_.getAs[String]("kind")).toSet
       === Set("image", "audio", "video"))
   }
+
+  test("minhash candidate stage is a superset of verified pairs") {
+    val cand = Dedup.minhashCandidates(spark, sf("sf0.01"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Dedup.minhashPairs(spark, sf("sf0.01"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(cand))
+    assert(pairs.nonEmpty)
+  }
+
+  test("minhash hash-array verification matches the string-shingle form") {
+    // the r6 single-pass verify computes jaccard over 8-byte shingle
+    // hashes; recompute it over the raw string shingles for every
+    // emitted pair and require identical values
+    val pairs = Dedup.minhashPairs(spark, sf("sf0.01"))
+    val sh = Tables.documents(spark, sf("sf0.01"))
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val recomputed = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard_str"))
+      .collect()
+    assert(recomputed.nonEmpty)
+    recomputed.foreach { r =>
+      assert(r.getDouble(2) === r.getDouble(3),
+        s"hash vs string jaccard diverged for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("parallelism floor repartitions starved scans, preserves results") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val floored = Tables.parallelized(docs)
+    // the testdata is one unsplittable file -> the floor must engage
+    // (local[4] session: defaultParallelism 4, scan partitions 1)
+    assert(docs.rdd.getNumPartitions === 1)
+    assert(floored.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+    assert(floored.count() === docs.count())
+    // already-parallel input passes through untouched (no extra stage)
+    val wide = docs.repartition(8)
+    assert(Tables.parallelized(wide).queryExecution.executedPlan
+      eq wide.queryExecution.executedPlan)
+  }
 }
