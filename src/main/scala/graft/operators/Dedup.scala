@@ -293,18 +293,24 @@ object Dedup {
     * control-plane read; if the round budget is ever exhausted anyway
     * the result may under-merge, so it WARNs loudly instead of letting
     * a wrong fixpoint pass as converged.
+    *
+    * Hybrid execution: edge sets at or under `driverEdgeCap` (measured
+    * by the same signature, BEFORE any loop round) skip the loop and
+    * union-find on the driver — near-dup edges are a tiny fraction of
+    * any deduplicated corpus, so at driver scale this replaces ~6
+    * shuffle stages per round with one bounded collect. Set the cap to
+    * 0 to force the distributed path; both produce the identical
+    * min-id labeling (equality-tested).
     */
   def clusterPairs(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+      bCol: String = "doc_b", maxIters: Int = 20,
+      driverEdgeCap: Long = 1000000L): DataFrame = {
     // canonical big→small orientation, self-loops and dup pairs dropped
     var edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint()
-    val allNodes = edges.select(col("u").as("node"))
-      .union(edges.select(col("v").as("node")))
       .distinct().localCheckpoint()
     // order-independent edge-set signature: (n, sum of row hashes)
     def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
@@ -315,6 +321,43 @@ object Dedup {
     var converged = false
     var iter = 0
     var prevSig = sig(edges)
+    // Bounded-edge fast path: near-dup edge sets are a tiny fraction of
+    // the corpus (pairs, stars — the growth probe measures ~0.05
+    // verified pairs/doc), so up to `driverEdgeCap` edges (~16 MB of
+    // longs at the 1M default) union-find on the driver replaces
+    // ~6 shuffle stages per contraction round with one bounded
+    // control-plane read — the same gated-collect class as the k-means
+    // centroid fit. The distributed star contraction below remains the
+    // path for edge sets past the cap; both produce the identical
+    // min-id labeling.
+    if (prevSig._1 <= driverEdgeCap) {
+      val es = edges.select(col("u"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
+        // union by MIN root: the surviving root is the component min,
+        // matching the star fixpoint's canonical labeling
+        if (ru < rv) parent(rv) = ru
+        else if (rv < ru) parent(ru) = rv
+      }
+      val labels = es.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toSeq.distinct.map(n => (n, find(n)))
+      import pairs.sparkSession.implicits._
+      return labels.toDF("doc_id", "cluster_id")
+    }
+    val allNodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .distinct().localCheckpoint()
     while (!converged && iter < maxIters) {
       iter += 1
       // large-star: every neighbor v > u attaches to m = min(Γ(u) ∪ u);

@@ -108,10 +108,16 @@ class DedupSimilaritySpec extends SparkSuite {
     // triangle 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
-    val got = Dedup.clusterPairs(pairs).collect()
+    // driverEdgeCap = 0 forces the DISTRIBUTED star contraction; the
+    // default would take the driver union-find fast path here
+    val got = Dedup.clusterPairs(pairs, driverEdgeCap = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // the fast path must produce the identical labeling
+    val fast = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === got)
     // end-to-end: planted near-dup pair forms a 2-cluster over documents
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = (1 to 40).map(i =>
@@ -134,7 +140,8 @@ class DedupSimilaritySpec extends SparkSuite {
     // min-label would need 99 rounds; large-star/small-star needs ~log
     val pairs = (1L until 100L).map(i => (i, i + 1))
       .toDF("doc_a", "doc_b")
-    val got = Dedup.clusterPairs(pairs, maxIters = 20).collect()
+    val got = Dedup.clusterPairs(pairs, maxIters = 20,
+        driverEdgeCap = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length === 100)
     assert(got.forall(_._2 == 1L),
