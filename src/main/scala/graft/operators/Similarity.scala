@@ -163,7 +163,8 @@ object Similarity {
     * w.p. ≈ 1 − θ/π ≈ 0.95, hence with a whole band of p planes w.p.
     * 0.95^p; b bands miss it w.p. (1 − 0.95^p)^b. Solving for ≥0.95
     * collision: b = ln(0.05)/ln(1 − 0.95^p) — 2 bands at the 4-plane
-    * floor, 3 at 8, 4 at 12, rising to the 8-band cap at 24 planes.
+    * floor, 3 at 8, 4 at 12, hitting the 8-band cap around 24 planes
+    * (and staying there through the 32-plane cap).
     * Pairs exactly AT the threshold see less (the sharp-threshold
     * property every LSH family has); the measured recall is pinned per
     * round in `tools/accuracy_ledger.json`.
