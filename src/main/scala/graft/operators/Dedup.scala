@@ -65,7 +65,7 @@ object Dedup {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
       .select(col("doc_id"), col("sh"),
-        transform(col("sh"), x => xxhash64(x)).as("shh"))
+        array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"))
 
   /** MinHash signature from a column of PRE-HASHED shingles (longs):
     * the expensive string hashing happens once per shingle upstream;
@@ -166,11 +166,10 @@ object Dedup {
           .as("sh_a"),
         first(when(col("doc_id") === col("doc_b"), col("shh")), true)
           .as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val union = size(array_union(col("sh_a"), col("sh_b")))
     paired
       .select(col("doc_a"), col("doc_b"),
-        (inter.cast("double") / union).as("jaccard"))
+        graft.functions.FusedJaccardSorted
+          .fusedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -473,26 +472,27 @@ object Dedup {
       maxBlockSize: Int, bands: Int = 8, rowsPerBand: Int = 2)
       : DataFrame = {
     // staged projections: tokenize, shingle, then hash each shingle to
-    // a long — the quadratic intersect/union step compares 8-byte
-    // hashes, not 3-word strings (collision odds ~n²/2⁶⁴, negligible)
+    // a long — the quadratic verify step compares 8-byte hashes, not
+    // 3-word strings (collision odds ~n²/2⁶⁴, negligible) — SORTED per
+    // doc so the fused merge-pass Jaccard applies: one O(k log k) sort
+    // per document instead of two hash-set builds per candidate PAIR
     val docs = documents
       .select(col("lang"), col("source"), col("doc_id"),
         tokens(col("text")).as("toks"))
       .select(col("lang"), col("source"), col("doc_id"),
         shinglesFromTokens(col("toks")).as("sh_str"))
       .select(col("lang"), col("source"), col("doc_id"),
-        transform(col("sh_str"), x => xxhash64(x)).as("sh"))
+        array_sort(transform(col("sh_str"), x => xxhash64(x))).as("sh"))
     // block sizes: a tiny (≤ #blocks rows) aggregate joined back on the
     // block key — AQE broadcasts it; no per-row window sort
     val sizes = docs.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("block_n"))
     val sized = docs.join(sizes, Seq("lang", "source"))
 
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val union = size(array_union(col("sh_a"), col("sh_b")))
     def verified(pairs: DataFrame): DataFrame =
       pairs.select(col("doc_a"), col("doc_b"),
-        (inter.cast("double") / union).as("jaccard"))
+        graft.functions.FusedJaccardSorted
+          .fusedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
 
     // exhaustive path: bounded by maxBlockSize²/2 comparisons per block

@@ -550,4 +550,47 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(Tables.parallelized(wide).queryExecution.executedPlan
       eq wide.queryExecution.executedPlan)
   }
+
+  test("fused jaccard: bit-equal to the composed set form, incl. dups " +
+    "and interpreted/codegen parity") {
+    import graft.functions.FusedJaccardSorted.fusedJaccard
+    // seeded random long-sets incl. adjacent duplicates, empties, and
+    // disjoint/identical extremes
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      def arr(n: Int) = Seq.fill(n)(rnd.nextInt(40).toLong)
+      val a = arr(rnd.nextInt(30)).sorted
+      val b = if (i % 7 == 0) a else arr(rnd.nextInt(30)).sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(3L), Seq(3L)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      fusedJaccard(col("a"), col("b")).as("fused"),
+      (size(array_intersect(col("a"), col("b"))).cast("double")
+        / size(array_union(col("a"), col("b")))).as("composed"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) === 0,
+        s"fused ${r.getDouble(0)} != composed ${r.getDouble(1)}")
+    }
+    // both-empty: composed 0/0 is NaN; fused must match
+    val nan = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(fusedJaccard(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(nan.isNaN)
+    // interpreted eval (codegen off) must agree with codegen
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = df.select(fusedJaccard(col("a"), col("b"))).collect()
+        .map(_.getDouble(0))
+      val cg = got.map(_.getDouble(0))
+      interp.zip(cg).foreach { case (x, y) =>
+        assert(java.lang.Double.compare(x, y) === 0)
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
