@@ -107,13 +107,15 @@ object Dedup {
     */
   def minhashCandidatesOf(withSig: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
+    // bucket key = xxhash64 of the band's signature SLICE (hashed as a
+    // long array, never stringified — equal slices ⇔ equal hashes, so
+    // the candidate set is identical to any other injective band key)
     val banded = withSig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
-          xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))
-            .as("bucket")))).as("bb"))
+          xxhash64(slice(col("sig"), b * rowsPerBand + lit(1),
+            lit(rowsPerBand))).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
       .repartition(col("band"), col("bucket"))
@@ -515,9 +517,8 @@ object Dedup {
       .select(col("lang"), col("source"), col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
-            xxhash64(concat_ws(",",
-              slice(col("sig"), b * rowsPerBand + lit(1),
-                lit(rowsPerBand)))).as("bucket")))).as("bb"))
+            xxhash64(slice(col("sig"), b * rowsPerBand + lit(1),
+              lit(rowsPerBand))).as("bucket")))).as("bb"))
       .select(col("lang"), col("source"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("doc_id"))
