@@ -106,7 +106,7 @@ object Dedup {
     * ReuseExchange computes the signature subtree once.
     */
   def minhashCandidatesOf(withSig: DataFrame, bands: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int, dedup: Boolean = true): DataFrame = {
     // bucket key = xxhash64 of the band's signature SLICE (hashed as a
     // long array, never stringified — equal slices ⇔ equal hashes, so
     // the candidate set is identical to any other injective band key)
@@ -119,12 +119,16 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
       .repartition(col("band"), col("bucket"))
-    banded
+    val raw = banded
       .join(banded.select(col("band"), col("bucket"),
         col("doc_id").as("doc_b")), Seq("band", "bucket"))
       .filter(col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"))
-      .distinct()
+    // dedup = false lets a caller that already collapses duplicates
+    // downstream (minhashPairs' verify groupBy) skip this exchange; a
+    // pair agreeing in several bands then just fetches its shingle
+    // hashes ≤ bands times instead of paying a keys-only shuffle here
+    if (dedup) raw.distinct() else raw
   }
 
   /** [[minhashCandidatesOf]] over the documents at `d` — the
@@ -145,7 +149,8 @@ object Dedup {
     val withShh = shingled(s, d)
     val withSig = withShh
       .select(col("doc_id"), minhashSignature(col("shh"), k).as("sig"))
-    val candidates = minhashCandidatesOf(withSig, bands, rowsPerBand)
+    val candidates =
+      minhashCandidatesOf(withSig, bands, rowsPerBand, dedup = false)
     // Verification runs on the 8-byte shingle HASHES (set sizes are
     // identical to the string form absent 64-bit collisions, ~n²/2⁶⁴)
     // and fetches BOTH pair sides in ONE corpus join: candidates
