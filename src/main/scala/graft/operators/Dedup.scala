@@ -60,8 +60,14 @@ object Dedup {
     * that need the readable shingles — Catalyst prunes it elsewhere.
     */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.parallelized(
-      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    shingleStage(Tables.parallelized(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))))
+
+  /** The tokenize→shingle→hash pipeline over any (doc_id, text) frame —
+    * shared by the corpus pass and [[minhashPairs]]' pruned verify pass.
+    */
+  private def shingleStage(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
       .select(col("doc_id"), col("sh"),
@@ -146,26 +152,35 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
-    val withShh = shingled(s, d)
-    val withSig = withShh
+    val withSig = shingled(s, d)
       .select(col("doc_id"), minhashSignature(col("shh"), k).as("sig"))
+    // Candidate pairs are materialized once (localCheckpoint): they are
+    // a tiny, dup-rate-bounded set of 16-byte id pairs, and the verify
+    // stage needs them twice (member-id prune + pair reassembly) —
+    // without the checkpoint the whole corpus-wide signature/self-join
+    // pipeline would re-run per use.
     val candidates =
       minhashCandidatesOf(withSig, bands, rowsPerBand, dedup = false)
+        .localCheckpoint()
     // Verification runs on the 8-byte shingle HASHES (set sizes are
     // identical to the string form absent 64-bit collisions, ~n²/2⁶⁴)
-    // and fetches BOTH pair sides in ONE corpus join: candidates
-    // explode to (pair, member doc_id) rows, the corpus joins once on
-    // doc_id, and a candidate-sized groupBy reassembles the pair. The
-    // old two-join form re-evaluated the tokenize→shingle→hash
-    // pipeline once per side (three corpus passes total, measured
-    // ~1.2 s each at sf0.1) and at scale shuffled the wide shingle
-    // arrays twice; this form is two corpus passes (signature +
-    // verify) and one wide exchange. AQE broadcasts the candidate
-    // side when it is small.
+    // and shingles ONLY candidate members: the corpus prunes against
+    // the distinct candidate-id set (a semi join AQE broadcasts)
+    // BEFORE the tokenize→shingle→hash pipeline, so the second corpus
+    // pass does per-row text work for the dup-rate fraction of
+    // documents instead of all of them. Both pair sides then come back
+    // in ONE join: candidates explode to (pair, member doc_id) rows
+    // and a candidate-sized groupBy reassembles the pair — the wide
+    // shingle arrays never shuffle corpus-wide.
     val sides = candidates.select(
       col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    val paired = withShh.select(col("doc_id"), col("shh"))
+    val memberIds = sides.select(col("doc_id")).distinct()
+    val candShh = shingleStage(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .join(memberIds, Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("shh"))
+    val paired = candShh
       .join(sides, Seq("doc_id"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(

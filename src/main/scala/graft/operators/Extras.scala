@@ -271,4 +271,24 @@ object Extras {
       .agg(count(lit(1)).as("n_customers"),
         r4(avg(col("c_acctbal"))).as("avg_bal"))
   }
+
+  /** Revenue per market segment through [[graft.functions.Skew.saltedJoin]]
+    * — the celebrity-key mitigation, driver-verified: salting spreads
+    * each order-side key over 8 (key, salt) tasks while the result
+    * equals the plain `orders ⋈ customer` exactly (the oracle IS the
+    * plain join), so the cross-engine hash proves salt columns never
+    * leak into the semantics. The segment projection of customer is
+    * replicated 8×, still dimension-sized.
+    */
+  def saltedSegmentRevenue(s: SparkSession, d: String,
+      salts: Int = 8): DataFrame =
+    graft.functions.Skew.saltedJoin(
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice")),
+      Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      "o_custkey", salts)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
 }

@@ -24,7 +24,9 @@ object ExtrasQueries {
     "q_scalar_subquery" -> (Extras.aboveAvgBalance _),
     "q_unpivot" -> (Extras.unpivotDaily _),
     "q_pattern_filters" -> (Extras.patternFilters _),
-    "q_null_fns" -> (Extras.nullFunctions _)
+    "q_null_fns" -> (Extras.nullFunctions _),
+    "q_salted_join" -> ((s: SparkSession, d: String) =>
+      Extras.saltedSegmentRevenue(s, d))
   )
 
   val oracle: Map[String, String] = Map(
@@ -204,6 +206,14 @@ object ExtrasQueries {
         | greatest(nullif(l_discount, 0.0), 0.05) AS at_least_5pct,
         | least(coalesce(nullif(l_discount, 0.0), 1.0), 0.05)
         |   AS capped_5pct
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    // the salted form must equal the PLAIN join bit-for-bit — that is
+    // the whole correctness claim of salting
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }
