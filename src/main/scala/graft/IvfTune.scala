@@ -1,37 +1,104 @@
 package graft
 
 import graft.operators.Similarity
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** IVF parameter sweep: recall@10 vs brute force for (nCells, nProbe)
-  * grids at a given SF dir — the measurement behind the defaults in
-  * [[graft.operators.Similarity.ivfTopK]]. Run:
-  * `sbt "runMain graft.IvfTune /root/testdata/sf0.01"`.
+/** IVF geometry sweep: recall@10 vs brute force and probed-fraction for
+  * the DERIVED `cellsFor`/`probesFor` geometry and nearby probe counts,
+  * at two corpus sizes and two cluster structures — the measurement
+  * behind [[graft.operators.Similarity.ivfTopK]]'s defaults. Writes
+  * `tools/ivf_tune.json`.
+  *
+  * Corpora:
+  *  - the driver sf0.01 embeddings (~500 vectors, isotropic) — the
+  *    floor geometry (16 cells / 10 probes, 62% probed);
+  *  - a 25k isotropic corpus (GrowthProbe's deterministic generator) —
+  *    derived geometry 98 cells / 13 probes, ~13% probed. Isotropic
+  *    data has NO cluster structure, so recall ≈ probed fraction here
+  *    is the data's property, not the index's — the honest baseline;
+  *  - a 25k CLUSTERED corpus (32 deterministic centers + bounded
+  *    noise) — same derived geometry, where neighbors share the query's
+  *    cell and recall holds high at the same falling probed fraction.
+  *    This is the regime IVF exists for.
+  *
+  * Run: `sbt "runMain graft.IvfTune"` (~2 min).
   */
 object IvfTune {
+
+  /** Deterministic clustered embeddings: `n` 64-d vectors in
+    * `nClusters` cells — unit-ish center(c) picked by splitmix-style
+    * xxhash, vector = center + `noise`·uniform. All SQL expressions,
+    * no RNG state (same discipline as GrowthProbe.writeCorpus).
+    */
+  def writeClusteredEmbeddings(s: SparkSession, n: Long, outDir: String,
+      nClusters: Int = 32, noise: Double = 0.25): Unit = {
+    val base = s.range(n).select(col("id").as("vec_id"),
+      pmod(xxhash64(col("id"), lit(7)), lit(nClusters.toLong)).as("c"))
+    def u(salt: Column, i: Column): org.apache.spark.sql.Column =
+      ((pmod(xxhash64(salt, i), lit(2000001L)) - lit(1000000L))
+        .cast("double") / 1e6)
+    val emb = transform(sequence(lit(0), lit(63)), i =>
+      (u(col("c") + lit(1000000L), i) + lit(noise) * u(col("vec_id"), i))
+        .cast("float"))
+    base.select(col("vec_id"), emb.as("embedding"),
+        pmod(col("c"), lit(3)).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 5, k = 10)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    for {
-      nCells <- Seq(16, 32)
-      nProbe <- Seq(6, 8, 10, 12)
-    } {
-      val t0 = System.nanoTime()
-      val ivf = Similarity.ivfTopK(spark, dir, nCells = nCells,
-        nQueries = 5, k = 10, nProbe = nProbe)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val sec = (System.nanoTime() - t0) / 1e9
-      val recall = (brute & ivf).size.toDouble / brute.size
-      println(f"cells=$nCells%3d probe=$nProbe%2d " +
-        f"recall@10=$recall%.3f  ${sec}%.2fs")
+
+    val iso25k = "/tmp/graft_ivf/iso25000"
+    if (!new java.io.File(s"$iso25k/embeddings.parquet").exists()) {
+      GrowthProbe.writeCorpus(spark, 25000L, iso25k)
     }
+    val clu25k = "/tmp/graft_ivf/clustered25000"
+    if (!new java.io.File(s"$clu25k/embeddings.parquet").exists())
+      writeClusteredEmbeddings(spark, 25000L, clu25k)
+
+    val corpora = Seq(
+      ("sf0.01_isotropic", "/root/testdata/sf0.01"),
+      ("25k_isotropic", iso25k),
+      ("25k_clustered", clu25k))
+
+    val rows = corpora.flatMap { case (label, dir) =>
+      val n = Tables.embeddings(spark, dir).count()
+      val cells = Similarity.cellsFor(n)
+      val derived = Similarity.probesFor(cells)
+      val brute = Similarity
+        .bruteForceTopKAgg(spark, dir, nQueries = 5, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // derived probe count plus half/double, bounded to [1, cells]
+      val probeGrid = Seq(derived / 2, derived, derived * 2)
+        .map(p => math.max(1, math.min(cells, p))).distinct
+      probeGrid.map { probes =>
+        val t0 = System.nanoTime()
+        val ivf = Similarity.ivfTopK(spark, dir, nCells = cells,
+          nQueries = 5, k = 10, nProbe = probes)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = (brute & ivf).size.toDouble / brute.size
+        val frac = probes.toDouble / cells
+        println(f"$label%-18s n=$n%6d cells=$cells%3d probes=$probes%3d " +
+          f"(frac=$frac%.3f${if (probes == derived) " derived" else ""}) " +
+          f"recall@10=$recall%.3f  $sec%.1fs")
+        f"""  {"corpus": "$label", "n": $n, "cells": $cells, """ +
+          f""""probes": $probes, "derived": ${probes == derived}, """ +
+          f""""probed_fraction": $frac%.4f, "recall_at_10": $recall%.3f, """ +
+          f""""sec": $sec%.2f}"""
+      }
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("tools/ivf_tune.json"),
+      rows.mkString("[\n", ",\n", "\n]\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println("ivf tune written (tools/ivf_tune.json)")
     spark.stop()
   }
 }

@@ -16,16 +16,25 @@ object Skew {
     * tasks. Result equals `big.join(small, key)` exactly — the salt
     * columns never escape.
     *
-    * The salt derives from xxhash64 over the big side's whole row, so
-    * it is deterministic for a given row (no rand() → no re-execution
-    * nondeterminism under task retries, which matters for exactly-once
-    * sinks).
+    * The salt derives from xxhash64 over the big side's whole row PLUS
+    * the row's position (`monotonically_increasing_id`). Row content
+    * alone is not enough entropy in exactly the worst case: the classic
+    * null/default hot key often carries IDENTICAL payloads (same key,
+    * same defaulted columns), and hashing only the content would land
+    * every copy on ONE salt — the spread silently degrading exactly
+    * when skew peaks. Mixing the position spreads identical rows too.
+    * Still no rand(): the id is a function of partition id and
+    * intra-partition offset, so a task RETRY over the same input split
+    * recomputes the same salts (what matters for exactly-once sinks) —
+    * though unlike the pure-content hash, a different upstream
+    * partitioning produces a different (equally valid) spread.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val bigS = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*),
+      pmod(xxhash64((big.columns.toIndexedSeq.map(col) :+
+          monotonically_increasing_id()): _*),
         lit(salts)).cast("int"))
     val saltRange = explode(
       array((0 until salts).map(lit(_)): _*)).as("__salt")

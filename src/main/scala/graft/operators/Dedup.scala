@@ -158,10 +158,13 @@ object Dedup {
     // a tiny, dup-rate-bounded set of 16-byte id pairs, and the verify
     // stage needs them twice (member-id prune + pair reassembly) —
     // without the checkpoint the whole corpus-wide signature/self-join
-    // pipeline would re-run per use.
+    // pipeline would re-run per use. eager=false: materialization
+    // happens on the first ACTION, not at plan construction — an eager
+    // checkpoint made merely building this DataFrame run the full
+    // corpus job (ExplainPlans paid it just to print plans).
     val candidates =
       minhashCandidatesOf(withSig, bands, rowsPerBand, dedup = false)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     // Verification runs on the 8-byte shingle HASHES (set sizes are
     // identical to the string form absent 64-bit collisions, ~n²/2⁶⁴)
     // and shingles ONLY candidate members: the corpus prunes against
@@ -460,6 +463,21 @@ object Dedup {
         col("summary._1").as("n_members"),
         array_join(col("summary._2"), ",").as("member_sample"))
   }
+
+  /** [[dupClustersSample]] over the corpus at `d` — the driver-visible
+    * query form of the scale-mode summary: the same minhash-pair →
+    * connected-components labeling as [[dupClusters]], summarized with
+    * the bounded aggregator instead of the unbounded `collect_list`.
+    * Deterministic end-to-end (hash-banded candidates, exact Jaccard
+    * verify, min-id labels, bottom-k member sample), so it carries a
+    * golden oracle pinned at sf0.01 (registry TextQueries).
+    */
+  def dupClustersSampleQuery(s: SparkSession, d: String,
+      threshold: Double = 0.7, sampleSize: Int = 10): DataFrame =
+    dupClustersSample(
+      clusterPairs(minhashPairs(s, d, threshold = threshold)
+        .select(col("doc_a"), col("doc_b"))),
+      sampleSize)
 
   /** Direct n-gram Jaccard among documents sharing a (lang, source)
     * blocking key. The naive form is quadratic per block, and a

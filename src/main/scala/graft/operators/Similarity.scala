@@ -175,6 +175,52 @@ object Similarity {
     math.min(maxBands, math.max(1, needed))
   }
 
+  /** IVF cell count so the EXPECTED cell occupancy `n / nCells` stays
+    * near `targetOccupancy` — the same derivation discipline as
+    * [[planesFor]]: a fixed cell count is the IVF scale trap (16 cells
+    * probed 10-deep scores ~62% of the corpus at ANY size — the index
+    * prunes nothing as n grows). With cells ∝ n and probes a bounded
+    * fraction of cells ([[probesFor]]), the probed FRACTION falls as the
+    * corpus grows while per-query scored rows stay
+    * ~targetOccupancy·probes.
+    *
+    * `maxCells` bounds the literal-centroid plan: [[ivfTopK]] ships
+    * centroids as literal arrays and evaluates one fused cosine per cell
+    * per row, so cells beyond a few hundred blow up the expression tree
+    * (and the k-means fit's k approaches its sample size). Measured: at
+    * 98 cells whole-stage codegen already exceeds the JVM method limit
+    * and Spark falls back to the interpreted path — correct, and still
+    * fast (IvfTune: 1.3–1.7 s over 25k vectors), but the ceiling is
+    * real. At corpus
+    * sizes past maxCells·targetOccupancy (~65k at the defaults) a real
+    * deployment shards the corpus (per-shard IVF indexes probed in
+    * parallel, exactly how IVF libraries scale out) or moves centroid
+    * assignment to a broadcast-join argmax — the per-cell occupancy
+    * math is unchanged, only the centroid-shipping mechanism.
+    */
+  def cellsFor(n: Long, targetOccupancy: Long = 256,
+      minCells: Int = 16, maxCells: Int = 256): Int = {
+    val needed = math.ceil(n.toDouble / targetOccupancy).toInt
+    math.min(maxCells, math.max(minCells, needed))
+  }
+
+  /** Probes per query: a recall-targeted FRACTION of the cell count
+    * (default 1/8), floored at `minProbe` so tiny indexes — where one
+    * cell is a big corpus slice and cell boundaries cut off true
+    * neighbors — keep recall (16 cells × 10 probes measured 0.90
+    * recall@10 at sf0.01, vs 0.80 at 8 probes; IvfTune). As cellsFor
+    * scales cells with n, the fraction probed falls from the floor-
+    * dominated 62% at n≈500 to the 12.5% target at n≥20k — scored rows
+    * per query stay ~occupancy·probes while the rest of the corpus is
+    * pruned by the index. On ISOTROPIC vectors recall tracks the probed
+    * fraction (there is no cluster structure to exploit — true for any
+    * IVF); clustered corpora hold recall at the falling fraction, which
+    * is the measured contrast in tools/ivf_tune.json.
+    */
+  def probesFor(cells: Int, fraction: Double = 0.125,
+      minProbe: Int = 10): Int =
+    math.min(cells, math.max(minProbe, math.ceil(cells * fraction).toInt))
+
   /** All bucket-perturbation masks with at most `radius` bits set, for
     * multiprobe LSH. Enumerated as bit combinations — O(nPlanes^radius)
     * — never by filtering all 2^nPlanes masks, which stops being
@@ -232,18 +278,28 @@ object Similarity {
     * join with inline scoring; the corpus is neither shuffled nor
     * re-scanned (see the no-dedup note below).
     *
-    * Tuning (IvfTune sweep at sf0.01, recall@10 over 5 queries vs brute
-    * force): random-corpus-vector centroids at 16 cells/8 probes gave
-    * 0.70; the k-means fit lifts the same config to 0.80, and
-    * nProbe=10 reaches 0.90. The driver embeddings are weakly
-    * clustered, so recall tracks probe fraction closely — strongly
-    * clustered real corpora get the same recall at far lower nProbe.
+    * Geometry derives from the corpus by default (`nCells <= 0` →
+    * [[cellsFor]], `nProbe <= 0` → [[probesFor]]): cells scale with n at
+    * ~256 expected vectors per cell and probes are a bounded fraction of
+    * cells, so the probed fraction FALLS as the corpus grows (62% at
+    * n≈500, 12.5% from n≈20k) instead of a fixed 16-cell index probing
+    * ~62% of the corpus at any size. Tuning (IvfTune, recall@10 over 5
+    * queries vs brute force): random-corpus-vector centroids at 16
+    * cells/8 probes gave 0.70; the k-means fit lifts that to 0.80, and
+    * the derived 16/10 floor geometry reaches 0.90 at sf0.01. On
+    * isotropic vectors recall necessarily tracks the probed fraction;
+    * the clustered-corpus sweep in tools/ivf_tune.json shows the index
+    * holding recall at the falling fraction when structure exists.
     */
-  def ivfTopK(s: SparkSession, d: String, nCells: Int = 16,
-      nQueries: Int = 5, k: Int = 10, nProbe: Int = 10,
+  def ivfTopK(s: SparkSession, d: String, nCells: Int = 0,
+      nQueries: Int = 5, k: Int = 10, nProbe: Int = 0,
       sampleSize: Int = 2048): DataFrame = {
     import graft.functions.FusedCosineSimilarity.fusedCosine
     val emb = Tables.embeddings(s, d)
+    // corpus-derived geometry; count() on the raw scan is a parquet-
+    // footer read (same pattern as annTopK's planesFor derivation)
+    val cells = if (nCells > 0) nCells else cellsFor(emb.count())
+    val probes = if (nProbe > 0) nProbe else probesFor(cells)
     // deterministic "random" sample: bottom-sampleSize by id hash
     // (TakeOrderedAndProject — one corpus pass, no separate count() job
     // to derive a stride), then k-means refinement on the driver
@@ -253,7 +309,7 @@ object Similarity {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val centroids: Seq[(Int, Seq[Float])] =
-      kmeansCentroids(sample, nCells)
+      kmeansCentroids(sample, cells)
         .map(_.map(_.toFloat).toSeq).zipWithIndex.map(_.swap).toSeq
     def centroidLit(c: Seq[Float]) =
       array(c.map(x => lit(x)): _*).cast("array<float>")
@@ -262,12 +318,12 @@ object Similarity {
       struct(fusedCosine(v, centroidLit(c)).as("sim"),
         lit(i).as("cell"))
     }: _*)).getField("cell")
-    // top-nProbe cells per query via the same struct trick, exploded
+    // top-`probes` cells per query via the same struct trick, exploded
     def probeCells(v: Column) = {
       val sims = array(centroids.map { case (i, c) =>
         struct(fusedCosine(v, centroidLit(c)).as("sim"), lit(i).as("cell"))
       }: _*)
-      slice(reverse(array_sort(sims)), 1, nProbe)
+      slice(reverse(array_sort(sims)), 1, probes)
     }
     // No candidate dedup is needed — or correct to pay for: Voronoi
     // assignment puts each corpus vector in EXACTLY ONE cell and a

@@ -5,8 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
   * Hash-VALUED operators (simhash, fingerprints, LSH/IVF rankings,
-  * lang-id profiles) have engine-specific values → no oracle entry
-  * (driver records a rows-only check; ScalaTest covers semantics).
+  * lang-id profiles) have engine-specific values, so a cross-engine
+  * recomputation is impossible — but each is still deterministic, so
+  * each carries either a GOLDEN oracle (values pinned at the driver's
+  * verify scale: simhash pairs, LSH + IVF rankings, confusion matrix,
+  * cluster sample) or an oracle-backed companion; only the raw
+  * per-doc hash dumps (q_fingerprint, q_lang_id) stay rows-only.
   *
   * The near-dup PAIR operators do get full oracles even though their
   * candidate generation is hash-based: the emitted (pair, metric) rows
@@ -52,7 +56,9 @@ object TextQueries {
       Sampling.reservoirEventSample(s, d)),
     "q_multimodal_stats" -> (Multimodal.docAssetStats _),
     "q_dup_clusters" -> ((s: SparkSession, d: String) =>
-      Dedup.dupClusters(s, d))
+      Dedup.dupClusters(s, d)),
+    "q_dup_clusters_sample" -> ((s: SparkSession, d: String) =>
+      Dedup.dupClustersSampleQuery(s, d))
   )
 
   /** q_ann_brute_agg produces identical results to q_ann_brute (the
@@ -170,6 +176,27 @@ object TextQueries {
       s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
          | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
          |${annLshGolden}) AS t(q, v, s, r)""".stripMargin,
+    // GOLDEN oracle: the IVF pipeline is deterministic end-to-end
+    // (hash-ordered centroid sample, deterministic k-means fit,
+    // corpus-derived cellsFor/probesFor geometry, fused-cosine doubles,
+    // ties on vec_id) — pinned (query_id, vec_id, sim, rk) at sf0.01,
+    // the same form as q_ann_lsh. Catches drift in the sample, the
+    // k-means fit, the cell/probe derivation, and scoring; recall vs
+    // brute force is separately ratcheted in the accuracy ledger.
+    "q_ann_ivf" ->
+      s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+         | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
+         |${annIvfGolden}) AS t(q, v, s, r)""".stripMargin,
+    // GOLDEN oracle: the scale-mode cluster summary (bounded bottom-k
+    // member sample + count instead of collect_list of EVERY member) is
+    // deterministic — min-id cluster labels, smallest-k member ids —
+    // so it pins at sf0.01. Its oracle-faithful sibling q_dup_clusters
+    // carries the full cross-engine recursive-CTE oracle; this golden
+    // keeps the 100 TB-safe variant driver-verified too.
+    "q_dup_clusters_sample" ->
+      s"""SELECT CAST(c AS BIGINT) AS cluster_id,
+         | CAST(n AS BIGINT) AS n_members, m AS member_sample FROM (VALUES
+         |${dupClustersSampleGolden}) AS t(c, n, m)""".stripMargin,
     // GOLDEN oracle: the reservoir keeps the min-k rows by splitmix64
     // priority — partition-order independent and deterministic, so the
     // sampled id sets are pinned at sf0.01.
@@ -318,6 +345,35 @@ object TextQueries {
       |  (401,478,5),(418,452,6),(418,466,6),(422,426,6),(426,440,6),
       |  (435,486,3),(439,473,6),(453,493,4),(453,495,6),(458,462,3),
       |  (458,466,5),(462,466,6),(493,495,6)""".stripMargin
+
+  private val annIvfGolden: String =
+    """(0,190,0.2818,7),(0,334,0.3627,2),(0,365,0.37,1),
+      |  (0,387,0.3311,3),(0,388,0.2763,9),(0,423,0.2969,4),
+      |  (0,464,0.2766,8),(0,483,0.2567,10),(0,7,0.2928,6),
+      |  (0,73,0.2954,5),(1,124,0.3028,6),(1,195,0.3227,4),
+      |  (1,203,0.2682,10),(1,220,0.2898,9),(1,27,0.3482,2),
+      |  (1,386,0.3715,1),(1,402,0.2923,7),(1,407,0.327,3),
+      |  (1,472,0.2921,8),(1,64,0.3164,5),(2,112,0.2453,8),
+      |  (2,117,0.3181,1),(2,145,0.2635,3),(2,172,0.2398,10),
+      |  (2,188,0.2633,4),(2,320,0.255,5),(2,350,0.2401,9),
+      |  (2,418,0.254,6),(2,450,0.2663,2),(2,471,0.2472,7),
+      |  (3,174,0.3035,2),(3,192,0.2908,5),(3,207,0.2917,4),
+      |  (3,231,0.2988,3),(3,343,0.3085,1),(3,363,0.2686,8),
+      |  (3,396,0.261,9),(3,437,0.2805,6),(3,463,0.2609,10),
+      |  (3,474,0.2767,7),(4,114,0.3985,1),(4,249,0.2796,5),
+      |  (4,257,0.2724,6),(4,280,0.2798,4),(4,346,0.2316,10),
+      |  (4,384,0.2404,9),(4,408,0.3228,3),(4,470,0.2525,8),
+      |  (4,496,0.3412,2),(4,89,0.266,7)""".stripMargin
+
+  private val dupClustersSampleGolden: String =
+    """(8,2,'8,245'),(26,2,'26,455'),(31,2,'31,383'),(44,2,'44,446'),
+      |  (45,3,'45,267,413'),(58,2,'58,293'),(61,2,'61,185'),
+      |  (70,2,'70,447'),(72,2,'72,377'),(87,2,'87,134'),(92,2,'92,450'),
+      |  (98,2,'98,290'),(107,2,'107,387'),(120,2,'120,332'),
+      |  (152,2,'152,178'),(166,2,'166,323'),(285,2,'285,301'),
+      |  (295,2,'295,374'),(310,2,'310,389'),(326,2,'326,457'),
+      |  (393,2,'393,420'),(435,2,'435,486'),(458,2,'458,462')"""
+      .stripMargin
 
   private val annLshGolden: String =
     """(0,365,0.37,1),(0,387,0.3311,2),(0,7,0.2928,3),
