@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   *    plausible-looking timing (a `-1`-count run previously timed the
   *    failure path and reported it as a result).
   *  - **the FULL per-query record is written to a file**
-  *    (`SPARK_GRAFT_BENCH_OUT`, default `tools/bench_r8.json`): the
+  *    (`SPARK_GRAFT_BENCH_OUT`, default `tools/bench_latest.json`): the
   *    driver keeps only the tail of stdout (~4 KB — 23 of 90 queries
   *    were truncated out of BENCH_r07), so the committed file is the
   *    authoritative per-query ledger.
@@ -76,9 +76,17 @@ object Bench {
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .filter(_ >= 1).getOrElse(2)
     // per query: `iters` timed runs; keep the min of the successful ones
-    // (steady-state plan cost), or the first error if none succeeded
+    // (steady-state plan cost), or the first error if none succeeded.
+    // System.gc() between queries: in the r8 record, scan-bound queries
+    // measured 3–4× their isolated steady state (q_membership 0.86 s
+    // min-of-2 in-suite vs 0.31 s isolated; q_ann_brute 1.11 vs 0.35)
+    // because heap pressure from earlier queries in the 92-query run
+    // bleeds into BOTH iterations — back-to-back iterations share the
+    // degraded context, so min-of-N cannot wash it out. A collection at
+    // the boundary makes per-query numbers measure the query.
     val runsByQuery: Seq[(String, Seq[Either[String, Double]])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        System.gc()
         name -> (1 to iters).map { _ =>
           val t0 = System.nanoTime()
           try {
@@ -101,6 +109,13 @@ object Bench {
         Some(name -> runs.collectFirst { case Left(m) => m }.get)
       else None
     }
+    // intermittent failures must not hide behind a healthy-looking min:
+    // a query that threw in SOME iterations is listed with its failed
+    // count even though `queries` carries the min of its good runs
+    val unstable = runsByQuery.flatMap { case (name, runs) =>
+      val failed = runs.count(_.isLeft)
+      if (failed > 0 && failed < runs.size) Some(name -> failed) else None
+    }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -110,13 +125,18 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val unst = unstable.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"iters":$iters,"warmed":$warmed,"warm_sec":$warmSec%.2f,"sf":${jstr(sfDir)},"errors":$errs,"queries":$qs}"""
+    val line = f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"iters":$iters,"warmed":$warmed,"warm_sec":$warmSec%.2f,"sf":${jstr(sfDir)},"errors":$errs,"unstable":$unst,"queries":$qs}"""
     // authoritative per-query artifact: stdout gets tail-truncated by the
     // driver, the file never is. Includes every raw iteration so a
     // reader can see run-to-run variance, not just the min.
+    // round-agnostic default: the driver passes the round-stamped name
+    // via the env var; a hardcoded tools/bench_rN.json silently
+    // overwrote a file whose name claimed to be round-N data
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "tools/bench_r8.json")
+      "tools/bench_latest.json")
     try {
       val perQuery = runsByQuery.map { case (name, runs) =>
         val rs = runs.map {

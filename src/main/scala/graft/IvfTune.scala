@@ -54,18 +54,70 @@ object IvfTune {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // a bare directory-existence check silently reused stale or partial
+    // corpora when generator parameters changed or a prior write was
+    // interrupted; a params marker written AFTER a successful generation
+    // forces regeneration on any mismatch
+    def ensureCorpus(dir: String, params: String)(gen: => Unit): Unit = {
+      val marker = java.nio.file.Paths.get(dir, "params.marker")
+      val fresh = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8) == params
+      if (!fresh) {
+        gen
+        java.nio.file.Files.write(marker,
+          params.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
     val iso25k = "/tmp/graft_ivf/iso25000"
-    if (!new java.io.File(s"$iso25k/embeddings.parquet").exists()) {
+    ensureCorpus(iso25k, "growthprobe-v1 n=25000") {
       GrowthProbe.writeCorpus(spark, 25000L, iso25k)
     }
     val clu25k = "/tmp/graft_ivf/clustered25000"
-    if (!new java.io.File(s"$clu25k/embeddings.parquet").exists())
+    ensureCorpus(clu25k, "clustered-v1 n=25000 nClusters=32 noise=0.25") {
       writeClusteredEmbeddings(spark, 25000L, clu25k)
+    }
 
     val corpora = Seq(
       ("sf0.01_isotropic", "/root/testdata/sf0.01"),
       ("25k_isotropic", iso25k),
       ("25k_clustered", clu25k))
+
+    // Assignment-plan comparison (r9): centroid argmax via the
+    // NearestCentroids reference-object expression (the default) vs the
+    // r8 literal-array trees, at the derived geometry on the clustered
+    // corpus AND at the 256-cell cap on a 66k corpus — the regime the r8
+    // advice flagged as unmeasured (literal codegen already fell back at
+    // 98 cells; 256 was untested territory for planning time and
+    // constant-pool pressure). Also asserts both plans return identical
+    // rows at both sizes.
+    val clu66k = "/tmp/graft_ivf/clustered66000"
+    ensureCorpus(clu66k, "clustered-v1 n=66000 nClusters=32 noise=0.25") {
+      writeClusteredEmbeddings(spark, 66000L, clu66k)
+    }
+    val cmpRows = Seq(("25k_clustered", clu25k), ("66k_clustered", clu66k))
+      .flatMap { case (label, dir) =>
+        val n = Tables.embeddings(spark, dir).count()
+        val cells = Similarity.cellsFor(n)
+        val probes = Similarity.probesFor(cells)
+        val results = Seq(false, true).map { literal =>
+          val t0 = System.nanoTime()
+          val rows = Similarity.ivfTopK(spark, dir, nCells = cells,
+            nQueries = 5, k = 10, nProbe = probes,
+            literalCentroids = literal).collect()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val mode = if (literal) "literal" else "ref"
+          println(f"$label%-14s n=$n%6d cells=$cells%3d probes=$probes%3d " +
+            f"assign=$mode%-7s $sec%.1fs")
+          (mode, sec, rows.map(_.toString).sorted.toSeq)
+        }
+        assert(results(0)._3 == results(1)._3,
+          s"assignment plans disagree on $label")
+        results.map { case (mode, sec, _) =>
+          f"""  {"corpus": "$label", "n": $n, "cells": $cells, """ +
+            f""""probes": $probes, "assign": "$mode", "sec": $sec%.2f}"""
+        }
+      }
 
     val rows = corpora.flatMap { case (label, dir) =>
       val n = Tables.embeddings(spark, dir).count()
@@ -96,7 +148,7 @@ object IvfTune {
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("tools/ivf_tune.json"),
-      rows.mkString("[\n", ",\n", "\n]\n")
+      (rows ++ cmpRows).mkString("[\n", ",\n", "\n]\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println("ivf tune written (tools/ivf_tune.json)")
     spark.stop()

@@ -184,19 +184,18 @@ object Similarity {
     * corpus grows while per-query scored rows stay
     * ~targetOccupancy·probes.
     *
-    * `maxCells` bounds the literal-centroid plan: [[ivfTopK]] ships
-    * centroids as literal arrays and evaluates one fused cosine per cell
-    * per row, so cells beyond a few hundred blow up the expression tree
-    * (and the k-means fit's k approaches its sample size). Measured: at
-    * 98 cells whole-stage codegen already exceeds the JVM method limit
-    * and Spark falls back to the interpreted path — correct, and still
-    * fast (IvfTune: 1.3–1.7 s over 25k vectors), but the ceiling is
-    * real. At corpus
-    * sizes past maxCells·targetOccupancy (~65k at the defaults) a real
-    * deployment shards the corpus (per-shard IVF indexes probed in
-    * parallel, exactly how IVF libraries scale out) or moves centroid
-    * assignment to a broadcast-join argmax — the per-cell occupancy
-    * math is unchanged, only the centroid-shipping mechanism.
+    * `maxCells` bounds the k-means fit (k approaching its 2048-row
+    * sample size stops being a fit) and the per-row assignment cost
+    * (cells × dim multiplies per vector). Since r9 the centroid set
+    * ships as a codegen REFERENCE OBJECT ([[graft.functions.NearestCentroids]])
+    * rather than literal arrays, so cell count no longer pressures plan
+    * size or the JVM method limit — the r8 ceiling (codegen fallback
+    * past ~98 literal centroids) is gone, and the 256-cell regime is
+    * measured in tools/ivf_tune.json. At corpus sizes past
+    * maxCells·targetOccupancy (~65k at the defaults) a real deployment
+    * shards the corpus (per-shard IVF indexes probed in parallel,
+    * exactly how IVF libraries scale out) — the per-cell occupancy math
+    * is unchanged, only the index gets partitioned.
     */
   def cellsFor(n: Long, targetOccupancy: Long = 256,
       minCells: Int = 16, maxCells: Int = 256): Int = {
@@ -272,8 +271,10 @@ object Similarity {
     * are spherical k-means over a deterministic bounded sample (bottom
     * `sampleSize` by id hash — at 100 TB the sample stays bounded and
     * the fit stays a driver-side model fit); the corpus partitions into
-    * Voronoi cells by fused-cosine argmax against the literal centroid
-    * arrays (a narrow pass — the "model" ships inside the plan), and
+    * Voronoi cells by cosine argmax against the centroid matrix, which
+    * ships inside the plan as a codegen reference object
+    * ([[graft.functions.NearestCentroids]] — a narrow pass, no literal
+    * blow-up at high cell counts), and
     * each query probes its `nProbe` nearest cells through one broadcast
     * join with inline scoring; the corpus is neither shuffled nor
     * re-scanned (see the no-dedup note below).
@@ -293,8 +294,10 @@ object Similarity {
     */
   def ivfTopK(s: SparkSession, d: String, nCells: Int = 0,
       nQueries: Int = 5, k: Int = 10, nProbe: Int = 0,
-      sampleSize: Int = 2048): DataFrame = {
+      sampleSize: Int = 2048,
+      literalCentroids: Boolean = false): DataFrame = {
     import graft.functions.FusedCosineSimilarity.fusedCosine
+    import graft.functions.NearestCentroids.nearestCells
     val emb = Tables.embeddings(s, d)
     // corpus-derived geometry; count() on the raw scan is a parquet-
     // footer read (same pattern as annTopK's planesFor derivation)
@@ -308,23 +311,35 @@ object Similarity {
       .orderBy(col("h")).limit(sampleSize)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroidMatrix: Array[Array[Float]] =
+      kmeansCentroids(sample, cells).map(_.map(_.toFloat))
+    // Centroid assignment/probing via the NearestCentroids expression:
+    // the matrix rides as a codegen reference object, so plan size and
+    // generated-method size are O(1) in cell count — the literal-array
+    // form (kept below for the IvfTune comparison) blew past the JVM
+    // 64 KB method limit at ~98 cells and dropped the stage to
+    // interpreted eval. Both forms are bit-identical (pinned in
+    // DedupSimilaritySpec, tie cases included).
     val centroids: Seq[(Int, Seq[Float])] =
-      kmeansCentroids(sample, cells)
-        .map(_.map(_.toFloat).toSeq).zipWithIndex.map(_.swap).toSeq
+      centroidMatrix.map(_.toSeq).zipWithIndex.map(_.swap).toSeq
     def centroidLit(c: Seq[Float]) =
       array(c.map(x => lit(x)): _*).cast("array<float>")
-    // argmax over (similarity, cellId) structs — no shuffle
-    def cellOf(v: Column) = array_max(array(centroids.map { case (i, c) =>
-      struct(fusedCosine(v, centroidLit(c)).as("sim"),
-        lit(i).as("cell"))
-    }: _*)).getField("cell")
-    // top-`probes` cells per query via the same struct trick, exploded
-    def probeCells(v: Column) = {
-      val sims = array(centroids.map { case (i, c) =>
-        struct(fusedCosine(v, centroidLit(c)).as("sim"), lit(i).as("cell"))
-      }: _*)
-      slice(reverse(array_sort(sims)), 1, probes)
-    }
+    def cellOf(v: Column) =
+      if (literalCentroids)
+        array_max(array(centroids.map { case (i, c) =>
+          struct(fusedCosine(v, centroidLit(c)).as("sim"),
+            lit(i).as("cell"))
+        }: _*)).getField("cell")
+      else element_at(nearestCells(v, centroidMatrix, 1), 1)
+    // top-`probes` cells per query, exploded by the caller
+    def probeCells(v: Column) =
+      if (literalCentroids) {
+        val sims = array(centroids.map { case (i, c) =>
+          struct(fusedCosine(v, centroidLit(c)).as("sim"),
+            lit(i).as("cell"))
+        }: _*)
+        slice(reverse(array_sort(sims)), 1, probes).getField("cell")
+      } else nearestCells(v, centroidMatrix, probes)
     // No candidate dedup is needed — or correct to pay for: Voronoi
     // assignment puts each corpus vector in EXACTLY ONE cell and a
     // query's probe list holds nProbe DISTINCT cells, so a (query,
@@ -340,7 +355,7 @@ object Similarity {
     val queryVecs = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val queryProbes = queryVecs.select(col("query_id"), col("q"),
-      explode(probeCells(col("q")).getField("cell")).as("cell"))
+      explode(probeCells(col("q"))).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     assigned.join(broadcast(queryProbes), Seq("cell"))

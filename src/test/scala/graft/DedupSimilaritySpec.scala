@@ -268,6 +268,88 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("NearestCentroids matches the literal struct-argmax composition " +
+      "bit-for-bit, ties included") {
+    import graft.functions.NearestCentroids.nearestCells
+    import graft.functions.FusedCosineSimilarity.fusedCosine
+    // 7 centroids of dim 4; cells 2 and 5 are IDENTICAL so equal sims
+    // exercise the (sim, cell)-descending tie rule (max cell id wins)
+    val cents: Array[Array[Float]] = Array.tabulate(7, 4) { (c, i) =>
+      val cc = if (c == 5) 2 else c
+      ((cc * 31 + i * 7) % 17 - 8) / 8f
+    }
+    val vecs = spark.range(50).select(col("id"),
+      transform(sequence(lit(0), lit(3)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 500.0)
+          - 1.0).cast("float")).as("v"))
+      // plus an exact centroid hit (sim = 1 against two identical cells)
+      .union(spark.range(1).select(lit(999L).as("id"),
+        array(cents(2).map(lit(_)).toIndexedSeq: _*).cast("array<float>")
+          .as("v")))
+    val structs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(fusedCosine(col("v"),
+        array(c.map(lit(_)).toIndexedSeq: _*).cast("array<float>"))
+        .as("sim"), lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val got = vecs.select(col("id"),
+        nearestCells(col("v"), cents, 3).as("top3"),
+        element_at(nearestCells(col("v"), cents, 1), 1).as("argmax"),
+        slice(reverse(array_sort(structs)), 1, 3).getField("cell")
+          .as("lit_top3"),
+        array_max(structs).getField("cell").as("lit_argmax"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](3),
+        s"top3 mismatch for id=${r.getLong(0)}")
+      assert(r.getInt(2) === r.getInt(4),
+        s"argmax mismatch for id=${r.getLong(0)}")
+    }
+    // the exact-hit row must pick the LARGER of the two identical cells
+    val hit = got.find(_.getLong(0) == 999L).get
+    assert(hit.getInt(2) === 5)
+  }
+
+  test("ivfTopK reference-object and literal-centroid paths are " +
+      "bit-identical") {
+    def rows(literal: Boolean) =
+      Similarity.ivfTopK(spark, sf(), nQueries = 5, k = 10, nProbe = 8,
+          literalCentroids = literal)
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(literal = false) === rows(literal = true))
+  }
+
+  test("NearestCentroids keeps whole-stage codegen under the JVM method " +
+      "limit at 256 cells (the r8 literal-plan ceiling)") {
+    import graft.functions.NearestCentroids.nearestCells
+    import org.apache.spark.sql.execution.debug._
+    val cents: Array[Array[Float]] = Array.tabulate(256, 64) { (c, i) =>
+      ((c * 31 + i * 7) % 17 - 8) / 8f
+    }
+    val df = spark.range(200).select(
+        transform(sequence(lit(0), lit(63)), i =>
+          ((pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 500.0)
+            - 1.0).cast("float")).as("v"))
+      .select(nearestCells(col("v"), cents, 32).as("cells"))
+    // positive compile assertion: every whole-stage subtree compiles and
+    // no generated method approaches the 64 KB bytecode limit that
+    // silently dropped the 98-literal-centroid plan to interpreted eval
+    val stats = codegenStringSeq(df.queryExecution.executedPlan)
+    assert(stats.nonEmpty)
+    stats.foreach { case (_, _, s) =>
+      assert(s.maxMethodCodeSize < 16000,
+        s"generated method ${s.maxMethodCodeSize} bytes — too close to " +
+          "the 65535 whole-stage fallback threshold")
+    }
+    // and the result is sane: 32 distinct cells per row
+    val first = df.collect()
+    assert(first.length === 200)
+    first.foreach { r =>
+      val cells = r.getSeq[Int](0)
+      assert(cells.length === 32)
+      assert(cells.distinct.length === 32)
+    }
+  }
+
   test("cosine: self-similarity is 1, orthogonal is 0") {
     val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f)),
       (Array(1f, 0f, 0f), Array(0f, 3f, 0f)))

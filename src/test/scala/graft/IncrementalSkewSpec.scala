@@ -71,4 +71,38 @@ class IncrementalSkewSpec extends SparkSuite {
     assert(salted === plain)
     assert(plain.nonEmpty)
   }
+
+  test("salted join results are invariant under upstream repartitioning " +
+      "and preserve byte-identical duplicate rows") {
+    // the retry-semantics pin (r9): the salt mixes spark_partition_id,
+    // so different upstream partitionings produce different salt
+    // ASSIGNMENTS — but the join RESULT (a bag: duplicates preserved)
+    // must be identical for any partitioning, which is exactly what a
+    // stage retry or an AQE re-plan is allowed to change. Hot key 0
+    // carries byte-identical payloads (the null/default hot-key shape
+    // whose content hash collapses to one salt).
+    val big = spark.range(3000)
+      .select((when(col("id") % 10 === 0, col("id") % 7)
+        .otherwise(0L)).as("k"),
+        when(col("k") === 0, lit(-1L)).otherwise(col("id")).as("payload"))
+    val small = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "label")
+    def run(b: org.apache.spark.sql.DataFrame): Seq[String] =
+      Skew.saltedJoin(b, small, "k", salts = 8)
+        .select("k", "payload", "label")
+        .collect().map(_.toString).sorted.toSeq
+    val plain = big.join(small, Seq("k"))
+      .select("k", "payload", "label")
+      .collect().map(_.toString).sorted.toSeq
+    val base = run(big)
+    val repart = run(big.repartition(13, col("payload")))
+    val coalesced = run(big.coalesce(2))
+    assert(base === plain)
+    assert(repart === plain)
+    assert(coalesced === plain)
+    // the duplicate-preservation part is load-bearing: 90% of rows are
+    // the identical (0, -1) row, so any salt-induced row loss or
+    // duplication would change the multiset size
+    assert(plain.count(_.contains("hot")) > 2000)
+  }
 }
