@@ -55,6 +55,7 @@ object TextQueries {
     "q_reservoir" -> ((s: SparkSession, d: String) =>
       Sampling.reservoirEventSample(s, d)),
     "q_multimodal_stats" -> (Multimodal.docAssetStats _),
+    "q_wav_decode" -> (Multimodal.wavDecodeStats _),
     "q_dup_clusters" -> ((s: SparkSession, d: String) =>
       Dedup.dupClusters(s, d)),
     "q_dup_clusters_sample" -> ((s: SparkSession, d: String) =>
@@ -293,6 +294,17 @@ object TextQueries {
         | round(avg(octet_length(CAST(text AS BLOB))), 4) AS avg_bytes,
         | count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY 1""".stripMargin,
+    // recomputes, from the synthesis parameters, the header fields a
+    // correct WAV decode must recover (Multimodal.wavDecodeStats docs)
+    "q_wav_decode" ->
+      """SELECT CAST(doc_id % 2 + 1 AS INT) AS n_channels,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |   ELSE 44100 END AS INT) AS sample_rate,
+        | count(*) AS n_assets,
+        | CAST(sum(44 + (50 + n_chars % 100) * 2 * (doc_id % 2 + 1))
+        |   AS BIGINT) AS total_bytes,
+        | round(avg(50 + n_chars % 100), 4) AS avg_samples
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "q_embedding_stats" ->
       """SELECT label, count(*) AS n,
         | round(avg(sqrt(list_sum(list_transform(embedding,

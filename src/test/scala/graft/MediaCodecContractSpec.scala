@@ -52,6 +52,37 @@ class MediaCodecContractSpec extends SparkSuite {
     checkContract(Multimodal.FakeCodec)
   }
 
+  test("WavCodec (real RIFF/WAVE parser) satisfies the contract") {
+    checkContract(Multimodal.WavCodec)
+  }
+
+  test("WavCodec round-trips wavBytes headers and decodes exact " +
+    "amplitude histograms") {
+    val codec = Multimodal.WavCodec
+    // known samples hit bins 0 (most negative), 4 (zero), 7 (most
+    // positive), 5 — each 1/4 of the histogram mass
+    val samples = Array[Short](-32768, 0, 32767, 8192)
+    val wav = Multimodal.wavBytes(channels = 2, sampleRate = 44100, samples)
+    assert(codec.dims(wav) === ((2, 44100)))
+    val hist = codec.feature(wav)
+    assert(hist.toSeq === Seq(0.25f, 0f, 0f, 0f, 0.25f, 0.25f, 0f, 0.25f))
+    // malformed inputs must degrade, not throw: bad magic, truncated
+    // data chunk, non-PCM format tag
+    assert(codec.dims("not a wav at all".getBytes) === ((0, 0)))
+    assert(codec.feature(wav.take(30)).toSeq === Seq.fill(8)(0f))
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // format tag -> IEEE float
+    assert(codec.dims(nonPcm) === ((0, 0)))
+  }
+
+  test("wavDecodeStats recovers synthesis parameters through the " +
+    "decode path") {
+    val out = Multimodal.wavDecodeStats(spark, sf()).collect()
+    assert(out.nonEmpty)
+    val rates = out.map(_.getInt(1)).toSet
+    assert(rates.subsetOf(Set(8000, 16000, 44100)))
+    assert(out.map(_.getInt(0)).toSet.subsetOf(Set(1, 2)))
+  }
+
   test("a conforming alternative codec slots into extractFeatures " +
     "without plumbing changes") {
     object AltCodec extends MediaCodec {
