@@ -92,6 +92,16 @@ object GrowthProbe {
       // that the verify step holds at every size)
       val (mhCand, tMhc) = timed(
         Dedup.minhashCandidates(spark, dir).count())
+      // verify-stage input: the distinct candidate MEMBERS the prune
+      // admits to the re-shingle pass (minhashPairs' memberIds semi-
+      // join). The r7 prune's scaling claim is that this — not n — is
+      // what the second corpus pass pays per-row text work for, and
+      // that it grows linearly at the injected dup rate (~2 members
+      // per true-dup pair ⇒ ~n/10) rather than with the corpus.
+      val (verifyDocs, tVd) = timed(
+        Dedup.minhashCandidates(spark, dir)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct().count())
       val (mhPairs, tMhp) = timed(Dedup.minhashPairs(spark, dir).count())
       val (embCand, tEc) = timed(
         Dedup.embeddingCandidates(spark, dir).count())
@@ -111,15 +121,18 @@ object GrowthProbe {
         .head().getLong(0)
       val trueDups = (n - 1) / 20
       println(f"n=$n%6d true=$trueDups%5d | minhash cand=$mhCand%7d " +
+        f"verify-docs=$verifyDocs%6d (${100.0 * verifyDocs / n}%4.1f%%) " +
         f"pairs=$mhPairs%5d (${tMhc + tMhp}%4.1fs) | emb cand=$embCand%7d " +
         f"dups=$embDups%5d (${tEc + tEd}%4.1fs) | ngram cand=$ngCand%9d " +
         f"pairs=$ngPairs%5d ($tNg%4.1fs)")
-      (n, trueDups, mhCand, mhPairs, embCand, embDups, ngCand, ngPairs,
-        tMhc + tMhp, tEc + tEd, tNg)
+      (n, trueDups, mhCand, verifyDocs, mhPairs, embCand, embDups, ngCand,
+        ngPairs, tMhc + tMhp, tEc + tEd, tNg)
     }
-    val json = rows.map { case (n, t, mc, mp, ec, ed, nc, np, t1, t2, t3) =>
+    val json = rows.map {
+      case (n, t, mc, vd, mp, ec, ed, nc, np, t1, t2, t3) =>
       f"""  {"n": $n, "true_dups": $t, "minhash_candidates": $mc, """ +
-        f""""minhash_pairs": $mp, "embedding_candidates": $ec, """ +
+        f""""minhash_verify_docs": $vd, "minhash_pairs": $mp, """ +
+        f""""embedding_candidates": $ec, """ +
         f""""embedding_neardups": $ed, "ngram_block_comparisons": $nc, """ +
         f""""ngram_pairs": $np, "sec_minhash": $t1%.2f, """ +
         f""""sec_embedding": $t2%.2f, "sec_ngram": $t3%.2f}"""
@@ -135,14 +148,27 @@ object GrowthProbe {
     // This is exactly the assertion that caught the r6 finding: with
     // the old 4096 occupancy target the 25k corpus measured 39M
     // candidates against a designed expectation of ~2M.
-    val perDoc = rows.map { case (n, _, mc, _, ec, _, _, _, _, _, _) =>
+    val perDoc = rows.map { case (n, _, mc, _, _, ec, _, _, _, _, _, _) =>
       (n, mc.toDouble / n, ec.toDouble / n) }
     val (n0, m0, _) = perDoc(1) // 5000-doc point
     val (n1, m1, _) = perDoc.last
     println(f"minhash candidates/doc: $m0%.2f@$n0 -> $m1%.2f@$n1")
     assert(m1 <= m0 * 3 + 1,
       s"minhash candidate growth super-linear: $m0/doc -> $m1/doc")
-    rows.foreach { case (n, _, _, _, ec, _, _, _, _, _, _) =>
+    // verify-prune linearity: the fraction of the corpus admitted to
+    // the re-shingle pass must stay ~flat at the dup-member rate
+    // (≈ 2 members / 20-doc dup window = 10%), not creep toward 100%
+    // — creeping fraction means the prune degenerates to a full second
+    // corpus pass and the "verify cost is linear in dups" claim dies.
+    rows.foreach { case (n, t, _, vd, _, _, _, _, _, _, _, _) =>
+      val frac = vd.toDouble / n
+      println(f"verify prune n=$n%6d admitted=$vd%6d ($frac%5.3f of corpus," +
+        f" ${2 * t} dup members)")
+      assert(vd >= 2 * t - 2, s"prune dropped true-dup members at n=$n")
+      assert(frac <= 0.15,
+        f"verify prune admits $frac%.2f of corpus at n=$n — not dup-bounded")
+    }
+    rows.foreach { case (n, _, _, _, _, ec, _, _, _, _, _, _) =>
       val planes = graft.operators.Similarity.planesFor(n)
       val bands = graft.operators.Similarity.bandsFor(planes)
       val occ = n.toDouble / (1L << planes)
