@@ -119,6 +119,36 @@ object IvfTune {
         }
       }
 
+    // Sharded scale path (r9): past [[Similarity.shardsFor]]'s 65k
+    // capacity the corpus splits into per-shard indexes (own centroid
+    // fits, cross-shard top-k merge). Measured against the single
+    // capped index on the same 66k clustered corpus — the regime the
+    // sharding exists for: the single index runs at occupancy 258 over
+    // its 256-cell cap, the sharded form keeps every shard at the
+    // derived geometry.
+    val shardRows = {
+      val n = Tables.embeddings(spark, clu66k).count()
+      val brute = Similarity
+        .bruteForceTopKAgg(spark, clu66k, nQueries = 5, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Seq(
+        ("single_capped", () => Similarity.ivfTopK(spark, clu66k,
+          nQueries = 5, k = 10)),
+        ("sharded", () => Similarity.ivfTopKSharded(spark, clu66k,
+          nQueries = 5, k = 10))
+      ).map { case (mode, run) =>
+        val t0 = System.nanoTime()
+        val got = run().collect().map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = (brute & got).size.toDouble / brute.size
+        println(f"66k_clustered  mode=$mode%-13s recall@10=$recall%.3f " +
+          f"$sec%.1fs")
+        f"""  {"corpus": "66k_clustered", "n": $n, "mode": "$mode", """ +
+          f""""recall_at_10": $recall%.3f, "sec": $sec%.2f}"""
+      }
+    }
+
     val rows = corpora.flatMap { case (label, dir) =>
       val n = Tables.embeddings(spark, dir).count()
       val cells = Similarity.cellsFor(n)
@@ -148,7 +178,7 @@ object IvfTune {
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("tools/ivf_tune.json"),
-      (rows ++ cmpRows).mkString("[\n", ",\n", "\n]\n")
+      (rows ++ cmpRows ++ shardRows).mkString("[\n", ",\n", "\n]\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println("ivf tune written (tools/ivf_tune.json)")
     spark.stop()

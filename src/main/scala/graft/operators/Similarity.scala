@@ -368,6 +368,113 @@ object Similarity {
         col("rk"))
   }
 
+  /** Shard count for a corpus past one IVF index's comfortable
+    * capacity ([[cellsFor]]'s maxCells × targetOccupancy ≈ 65k at the
+    * defaults): one shard below it, then linear growth — each shard
+    * stays at the measured 256-cell/256-occupancy regime no matter how
+    * large the corpus gets. `maxShards` only bounds the assignment
+    * dispatch width (generated CASE branches); raise it with the
+    * cluster, not the corpus.
+    */
+  def shardsFor(n: Long, shardCapacity: Long = 65536,
+      maxShards: Int = 32): Int =
+    math.min(maxShards,
+      math.max(1, math.ceil(n.toDouble / shardCapacity).toInt))
+
+  /** Sharded IVF ANN top-k — the documented scale path past one
+    * index's ~65k-vector capacity, now implemented: the corpus hash-
+    * partitions into [[shardsFor]] shards, each shard gets its OWN
+    * spherical-k-means centroid set (so per-shard cell geometry stays
+    * in the measured [[cellsFor]] regime), queries probe every shard's
+    * nearest cells, and one global window re-ranks the union. This is
+    * exactly how IVF libraries scale out: partition the index, fan the
+    * query out, merge top-k.
+    *
+    * Scale anatomy (the reason this beats growing one index):
+    *  - ONE corpus pass: shard id and cell id are both narrow
+    *    projections (hash + [[graft.functions.NearestCentroids]]
+    *    dispatched per shard through a bounded CASE); the corpus
+    *    streams through a single broadcast probe join keyed
+    *    (shard, cell), is never shuffled, and is scored at most once
+    *    per (query, candidate) pair — a vector lives in exactly one
+    *    (shard, cell) and a query's probe list is distinct per shard.
+    *  - The centroid FIT stays bounded: one stratified sample job
+    *    (per-shard bottom-`sampleSize` by id hash — a window rank, one
+    *    pass) collects ≤ shards×sampleSize rows; each shard's k-means
+    *    runs on its own slice. No per-shard corpus scans.
+    *  - Per-shard sizes are taken as n/shards by construction (uniform
+    *    hash sharding) rather than measured with an extra count pass.
+    *
+    * With `nShards = 1` the pipeline degenerates to [[ivfTopK]]'s
+    * geometry, sample, and fit — asserted bit-identical in
+    * `DedupSimilaritySpec`.
+    */
+  def ivfTopKSharded(s: SparkSession, d: String, nShards: Int = 0,
+      nQueries: Int = 5, k: Int = 10,
+      sampleSize: Int = 2048): DataFrame = {
+    import graft.functions.FusedCosineSimilarity.fusedCosine
+    import graft.functions.NearestCentroids.nearestCells
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count() // parquet-footer read, same as ivfTopK
+    val shards = if (nShards > 0) nShards else shardsFor(n)
+    val shardOf = pmod(xxhash64(col("vec_id")), lit(shards)).cast("int")
+    val cells = cellsFor(math.ceil(n.toDouble / shards).toLong)
+    val probes = probesFor(cells)
+    // one-pass stratified sample: per-shard bottom-sampleSize by id
+    // hash; the explicit (shard, h) sort keeps the collected row order
+    // deterministic — k-means init is order-sensitive (take(k))
+    val sw = Window.partitionBy(col("shard")).orderBy(col("h"))
+    val sampleRows = emb
+      .select(col("embedding"), shardOf.as("shard"),
+        xxhash64(col("vec_id")).as("h"))
+      .withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= sampleSize)
+      .orderBy(col("shard"), col("h"))
+      .select(col("shard"), col("embedding"))
+      .collect()
+    val centroidsByShard: IndexedSeq[Array[Array[Float]]] =
+      (0 until shards).map { sh =>
+        val slice = sampleRows.filter(_.getInt(0) == sh)
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        if (slice.isEmpty) Array(Array.fill(1)(0f)) // unreachable shard
+        else kmeansCentroids(slice, math.min(cells, slice.length))
+          .map(_.map(_.toFloat))
+      }
+    // per-shard expression dispatch: bounded CASE over shard id, each
+    // branch a NearestCentroids reference-object expression
+    def dispatch(v: Column, shardC: Column, nProbe: Int): Column =
+      (1 until shards).foldLeft(
+        when(shardC === 0, nearestCells(v, centroidsByShard(0), nProbe))) {
+        (acc, sh) =>
+          acc.when(shardC === sh, nearestCells(v, centroidsByShard(sh),
+            nProbe))
+      }
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+        shardOf.as("shard"))
+      .withColumn("cell",
+        element_at(dispatch(col("embedding"), col("shard"), 1), 1))
+    val queryVecs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    // queries fan out to EVERY shard's probe cells (lit shard id, so
+    // the dispatch prunes to one branch per union arm at planning)
+    val queryProbes = (0 until shards).map { sh =>
+      queryVecs.select(col("query_id"), col("q"),
+        lit(sh).as("shard"),
+        explode(nearestCells(col("q"), centroidsByShard(sh), probes))
+          .as("cell"))
+    }.reduce(_.unionAll(_))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(queryProbes), Seq("shard", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        fusedCosine(col("q"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), r4(col("sim")).as("sim"),
+        col("rk"))
+  }
+
   /** ANN top-k via LSH buckets: candidates are same-bucket vectors only.
     * At 100 TB the corpus is never shuffled and never scored twice:
     * each corpus vector hashes to exactly one bucket and a query's

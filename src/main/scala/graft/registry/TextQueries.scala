@@ -45,6 +45,11 @@ object TextQueries {
       Similarity.annTopK(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopK(s, d)),
+    // nShards forced to 2 so the sharded machinery (stratified sample,
+    // per-shard fit, dispatch, cross-shard merge) runs at driver scale
+    // — shardsFor would pick 1 below 65k vectors
+    "q_ann_ivf_sharded" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopKSharded(s, d, nShards = 2)),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairs(s, d)),
     "q_embedding_neardups" -> ((s: SparkSession, d: String) =>
@@ -188,6 +193,15 @@ object TextQueries {
       s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
          | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
          |${annIvfGolden}) AS t(q, v, s, r)""".stripMargin,
+    // GOLDEN oracle: the sharded scale path is as deterministic as the
+    // single index (hash shard assignment, per-shard stratified sample
+    // and k-means fit, cross-shard window merge) — pinned at sf0.01
+    // with nShards=2. Catches drift in sharding, the stratified
+    // sample, per-shard geometry, and the merge ranking.
+    "q_ann_ivf_sharded" ->
+      s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+         | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
+         |${annIvfShardedGolden}) AS t(q, v, s, r)""".stripMargin,
     // GOLDEN oracle: the scale-mode cluster summary (bounded bottom-k
     // member sample + count instead of collect_list of EVERY member) is
     // deterministic — min-id cluster labels, smallest-k member ids —
@@ -357,6 +371,25 @@ object TextQueries {
       |  (401,478,5),(418,452,6),(418,466,6),(422,426,6),(426,440,6),
       |  (435,486,3),(439,473,6),(453,493,4),(453,495,6),(458,462,3),
       |  (458,466,5),(462,466,6),(493,495,6)""".stripMargin
+
+  private val annIvfShardedGolden: String =
+    """(0,190,0.2818,7),(0,320,0.2879,6),(0,334,0.3627,2),
+      |  (0,365,0.37,1),(0,387,0.3311,3),(0,388,0.2763,9),
+      |  (0,464,0.2766,8),(0,483,0.2567,10),(0,7,0.2928,5),
+      |  (0,73,0.2954,4),(1,124,0.3028,6),(1,195,0.3227,4),
+      |  (1,203,0.2682,10),(1,220,0.2898,9),(1,27,0.3482,2),
+      |  (1,386,0.3715,1),(1,402,0.2923,7),(1,407,0.327,3),
+      |  (1,472,0.2921,8),(1,64,0.3164,5),(2,112,0.2453,7),
+      |  (2,117,0.3181,1),(2,145,0.2635,3),(2,172,0.2398,9),
+      |  (2,197,0.2331,10),(2,320,0.255,4),(2,350,0.2401,8),
+      |  (2,418,0.254,5),(2,450,0.2663,2),(2,471,0.2472,6),
+      |  (3,130,0.3999,1),(3,149,0.3299,2),(3,174,0.3035,4),
+      |  (3,207,0.2917,6),(3,231,0.2988,5),(3,315,0.2852,7),
+      |  (3,343,0.3085,3),(3,363,0.2686,10),(3,437,0.2805,8),
+      |  (3,474,0.2767,9),(4,114,0.3985,1),(4,249,0.2796,6),
+      |  (4,257,0.2724,7),(4,280,0.2798,5),(4,346,0.2316,10),
+      |  (4,408,0.3228,3),(4,470,0.2525,9),(4,482,0.3139,4),
+      |  (4,496,0.3412,2),(4,89,0.266,8)""".stripMargin
 
   private val annIvfGolden: String =
     """(0,190,0.2818,7),(0,334,0.3627,2),(0,365,0.37,1),

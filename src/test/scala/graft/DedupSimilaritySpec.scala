@@ -309,6 +309,48 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(hit.getInt(2) === 5)
   }
 
+  test("ivfTopKSharded with one shard degenerates to ivfTopK " +
+      "bit-for-bit") {
+    // same hash sample, same cellsFor geometry, same fit, same scoring
+    // — the sharded pipeline must add nothing but the (no-op) shard key
+    val single = Similarity.ivfTopK(spark, sf(), nQueries = 5, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val sharded = Similarity.ivfTopKSharded(spark, sf(), nShards = 1,
+        nQueries = 5, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sharded === single)
+  }
+
+  test("ivfTopKSharded keeps usable recall across shards and returns " +
+      "exactly k ranked rows per query") {
+    val brute = Similarity.bruteForceTopK(spark, sf(), nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.ivfTopKSharded(spark, sf(), nShards = 3,
+      nQueries = 5, k = 10).collect()
+    // shape: 5 queries × 10 rows, ranks 1..10, no self-matches
+    assert(rows.length === 50)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to 10),
+        s"ranks not 1..10 for query $q")
+      assert(rs.forall(_.getLong(1) != q))
+    }
+    val found = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & found).size.toDouble / brute.size
+    // isotropic test vectors: recall tracks probed fraction per shard;
+    // the floor proves cross-shard merge surfaces real neighbors from
+    // every shard, not that this corpus clusters
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("shardsFor holds per-shard occupancy at the measured regime") {
+    assert(Similarity.shardsFor(500L) === 1)
+    assert(Similarity.shardsFor(65536L) === 1)
+    assert(Similarity.shardsFor(65537L) === 2)
+    assert(Similarity.shardsFor(1000000L) === 16)
+    // capped dispatch width: shards stop growing at maxShards
+    assert(Similarity.shardsFor(100000000L) === 32)
+  }
+
   test("ivfTopK reference-object and literal-centroid paths are " +
       "bit-identical") {
     def rows(literal: Boolean) =
