@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus scrubbing for training-data pipelines: PII detection /
+  * redaction and benchmark-contamination scanning — the safety passes a
+  * pipeline runs between dedup and training.
+  *
+  * Scale discipline: both operators are pure column expressions over
+  * one corpus pass. PII scanning never leaves the scan (regexp
+  * predicates fold into the per-source aggregate); contamination
+  * broadcasts the bounded probe n-gram set, so the corpus is never
+  * shuffled — the only exchange carries (doc_id, gram) rows for
+  * MATCHED grams, a contamination-rate-bounded set, not the corpus.
+  *
+  * Reference scope note: the reference pipeline (weather ETL) has no
+  * scrubbing tier; these belong to the LLM-data extension mandated by
+  * the blueprint (SURVEY.md §2 north-star family).
+  */
+object Scrub {
+
+  /** PII patterns restricted to the RE2-compatible subset (no
+    * backreferences, no lookaround) so Spark's java.util.regex and the
+    * oracle's RE2 agree on every input.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redaction transform: PII spans replaced with typed placeholder
+    * tokens. Email first — an address would otherwise leave its
+    * domain's dotted tail looking like an IP to the next pattern.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-source PII exposure: document counts carrying each PII class,
+    * plus the clean count. All-zero on the driver's synthetic word-soup
+    * corpus — the oracle then pins the false-positive rate at exactly
+    * zero, the same discipline as q_embedding_neardups' empty result.
+    */
+  def piiScan(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val email = col("text").rlike(EmailRe)
+    val phone = col("text").rlike(PhoneRe)
+    val ip = col("text").rlike(Ipv4Re)
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(email, 1)).as("docs_email"),
+        count(when(phone, 1)).as("docs_phone"),
+        count(when(ip, 1)).as("docs_ip"),
+        count(when(!email && !phone && !ip, 1)).as("docs_clean"))
+  }
+
+  /** Contiguous word n-grams as strings (space-joined); docs shorter
+    * than `n` tokens contribute none. Unlike Dedup's shingles there is
+    * no short-doc collapse — a 3-word doc cannot "contain" a 13-gram.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark-contamination scan: documents sharing any contiguous
+    * word `ngramSize`-gram with the probe set (here the first
+    * `nProbes` documents standing in for a benchmark's text; a real
+    * deployment passes the eval corpus). Returns one row per
+    * contaminated document with its distinct matched-gram count.
+    *
+    * The 13-gram default is the published-practice window for
+    * contamination detection; at 13 a match is essentially never
+    * coincidental. The probe set is bounded (benchmarks are MBs, the
+    * corpus is the 100 TB side), so probe grams broadcast and the
+    * corpus streams through the join unshuffled; only matched
+    * (doc_id, gram) rows reach the per-doc count aggregate.
+    */
+  def contamination(s: SparkSession, d: String, nProbes: Int = 3,
+      ngramSize: Int = 13): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        wordNgrams(col("text"), ngramSize).as("grams"))
+    val probeGrams = docs.filter(col("doc_id") < nProbes)
+      .select(explode(col("grams")).as("g")).distinct()
+    docs.filter(col("doc_id") >= nProbes)
+      .select(col("doc_id"), col("source"), explode(col("grams")).as("g"))
+      .join(broadcast(probeGrams), Seq("g"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countDistinct(col("g")).as("n_matched"))
+  }
+}

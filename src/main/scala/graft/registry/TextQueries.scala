@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Scrub, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
@@ -61,6 +61,12 @@ object TextQueries {
       Sampling.reservoirEventSample(s, d)),
     "q_multimodal_stats" -> (Multimodal.docAssetStats _),
     "q_wav_decode" -> (Multimodal.wavDecodeStats _),
+    "q_pii_scan" -> (Scrub.piiScan _),
+    // ngramSize=4 so the scan produces rows on the driver's 25-word-
+    // vocab corpus (no two synthetic docs share a 13-gram); the
+    // operator default stays at the published-practice 13
+    "q_contamination" -> ((s: SparkSession, d: String) =>
+      Scrub.contamination(s, d, nProbes = 3, ngramSize = 4)),
     "q_dup_clusters" -> ((s: SparkSession, d: String) =>
       Dedup.dupClusters(s, d)),
     "q_dup_clusters_sample" -> ((s: SparkSession, d: String) =>
@@ -308,6 +314,40 @@ object TextQueries {
         | round(avg(octet_length(CAST(text AS BLOB))), 4) AS avg_bytes,
         | count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY 1""".stripMargin,
+    // the PII patterns are RE2-compatible by construction (Scrub
+    // scaladoc), so DuckDB re-evaluates the same regexes; on the
+    // synthetic corpus every count is zero except docs_clean — the
+    // oracle pins the false-positive rate at exactly zero
+    "q_pii_scan" ->
+      s"""SELECT source, count(*) AS n_docs,
+         | count(*) FILTER (WHERE regexp_matches(text,
+         |   '${Scrub.EmailRe}')) AS docs_email,
+         | count(*) FILTER (WHERE regexp_matches(text,
+         |   '${Scrub.PhoneRe}')) AS docs_phone,
+         | count(*) FILTER (WHERE regexp_matches(text,
+         |   '${Scrub.Ipv4Re}')) AS docs_ip,
+         | count(*) FILTER (WHERE NOT (regexp_matches(text,
+         |     '${Scrub.EmailRe}')
+         |   OR regexp_matches(text, '${Scrub.PhoneRe}')
+         |   OR regexp_matches(text, '${Scrub.Ipv4Re}'))) AS docs_clean
+         |FROM documents GROUP BY source""".stripMargin,
+    // full recomputation of the 4-gram probe overlap — contiguous
+    // n-grams, probe docs 0-2, per-doc distinct matched-gram counts
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |   list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |   unnest(list_transform(range(1, len(t) - 2),
+        |     i -> array_to_string(t[i:i+3], ' '))) AS g
+        |  FROM toks),
+        |probe AS (SELECT DISTINCT g FROM g WHERE doc_id < 3)
+        |SELECT c.doc_id, c.source, count(DISTINCT c.g) AS n_matched
+        |FROM g c JOIN probe p ON c.g = p.g
+        |WHERE c.doc_id >= 3
+        |GROUP BY 1, 2""".stripMargin,
     // recomputes, from the synthesis parameters, the header fields a
     // correct WAV decode must recover (Multimodal.wavDecodeStats docs)
     "q_wav_decode" ->

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Scrub
+import org.apache.spark.sql.functions._
+
+/** Planted-evidence tests for the scrubbing tier: the driver corpus is
+  * PII-free word soup (the oracle pins zero false positives there), so
+  * detection and redaction are proven on planted fixtures here.
+  */
+class ScrubSpec extends SparkSuite {
+
+  private def redact(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("text").select(Scrub.redactPii(col("text"))).head.getString(0)
+  }
+
+  test("redactPii replaces emails, phones, and IPs with typed tokens") {
+    assert(redact("mail bob.smith+x@example.co.uk now") ===
+      "mail <EMAIL> now")
+    assert(redact("call 555-867-5309 or 555.867.5309") ===
+      "call <PHONE> or <PHONE>")
+    assert(redact("host 192.168.10.1 down") === "host <IP> down")
+    // email (alphabetic TLD) and a neighboring IP redact independently
+    assert(redact("a@b.io then 10.0.0.2") === "<EMAIL> then <IP>")
+    // an IP-hosted address has no alphabetic TLD -> not an email match,
+    // but the address still leaves redacted (its host is an IP)
+    assert(redact("a@10.0.0.1 down") === "a@<IP> down")
+    // clean text unchanged — the false-positive direction
+    assert(redact("the quick brown fox v2.0 at 5pm") ===
+      "the quick brown fox v2.0 at 5pm")
+  }
+
+  test("piiScan counts planted PII docs per class and source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scrub").toString
+    Seq(
+      (0L, "reach me at a@b.io", "en", "web", 18L),
+      (1L, "call 555-123-4567 today", "en", "web", 23L),
+      (2L, "server 10.1.2.3 rebooted", "en", "wiki", 24L),
+      (3L, "nothing sensitive here", "en", "wiki", 22L),
+      (4L, "a@b.io or 555-123-4567", "en", "web", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Scrub.piiScan(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got("web") === ((3L, 2L, 2L, 0L, 0L)))  // doc 4 is email+phone
+    assert(got("wiki") === ((2L, 0L, 0L, 1L, 1L)))
+  }
+
+  test("contamination finds a planted probe-overlapping doc at the " +
+    "13-gram default and ignores sub-window overlap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scrub").toString
+    val probe = (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, probe, "en", "web", probe.length.toLong),
+      // 13 contiguous probe words inside other text -> contaminated
+      (5L, "x y " + (3 to 15).map(i => s"w$i").mkString(" ") + " z",
+        "en", "web", 0L),
+      // only a 12-word run -> below the window, clean
+      (6L, (3 to 14).map(i => s"w$i").mkString(" "), "en", "web", 0L),
+      (7L, "completely unrelated text entirely", "en", "wiki", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Scrub.contamination(spark, dir, nProbes = 3, ngramSize = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got === Map(5L -> 1L))
+  }
+
+  test("wordNgrams: contiguous, space-joined, empty under n tokens") {
+    import spark.implicits._
+    val got = Seq("a b c d", "a b").toDF("text")
+      .select(Scrub.wordNgrams(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("q_contamination registry form yields rows on the driver corpus") {
+    val rows = SparkEntry.queries("q_contamination")(spark, sf("sf0.01"))
+      .collect()
+    assert(rows.nonEmpty) // 4-gram overlap exists at sf0.01 by measurement
+    assert(rows.forall(_.getLong(2) >= 1))
+  }
+}
