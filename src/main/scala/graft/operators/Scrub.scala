@@ -58,17 +58,28 @@ object Scrub {
         count(when(!email && !phone && !ip, 1)).as("docs_clean"))
   }
 
-  /** Contiguous word n-grams as strings (space-joined); docs shorter
-    * than `n` tokens contribute none. Unlike Dedup's shingles there is
-    * no short-doc collapse — a 3-word doc cannot "contain" a 13-gram.
+  /** Contiguous word n-grams (space-joined) from a token-array COLUMN;
+    * docs shorter than `n` tokens contribute none. Unlike Dedup's
+    * shingles there is no short-doc collapse — a 3-word doc cannot
+    * "contain" a 13-gram. Same staging rule as
+    * [[Dedup.shinglesFromTokens]]: `toks` must be a materialized
+    * column, not an inline tokenizer — higher-order lambdas re-evaluate
+    * non-attribute subexpressions per element, so an inlined
+    * `tokens(text)` re-splits the document for EVERY gram (measured:
+    * q_contamination 4.9 s → 0.6 s at sf0.1 from this staging alone).
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
+  def wordNgramsFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Single-shot convenience (tests, tiny inputs) — quadratic in
+    * tokens if the result feeds another expression; hot paths stage
+    * `tokens(text)` first and call [[wordNgramsFromTokens]].
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsFromTokens(TextOps.tokens(text), n)
 
   /** Benchmark-contamination scan: documents sharing any contiguous
     * word `ngramSize`-gram with the probe set (here the first
@@ -85,13 +96,28 @@ object Scrub {
     */
   def contamination(s: SparkSession, d: String, nProbes: Int = 3,
       ngramSize: Int = 13): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // explode_outer + post-filter instead of explode: a plain explode
+    // plants a `size(grams) > 0` pre-filter that predicate pushdown
+    // drags below the parallelism floor's repartition AND inlines with
+    // the full n-gram expression — the quadratic tokenizer then runs
+    // per-document on the unsharded scan (measured: 3.7 s vs 0.6 s at
+    // sf0.1). explode_outer has no pre-filter; the null rows it emits
+    // for gram-less docs are dropped AFTER the Generate, where the
+    // filter is a cheap attribute test that cannot sink further.
+    def grams(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), col("source"),
-        wordNgrams(col("text"), ngramSize).as("grams"))
-    val probeGrams = docs.filter(col("doc_id") < nProbes)
-      .select(explode(col("grams")).as("g")).distinct()
-    docs.filter(col("doc_id") >= nProbes)
-      .select(col("doc_id"), col("source"), explode(col("grams")).as("g"))
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode_outer(wordNgramsFromTokens(col("toks"), ngramSize))
+          .as("g"))
+      .filter(col("g").isNotNull)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val probeGrams = grams(base.filter(col("doc_id") < nProbes))
+      .select(col("g")).distinct()
+    // the corpus side is the compute-heavy stage -> parallelism floor
+    // (Tables.parallelized), same as every text-family corpus pass
+    grams(Tables.parallelized(base.filter(col("doc_id") >= nProbes)))
       .join(broadcast(probeGrams), Seq("g"))
       .groupBy(col("doc_id"), col("source"))
       .agg(countDistinct(col("g")).as("n_matched"))

@@ -54,6 +54,41 @@ object TextOps {
         .cast("double") / size(toks)).as("stopword_ratio"))
   }
 
+  /** BPE-ish pre-tokenizer pattern: the GPT-2 segmentation classes
+    * (contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, whitespace) restricted to the RE2-compatible
+    * subset — the original's `\s+(?!\S)` lookahead is dropped so the
+    * SQL oracle (RE2) and Spark (java.util.regex) segment identically;
+    * both engines use leftmost-first alternation, so token boundaries
+    * agree on every input.
+    */
+  val BpeTokenRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** All BPE-ish pre-tokens of `text`, in order (whitespace runs
+    * included — the real tokenizer's byte-level stage sees them too).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenRe), lit(0))
+
+  /** Token-budget accounting per source: the query a pre-training data
+    * planner runs to size a mixture — document counts, whitespace-token
+    * and BPE-ish-token totals (the two standard budget units), and the
+    * BPE-per-doc average. One corpus pass, pure column expressions.
+    */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Fns.r4
+    val nBpe = size(filter(bpeTokens(col("text")), t => t.rlike("\\S")))
+    Tables.documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).as("ws"),
+        nBpe.as("bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).cast("long").as("ws_tokens"),
+        sum(col("bpe")).cast("long").as("bpe_tokens"),
+        r4(avg(col("bpe"))).as("avg_bpe_per_doc"))
+  }
+
   /** Corpus stats per (lang, source): volume and quality score. The
     * quality score is a simple length saturation — a placeholder with
     * the right shape (bounded, monotone) for a real scorer.

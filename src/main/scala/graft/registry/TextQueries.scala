@@ -61,6 +61,7 @@ object TextQueries {
       Sampling.reservoirEventSample(s, d)),
     "q_multimodal_stats" -> (Multimodal.docAssetStats _),
     "q_wav_decode" -> (Multimodal.wavDecodeStats _),
+    "q_token_budget" -> (TextOps.tokenBudget _),
     "q_pii_scan" -> (Scrub.piiScan _),
     // ngramSize=4 so the scan produces rows on the driver's 25-word-
     // vocab corpus (no two synthetic docs share a 13-gram); the
@@ -314,6 +315,21 @@ object TextQueries {
         | round(avg(octet_length(CAST(text AS BLOB))), 4) AS avg_bytes,
         | count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY 1""".stripMargin,
+    // the BPE-ish pattern is RE2-compatible by construction (TextOps
+    // scaladoc), so the oracle re-segments with the same regex;
+    // whitespace-run pre-tokens are excluded from the budget on both
+    // sides. The ' in the pattern is SQL-escaped by doubling.
+    "q_token_budget" ->
+      s"""SELECT source, count(*) AS n_docs,
+         | CAST(sum(len(list_filter(string_split(text, ' '),
+         |   x -> x <> ''))) AS BIGINT) AS ws_tokens,
+         | CAST(sum(len(list_filter(regexp_extract_all(text,
+         |   '${TextOps.BpeTokenRe.replace("'", "''")}'),
+         |   x -> regexp_matches(x, '\\S')))) AS BIGINT) AS bpe_tokens,
+         | round(avg(len(list_filter(regexp_extract_all(text,
+         |   '${TextOps.BpeTokenRe.replace("'", "''")}'),
+         |   x -> regexp_matches(x, '\\S')))), 4) AS avg_bpe_per_doc
+         |FROM documents GROUP BY source""".stripMargin,
     // the PII patterns are RE2-compatible by construction (Scrub
     // scaladoc), so DuckDB re-evaluates the same regexes; on the
     // synthetic corpus every count is zero except docs_clean — the

@@ -77,6 +77,23 @@ class ScrubSpec extends SparkSuite {
     assert(got(1) === Seq.empty)
   }
 
+  test("bpeTokens segments like the GPT-2 pre-tokenizer on mixed text") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val got = Seq("Hello, world's 42 cats!").toDF("text")
+      .select(TextOps.bpeTokens(col("text")))
+      .head.getSeq[String](0)
+    assert(got === Seq("Hello", ",", " world", "'s", " 42", " cats", "!"))
+    // budget counts exclude pure-whitespace runs
+    val budget = Seq((0L, "a  b", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    budget.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = TextOps.tokenBudget(spark, dir).head
+    assert(row.getLong(2) === 2L) // ws tokens: a, b
+    assert(row.getLong(3) === 2L) // bpe: "a", "b" (the "  " run dropped)
+  }
+
   test("q_contamination registry form yields rows on the driver corpus") {
     val rows = SparkEntry.queries("q_contamination")(spark, sf("sf0.01"))
       .collect()
