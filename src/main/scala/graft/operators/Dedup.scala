@@ -111,12 +111,14 @@ object Dedup {
     * the repartition puts one Exchange under both sides so
     * ReuseExchange computes the signature subtree once.
     */
-  def minhashCandidatesOf(withSig: DataFrame, bands: Int,
-      rowsPerBand: Int, dedup: Boolean = true): DataFrame = {
-    // bucket key = xxhash64 of the band's signature SLICE (hashed as a
-    // long array, never stringified — equal slices ⇔ equal hashes, so
-    // the candidate set is identical to any other injective band key)
-    val banded = withSig.select(
+  /** (doc_id, band, bucket) rows from a (doc_id, sig) frame — bucket
+    * key = xxhash64 of the band's signature SLICE (hashed as a long
+    * array, never stringified — equal slices ⇔ equal hashes, so the
+    * candidate set is identical to any other injective band key).
+    */
+  private def bandedBuckets(withSig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    withSig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -124,6 +126,10 @@ object Dedup {
             lit(rowsPerBand))).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+
+  def minhashCandidatesOf(withSig: DataFrame, bands: Int,
+      rowsPerBand: Int, dedup: Boolean = true): DataFrame = {
+    val banded = bandedBuckets(withSig, bands, rowsPerBand)
       .repartition(col("band"), col("bucket"))
     val raw = banded
       .join(banded.select(col("band"), col("bucket"),
@@ -165,23 +171,33 @@ object Dedup {
     val candidates =
       minhashCandidatesOf(withSig, bands, rowsPerBand, dedup = false)
         .localCheckpoint(eager = false)
-    // Verification runs on the 8-byte shingle HASHES (set sizes are
-    // identical to the string form absent 64-bit collisions, ~n²/2⁶⁴)
-    // and shingles ONLY candidate members: the corpus prunes against
-    // the distinct candidate-id set (a semi join AQE broadcasts)
-    // BEFORE the tokenize→shingle→hash pipeline, so the second corpus
-    // pass does per-row text work for the dup-rate fraction of
-    // documents instead of all of them. Both pair sides then come back
-    // in ONE join: candidates explode to (pair, member doc_id) rows
-    // and a candidate-sized groupBy reassembles the pair — the wide
-    // shingle arrays never shuffle corpus-wide.
+    verifiedJaccard(Tables.documents(s, d).select(col("doc_id"),
+      col("text")), candidates, threshold)
+  }
+
+  /** The pruned verify stage, shared by [[minhashPairs]] (corpus
+    * self-dedup) and [[incrementalMinhashPairs]] (new-vs-index).
+    *
+    * Verification runs on the 8-byte shingle HASHES (set sizes are
+    * identical to the string form absent 64-bit collisions, ~n²/2⁶⁴)
+    * and shingles ONLY candidate members: `docs` prunes against the
+    * distinct candidate-id set (a semi join AQE broadcasts) BEFORE the
+    * tokenize→shingle→hash pipeline, so the second corpus pass does
+    * per-row text work for the dup-rate fraction of documents instead
+    * of all of them (the growth probe measures the admitted fraction
+    * flat at the dup-member rate). Both pair sides then come back in
+    * ONE join: candidates explode to (pair, member doc_id) rows and a
+    * candidate-sized groupBy reassembles the pair — the wide shingle
+    * arrays never shuffle corpus-wide.
+    */
+  private def verifiedJaccard(docs: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
     val sides = candidates.select(
       col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     val memberIds = sides.select(col("doc_id")).distinct()
     val candShh = shingleStage(
-      Tables.documents(s, d).select(col("doc_id"), col("text"))
-        .join(memberIds, Seq("doc_id"), "left_semi"))
+      docs.join(memberIds, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("shh"))
     val paired = candShh
       .join(sides, Seq("doc_id"))
@@ -196,6 +212,66 @@ object Dedup {
         graft.functions.FusedJaccardSorted
           .fusedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup detection: pairs involving at least one NEW
+    * document — new-vs-index and new-vs-new — without ever pairing
+    * index docs with each other. This is the daily-ingest shape at
+    * 100 TB: the indexed corpus is NOT re-paired against itself (its
+    * self-pairs were found when those docs arrived), so per-run join
+    * work scales with the new batch, and the verify stage re-shingles
+    * only candidate MEMBERS — the handful of index docs a new doc
+    * actually collides with, not the index.
+    *
+    * `indexDocs`/`newDocs` are (doc_id, text, ...) frames with
+    * DISJOINT ids (the caller's invariant — ids are ingest-unique).
+    * In production the index side's signatures and banded buckets
+    * persist in the lake (S8-class sink) and are appended per batch;
+    * here they are recomputed from `indexDocs`, which leaves the join
+    * SHAPE identical and only moves where the bucket rows come from.
+    * Returns (doc_a, doc_b, jaccard), doc_a < doc_b, same contract as
+    * [[minhashPairs]].
+    */
+  def incrementalMinhashPairs(indexDocs: DataFrame, newDocs: DataFrame,
+      bands: Int = 4, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    def sigs(docs: DataFrame): DataFrame =
+      shingleStage(Tables.parallelized(
+        docs.select(col("doc_id"), col("text"))))
+        .select(col("doc_id"), minhashSignature(col("shh"), k).as("sig"))
+    val newB = bandedBuckets(sigs(newDocs), bands, rowsPerBand)
+      .repartition(col("band"), col("bucket"))
+    val allB = bandedBuckets(sigs(indexDocs), bands, rowsPerBand)
+      .unionByName(newB)
+    // every emitted pair has a new doc on the probe side; canonical
+    // orientation + the verify groupBy collapse the duplicates a
+    // new-new pair gets from matching in both directions/bands
+    val candidates = newB
+      .join(allB.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b")), Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("doc_b"))
+      .select(least(col("doc_id"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_b")).as("doc_b"))
+      .localCheckpoint(eager = false)
+    val allDocs = indexDocs.select(col("doc_id"), col("text"))
+      .unionByName(newDocs.select(col("doc_id"), col("text")))
+    verifiedJaccard(allDocs, candidates, threshold)
+  }
+
+  /** Registry form of [[incrementalMinhashPairs]]: the newest fifth of
+    * the documents table (ids ≥ ⌊4·max/5⌋) plays the incoming batch,
+    * the rest the standing index — deterministic and recomputable in
+    * SQL, so the oracle covers the incremental path end-to-end. The
+    * max-id read is a bounded scalar job (metadata-class, like the
+    * ANN geometry counts).
+    */
+  def incrementalDedupQuery(s: SparkSession, d: String,
+      threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val splitId = docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
+    incrementalMinhashPairs(docs.filter(col("doc_id") < splitId),
+      docs.filter(col("doc_id") >= splitId), threshold = threshold)
   }
 
   /** SimHash near-duplicate pairs: 64-bit SimHash (TextOps.fingerprints)

@@ -36,6 +36,8 @@ object TextQueries {
       Dedup.minhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       Dedup.ngramJaccardPairs(s, d)),
+    "q_incremental_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.incrementalDedupQuery(s, d)),
     "q_embedding_stats" -> (Similarity.labelStats _),
     "q_ann_brute" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(s, d)),
@@ -136,6 +138,20 @@ object TextQueries {
          |   / len(list_distinct(a.sh || b.sh)) AS jaccard
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / len(list_distinct(a.sh || b.sh)) >= 0.7""".stripMargin,
+    // exhaustive jaccard restricted to pairs whose LARGER id is in the
+    // newest fifth — exactly "pairs involving at least one new doc"
+    // when new = ids ≥ ⌊4·max/5⌋ (doc_b is the pair max). Equality
+    // asserts the incremental path loses nothing vs the full scan.
+    "q_incremental_dedup" ->
+      s"""$shingleCte, mx AS (
+         |  SELECT (max(doc_id) * 4) // 5 AS split_id FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id CROSS JOIN mx
+         |WHERE b.doc_id >= mx.split_id
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |   / len(list_distinct(a.sh || b.sh)) >= 0.7""".stripMargin,
     // connected components over the exhaustive-jaccard pair set via a
     // recursive reachability CTE: label(n) = min id reachable from n.

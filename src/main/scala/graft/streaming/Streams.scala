@@ -57,6 +57,35 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming scrub gate — the ingest-time twin of the batch
+    * [[graft.operators.Scrub]] passes, composed into one stateless
+    * per-row map so it drops into any document stream before dedup:
+    *
+    *  - `clean_text`: PII spans redacted ([[graft.operators.Scrub.redactPii]]);
+    *  - `pii_found`: whether redaction changed the text;
+    *  - `contaminated`: whether the doc shares any contiguous word
+    *    `ngramSize`-gram with the probe set.
+    *
+    * The probe set ships as a broadcast literal: benchmark corpora are
+    * MB-scale against a 100 TB stream, so the right side is a constant
+    * and the stream side stays map-only — no state, no watermark, no
+    * shuffle, works under any output mode. (A growing probe set would
+    * switch to a stream-static semi join; the flag semantics are the
+    * same.)
+    */
+  def scrubbedDocuments(docs: DataFrame, probeGrams: Seq[String],
+      ngramSize: Int = 13): DataFrame = {
+    import graft.operators.{Scrub, TextOps}
+    val probeLit = typedLit(probeGrams)
+    docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("clean_text", Scrub.redactPii(col("text")))
+      .withColumn("pii_found", col("clean_text") =!= col("text"))
+      .withColumn("contaminated", arrays_overlap(
+        Scrub.wordNgramsFromTokens(col("toks"), ngramSize), probeLit))
+      .drop("toks")
+  }
+
   /** Tumbling-window hourly aggregate with late-data tolerance — the
     * streaming twin of Warehouse.hourlyAggregates (same metric mix).
     */

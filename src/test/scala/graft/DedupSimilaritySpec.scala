@@ -47,6 +47,37 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(exact === Set((1L, 2L)))
   }
 
+  test("incremental minhash: finds new-vs-index and new-vs-new pairs, " +
+    "never re-pairs the index with itself") {
+    import spark.implicits._
+    def doc(seed: Int, change: Int = -1): String =
+      (1 to 40).map(i =>
+        if (i == change) "CHANGED" else s"w${seed}_$i").mkString(" ")
+    // index: docs 1,2 are near-dups of each other (an OLD pair), 3 far
+    val index = Seq((1L, doc(7)), (2L, doc(7, change = 5)), (3L, doc(9)))
+      .toDF("doc_id", "text")
+    // new batch: 10 near-dups index doc 1; 11 and 12 near-dup each
+    // other; 13 matches nothing
+    val fresh = Seq((10L, doc(7, change = 31)), (11L, doc(4)),
+      (12L, doc(4, change = 8)), (13L, doc(5))).toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhashPairs(index, fresh,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) — the index self-pair — must NOT re-emit; 10 also matches
+    // doc 2 (both are 1-token edits of the same base)
+    assert(got === Set((1L, 10L), (2L, 10L), (11L, 12L)))
+    // parity with the full-corpus operator restricted to new-involved
+    // pairs: write the union as a corpus and compare
+    val dir = tmpDir("incdedup")
+    index.unionByName(fresh)
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val full = Dedup.minhashPairs(spark, dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === full.filter(_._2 >= 10L))
+  }
+
   test("ngram jaccard block guard: a dominant block routes through LSH " +
     "and still finds the planted pairs") {
     def doc(ns: String, n: Int) = (1 to 40).map(i => s"$ns$n-$i")

@@ -86,6 +86,33 @@ class StreamsSpec extends SparkSuite {
       s"expected one row per distinct text ($distinctTexts), got $got")
   }
 
+  test("streaming scrub gate flags PII and contamination in-flight") {
+    import spark.implicits._
+    val stage = tmpDir("docs_scrub_stream")
+    Seq(
+      (0L, "totally clean document text here"),
+      (1L, "contact me at leak@example.com please"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // matches a probe 4-gram
+      (3L, "alpha beta gamma unrelated tail"))     // only a 3-gram overlap
+      .toDF("doc_id", "text")
+      .write.parquet(s"$stage/in.parquet")
+    val probes = Seq("alpha beta gamma delta", "one two three four")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$stage/in.parquet")
+    val q = Streams.scrubbedDocuments(stream, probes, ngramSize = 4)
+      .writeStream.format("memory").queryName("docs_scrub")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("docs_scrub")
+      .select("doc_id", "clean_text", "pii_found", "contaminated")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got(0) === (("totally clean document text here", false, false)))
+    assert(got(1) === (("contact me at <EMAIL> please", true, false)))
+    assert(got(2)._2 === false && got(2)._3 === true)
+    assert(got(3)._3 === false) // sub-window overlap is not contamination
+  }
+
   test("maxFilesPerTrigger rate-limits ingest to one file per batch") {
     val dir = tmpDir("stream_rate")
     WeatherFixtures.writeJson(dir, "b1.json", WeatherFixtures.standardBatch)
