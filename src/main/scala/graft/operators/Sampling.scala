@@ -33,6 +33,45 @@ object Sampling {
       .agg(count(lit(1)).as("n_sampled"),
         min(col("doc_id")).as("first_id"))
 
+  /** Token-budgeted mixture sampling — the pre-training data-planner
+    * op: admit documents per source, in a deterministic pseudo-random
+    * order, until each source's token budget is met. Returns the
+    * per-source achieved mixture (docs admitted, tokens admitted).
+    *
+    * Determinism & oracle form: the admission order is the
+    * multiplicative hash `(doc_id · 2654435761) mod 2³¹−1` (the
+    * engine-portable hash this registry already uses for weighted
+    * sampling), ties broken by doc_id; a document is admitted when the
+    * tokens of PRECEDING admitted docs are still under budget — so the
+    * first doc crossing the budget is included and every engine agrees
+    * on the exact set.
+    *
+    * Scale note: the exact form sorts each source partition (one
+    * shuffle + per-source window). At 100 TB a planner would first cut
+    * approximately — admit `h < hₘₐₓ·(budget/total_tokens)` from the
+    * per-source token totals ([[graft.operators.TextOps.tokenBudget]]),
+    * one scan, no sort — then run this exact form over the ~budget-
+    * sized survivors. The exact form is the contract; the pre-cut is
+    * an optimization that feeds it less data.
+    */
+  def tokenMixture(s: SparkSession, d: String,
+      perSourceBudget: Long = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.Tables.documents(s, d).select(
+      col("source"), col("doc_id"),
+      size(graft.operators.TextOps.tokens(col("text"))).as("n_tokens"),
+      pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)).as("h"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("prior") < perSourceBudget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+  }
+
   /** Typed reservoir-sample Aggregator: uniform k-sample of the
     * DISTINCT values per group in a single pass with O(k) state — the
     * Dataset-API custom-aggregate surface (`Aggregator[IN, BUF, OUT]`).

@@ -57,6 +57,8 @@ object TextQueries {
     "q_embedding_neardups" -> ((s: SparkSession, d: String) =>
       Dedup.embeddingNearDups(s, d, threshold = 0.8)),
     "q_stratified_sample" -> (Sampling.stratifiedDocSample _),
+    "q_token_mixture" -> ((s: SparkSession, d: String) =>
+      Sampling.tokenMixture(s, d)),
     "q_weighted_sample" -> ((s: SparkSession, d: String) =>
       Sampling.weightedDocSample(s, d)),
     "q_reservoir" -> ((s: SparkSession, d: String) =>
@@ -331,6 +333,26 @@ object TextQueries {
         | round(avg(octet_length(CAST(text AS BLOB))), 4) AS avg_bytes,
         | count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY 1""".stripMargin,
+    // exact recomputation of the budget-cut admission set: same
+    // portable multiplicative-hash order, same strictly-before-budget
+    // admission rule (Sampling.tokenMixture scaladoc)
+    "q_token_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |   len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |     AS n_tokens,
+        |   (doc_id * 2654435761) % 2147483647 AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |   coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |     ORDER BY h, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS prior
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM c WHERE prior < 2000 GROUP BY source""".stripMargin,
     // the BPE-ish pattern is RE2-compatible by construction (TextOps
     // scaladoc), so the oracle re-segments with the same regex;
     // whitespace-run pre-tokens are excluded from the budget on both

@@ -537,6 +537,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(s3.subsetOf(s1))
   }
 
+  test("token mixture: admits per-source docs in hash order until the " +
+    "budget, including the crossing doc") {
+    import spark.implicits._
+    val dir = tmpDir("mixture")
+    // one source, 5 docs of 10 tokens each; hash order is a fixed
+    // permutation of the ids, so budget=25 admits the first 3 docs in
+    // that order (10+10 < 25 admits the third, 30 >= 25 stops the 4th)
+    (0L to 4L).map(i => (i, (1 to 10).map(j => s"t${i}_$j").mkString(" "),
+        "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = Sampling.tokenMixture(spark, dir, perSourceBudget = 25)
+      .head()
+    assert(row.getLong(1) === 3L) // n_docs: two under budget + crossing
+    assert(row.getLong(2) === 30L)
+    // whole-corpus sanity on driver data: every source hits >= budget
+    // or returns all of its docs, and the result is deterministic
+    val a = Sampling.tokenMixture(spark, sf(), perSourceBudget = 100)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Sampling.tokenMixture(spark, sf(), perSourceBudget = 100)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
   test("weighted sampling: heavy weights dominate, deterministic") {
     val df = spark.range(200)
       .select(col("id"),
