@@ -66,6 +66,15 @@ class SketchAccuracySpec extends SparkSuite {
       f"ivf=$ivfRecall%.2f")
     AccuracyLedger.assertAtLeast("ann_lsh_recall_at_10", lshRecall, 0.7)
     AccuracyLedger.assertAtLeast("ann_ivf_recall_at_10", ivfRecall, 0.75)
+    // the sharded scale path must not cost recall vs the single index:
+    // 2 forced shards at driver scale, same floor + ratchet discipline
+    val sharded = Similarity
+      .ivfTopKSharded(spark, dir, nShards = 2, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shardedRecall = (brute & sharded).size.toDouble / brute.size
+    info(f"sharded(2) recall@10 = $shardedRecall%.2f")
+    AccuracyLedger.assertAtLeast("ann_ivf_sharded_recall_at_10",
+      shardedRecall, 0.75)
   }
 
 }
