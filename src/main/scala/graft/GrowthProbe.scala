@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object GrowthProbe {
 
+  /** Generate-or-reuse guard for /tmp tool corpora, shared with
+    * IvfTune: a params marker written only AFTER a successful
+    * generation, and DELETED before regenerating — so an interrupted
+    * `gen` can never leave a marker that validates a half-written
+    * corpus (not even when params later revert to the marker's value).
+    */
+  def ensureCorpus(dir: String, params: String)(gen: => Unit): Unit = {
+    val marker = java.nio.file.Paths.get(dir, "params.marker")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8) == params
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      gen
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker,
+        params.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   // mirrors the driver corpus: ~25-word shared vocab, 40-token docs
   private val Vocab = Seq("group", "row", "vector", "table", "data",
     "value", "key", "hash", "spark", "scan", "filter", "window", "sort",
@@ -86,22 +106,25 @@ object GrowthProbe {
     val sizes = Seq(500L, 5000L, 12500L, 25000L)
     val rows = sizes.map { n =>
       val dir = s"/tmp/graft_growth/n$n"
-      if (!new java.io.File(s"$dir/documents.parquet").exists())
+      ensureCorpus(dir, s"growthprobe-v1 n=$n") {
         writeCorpus(spark, n, dir)
+      }
       // candidate stages (the growth claim) + verified outputs (recall
-      // that the verify step holds at every size)
-      val (mhCand, tMhc) = timed(
-        Dedup.minhashCandidates(spark, dir).count())
-      // verify-stage input: the distinct candidate MEMBERS the prune
-      // admits to the re-shingle pass (minhashPairs' memberIds semi-
-      // join). The r7 prune's scaling claim is that this — not n — is
-      // what the second corpus pass pays per-row text work for, and
-      // that it grows linearly at the injected dup rate (~2 members
-      // per true-dup pair ⇒ ~n/10) rather than with the corpus.
-      val (verifyDocs, tVd) = timed(
-        Dedup.minhashCandidates(spark, dir)
-          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-          .distinct().count())
+      // that the verify step holds at every size). Candidates are
+      // materialized ONCE (localCheckpoint): the pair count and the
+      // verify-input distinct both read the same computed set, so the
+      // probe doesn't pay (or silently omit) a second corpus-wide
+      // signature pipeline. verifyDocs is the distinct candidate
+      // MEMBERS the prune admits to the re-shingle pass (minhashPairs'
+      // memberIds semi join) — the r7 prune's scaling claim is that
+      // this, not n, is what the second corpus pass pays per-row text
+      // work for: ~2 members per true-dup pair ⇒ ~n/10, linear.
+      val ((mhCand, verifyDocs), tMhc) = timed {
+        val cand = Dedup.minhashCandidates(spark, dir).localCheckpoint()
+        (cand.count(),
+          cand.select(explode(array(col("doc_a"), col("doc_b")))
+            .as("doc_id")).distinct().count())
+      }
       val (mhPairs, tMhp) = timed(Dedup.minhashPairs(spark, dir).count())
       val (embCand, tEc) = timed(
         Dedup.embeddingCandidates(spark, dir).count())

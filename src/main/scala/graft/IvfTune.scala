@@ -54,21 +54,12 @@ object IvfTune {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // a bare directory-existence check silently reused stale or partial
-    // corpora when generator parameters changed or a prior write was
-    // interrupted; a params marker written AFTER a successful generation
-    // forces regeneration on any mismatch
-    def ensureCorpus(dir: String, params: String)(gen: => Unit): Unit = {
-      val marker = java.nio.file.Paths.get(dir, "params.marker")
-      val fresh = java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker),
-          java.nio.charset.StandardCharsets.UTF_8) == params
-      if (!fresh) {
-        gen
-        java.nio.file.Files.write(marker,
-          params.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      }
-    }
+    // shared generate-or-reuse guard (GrowthProbe.ensureCorpus): a
+    // params marker written only after a successful generation and
+    // deleted before regenerating, so stale or half-written corpora
+    // are never silently reused
+    def ensureCorpus(dir: String, params: String)(gen: => Unit): Unit =
+      GrowthProbe.ensureCorpus(dir, params)(gen)
     val iso25k = "/tmp/graft_ivf/iso25000"
     ensureCorpus(iso25k, "growthprobe-v1 n=25000") {
       GrowthProbe.writeCorpus(spark, 25000L, iso25k)

@@ -92,25 +92,6 @@ object Dedup {
     array((0 until k).map(i =>
       array_min(transform(shHashes, h => xxhash64(h, lit(i))))): _*)
 
-  /** MinHash+LSH near-duplicate pairs, verified with true Jaccard over
-    * shingle sets. `bands` × `rowsPerBand` must equal the signature
-    * length k. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
-    *
-    * Plan shape (scale-critical): the LSH join carries ONLY
-    * (band, bucket, doc_id) — 24 bytes per row — never the shingle
-    * arrays; candidate pairs (rare) then fetch both shingle sets via two
-    * id-keyed joins for exact verification. At 100 TB the wide document
-    * payload is touched exactly twice (once to shingle, once per
-    * verified candidate side), and the quadratic step only ever sees
-    * fixed-width keys.
-    */
-  /** The banded-LSH candidate stage of [[minhashPairs]] over a
-    * (doc_id, sig) frame: one row per (doc, band) with bucket key =
-    * hash of that band's signature slice; docs sharing any (band,
-    * bucket) pair up. The self-join carries only (band, bucket, id);
-    * the repartition puts one Exchange under both sides so
-    * ReuseExchange computes the signature subtree once.
-    */
   /** (doc_id, band, bucket) rows from a (doc_id, sig) frame — bucket
     * key = xxhash64 of the band's signature SLICE (hashed as a long
     * array, never stringified — equal slices ⇔ equal hashes, so the
@@ -127,6 +108,12 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
 
+  /** The banded-LSH candidate stage of [[minhashPairs]] over a
+    * (doc_id, sig) frame: docs sharing any (band, bucket) pair up. The
+    * self-join carries only (band, bucket, id); the repartition puts
+    * one Exchange under both sides so ReuseExchange computes the
+    * signature subtree once.
+    */
   def minhashCandidatesOf(withSig: DataFrame, bands: Int,
       rowsPerBand: Int, dedup: Boolean = true): DataFrame = {
     val banded = bandedBuckets(withSig, bands, rowsPerBand)
@@ -154,6 +141,18 @@ object Dedup {
     minhashCandidatesOf(withSig, bands, rowsPerBand)
   }
 
+  /** MinHash+LSH near-duplicate pairs, verified with true Jaccard over
+    * shingle sets. `bands` × `rowsPerBand` must equal the signature
+    * length k. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    *
+    * Plan shape (scale-critical): the LSH join carries ONLY
+    * (band, bucket, doc_id) — 24 bytes per row — never the shingle
+    * arrays; the rare candidate pairs are then verified by the pruned
+    * single-pass stage ([[verifiedJaccard]]). At 100 TB the wide
+    * document payload is touched exactly twice (once to shingle, once
+    * per verified candidate member), and the quadratic step only ever
+    * sees fixed-width keys.
+    */
   def minhashPairs(s: SparkSession, d: String,
       bands: Int = 4, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
@@ -263,15 +262,25 @@ object Dedup {
     * the documents table (ids ≥ ⌊4·max/5⌋) plays the incoming batch,
     * the rest the standing index — deterministic and recomputable in
     * SQL, so the oracle covers the incremental path end-to-end. The
-    * max-id read is a bounded scalar job (metadata-class, like the
-    * ANN geometry counts).
+    * split id stays IN the plan (a broadcast scalar row, the
+    * q_scalar_subquery pattern) rather than a `.head()` at
+    * construction time — building this DataFrame must not run a job
+    * (the same rule as the lazy candidate checkpoint above;
+    * ExplainPlans constructs every registry query just to print
+    * plans).
     */
   def incrementalDedupQuery(s: SparkSession, d: String,
       threshold: Double = 0.7): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val splitId = docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
-    incrementalMinhashPairs(docs.filter(col("doc_id") < splitId),
-      docs.filter(col("doc_id") >= splitId), threshold = threshold)
+    val split = docs.agg(
+      expr("(max(doc_id) * 4) div 5").as("__split_id"))
+    val withSplit = docs.crossJoin(broadcast(split))
+    incrementalMinhashPairs(
+      withSplit.filter(col("doc_id") < col("__split_id"))
+        .drop("__split_id"),
+      withSplit.filter(col("doc_id") >= col("__split_id"))
+        .drop("__split_id"),
+      threshold = threshold)
   }
 
   /** SimHash near-duplicate pairs: 64-bit SimHash (TextOps.fingerprints)

@@ -278,16 +278,19 @@ object Extras {
     * equals the plain `orders ⋈ customer` exactly (the oracle IS the
     * plain join), so the cross-engine hash proves salt columns never
     * leak into the semantics. The segment projection of customer is
-    * replicated 8×, still dimension-sized.
+    * replicated 8×, still dimension-sized. The salt derives from the
+    * fact table's unique `o_orderkey` (the idCols mode) — full spread
+    * even for byte-identical payload rows, deterministic under any
+    * partitioning.
     */
   def saltedSegmentRevenue(s: SparkSession, d: String,
       salts: Int = 8): DataFrame =
     graft.functions.Skew.saltedJoin(
       Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_totalprice")),
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
       Tables.customer(s, d)
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
-      "o_custkey", salts)
+      "o_custkey", salts, idCols = Seq("o_orderkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("revenue"))

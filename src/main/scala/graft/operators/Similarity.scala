@@ -307,8 +307,9 @@ object Similarity {
     // (TakeOrderedAndProject — one corpus pass, no separate count() job
     // to derive a stride), then k-means refinement on the driver
     val sample: Array[Array[Double]] = emb
-      .select(col("embedding"), xxhash64(col("vec_id")).as("h"))
-      .orderBy(col("h")).limit(sampleSize)
+      .select(col("embedding"), xxhash64(col("vec_id")).as("h"),
+        col("vec_id"))
+      .orderBy(col("h"), col("vec_id")).limit(sampleSize)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val centroidMatrix: Array[Array[Float]] =
@@ -368,6 +369,44 @@ object Similarity {
         col("rk"))
   }
 
+  /** Bounded per-shard sample aggregator: keeps the `k` rows with the
+    * smallest (h, vec_id) per group in O(k) state, partial-aggregating
+    * map-side — the exchange behind [[ivfTopKSharded]]'s centroid-fit
+    * sample carries ≤ k rows per shard per partition instead of the
+    * corpus. Input: (shard, h, vec_id, embedding); output: embeddings
+    * in (h, vec_id) order. Deterministic: the kept set and its order
+    * are pure functions of the values, so merges commute and retries
+    * agree. The trim is amortized (sort only at 2k) to avoid a per-row
+    * O(k log k) sort.
+    */
+  private class BottomKSampleAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Int, Long, Long, Seq[Float]),
+        Seq[(Long, Long, Seq[Float])],
+        Seq[Seq[Float]]] {
+    private def trim(v: Seq[(Long, Long, Seq[Float])]) =
+      v.sortBy(t => (t._1, t._2)).take(k)
+    override def zero: Seq[(Long, Long, Seq[Float])] = Vector.empty
+    override def reduce(b: Seq[(Long, Long, Seq[Float])],
+        a: (Int, Long, Long, Seq[Float])): Seq[(Long, Long, Seq[Float])] = {
+      val appended = b :+ ((a._2, a._3, a._4))
+      if (appended.length >= 2 * k) trim(appended) else appended
+    }
+    override def merge(b1: Seq[(Long, Long, Seq[Float])],
+        b2: Seq[(Long, Long, Seq[Float])]): Seq[(Long, Long, Seq[Float])] =
+      trim(b1 ++ b2)
+    override def finish(r: Seq[(Long, Long, Seq[Float])]): Seq[Seq[Float]] =
+      trim(r).map(_._3)
+    override def bufferEncoder
+        : org.apache.spark.sql.Encoder[Seq[(Long, Long, Seq[Float])]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Long, Long, Seq[Float])]]()
+    override def outputEncoder
+        : org.apache.spark.sql.Encoder[Seq[Seq[Float]]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[Seq[Float]]]()
+  }
+
   /** Shard count for a corpus past one IVF index's comfortable
     * capacity ([[cellsFor]]'s maxCells × targetOccupancy ≈ 65k at the
     * defaults): one shard below it, then linear growth — each shard
@@ -399,9 +438,12 @@ object Similarity {
     *    per (query, candidate) pair — a vector lives in exactly one
     *    (shard, cell) and a query's probe list is distinct per shard.
     *  - The centroid FIT stays bounded: one stratified sample job
-    *    (per-shard bottom-`sampleSize` by id hash — a window rank, one
-    *    pass) collects ≤ shards×sampleSize rows; each shard's k-means
-    *    runs on its own slice. No per-shard corpus scans.
+    *    (per-shard bottom-`sampleSize` by id hash through the bounded
+    *    [[BottomKSampleAgg]] — map-side partial aggregation, the
+    *    exchange carries ≤ sampleSize rows per shard per partition)
+    *    collects ≤ shards×sampleSize rows; each shard's k-means runs
+    *    on its own slice. No per-shard corpus scans, no corpus-wide
+    *    sort.
     *  - Per-shard sizes are taken as n/shards by construction (uniform
     *    hash sharding) rather than measured with an extra count pass.
     *
@@ -420,22 +462,27 @@ object Similarity {
     val shardOf = pmod(xxhash64(col("vec_id")), lit(shards)).cast("int")
     val cells = cellsFor(math.ceil(n.toDouble / shards).toLong)
     val probes = probesFor(cells)
-    // one-pass stratified sample: per-shard bottom-sampleSize by id
-    // hash; the explicit (shard, h) sort keeps the collected row order
-    // deterministic — k-means init is order-sensitive (take(k))
-    val sw = Window.partitionBy(col("shard")).orderBy(col("h"))
-    val sampleRows = emb
-      .select(col("embedding"), shardOf.as("shard"),
-        xxhash64(col("vec_id")).as("h"))
-      .withColumn("rn", row_number().over(sw))
-      .filter(col("rn") <= sampleSize)
-      .orderBy(col("shard"), col("h"))
-      .select(col("shard"), col("embedding"))
-      .collect()
+    // one-pass stratified sample via the bounded bottom-k aggregator
+    // (NOT a row_number window: that would shuffle the whole corpus —
+    // embeddings included — into ≤`shards` sorted partitions just to
+    // drop all but k rows each). The typed aggregate partial-
+    // aggregates map-side, so the exchange carries ≤ sampleSize rows
+    // per shard per partition and the corpus never concentrates.
+    // Ordering is (h, vec_id) — same keys as ivfTopK's sample sort, so
+    // the 1-shard form stays bit-identical; k-means init is order-
+    // sensitive (take(k)), which is why the aggregator's finish sorts.
+    import s.implicits._
+    val sampled: Map[Int, Seq[Seq[Float]]] = emb
+      .select(shardOf.as("shard"), xxhash64(col("vec_id")).as("h"),
+        col("vec_id"), col("embedding"))
+      .as[(Int, Long, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .agg(new BottomKSampleAgg(sampleSize).toColumn.name("sample"))
+      .collect().toMap
     val centroidsByShard: IndexedSeq[Array[Array[Float]]] =
       (0 until shards).map { sh =>
-        val slice = sampleRows.filter(_.getInt(0) == sh)
-          .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        val slice = sampled.getOrElse(sh, Seq.empty)
+          .map(_.map(_.toDouble).toArray).toArray
         if (slice.isEmpty) Array(Array.fill(1)(0f)) // unreachable shard
         else kmeansCentroids(slice, math.min(cells, slice.length))
           .map(_.map(_.toFloat))

@@ -105,4 +105,34 @@ class IncrementalSkewSpec extends SparkSuite {
     // duplication would change the multiset size
     assert(plain.count(_.contains("hot")) > 2000)
   }
+
+  test("idCols salt keeps full spread when identical hot rows are " +
+      "co-partitioned by the join key — the fallback's collapse case") {
+    // hot key 0 with byte-identical payloads, hash-partitioned BY THE
+    // JOIN KEY (a groupBy/exchange output shape): every copy sits in
+    // one partition, so the content+partition fallback collapses to a
+    // single salt; the id-based salt must still use all of them
+    val big = spark.range(4000)
+      .select(col("id"), lit(0L).as("k"), lit(-1L).as("payload"))
+      .repartition(8, col("k"))
+    val spread = big.select(
+      Skew.saltCol(big, Seq("id"), salts = 8).as("s"))
+      .distinct().count()
+    assert(spread === 8L, s"id salt used $spread of 8 salts")
+    val collapsed = big.drop("id").select(
+      Skew.saltCol(big.drop("id"), Nil, salts = 8).as("s"))
+      .distinct().count()
+    assert(collapsed === 1L, "fallback should collapse here — if this " +
+      "starts passing, the scaladoc's documented limitation is stale")
+    // and the idCols join is still exact
+    val small = Seq((0L, "hot")).toDF("k", "label")
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8,
+        idCols = Seq("id"))
+      .select("k", "payload", "label")
+      .collect().map(_.toString).sorted.toSeq
+    val plain = big.join(small, Seq("k"))
+      .select("k", "payload", "label")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted === plain)
+  }
 }
