@@ -262,24 +262,28 @@ object Dedup {
     * the documents table (ids ≥ ⌊4·max/5⌋) plays the incoming batch,
     * the rest the standing index — deterministic and recomputable in
     * SQL, so the oracle covers the incremental path end-to-end. The
-    * split id stays IN the plan (a broadcast scalar row, the
-    * q_scalar_subquery pattern) rather than a `.head()` at
-    * construction time — building this DataFrame must not run a job
-    * (the same rule as the lazy candidate checkpoint above;
+    * split id stays IN the plan as a SQL ScalarSubquery rather than a
+    * `.head()` at construction time — building this DataFrame must not
+    * run a job (the same rule as the lazy candidate checkpoint above;
     * ExplainPlans constructs every registry query just to print
-    * plans).
+    * plans). A subquery beats the crossJoin(broadcast(scalar)) form
+    * here because each side is referenced twice downstream (signature
+    * stage + verify union): the crossJoin subtree re-expands at every
+    * reference (4 BNLJ + 4 unshared max-agg scans in the physical
+    * plan), while identical subqueries are deduped by
+    * ReuseSubquery/AQE's subquery cache and the filters stay simple
+    * predicates on the scan. The subquery resolves against a temp view
+    * registered at construction (analysis is eager, so later
+    * re-registration cannot retarget an already-built plan).
     */
   def incrementalDedupQuery(s: SparkSession, d: String,
       threshold: Double = 0.7): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val split = docs.agg(
-      expr("(max(doc_id) * 4) div 5").as("__split_id"))
-    val withSplit = docs.crossJoin(broadcast(split))
+    docs.createOrReplaceTempView("graft_incr_docs")
+    val splitId = "(select (max(doc_id) * 4) div 5 from graft_incr_docs)"
     incrementalMinhashPairs(
-      withSplit.filter(col("doc_id") < col("__split_id"))
-        .drop("__split_id"),
-      withSplit.filter(col("doc_id") >= col("__split_id"))
-        .drop("__split_id"),
+      docs.filter(expr(s"doc_id < $splitId")),
+      docs.filter(expr(s"doc_id >= $splitId")),
       threshold = threshold)
   }
 
