@@ -89,6 +89,78 @@ object TextOps {
         r4(avg(col("bpe"))).as("avg_bpe_per_doc"))
   }
 
+  /** Intra-document repetition signals per source — the Gopher-class
+    * quality filter that catches boilerplate/spam: a document whose
+    * token bigrams are mostly duplicates of each other is template or
+    * generated text, not prose. Per doc: duplicate-token ratio
+    * (1 − distinct/total tokens) and duplicate-bigram ratio (same over
+    * adjacent-token bigrams); per source: averages plus the count of
+    * docs whose bigram ratio exceeds `threshold` (the would-be-dropped
+    * set a filtering pass sizes before committing).
+    *
+    * Scale shape: bigrams are a zip of two slices of the already-split
+    * token array — pure narrow column expressions, one corpus pass, no
+    * explode (the bigram list never leaves its row), and the only
+    * shuffle is the final per-source aggregate.
+    */
+  def repetitionStats(s: SparkSession, d: String,
+      threshold: Double = 0.2): DataFrame = {
+    val toks = tokens(col("text"))
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
+      (a, b) => concat_ws(" ", a, b))
+    val perDoc = Tables.documents(s, d).select(
+      col("source"),
+      (lit(1.0) - size(array_distinct(toks)).cast("double")
+        / size(toks)).as("dup_tok"),
+      when(size(bigrams) > 0,
+        lit(1.0) - size(array_distinct(bigrams)).cast("double")
+          / size(bigrams)).as("dup_bigram"))
+    perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      r4(avg(col("dup_tok"))).as("avg_dup_token_ratio"),
+      r4(avg(col("dup_bigram"))).as("avg_dup_bigram_ratio"),
+      sum(when(col("dup_bigram") > threshold, 1).otherwise(0))
+        .cast("long").as("n_repetitive"))
+  }
+
+  /** Sequence-packing accounting per source: documents are concatenated
+    * in doc_id order into a token stream that is chopped into
+    * fixed-`budget` context windows (the GPT-style packing a training
+    * run feeds on). Reports window counts, packing density and how many
+    * documents straddle a window boundary (get split across training
+    * examples) — the numbers a data planner reads before choosing a
+    * packing budget.
+    *
+    * Scale shape: one scan; the running token total is a per-source
+    * window ordered by the unique doc_id (deterministic), so the only
+    * shuffle is the per-source range partition — same shape as
+    * `q_token_mixture`'s admission window. Window indices use integer
+    * `div` (exact at any stream length, no double rounding).
+    */
+  def seqPackStats(s: SparkSession, d: String,
+      budget: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val cum = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws"))
+      .withColumn("cum", sum(col("ws")).over(w))
+    cum
+      .withColumn("w_first", expr(s"(cum - ws) div $budget"))
+      .withColumn("w_last", expr(s"(cum - 1) div $budget"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("total_tokens"),
+        expr(s"(max(cum) + ${budget - 1}) div $budget").as("n_windows"),
+        sum(when(col("ws") > 0 && col("w_first") =!= col("w_last"), 1)
+          .otherwise(0)).cast("long").as("n_straddlers"),
+        r4(count(lit(1)).cast("double")
+          / expr(s"(max(cum) + ${budget - 1}) div $budget"))
+          .as("docs_per_window"))
+  }
+
   /** Corpus stats per (lang, source): volume and quality score. The
     * quality score is a simple length saturation — a placeholder with
     * the right shape (bounded, monotone) for a real scorer.

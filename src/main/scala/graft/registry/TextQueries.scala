@@ -66,6 +66,10 @@ object TextQueries {
     "q_multimodal_stats" -> (Multimodal.docAssetStats _),
     "q_wav_decode" -> (Multimodal.wavDecodeStats _),
     "q_token_budget" -> (TextOps.tokenBudget _),
+    "q_repetition" -> ((s: SparkSession, d: String) =>
+      TextOps.repetitionStats(s, d)),
+    "q_seq_pack" -> ((s: SparkSession, d: String) =>
+      TextOps.seqPackStats(s, d)),
     "q_pii_scan" -> (Scrub.piiScan _),
     // ngramSize=4 so the scan produces rows on the driver's 25-word-
     // vocab corpus (no two synthetic docs share a 13-gram); the
@@ -368,6 +372,56 @@ object TextQueries {
          |   '${TextOps.BpeTokenRe.replace("'", "''")}'),
          |   x -> regexp_matches(x, '\\S')))), 4) AS avg_bpe_per_doc
          |FROM documents GROUP BY source""".stripMargin,
+    // exact recomputation of the repetition signals: same tokenizer,
+    // same adjacent-bigram construction, same distinct/total ratios;
+    // int divisions are bit-exact cross-engine, the r4-rounded avgs
+    // follow the established avg_quality pattern
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT source,
+        |   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, toks,
+        |   list_transform(range(1, len(toks)),
+        |     i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        |  FROM t),
+        |d AS (
+        |  SELECT source,
+        |   1.0 - len(list_distinct(toks)) * 1.0 / len(toks) AS dup_tok,
+        |   CASE WHEN len(bigrams) > 0 THEN
+        |     1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams)
+        |   END AS dup_bigram
+        |  FROM b)
+        |SELECT source, count(*) AS n_docs,
+        | round(avg(dup_tok), 4) AS avg_dup_token_ratio,
+        | round(avg(dup_bigram), 4) AS avg_dup_bigram_ratio,
+        | count(*) FILTER (WHERE dup_bigram > 0.2) AS n_repetitive
+        |FROM d GROUP BY source""".stripMargin,
+    // exact recomputation of the packing accounting: same per-source
+    // doc_id-ordered running token total, same integer-div window
+    // indices — everything up to the final density division is integer
+    // arithmetic, bit-exact cross-engine
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |   len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |     AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, ws,
+        |   sum(ws) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(ws) AS BIGINT) AS total_tokens,
+        | CAST((max(cum) + 511) // 512 AS BIGINT) AS n_windows,
+        | CAST(count(*) FILTER (WHERE ws > 0
+        |   AND (cum - ws) // 512 <> (cum - 1) // 512) AS BIGINT)
+        |   AS n_straddlers,
+        | round(count(*) * 1.0 / ((max(cum) + 511) // 512), 4)
+        |   AS docs_per_window
+        |FROM c GROUP BY source""".stripMargin,
     // the PII patterns are RE2-compatible by construction (Scrub
     // scaladoc), so DuckDB re-evaluates the same regexes; on the
     // synthetic corpus every count is zero except docs_clean — the

@@ -94,6 +94,57 @@ class ScrubSpec extends SparkSuite {
     assert(row.getLong(3) === 2L) // bpe: "a", "b" (the "  " run dropped)
   }
 
+  test("repetitionStats flags a planted repetitive doc and scores " +
+      "clean prose near zero") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // doc 0: pure boilerplate (one bigram repeated); doc 1: all-unique
+    // prose; doc 2: single token (no bigrams — must not NPE or flag)
+    val docs = Seq(
+      (0L, "buy now buy now buy now buy now", "en", "spam", 31L),
+      (1L, "the quick brown fox jumps over dogs", "en", "web", 35L),
+      (2L, "hi", "en", "web", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("rep")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.repetitionStats(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // spam: 8 tokens, 2 distinct -> dup_tok 0.75; 7 bigrams, 2
+    // distinct -> dup_bigram 5/7 — well over the 0.2 flag threshold
+    assert(rows("spam").getLong(4) === 1L)
+    assert(rows("spam").getDouble(2) === 0.75)
+    assert(rows("spam").getDouble(3) === 0.7143)
+    // web: doc 1 all-unique (ratios 0); doc 2 contributes no bigram
+    // ratio (null) so the bigram avg reflects doc 1 alone
+    assert(rows("web").getLong(4) === 0L)
+    assert(rows("web").getDouble(2) === 0.0)
+    assert(rows("web").getDouble(3) === 0.0)
+  }
+
+  test("seqPackStats window accounting is exact on a hand-packed " +
+      "fixture") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // budget 4: doc ids order the stream; ws = 3,3,2,0 -> cum 3,6,8,8
+    // windows of 4 tokens: ceil(8/4)=2; doc 0 fits window 0, doc 1
+    // spans tokens 3..5 (straddles 0->1), doc 2 spans 6..7 (window 1),
+    // the empty doc must not count as a straddler
+    val docs = Seq(
+      (0L, "a b c", "en", "s", 5L),
+      (1L, "d e f", "en", "s", 5L),
+      (2L, "g h", "en", "s", 3L),
+      (3L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("pack")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.seqPackStats(spark, dir, budget = 4).head
+    assert(r.getLong(1) === 4L) // n_docs
+    assert(r.getLong(2) === 8L) // total_tokens
+    assert(r.getLong(3) === 2L) // n_windows
+    assert(r.getLong(4) === 1L) // only doc 1 straddles
+    assert(r.getDouble(5) === 2.0) // docs per window
+  }
+
   test("q_contamination registry form yields rows on the driver corpus") {
     val rows = SparkEntry.queries("q_contamination")(spark, sf("sf0.01"))
       .collect()
