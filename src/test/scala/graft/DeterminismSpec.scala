@@ -11,8 +11,10 @@ class DeterminismSpec extends SparkSuite {
   private val sample = Seq("q1_pricing", "q_daily_rollup", "q_grand_avg",
     "q_json_extract", "q_stats_agg", "q8_market_share", "q_percentiles",
     "q_embedding_stats", "q_window_running",
-    // r9 additions: decode round-trip, regex scans, budget windows
-    "q_wav_decode", "q_pii_scan", "q_token_budget", "q_token_mixture")
+    // r9 additions: decode round-trip, regex scans, budget windows,
+    // repetition ratios (avg of doubles), packing accounting
+    "q_wav_decode", "q_pii_scan", "q_token_budget", "q_token_mixture",
+    "q_repetition", "q_seq_pack")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
