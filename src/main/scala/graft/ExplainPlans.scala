@@ -8,6 +8,9 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainPlans {
   def main(args: Array[String]): Unit = {
+    // audit transparency: print the full candidate subtrees instead of
+    // the opaque ExistingRDD scans the lazy lineage cuts leave behind
+    sys.props("graft.audit.noCheckpoint") = "true"
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -30,6 +30,18 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Lazy lineage cut for the candidate-pair frames the verify stage
+    * reads twice: materialization happens on the first ACTION (an eager
+    * checkpoint would run the corpus job at plan-construction time).
+    * The `graft.audit.noCheckpoint` system property skips the cut so
+    * plan audits (ExplainPlans/gen_scale) see the full candidate
+    * subtree instead of an opaque `Scan ExistingRDD` — execution paths
+    * never set it.
+    */
+  private def lazyCheckpoint(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.audit.noCheckpoint").contains("true")) df
+    else df.localCheckpoint(eager = false)
+
   /** Word 3-gram shingles from a token-array COLUMN. The tokens must be
     * a materialized column (not an inline expression): higher-order
     * lambdas re-evaluate non-attribute subexpressions per element, so an
@@ -167,9 +179,8 @@ object Dedup {
     // happens on the first ACTION, not at plan construction — an eager
     // checkpoint made merely building this DataFrame run the full
     // corpus job (ExplainPlans paid it just to print plans).
-    val candidates =
-      minhashCandidatesOf(withSig, bands, rowsPerBand, dedup = false)
-        .localCheckpoint(eager = false)
+    val candidates = lazyCheckpoint(
+      minhashCandidatesOf(withSig, bands, rowsPerBand, dedup = false))
     verifiedJaccard(Tables.documents(s, d).select(col("doc_id"),
       col("text")), candidates, threshold)
   }
@@ -246,13 +257,12 @@ object Dedup {
     // every emitted pair has a new doc on the probe side; canonical
     // orientation + the verify groupBy collapse the duplicates a
     // new-new pair gets from matching in both directions/bands
-    val candidates = newB
+    val candidates = lazyCheckpoint(newB
       .join(allB.select(col("band"), col("bucket"),
         col("doc_id").as("doc_b")), Seq("band", "bucket"))
       .filter(col("doc_id") =!= col("doc_b"))
       .select(least(col("doc_id"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_id"), col("doc_b")).as("doc_b"))
-      .localCheckpoint(eager = false)
+        greatest(col("doc_id"), col("doc_b")).as("doc_b")))
     val allDocs = indexDocs.select(col("doc_id"), col("text"))
       .unionByName(newDocs.select(col("doc_id"), col("text")))
     verifiedJaccard(allDocs, candidates, threshold)
