@@ -244,15 +244,44 @@ object Dedup {
     */
   def incrementalMinhashPairs(indexDocs: DataFrame, newDocs: DataFrame,
       bands: Int = 4, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7): DataFrame =
+    incrementalMinhashPairsFromIndex(
+      minhashBuckets(indexDocs, bands, rowsPerBand),
+      indexDocs, newDocs, bands, rowsPerBand, threshold)
+
+  /** The persistable LSH index over a (doc_id, text, ...) frame: one
+    * (doc_id, band, bucket) row per band — the artifact a production
+    * pipeline writes to the lake (S8-class sink, partitioned or
+    * bucketed by (band, bucket)) and APPENDS each batch's rows to, so
+    * the standing corpus is never re-shingled. 24 bytes per row,
+    * `bands` rows per document.
+    */
+  def minhashBuckets(docs: DataFrame, bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    def sigs(docs: DataFrame): DataFrame =
+    bandedBuckets(
       shingleStage(Tables.parallelized(
         docs.select(col("doc_id"), col("text"))))
-        .select(col("doc_id"), minhashSignature(col("shh"), k).as("sig"))
-    val newB = bandedBuckets(sigs(newDocs), bands, rowsPerBand)
+        .select(col("doc_id"), minhashSignature(col("shh"), k).as("sig")),
+      bands, rowsPerBand)
+  }
+
+  /** [[incrementalMinhashPairs]] against a PERSISTED index: the
+    * standing corpus's banded buckets come from `indexBuckets` (a
+    * prior [[minhashBuckets]] write) rather than being recomputed, so
+    * per-run signature work — not just join work — scales with the new
+    * batch. `indexDocs` still supplies the verify stage's text, but
+    * the pruned verify re-shingles only the candidate MEMBERS the LSH
+    * probe admits, never the index.
+    */
+  def incrementalMinhashPairsFromIndex(indexBuckets: DataFrame,
+      indexDocs: DataFrame, newDocs: DataFrame,
+      bands: Int = 4, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val newB = minhashBuckets(newDocs, bands, rowsPerBand)
       .repartition(col("band"), col("bucket"))
-    val allB = bandedBuckets(sigs(indexDocs), bands, rowsPerBand)
+    val allB = indexBuckets
+      .select(col("doc_id"), col("band"), col("bucket"))
       .unionByName(newB)
     // every emitted pair has a new doc on the probe side; canonical
     // orientation + the verify groupBy collapse the duplicates a

@@ -76,6 +76,15 @@ class DedupSimilaritySpec extends SparkSuite {
     val full = Dedup.minhashPairs(spark, dir, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === full.filter(_._2 >= 10L))
+    // the production path: the index's banded buckets persisted to
+    // parquet (the lake artifact a daily run appends to) and read back
+    // — identical pairs without re-shingling the standing corpus
+    val idxDir = s"$dir/minhash_index"
+    Dedup.minhashBuckets(index).write.mode("overwrite").parquet(idxDir)
+    val fromIndex = Dedup.incrementalMinhashPairsFromIndex(
+      spark.read.parquet(idxDir), index, fresh, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIndex === got)
   }
 
   test("ngram jaccard block guard: a dominant block routes through LSH " +
