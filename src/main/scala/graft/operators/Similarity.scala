@@ -292,6 +292,25 @@ object Similarity {
     * the clustered-corpus sweep in tools/ivf_tune.json shows the index
     * holding recall at the falling fraction when structure exists.
     */
+  /** Deterministic centroid fit over an embeddings frame: bottom-
+    * `sampleSize` rows by id hash (TakeOrderedAndProject — one corpus
+    * pass, no separate count() job to derive a stride), then k-means
+    * refinement on the driver. The (h, vec_id) sort keys give a total
+    * order, so the fit is reproducible for a given corpus + geometry —
+    * which is what lets a persisted index ([[ivfWriteIndex]]) and an
+    * inline fit agree bit-for-bit.
+    */
+  def fitCentroids(emb: DataFrame, cells: Int,
+      sampleSize: Int = 2048): Array[Array[Float]] = {
+    val sample: Array[Array[Double]] = emb
+      .select(col("embedding"), xxhash64(col("vec_id")).as("h"),
+        col("vec_id"))
+      .orderBy(col("h"), col("vec_id")).limit(sampleSize)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    kmeansCentroids(sample, cells).map(_.map(_.toFloat))
+  }
+
   def ivfTopK(s: SparkSession, d: String, nCells: Int = 0,
       nQueries: Int = 5, k: Int = 10, nProbe: Int = 0,
       sampleSize: Int = 2048,
@@ -303,17 +322,8 @@ object Similarity {
     // footer read (same pattern as annTopK's planesFor derivation)
     val cells = if (nCells > 0) nCells else cellsFor(emb.count())
     val probes = if (nProbe > 0) nProbe else probesFor(cells)
-    // deterministic "random" sample: bottom-sampleSize by id hash
-    // (TakeOrderedAndProject — one corpus pass, no separate count() job
-    // to derive a stride), then k-means refinement on the driver
-    val sample: Array[Array[Double]] = emb
-      .select(col("embedding"), xxhash64(col("vec_id")).as("h"),
-        col("vec_id"))
-      .orderBy(col("h"), col("vec_id")).limit(sampleSize)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val centroidMatrix: Array[Array[Float]] =
-      kmeansCentroids(sample, cells).map(_.map(_.toFloat))
+      fitCentroids(emb, cells, sampleSize)
     // Centroid assignment/probing via the NearestCentroids expression:
     // the matrix rides as a codegen reference object, so plan size and
     // generated-method size are O(1) in cell count — the literal-array
@@ -357,6 +367,17 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val queryProbes = queryVecs.select(col("query_id"), col("q"),
       explode(probeCells(col("q"))).as("cell"))
+    ivfScore(assigned, queryProbes, k)
+  }
+
+  /** The IVF scoring join shared by the inline and persisted-index
+    * paths: broadcast the (query, probed cell) rows against the
+    * (vec_id, embedding, cell) assignments, score each matching pair
+    * once, keep per-query top-k.
+    */
+  private def ivfScore(assigned: DataFrame, queryProbes: DataFrame,
+      k: Int): DataFrame = {
+    import graft.functions.FusedCosineSimilarity.fusedCosine
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     assigned.join(broadcast(queryProbes), Seq("cell"))
@@ -367,6 +388,60 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), r4(col("sim")).as("sim"),
         col("rk"))
+  }
+
+  /** Fit and persist the IVF index for the embeddings at `d`: a
+    * `centroids` table (cell, centroid) and an `assignments` table
+    * (vec_id, embedding, cell) under `indexDir` — the lake artifacts a
+    * production deployment builds ONCE per corpus snapshot and serves
+    * every query from ([[ivfTopKFromIndex]]), instead of refitting
+    * k-means per query. At 100 TB the assignments write is one corpus
+    * pass (the same narrow `NearestCentroids` projection the inline
+    * path plans); partition the parquet by `cell` to turn each query's
+    * probe list into partition pruning.
+    */
+  def ivfWriteIndex(s: SparkSession, d: String, indexDir: String,
+      nCells: Int = 0, sampleSize: Int = 2048): Unit = {
+    import graft.functions.NearestCentroids.nearestCells
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cells = if (nCells > 0) nCells else cellsFor(emb.count())
+    val centroidMatrix = fitCentroids(emb, cells, sampleSize)
+    centroidMatrix.toIndexedSeq.map(_.toSeq).zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    emb.select(col("vec_id"), col("embedding"),
+        element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
+          .as("cell"))
+      .write.mode("overwrite").parquet(s"$indexDir/assignments")
+  }
+
+  /** Serve IVF top-k from a persisted index ([[ivfWriteIndex]]):
+    * reads the bounded centroids table onto the driver (≤ maxCells
+    * rows — the same model-sized collect as the inline fit), plans the
+    * query probes against it, and joins the persisted assignments —
+    * no k-means, no corpus-wide assignment pass. Results are
+    * bit-identical to the inline [[ivfTopK]] at the same geometry
+    * (deterministic fit; pinned in DedupSimilaritySpec).
+    */
+  def ivfTopKFromIndex(s: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int = 10, nProbe: Int = 0): DataFrame = {
+    import graft.functions.NearestCentroids.nearestCells
+    val centroidMatrix: Array[Array[Float]] =
+      s.read.parquet(s"$indexDir/centroids")
+        .orderBy(col("cell")).collect()
+        .map(_.getSeq[Float](1).toArray)
+    val probes =
+      if (nProbe > 0) nProbe else probesFor(centroidMatrix.length)
+    val assigned = s.read.parquet(s"$indexDir/assignments")
+    val queryProbes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .select(col("query_id"), col("q"),
+        explode(nearestCells(col("q"), centroidMatrix, probes))
+          .as("cell"))
+    ivfScore(assigned, queryProbes, k)
   }
 
   /** Bounded per-shard sample aggregator: keeps the `k` rows with the

@@ -361,6 +361,27 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(sharded === single)
   }
 
+  test("persisted IVF index serves queries bit-identical to the " +
+      "inline fit") {
+    // production path: fit+assign ONCE (ivfWriteIndex), serve every
+    // query from the lake artifacts — deterministic fit means the
+    // round-trip must reproduce ivfTopK exactly
+    val dir = tmpDir("ivfidx")
+    Similarity.ivfWriteIndex(spark, sf(), dir)
+    val queries = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") < 5)
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, dir, queries)
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Similarity.ivfTopK(spark, sf(), nQueries = 5, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromIndex === inline)
+    // the centroids artifact is bounded (one row per cell)
+    val nCentroids =
+      spark.read.parquet(s"$dir/centroids").count()
+    assert(nCentroids === Similarity.cellsFor(
+      Tables.embeddings(spark, sf()).count()))
+  }
+
   test("ivfTopKSharded keeps usable recall across shards and returns " +
       "exactly k ranked rows per query") {
     val brute = Similarity.bruteForceTopK(spark, sf(), nQueries = 5, k = 10)
