@@ -86,6 +86,58 @@ object Streams {
       .drop("toks")
   }
 
+  /** Streaming near-dup maintainer — the daily-ingest loop as one
+    * continuous query. Each micro-batch of (doc_id, text) documents:
+    *
+    *  1. probes the STANDING lake index for near-dup pairs
+    *     ([[graft.operators.Dedup.incrementalMinhashPairsFromIndex]] —
+    *     new-vs-index and new-vs-new, never re-pairing the index with
+    *     itself), appending them to `lakeDir/pairs`;
+    *  2. appends its documents to `lakeDir/documents` and its banded
+    *     buckets ([[graft.operators.Dedup.minhashBuckets]], 24 B/row)
+    *     to `lakeDir/buckets` — so the index the NEXT batch probes
+    *     includes this one.
+    *
+    * Per-batch work scales with the batch (signature AND join), the
+    * standing corpus is only touched by the pruned verify's
+    * candidate-member fetch, and each unordered pair is emitted
+    * exactly once — when its second member arrives. Doc ids must be
+    * ingest-unique (the same invariant as the batch API); the
+    * checkpoint makes replays idempotent at the file-source level.
+    */
+  def nearDupMaintainer(docs: DataFrame, lakeDir: String,
+      checkpoint: String, threshold: Double = 0.7,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.Dedup
+          val s = batch.sparkSession
+          val batchDocs = batch.select(col("doc_id"), col("text"))
+          val (docsPath, bucketsPath, pairsPath) = (
+            s"$lakeDir/documents", s"$lakeDir/buckets", s"$lakeDir/pairs")
+          val indexed =
+            new java.io.File(s"$bucketsPath/_SUCCESS").exists()
+          val pairs =
+            if (indexed) Dedup.incrementalMinhashPairsFromIndex(
+              s.read.parquet(bucketsPath), s.read.parquet(docsPath),
+              batchDocs, threshold = threshold)
+            // first batch: no standing index — new-vs-new only, via the
+            // same path with empty index frames
+            else Dedup.incrementalMinhashPairsFromIndex(
+              Dedup.minhashBuckets(batchDocs.limit(0)),
+              batchDocs.limit(0), batchDocs, threshold = threshold)
+          pairs.write.mode("append").parquet(pairsPath)
+          batchDocs.write.mode("append").parquet(docsPath)
+          Dedup.minhashBuckets(batchDocs)
+            .write.mode("append").parquet(bucketsPath)
+        }
+      }
+      .start()
+
   /** Tumbling-window hourly aggregate with late-data tolerance — the
     * streaming twin of Warehouse.hourlyAggregates (same metric mix).
     */

@@ -86,6 +86,48 @@ class StreamsSpec extends SparkSuite {
       s"expected one row per distinct text ($distinctTexts), got $got")
   }
 
+  test("streaming near-dup maintainer: pairs emitted once across " +
+    "micro-batches, lake index grows with each batch") {
+    import spark.implicits._
+    def doc(seed: Int, change: Int = -1): String =
+      (1 to 40).map(i =>
+        if (i == change) "CHANGED" else s"w${seed}_$i").mkString(" ")
+    val stage = tmpDir("neardup_stream")
+    val lake = tmpDir("neardup_lake")
+    // batch A: 1-2 near-dup each other, 3 far; batch B: 10 near-dups 1
+    // (cross-batch), 11-12 near-dup each other (within-batch), 13 far.
+    // The file stream source lists plain files (no recursion), so each
+    // batch's part file is copied out of its write directory.
+    def stageBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = tmpDir(s"stage_$name")
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    stageBatch("a", Seq((1L, doc(7)), (2L, doc(7, change = 5)),
+      (3L, doc(9))))
+    stageBatch("b", Seq((10L, doc(7, change = 31)), (11L, doc(4)),
+      (12L, doc(4, change = 8)), (13L, doc(5))))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = Streams.nearDupMaintainer(stream, lake,
+      checkpoint = tmpDir("neardup_ckpt"), threshold = 0.5)
+    q.awaitTermination(180000)
+    // every unordered pair exactly once, regardless of batch order:
+    // within-batch pairs plus the cross-batch (1,10)/(2,10) matches
+    val pairs = spark.read.parquet(s"$lake/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.sorted === Seq((1L, 2L), (1L, 10L), (2L, 10L),
+      (11L, 12L)).sorted)
+    // the lake holds the full corpus and bands-per-doc bucket rows
+    assert(spark.read.parquet(s"$lake/documents").count() === 7L)
+    assert(spark.read.parquet(s"$lake/buckets").count() === 7L * 4)
+  }
+
   test("streaming scrub gate flags PII and contamination in-flight") {
     import spark.implicits._
     val stage = tmpDir("docs_scrub_stream")
