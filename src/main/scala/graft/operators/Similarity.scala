@@ -370,17 +370,18 @@ object Similarity {
     ivfScore(assigned, queryProbes, k)
   }
 
-  /** The IVF scoring join shared by the inline and persisted-index
-    * paths: broadcast the (query, probed cell) rows against the
-    * (vec_id, embedding, cell) assignments, score each matching pair
-    * once, keep per-query top-k.
+  /** The candidate scoring join shared by the inline and
+    * persisted-index ANN paths: broadcast the (query, probed `key`)
+    * rows against the (vec_id, embedding, `key`) corpus partition,
+    * score each matching pair once, keep per-query top-k. `key` is
+    * "cell" for IVF, "bucket" for LSH.
     */
-  private def ivfScore(assigned: DataFrame, queryProbes: DataFrame,
-      k: Int): DataFrame = {
+  private def scoreCandidates(assigned: DataFrame,
+      queryProbes: DataFrame, key: String, k: Int): DataFrame = {
     import graft.functions.FusedCosineSimilarity.fusedCosine
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(queryProbes), Seq("cell"))
+    assigned.join(broadcast(queryProbes), Seq(key))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         fusedCosine(col("q"), col("embedding")).as("sim"))
@@ -389,6 +390,9 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), r4(col("sim")).as("sim"),
         col("rk"))
   }
+
+  private def ivfScore(assigned: DataFrame, queryProbes: DataFrame,
+      k: Int): DataFrame = scoreCandidates(assigned, queryProbes, "cell", k)
 
   /** Fit and persist the IVF index for the embeddings at `d`: a
     * `centroids` table (cell, centroid) and an `assignments` table
@@ -633,19 +637,54 @@ object Similarity {
     val queryProbes = queryVecs.select(col("query_id"), col("q"),
       explode(array(masks.map(m =>
         qb.bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
     // single corpus pass, inline scoring: the bucket partition + the
     // distinct probe masks guarantee each (query, candidate) pair
     // appears at most once (see scaladoc), so there is nothing to
     // dedup and the fused cosine runs exactly once per pair
-    buckets.join(broadcast(queryProbes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        fusedCosine(col("q"), col("embedding")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), r4(col("sim")).as("sim"),
-        col("rk"))
+    scoreCandidates(buckets, queryProbes, "bucket", k)
+  }
+
+  /** Persist the LSH index for the embeddings at `d`: a `buckets`
+    * table (vec_id, embedding, bucket) plus a one-row `meta` table
+    * (planes, dim). The hyperplanes are seed-deterministic functions
+    * of (dim, planes), so the meta row is the WHOLE model — a serving
+    * process recomputes query buckets from it without touching the
+    * corpus. Partition the buckets parquet by `bucket` to turn each
+    * query's probe masks into partition pruning.
+    */
+  def lshWriteIndex(s: SparkSession, d: String, indexDir: String,
+      dim: Int = 64, nPlanes: Int = 0): Unit = {
+    import s.implicits._
+    val embRaw = Tables.embeddings(s, d)
+    val planes = if (nPlanes > 0) nPlanes else planesFor(embRaw.count())
+    Tables.parallelized(embRaw)
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), dim, planes).as("bucket"))
+      .write.mode("overwrite").parquet(s"$indexDir/buckets")
+    Seq((planes, dim)).toDF("planes", "dim")
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** Serve LSH ANN top-k from a persisted index ([[lshWriteIndex]]):
+    * reads the one-row meta, derives the query buckets + multiprobe
+    * masks from it, and joins the persisted buckets — no corpus
+    * hashing per query. Bit-identical to the inline [[annTopK]] at the
+    * same geometry (seeded hyperplanes; pinned in
+    * DedupSimilaritySpec).
+    */
+  def annTopKFromIndex(s: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int = 10,
+      probeRadius: Int = 2): DataFrame = {
+    val meta = s.read.parquet(s"$indexDir/meta").head()
+    val (planes, dim) = (meta.getInt(0), meta.getInt(1))
+    val buckets = s.read.parquet(s"$indexDir/buckets")
+    val masks = probeMasks(planes, probeRadius)
+    val qb = lshBucket(col("q"), dim, planes)
+    val queryProbes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .select(col("query_id"), col("q"),
+        explode(array(masks.map(m =>
+          qb.bitwiseXOR(lit(m))): _*)).as("bucket"))
+    scoreCandidates(buckets, queryProbes, "bucket", k)
   }
 }

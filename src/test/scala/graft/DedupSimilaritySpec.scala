@@ -382,6 +382,21 @@ class DedupSimilaritySpec extends SparkSuite {
       Tables.embeddings(spark, sf()).count()))
   }
 
+  test("persisted LSH index serves queries bit-identical to the " +
+      "inline path") {
+    // the one-row meta (planes, dim) is the whole model — seeded
+    // hyperplanes — so the round-trip must reproduce annTopK exactly
+    val dir = tmpDir("lshidx")
+    Similarity.lshWriteIndex(spark, sf(), dir)
+    val queries = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") < 5)
+    val fromIndex = Similarity.annTopKFromIndex(spark, dir, queries)
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Similarity.annTopK(spark, sf(), nQueries = 5, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromIndex === inline)
+  }
+
   test("ivfTopKSharded keeps usable recall across shards and returns " +
       "exactly k ranked rows per query") {
     val brute = Similarity.bruteForceTopK(spark, sf(), nQueries = 5, k = 10)
