@@ -1,6 +1,7 @@
 package graft.registry
 
-import graft.operators.{Dedup, Multimodal, Sampling, Scrub, Similarity, TextOps}
+import graft.operators.{Curate, Dedup, Multimodal, Sampling, Scrub,
+  Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
@@ -70,6 +71,8 @@ object TextQueries {
       TextOps.repetitionStats(s, d)),
     "q_seq_pack" -> ((s: SparkSession, d: String) =>
       TextOps.seqPackStats(s, d)),
+    "q_curate" -> ((s: SparkSession, d: String) =>
+      Curate.curate(s, d)),
     "q_pii_scan" -> (Scrub.piiScan _),
     // ngramSize=4 so the scan produces rows on the driver's 25-word-
     // vocab corpus (no two synthetic docs share a 13-gram); the
@@ -422,6 +425,47 @@ object TextQueries {
         | round(count(*) * 1.0 / ((max(cum) + 511) // 512), 4)
         |   AS docs_per_window
         |FROM c GROUP BY source""".stripMargin,
+    // the full curation chain recomputed end-to-end: same quality
+    // features, same min-id dedup, same portable-hash admission order,
+    // same integer-div packing. The oracle reads RAW text where the
+    // engine reads the redacted text — the corpus is PII-free
+    // (q_pii_scan pins docs_clean = all), so any redaction false
+    // positive would desync clean_text and fail THIS row too: the
+    // no-op is enforced, not assumed.
+    "q_curate" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, text,
+        |   list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, text, len(t) AS ws,
+        |   CASE WHEN len(t) >= 2 THEN
+        |     1.0 - len(list_distinct(list_transform(range(1, len(t)),
+        |       i -> t[i] || ' ' || t[i + 1]))) * 1.0 / (len(t) - 1)
+        |   ELSE 0.0 END AS dupb
+        |  FROM q WHERE len(t) >= 5),
+        |d AS (
+        |  SELECT doc_id, source, ws,
+        |   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM f WHERE dupb <= 0.2),
+        |a AS (
+        |  SELECT doc_id, source, ws,
+        |   (doc_id * 2654435761) % 2147483647 AS h
+        |  FROM d WHERE rn = 1),
+        |p AS (
+        |  SELECT doc_id, source, ws,
+        |   coalesce(sum(ws) OVER (PARTITION BY source ORDER BY h, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS prior
+        |  FROM a),
+        |c AS (
+        |  SELECT doc_id, source, ws,
+        |   sum(ws) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM p WHERE prior < 2000)
+        |SELECT doc_id, source, CAST(ws AS BIGINT) AS n_tokens,
+        | CAST((cum - ws) // 512 AS BIGINT) AS window_id
+        |FROM c""".stripMargin,
     // the PII patterns are RE2-compatible by construction (Scrub
     // scaladoc), so DuckDB re-evaluates the same regexes; on the
     // synthetic corpus every count is zero except docs_clean — the

@@ -119,8 +119,12 @@ object Streams {
           val batchDocs = batch.select(col("doc_id"), col("text"))
           val (docsPath, bucketsPath, pairsPath) = (
             s"$lakeDir/documents", s"$lakeDir/buckets", s"$lakeDir/pairs")
-          val indexed =
-            new java.io.File(s"$bucketsPath/_SUCCESS").exists()
+          // Hadoop FS, not java.io.File: the lake may be HDFS/S3
+          val successMarker =
+            new org.apache.hadoop.fs.Path(s"$bucketsPath/_SUCCESS")
+          val indexed = successMarker
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+            .exists(successMarker)
           val pairs =
             if (indexed) Dedup.incrementalMinhashPairsFromIndex(
               s.read.parquet(bucketsPath), s.read.parquet(docsPath),

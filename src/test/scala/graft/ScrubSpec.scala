@@ -145,6 +145,50 @@ class ScrubSpec extends SparkSuite {
     assert(r.getDouble(5) === 2.0) // docs per window
   }
 
+  test("curate: every stage bites on a planted corpus — spam dropped, " +
+      "dup collapsed, budget cut, windows assigned") {
+    import spark.implicits._
+    import graft.operators.Curate
+    def prose(seed: Int, n: Int = 10): String =
+      (1 to n).map(i => s"w${seed}_$i").mkString(" ")
+    val docs = Seq(
+      (0L, prose(1), "en", "s", 0L),              // kept
+      (1L, "buy now buy now buy now buy now", "en", "s", 0L), // spam
+      (2L, prose(1), "en", "s", 0L),              // exact dup of 0
+      (3L, "too short", "en", "s", 0L),           // under minTokens
+      (4L, prose(2), "en", "s", 0L),              // kept
+      (5L, prose(3, n = 12), "en", "s", 0L))      // kept
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("curate")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // budget 25: by hash order the first admitted doc's tokens count,
+    // then admission stops once prior >= 25; packing budget 16 splits
+    // the admitted stream into 2+ windows
+    val got = Curate.curate(spark, dir, perSourceBudget = 25,
+        packBudget = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val ids = got.map(_._1).toSet
+    assert(!ids.contains(1L), "repetitive doc must be dropped")
+    assert(!ids.contains(2L), "exact duplicate must collapse to doc 0")
+    assert(!ids.contains(3L), "under-min-tokens doc must be dropped")
+    assert(ids.subsetOf(Set(0L, 4L, 5L)) && ids.nonEmpty)
+    // admission is the tokenMixture rule: docs whose PRIOR admitted
+    // token count is under budget, in (hash, id) order
+    val hOrder = Seq(0L, 4L, 5L)
+      .sortBy(id => (id * 2654435761L % 2147483647L, id))
+    val wsOf = Map(0L -> 10L, 4L -> 10L, 5L -> 12L)
+    val expected = hOrder.scanLeft(0L)((acc, id) => acc + wsOf(id))
+      .zip(hOrder).collect { case (prior, id) if prior < 25 => id }
+    assert(ids === expected.toSet)
+    // packing: window ids follow the doc_id-ordered running total
+    val admitted = got.sortBy(_._1)
+    val cums = admitted.scanLeft(0L)((acc, r) => acc + r._2).tail
+    admitted.zip(cums).foreach { case ((_, ws, wid), cum) =>
+      assert(wid === (cum - ws) / 16)
+    }
+  }
+
   test("q_contamination registry form yields rows on the driver corpus") {
     val rows = SparkEntry.queries("q_contamination")(spark, sf("sf0.01"))
       .collect()
