@@ -12,9 +12,10 @@ class DeterminismSpec extends SparkSuite {
     "q_json_extract", "q_stats_agg", "q8_market_share", "q_percentiles",
     "q_embedding_stats", "q_window_running",
     // r9 additions: decode round-trip, regex scans, budget windows,
-    // repetition ratios (avg of doubles), packing accounting
+    // repetition ratios (avg of doubles), packing accounting, and the
+    // five-stage curation chain (three keyed windows back to back)
     "q_wav_decode", "q_pii_scan", "q_token_budget", "q_token_mixture",
-    "q_repetition", "q_seq_pack")
+    "q_repetition", "q_seq_pack", "q_curate")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
