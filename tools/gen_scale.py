@@ -10,7 +10,18 @@ log = open(sys.argv[1], encoding="utf-8", errors="replace").read()
 log = re.sub(r"\x1b\[[0-9;]*[A-Za-z]", "", log)
 log = re.sub(r"^\[\w+\]\s?", "", log, flags=re.M)
 blocks = re.split(r"^===== (\S+) =====\s*$", log, flags=re.M)[1:]
-pairs = list(zip(blocks[::2], blocks[1::2]))
+raw_pairs = list(zip(blocks[::2], blocks[1::2]))
+# Spark's formatted explain emits its own "===== Subqueries =====" section
+# header, which the split above turns into an orphan pseudo-query; fold
+# each such section back into the query it belongs to, so a query's row
+# counts include its subquery plans (e.g. q_incremental_dedup's
+# ScalarSubquery split).
+pairs = []
+for name, plan in raw_pairs:
+    if name == "Subqueries" and pairs:
+        pairs[-1] = (pairs[-1][0], pairs[-1][1] + plan)
+    else:
+        pairs.append((name, plan))
 
 print("| query | shuffles | bcast | BHJ | SMJ | BNLJ | cartesian "
       "| top-k | pushed scans |")
