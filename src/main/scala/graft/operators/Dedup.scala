@@ -316,14 +316,34 @@ object Dedup {
     * re-registration cannot retarget an already-built plan).
     */
   def incrementalDedupQuery(s: SparkSession, d: String,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs.createOrReplaceTempView("graft_incr_docs")
     val splitId = "(select (max(doc_id) * 4) div 5 from graft_incr_docs)"
-    incrementalMinhashPairs(
-      docs.filter(expr(s"doc_id < $splitId")),
-      docs.filter(expr(s"doc_id >= $splitId")),
-      threshold = threshold)
+    // Both sides of the 80/20 split come from ONE table here, so the
+    // signature pipeline runs ONCE over the whole corpus and the probe
+    // side is a filter ABOVE the (band, bucket) repartition — the two
+    // join sides share the identical Exchange subtree and ReuseExchange
+    // computes the shingle/minhash work a single time (the
+    // minhashCandidatesOf trick). The two-frame
+    // [[incrementalMinhashPairs]] cannot do this (its sides are
+    // arbitrary frames); the production daily-ingest path is
+    // [[incrementalMinhashPairsFromIndex]], which re-shingles only the
+    // batch. Probing new-vs-ALL yields exactly the pairs with a new
+    // member: index-index pairs never form (probe side is new-only),
+    // and new-new pairs collapse through the canonical orientation +
+    // verify groupBy like any other double match.
+    val banded = minhashBuckets(docs, bands, rowsPerBand)
+      .repartition(col("band"), col("bucket"))
+    val candidates = lazyCheckpoint(banded
+      .filter(expr(s"doc_id >= $splitId"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b")), Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("doc_b"))
+      .select(least(col("doc_id"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_b")).as("doc_b")))
+    verifiedJaccard(docs, candidates, threshold)
   }
 
   /** SimHash near-duplicate pairs: 64-bit SimHash (TextOps.fingerprints)
