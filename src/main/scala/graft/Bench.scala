@@ -135,8 +135,12 @@ object Bench {
     // round-agnostic default: the driver passes the round-stamped name
     // via the env var; a hardcoded tools/bench_rN.json silently
     // overwrote a file whose name claimed to be round-N data
+    // a filtered (SPARK_GRAFT_ONLY) run must not clobber the full-suite
+    // record under the default name — route it to a scratch artifact
+    // unless the caller named one explicitly
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "tools/bench_latest.json")
+      if (only.isDefined) "tools/bench_only.json"
+      else "tools/bench_latest.json")
     try {
       val perQuery = runsByQuery.map { case (name, runs) =>
         val rs = runs.map {
