@@ -377,11 +377,11 @@ object Similarity {
     * "cell" for IVF, "bucket" for LSH.
     */
   private def scoreCandidates(assigned: DataFrame,
-      queryProbes: DataFrame, key: String, k: Int): DataFrame = {
+      queryProbes: DataFrame, keys: Seq[String], k: Int): DataFrame = {
     import graft.functions.FusedCosineSimilarity.fusedCosine
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(queryProbes), Seq(key))
+    assigned.join(broadcast(queryProbes), keys)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         fusedCosine(col("q"), col("embedding")).as("sim"))
@@ -392,7 +392,8 @@ object Similarity {
   }
 
   private def ivfScore(assigned: DataFrame, queryProbes: DataFrame,
-      k: Int): DataFrame = scoreCandidates(assigned, queryProbes, "cell", k)
+      k: Int): DataFrame =
+    scoreCandidates(assigned, queryProbes, Seq("cell"), k)
 
   /** Fit and persist the IVF index for the embeddings at `d`: a
     * `centroids` table (cell, centroid) and an `assignments` table
@@ -530,6 +531,38 @@ object Similarity {
     * geometry, sample, and fit — asserted bit-identical in
     * `DedupSimilaritySpec`.
     */
+  /** Per-shard deterministic centroid fit: one-pass stratified sample
+    * via the bounded [[BottomKSampleAgg]] (NOT a row_number window:
+    * that would shuffle the whole corpus — embeddings included — into
+    * ≤`shards` sorted partitions just to drop all but k rows each; the
+    * typed aggregate partial-aggregates map-side so the exchange
+    * carries ≤ sampleSize rows per shard per partition), then k-means
+    * per shard slice on the driver. Ordering is (h, vec_id) — same
+    * keys as [[fitCentroids]]'s sort, so the 1-shard form stays
+    * bit-identical; k-means init is order-sensitive (take(k)), which
+    * is why the aggregator's finish sorts.
+    */
+  def fitShardedCentroids(emb: DataFrame, shards: Int, cells: Int,
+      sampleSize: Int = 2048): IndexedSeq[Array[Array[Float]]] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val shardOf = pmod(xxhash64(col("vec_id")), lit(shards)).cast("int")
+    val sampled: Map[Int, Seq[Seq[Float]]] = emb
+      .select(shardOf.as("shard"), xxhash64(col("vec_id")).as("h"),
+        col("vec_id"), col("embedding"))
+      .as[(Int, Long, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .agg(new BottomKSampleAgg(sampleSize).toColumn.name("sample"))
+      .collect().toMap
+    (0 until shards).map { sh =>
+      val slice = sampled.getOrElse(sh, Seq.empty)
+        .map(_.map(_.toDouble).toArray).toArray
+      if (slice.isEmpty) Array(Array.fill(1)(0f)) // unreachable shard
+      else kmeansCentroids(slice, math.min(cells, slice.length))
+        .map(_.map(_.toFloat))
+    }
+  }
+
   def ivfTopKSharded(s: SparkSession, d: String, nShards: Int = 0,
       nQueries: Int = 5, k: Int = 10,
       sampleSize: Int = 2048): DataFrame = {
@@ -541,31 +574,8 @@ object Similarity {
     val shardOf = pmod(xxhash64(col("vec_id")), lit(shards)).cast("int")
     val cells = cellsFor(math.ceil(n.toDouble / shards).toLong)
     val probes = probesFor(cells)
-    // one-pass stratified sample via the bounded bottom-k aggregator
-    // (NOT a row_number window: that would shuffle the whole corpus —
-    // embeddings included — into ≤`shards` sorted partitions just to
-    // drop all but k rows each). The typed aggregate partial-
-    // aggregates map-side, so the exchange carries ≤ sampleSize rows
-    // per shard per partition and the corpus never concentrates.
-    // Ordering is (h, vec_id) — same keys as ivfTopK's sample sort, so
-    // the 1-shard form stays bit-identical; k-means init is order-
-    // sensitive (take(k)), which is why the aggregator's finish sorts.
-    import s.implicits._
-    val sampled: Map[Int, Seq[Seq[Float]]] = emb
-      .select(shardOf.as("shard"), xxhash64(col("vec_id")).as("h"),
-        col("vec_id"), col("embedding"))
-      .as[(Int, Long, Long, Seq[Float])]
-      .groupByKey(_._1)
-      .agg(new BottomKSampleAgg(sampleSize).toColumn.name("sample"))
-      .collect().toMap
-    val centroidsByShard: IndexedSeq[Array[Array[Float]]] =
-      (0 until shards).map { sh =>
-        val slice = sampled.getOrElse(sh, Seq.empty)
-          .map(_.map(_.toDouble).toArray).toArray
-        if (slice.isEmpty) Array(Array.fill(1)(0f)) // unreachable shard
-        else kmeansCentroids(slice, math.min(cells, slice.length))
-          .map(_.map(_.toFloat))
-      }
+    val centroidsByShard =
+      fitShardedCentroids(emb, shards, cells, sampleSize)
     // per-shard expression dispatch: bounded CASE over shard id, each
     // branch a NearestCentroids reference-object expression
     def dispatch(v: Column, shardC: Column, nProbe: Int): Column =
@@ -583,22 +593,94 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     // queries fan out to EVERY shard's probe cells (lit shard id, so
     // the dispatch prunes to one branch per union arm at planning)
-    val queryProbes = (0 until shards).map { sh =>
+    val queryProbes = shardedQueryProbes(queryVecs, centroidsByShard,
+      probes)
+    scoreCandidates(assigned, queryProbes, Seq("shard", "cell"), k)
+  }
+
+  /** Query fan-out to EVERY shard's probe cells (lit shard id, so
+    * per-shard centroid expressions prune to one branch per union arm
+    * at planning). Input: (query_id, q).
+    */
+  private def shardedQueryProbes(queryVecs: DataFrame,
+      centroidsByShard: IndexedSeq[Array[Array[Float]]],
+      probes: Int): DataFrame = {
+    import graft.functions.NearestCentroids.nearestCells
+    centroidsByShard.indices.map { sh =>
       queryVecs.select(col("query_id"), col("q"),
         lit(sh).as("shard"),
         explode(nearestCells(col("q"), centroidsByShard(sh), probes))
           .as("cell"))
     }.reduce(_.unionAll(_))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(queryProbes), Seq("shard", "cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        fusedCosine(col("q"), col("embedding")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), r4(col("sim")).as("sim"),
-        col("rk"))
+  }
+
+  /** Fit and persist the SHARDED IVF index — the scale path past one
+    * index's ~65k-vector capacity, as lake artifacts: per-shard
+    * `centroids` (shard, cell, centroid), `assignments`
+    * (vec_id, embedding, shard, cell), and a one-row `meta`
+    * (shards, probes). Built once per corpus snapshot; queries serve
+    * from [[ivfTopKShardedFromIndex]] with no k-means and no corpus
+    * pass. Partition assignments by (shard, cell) to turn probe lists
+    * into partition pruning.
+    */
+  def ivfWriteIndexSharded(s: SparkSession, d: String, indexDir: String,
+      nShards: Int = 0, sampleSize: Int = 2048): Unit = {
+    import graft.functions.NearestCentroids.nearestCells
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val shards = if (nShards > 0) nShards else shardsFor(n)
+    val shardOf = pmod(xxhash64(col("vec_id")), lit(shards)).cast("int")
+    val cells = cellsFor(math.ceil(n.toDouble / shards).toLong)
+    val probes = probesFor(cells)
+    val centroidsByShard =
+      fitShardedCentroids(emb, shards, cells, sampleSize)
+    centroidsByShard.zipWithIndex.flatMap { case (m, sh) =>
+      m.toIndexedSeq.map(_.toSeq).zipWithIndex.map { case (c, i) =>
+        (sh, i, c)
+      }
+    }.toDF("shard", "cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    Seq((shards, probes)).toDF("shards", "probes")
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+    def dispatch(v: Column, shardC: Column): Column =
+      (1 until shards).foldLeft(
+        when(shardC === 0, nearestCells(v, centroidsByShard(0), 1))) {
+        (acc, sh) =>
+          acc.when(shardC === sh, nearestCells(v, centroidsByShard(sh), 1))
+      }
+    emb.select(col("vec_id"), col("embedding"), shardOf.as("shard"))
+      .withColumn("cell",
+        element_at(dispatch(col("embedding"), col("shard")), 1))
+      .write.mode("overwrite").parquet(s"$indexDir/assignments")
+  }
+
+  /** Serve sharded IVF top-k from a persisted index
+    * ([[ivfWriteIndexSharded]]): the bounded centroids read (≤
+    * shards×maxCells rows) rebuilds the per-shard probe expressions;
+    * the persisted assignments join the fan-out — bit-identical to the
+    * inline [[ivfTopKSharded]] at the same geometry (deterministic
+    * fit; pinned in DedupSimilaritySpec).
+    */
+  def ivfTopKShardedFromIndex(s: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int = 10): DataFrame = {
+    val meta = s.read.parquet(s"$indexDir/meta").head()
+    val (shards, probes) = (meta.getInt(0), meta.getInt(1))
+    val centroidsByShard: IndexedSeq[Array[Array[Float]]] =
+      s.read.parquet(s"$indexDir/centroids")
+        .orderBy(col("shard"), col("cell")).collect()
+        .foldLeft(IndexedSeq.fill(shards)(
+          Vector.empty[Array[Float]])) { (acc, r) =>
+          acc.updated(r.getInt(0),
+            acc(r.getInt(0)) :+ r.getSeq[Float](2).toArray)
+        }.map(_.toArray)
+    val assigned = s.read.parquet(s"$indexDir/assignments")
+    val queryVecs = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val queryProbes = shardedQueryProbes(queryVecs, centroidsByShard,
+      probes)
+    scoreCandidates(assigned, queryProbes, Seq("shard", "cell"), k)
   }
 
   /** ANN top-k via LSH buckets: candidates are same-bucket vectors only.
@@ -641,7 +723,7 @@ object Similarity {
     // distinct probe masks guarantee each (query, candidate) pair
     // appears at most once (see scaladoc), so there is nothing to
     // dedup and the fused cosine runs exactly once per pair
-    scoreCandidates(buckets, queryProbes, "bucket", k)
+    scoreCandidates(buckets, queryProbes, Seq("bucket"), k)
   }
 
   /** Persist the LSH index for the embeddings at `d`: a `buckets`
@@ -685,6 +767,6 @@ object Similarity {
       .select(col("query_id"), col("q"),
         explode(array(masks.map(m =>
           qb.bitwiseXOR(lit(m))): _*)).as("bucket"))
-    scoreCandidates(buckets, queryProbes, "bucket", k)
+    scoreCandidates(buckets, queryProbes, Seq("bucket"), k)
   }
 }

@@ -382,6 +382,21 @@ class DedupSimilaritySpec extends SparkSuite {
       Tables.embeddings(spark, sf()).count()))
   }
 
+  test("persisted SHARDED IVF index serves queries bit-identical to " +
+      "the inline sharded fit") {
+    val dir = tmpDir("ivfshidx")
+    Similarity.ivfWriteIndexSharded(spark, sf(), dir, nShards = 2)
+    val queries = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") < 5)
+    val fromIndex = Similarity
+      .ivfTopKShardedFromIndex(spark, dir, queries)
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Similarity.ivfTopKSharded(spark, sf(), nShards = 2,
+        nQueries = 5, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromIndex === inline)
+  }
+
   test("persisted LSH index serves queries bit-identical to the " +
       "inline path") {
     // the one-row meta (planes, dim) is the whole model — seeded
