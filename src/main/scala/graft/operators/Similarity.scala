@@ -436,6 +436,7 @@ object Similarity {
     import graft.functions.NearestCentroids.nearestCells
     val centroidMatrix: Array[Array[Float]] =
       s.read.parquet(s"$indexDir/centroids")
+        .select(col("cell"), col("centroid"))
         .orderBy(col("cell")).collect()
         .map(_.getSeq[Float](1).toArray)
     val probes =
@@ -666,9 +667,11 @@ object Similarity {
   def ivfTopKShardedFromIndex(s: SparkSession, indexDir: String,
       queries: DataFrame, k: Int = 10): DataFrame = {
     val meta = s.read.parquet(s"$indexDir/meta").head()
-    val (shards, probes) = (meta.getInt(0), meta.getInt(1))
+    val (shards, probes) =
+      (meta.getAs[Int]("shards"), meta.getAs[Int]("probes"))
     val centroidsByShard: IndexedSeq[Array[Array[Float]]] =
       s.read.parquet(s"$indexDir/centroids")
+        .select(col("shard"), col("cell"), col("centroid"))
         .orderBy(col("shard"), col("cell")).collect()
         .foldLeft(IndexedSeq.fill(shards)(
           Vector.empty[Array[Float]])) { (acc, r) =>
@@ -758,7 +761,8 @@ object Similarity {
       queries: DataFrame, k: Int = 10,
       probeRadius: Int = 2): DataFrame = {
     val meta = s.read.parquet(s"$indexDir/meta").head()
-    val (planes, dim) = (meta.getInt(0), meta.getInt(1))
+    val (planes, dim) =
+      (meta.getAs[Int]("planes"), meta.getAs[Int]("dim"))
     val buckets = s.read.parquet(s"$indexDir/buckets")
     val masks = probeMasks(planes, probeRadius)
     val qb = lshBucket(col("q"), dim, planes)

@@ -116,28 +116,34 @@ object Streams {
         if (!batch.isEmpty) {
           import graft.operators.Dedup
           val s = batch.sparkSession
-          val batchDocs = batch.select(col("doc_id"), col("text"))
-          val (docsPath, bucketsPath, pairsPath) = (
-            s"$lakeDir/documents", s"$lakeDir/buckets", s"$lakeDir/pairs")
-          // Hadoop FS, not java.io.File: the lake may be HDFS/S3
-          val successMarker =
-            new org.apache.hadoop.fs.Path(s"$bucketsPath/_SUCCESS")
-          val indexed = successMarker
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-            .exists(successMarker)
-          val pairs =
-            if (indexed) Dedup.incrementalMinhashPairsFromIndex(
-              s.read.parquet(bucketsPath), s.read.parquet(docsPath),
-              batchDocs, threshold = threshold)
-            // first batch: no standing index — new-vs-new only, via the
-            // same path with empty index frames
-            else Dedup.incrementalMinhashPairsFromIndex(
-              Dedup.minhashBuckets(batchDocs.limit(0)),
-              batchDocs.limit(0), batchDocs, threshold = threshold)
-          pairs.write.mode("append").parquet(pairsPath)
-          batchDocs.write.mode("append").parquet(docsPath)
-          Dedup.minhashBuckets(batchDocs)
-            .write.mode("append").parquet(bucketsPath)
+          // the batch feeds three actions (pairs, docs append, buckets
+          // append) — persist it so the source isn't re-read per action
+          val batchDocs =
+            batch.select(col("doc_id"), col("text")).persist()
+          try {
+            val (docsPath, bucketsPath, pairsPath) = (
+              s"$lakeDir/documents", s"$lakeDir/buckets",
+              s"$lakeDir/pairs")
+            // Hadoop FS, not java.io.File: the lake may be HDFS/S3
+            val successMarker =
+              new org.apache.hadoop.fs.Path(s"$bucketsPath/_SUCCESS")
+            val indexed = successMarker
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+              .exists(successMarker)
+            val pairs =
+              if (indexed) Dedup.incrementalMinhashPairsFromIndex(
+                s.read.parquet(bucketsPath), s.read.parquet(docsPath),
+                batchDocs, threshold = threshold)
+              // first batch: no standing index — new-vs-new only, via
+              // the same path with empty index frames
+              else Dedup.incrementalMinhashPairsFromIndex(
+                Dedup.minhashBuckets(batchDocs.limit(0)),
+                batchDocs.limit(0), batchDocs, threshold = threshold)
+            pairs.write.mode("append").parquet(pairsPath)
+            batchDocs.write.mode("append").parquet(docsPath)
+            Dedup.minhashBuckets(batchDocs)
+              .write.mode("append").parquet(bucketsPath)
+          } finally batchDocs.unpersist()
         }
       }
       .start()
