@@ -402,8 +402,10 @@ object Similarity {
     * every query from ([[ivfTopKFromIndex]]), instead of refitting
     * k-means per query. At 100 TB the assignments write is one corpus
     * pass (the same narrow `NearestCentroids` projection the inline
-    * path plans); partition the parquet by `cell` to turn each query's
-    * probe list into partition pruning.
+    * path plans), PARTITIONED by `cell`: the serve join's broadcast
+    * probe side triggers dynamic partition pruning, so each query
+    * batch reads only its probed cells' files (non-empty
+    * PartitionFilters verified on the serve plan).
     */
   def ivfWriteIndex(s: SparkSession, d: String, indexDir: String,
       nCells: Int = 0, sampleSize: Int = 2048): Unit = {
@@ -420,7 +422,8 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding"),
         element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
           .as("cell"))
-      .write.mode("overwrite").parquet(s"$indexDir/assignments")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/assignments")
   }
 
   /** Serve IVF top-k from a persisted index ([[ivfWriteIndex]]):
@@ -621,8 +624,9 @@ object Similarity {
     * (vec_id, embedding, shard, cell), and a one-row `meta`
     * (shards, probes). Built once per corpus snapshot; queries serve
     * from [[ivfTopKShardedFromIndex]] with no k-means and no corpus
-    * pass. Partition assignments by (shard, cell) to turn probe lists
-    * into partition pruning.
+    * pass. Assignments are PARTITIONED by (shard, cell), so probe
+    * lists prune to the probed partitions via dynamic partition
+    * pruning.
     */
   def ivfWriteIndexSharded(s: SparkSession, d: String, indexDir: String,
       nShards: Int = 0, sampleSize: Int = 2048): Unit = {
@@ -654,7 +658,8 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding"), shardOf.as("shard"))
       .withColumn("cell",
         element_at(dispatch(col("embedding"), col("shard")), 1))
-      .write.mode("overwrite").parquet(s"$indexDir/assignments")
+      .write.mode("overwrite").partitionBy("shard", "cell")
+      .parquet(s"$indexDir/assignments")
   }
 
   /** Serve sharded IVF top-k from a persisted index
@@ -734,8 +739,9 @@ object Similarity {
     * (planes, dim). The hyperplanes are seed-deterministic functions
     * of (dim, planes), so the meta row is the WHOLE model — a serving
     * process recomputes query buckets from it without touching the
-    * corpus. Partition the buckets parquet by `bucket` to turn each
-    * query's probe masks into partition pruning.
+    * corpus. The buckets parquet is PARTITIONED by `bucket`, so the
+    * serve join's broadcast probe side prunes to the probed buckets'
+    * files via dynamic partition pruning.
     */
   def lshWriteIndex(s: SparkSession, d: String, indexDir: String,
       dim: Int = 64, nPlanes: Int = 0): Unit = {
@@ -745,7 +751,8 @@ object Similarity {
     Tables.parallelized(embRaw)
       .select(col("vec_id"), col("embedding"),
         lshBucket(col("embedding"), dim, planes).as("bucket"))
-      .write.mode("overwrite").parquet(s"$indexDir/buckets")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/buckets")
     Seq((planes, dim)).toDF("planes", "dim")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
   }
