@@ -672,10 +672,17 @@ object Dedup {
       .select(col("lang"), col("source"), col("doc_id"),
         array_sort(transform(col("sh_str"), x => xxhash64(x))).as("sh"))
     // block sizes: a tiny (≤ #blocks rows) aggregate joined back on the
-    // block key — AQE broadcasts it; no per-row window sort
+    // block key — AQE broadcasts it; no per-row window sort. The sized
+    // frame is lazily materialized ONCE (lazyCheckpoint): five
+    // consumers reference it (both exhaustive self-join sides, the
+    // banded stage, and both big-path shingle fetches), and their
+    // branch-specific column pruning defeats ReuseExchange — without
+    // the cut each one re-runs the tokenize→shingle→hash→sort pipeline
+    // over the corpus (measured: 2 extra full passes ≈ 1.4 s of the
+    // 2.3 s warm query at sf0.1).
     val sizes = docs.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("block_n"))
-    val sized = docs.join(sizes, Seq("lang", "source"))
+    val sized = lazyCheckpoint(docs.join(sizes, Seq("lang", "source")))
 
     def verified(pairs: DataFrame): DataFrame =
       pairs.select(col("doc_a"), col("doc_b"),
