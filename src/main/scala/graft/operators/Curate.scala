@@ -25,14 +25,19 @@ import org.apache.spark.sql.functions._
   * Returns one row per ADMITTED document: (doc_id, source, n_tokens,
   * window_id).
   *
-  * Scale shape: stages 1–2 are narrow column expressions; the only
-  * shuffles are the three keyed windows (dedup by text, admission and
-  * packing by source) — at 100 TB the dedup window would key on
-  * xxhash64(clean_text) (8-byte exchange, the [[Dedup.exact]] trick)
-  * rather than the text itself; the registry form keys on the text so
-  * the DuckDB oracle can recompute it exactly. The whole plan is one
-  * pass: no stage materializes, Catalyst pipelines the five stages
-  * into consecutive window operators.
+  * Scale shape: stages 1–2 are narrow column expressions; the keyed
+  * shuffles are the dedup window (on the 8-byte content hash — the
+  * [[Dedup.exact]] trick, so the exchange carries longs, not
+  * documents), the ADMISSION prefix sum — the one full-corpus
+  * per-source running total, computed as the two-level sharded form
+  * ([[Prefix.shardedRunningSum]]) so a dominant source's sort spreads
+  * across hash-range shards instead of one task — and the packing
+  * window. The packing window stays in its plain single-window form
+  * deliberately: its input is the ADMITTED set, bounded by
+  * construction at ~`perSourceBudget` tokens per source, so the
+  * per-source sort it runs is over a budget-sized (not corpus-sized)
+  * partition at any corpus scale. The whole plan is one pass: no
+  * stage materializes.
   */
 object Curate {
 
@@ -87,14 +92,14 @@ object Curate {
       .withColumn("rn", row_number().over(dw))
       .filter(col("rn") === 1 && col("ws") >= minTokens &&
         col("dup_bigram") <= maxDupBigramRatio)
-    val aw = Window.partitionBy(col("source"))
-      .orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val admitted = deduped
-      .withColumn("h",
-        pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)))
-      .withColumn("prior",
-        coalesce(sum(col("ws")).over(aw), lit(0L)))
+    // admission: per-source token prefix sum in portable-hash order —
+    // sharded by constant-width hash ranges (the order key is uniform
+    // over [0, 2³¹−1) by construction, so no bounds scan)
+    val admitted = Prefix.shardedRunningSum(
+        deduped.withColumn("h", Sampling.portableHash(col("doc_id"))),
+        "source", Seq("h", "doc_id"), "ws", "cum_adm",
+        bounds = Some((0L, 2147483646L)))
+      .withColumn("prior", col("cum_adm") - col("ws"))
       .filter(col("prior") < perSourceBudget)
     val pw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     admitted

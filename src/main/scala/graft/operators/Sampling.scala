@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Engine-portable multiplicative hash: `(id mod p) · 2654435761
+    * mod p`, p = 2³¹−1 — the admission/sampling order key the registry
+    * shares with its SQL oracles. The id is reduced BEFORE the multiply
+    * so the product stays under 2⁶³ for ANY long id: Spark wraps
+    * silently on overflow (non-ANSI) while oracle engines raise on
+    * BIGINT overflow, so the unreduced form diverges or errors past
+    * id ≈ 3.47e9. For id < p the value equals the classic
+    * `(id · 2654435761) mod p`. SQL twin:
+    * `(id % 2147483647) * 2654435761 % 2147483647`.
+    */
+  def portableHash(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(pmod(id, lit(2147483647L)) * lit(2654435761L), lit(2147483647L))
+
   /** Deterministic hash sample: keep rows whose key hashes into the
     * first `fraction` of the hash space. Stable across runs, retries and
     * cluster layouts; sampling by KEY (not row) keeps all rows of a key
@@ -38,34 +52,32 @@ object Sampling {
     * order, until each source's token budget is met. Returns the
     * per-source achieved mixture (docs admitted, tokens admitted).
     *
-    * Determinism & oracle form: the admission order is the
-    * multiplicative hash `(doc_id · 2654435761) mod 2³¹−1` (the
-    * engine-portable hash this registry already uses for weighted
-    * sampling), ties broken by doc_id; a document is admitted when the
-    * tokens of PRECEDING admitted docs are still under budget — so the
-    * first doc crossing the budget is included and every engine agrees
-    * on the exact set.
+    * Determinism & oracle form: the admission order is the portable
+    * multiplicative hash [[portableHash]] (the hash this registry
+    * already uses for weighted sampling), ties broken by doc_id; a
+    * document is admitted when the tokens of PRECEDING admitted docs
+    * are still under budget — so the first doc crossing the budget is
+    * included and every engine agrees on the exact set.
     *
-    * Scale note: the exact form sorts each source partition (one
-    * shuffle + per-source window). At 100 TB a planner would first cut
-    * approximately — admit `h < hₘₐₓ·(budget/total_tokens)` from the
-    * per-source token totals ([[graft.operators.TextOps.tokenBudget]]),
-    * one scan, no sort — then run this exact form over the ~budget-
-    * sized survivors. The exact form is the contract; the pre-cut is
-    * an optimization that feeds it less data.
+    * Scale note: the admission prefix sum is the two-level sharded
+    * form ([[Prefix.shardedRunningSum]]) — the hash order key is
+    * uniform over [0, 2³¹−1) by construction, so constant-width hash
+    * ranges shard a dominant source's sort across tasks with no bounds
+    * scan. At 100 TB a planner would additionally pre-cut — admit
+    * `h < hₘₐₓ·(budget/total_tokens)` from the per-source token totals
+    * ([[graft.operators.TextOps.tokenBudget]]), one scan, no sort —
+    * then run this exact form over the ~budget-sized survivors. The
+    * exact form is the contract; the pre-cut feeds it less data.
     */
   def tokenMixture(s: SparkSession, d: String,
       perSourceBudget: Long = 2000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = graft.Tables.documents(s, d).select(
       col("source"), col("doc_id"),
       size(graft.operators.TextOps.tokens(col("text"))).as("n_tokens"),
-      pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)).as("h"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toks
-      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      portableHash(col("doc_id")).as("h"))
+    Prefix.shardedRunningSum(toks, "source", Seq("h", "doc_id"),
+        "n_tokens", "cum_adm", bounds = Some((0L, 2147483646L)))
+      .withColumn("prior", col("cum_adm") - col("n_tokens"))
       .filter(col("prior") < perSourceBudget)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -340,15 +352,15 @@ object Sampling {
     * lang — the driver-contract form of [[weightedSample]]. The ES
     * uniform here is a Lehmer-style multiplicative hash instead of
     * xxhash64 so the oracle engine can recompute it exactly in plain
-    * SQL: u = ((doc_id * 2654435761) % 2147483647 + 0.5) / 2^31,
-    * strictly inside (0,1). Priority pow(u, 1/w) — identical IEEE
-    * double math in both engines.
+    * SQL: u = ([[portableHash]](doc_id) + 0.5) / 2^31, strictly inside
+    * (0,1). Priority pow(u, 1/w) — identical IEEE double math in both
+    * engines.
     */
   def weightedDocSample(s: SparkSession, d: String, k: Int = 5)
       : DataFrame = {
     val docs = Tables.documents(s, d)
-    val u = (((col("doc_id") * lit(2654435761L)) % lit(2147483647L))
-      .cast("double") + lit(0.5)) / lit(2147483648.0)
+    val u = (portableHash(col("doc_id")).cast("double") + lit(0.5)) /
+      lit(2147483648.0)
     val pr = pow(u, lit(1.0) / col("n_chars").cast("double"))
     weightedSample(docs, "lang", "doc_id", "n_chars", k, Some(pr))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))

@@ -133,20 +133,20 @@ object TextOps {
     * examples) — the numbers a data planner reads before choosing a
     * packing budget.
     *
-    * Scale shape: one scan; the running token total is a per-source
-    * window ordered by the unique doc_id (deterministic), so the only
-    * shuffle is the per-source range partition — same shape as
-    * `q_token_mixture`'s admission window. Window indices use integer
-    * `div` (exact at any stream length, no double rounding).
+    * Scale shape: one scan; the running token total is the two-level
+    * sharded prefix sum ([[Prefix.shardedRunningSum]]) ordered by the
+    * unique doc_id (deterministic) — a dominant source's stream is
+    * sorted by parallel doc_id-range shards, not one task, with the
+    * in-plan bounds aggregate sizing the shards. Window indices use
+    * integer `div` (exact at any stream length, no double rounding).
     */
   def seqPackStats(s: SparkSession, d: String,
       budget: Int = 512): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-    val cum = Tables.documents(s, d)
-      .select(col("source"), col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("ws"))
-      .withColumn("cum", sum(col("ws")).over(w))
+    val cum = Prefix.shardedRunningSum(
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("ws")),
+      "source", Seq("doc_id"), "ws", "cum")
     cum
       .withColumn("w_first", expr(s"(cum - ws) div $budget"))
       .withColumn("w_last", expr(s"(cum - 1) div $budget"))

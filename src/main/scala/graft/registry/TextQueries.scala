@@ -326,7 +326,7 @@ object TextQueries {
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,
         |   row_number() OVER (PARTITION BY lang ORDER BY
-        |     pow(((doc_id * 2654435761) % 2147483647 + 0.5)
+        |     pow(((doc_id % 2147483647) * 2654435761 % 2147483647 + 0.5)
         |          / 2147483648.0,
         |         1.0 / CAST(n_chars AS DOUBLE)) DESC,
         |     doc_id) AS rk
@@ -348,7 +348,7 @@ object TextQueries {
         |  SELECT doc_id, source,
         |   len(list_filter(string_split(text, ' '), x -> x <> ''))
         |     AS n_tokens,
-        |   (doc_id * 2654435761) % 2147483647 AS h
+        |   (doc_id % 2147483647) * 2654435761 % 2147483647 AS h
         |  FROM documents),
         |c AS (
         |  SELECT source, n_tokens,
@@ -450,7 +450,7 @@ object TextQueries {
         |  FROM f WHERE dupb <= 0.2),
         |a AS (
         |  SELECT doc_id, source, ws,
-        |   (doc_id * 2654435761) % 2147483647 AS h
+        |   (doc_id % 2147483647) * 2654435761 % 2147483647 AS h
         |  FROM d WHERE rn = 1),
         |p AS (
         |  SELECT doc_id, source, ws,
