@@ -102,8 +102,18 @@ object Streams {
     * standing corpus is only touched by the pruned verify's
     * candidate-member fetch, and each unordered pair is emitted
     * exactly once — when its second member arrives. Doc ids must be
-    * ingest-unique (the same invariant as the batch API); the
-    * checkpoint makes replays idempotent at the file-source level.
+    * ingest-unique (the same invariant as the batch API).
+    *
+    * Exactly-once across retries: each batch's three outputs land in
+    * `batch=<id>` partition directories written with OVERWRITE — a
+    * replay (checkpoint re-delivery or a crash anywhere between the
+    * three writes) rewrites the same directories instead of appending
+    * duplicates, so any retry converges to the same lake state. The
+    * standing-index read EXCLUDES the current batch's partition: a
+    * partially-written earlier attempt of this very batch can
+    * therefore never self-pair, and the recomputed pairs are identical
+    * on every attempt. (Plain appends here were at-least-once: a retry
+    * after a partial failure duplicated pairs/docs/buckets rows.)
     */
   def nearDupMaintainer(docs: DataFrame, lakeDir: String,
       checkpoint: String, threshold: Double = 0.7,
@@ -112,37 +122,53 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           import graft.operators.Dedup
           val s = batch.sparkSession
-          // the batch feeds three actions (pairs, docs append, buckets
-          // append) — persist it so the source isn't re-read per action
+          // the batch feeds three actions (pairs, docs, buckets) —
+          // persist it so the source isn't re-read per action
           val batchDocs =
             batch.select(col("doc_id"), col("text")).persist()
           try {
             val (docsPath, bucketsPath, pairsPath) = (
               s"$lakeDir/documents", s"$lakeDir/buckets",
               s"$lakeDir/pairs")
-            // Hadoop FS, not java.io.File: the lake may be HDFS/S3
-            val successMarker =
-              new org.apache.hadoop.fs.Path(s"$bucketsPath/_SUCCESS")
-            val indexed = successMarker
-              .getFileSystem(s.sparkContext.hadoopConfiguration)
-              .exists(successMarker)
-            val pairs =
-              if (indexed) Dedup.incrementalMinhashPairsFromIndex(
-                s.read.parquet(bucketsPath), s.read.parquet(docsPath),
-                batchDocs, threshold = threshold)
+            // standing index = every committed batch partition EXCEPT
+            // this batch's own (a failed earlier attempt may have
+            // written it already); a missing/unreadable path means no
+            // standing index yet — the first-batch case
+            def standing(path: String): Option[DataFrame] =
+              scala.util.Try {
+                val df = s.read.parquet(path)
+                  .filter(col("batch") =!= lit(batchId)).drop("batch")
+                df.schema // force analysis inside the Try
+                df
+              }.toOption
+            val pairs = (standing(bucketsPath), standing(docsPath)) match {
+              case (Some(idxBuckets), Some(idxDocs)) =>
+                Dedup.incrementalMinhashPairsFromIndex(
+                  idxBuckets, idxDocs, batchDocs, threshold = threshold)
               // first batch: no standing index — new-vs-new only, via
               // the same path with empty index frames
-              else Dedup.incrementalMinhashPairsFromIndex(
-                Dedup.minhashBuckets(batchDocs.limit(0)),
-                batchDocs.limit(0), batchDocs, threshold = threshold)
-            pairs.write.mode("append").parquet(pairsPath)
-            batchDocs.write.mode("append").parquet(docsPath)
-            Dedup.minhashBuckets(batchDocs)
-              .write.mode("append").parquet(bucketsPath)
+              case _ =>
+                Dedup.incrementalMinhashPairsFromIndex(
+                  Dedup.minhashBuckets(batchDocs.limit(0)),
+                  batchDocs.limit(0), batchDocs, threshold = threshold)
+            }
+            // write order no longer carries correctness weight: the
+            // index read above excludes this batch's partitions, so a
+            // retry recomputes identical pairs no matter which of the
+            // three writes the previous attempt finished. Pairs go
+            // first only because they are derived — if the job dies
+            // here, the lake is merely missing this batch entirely,
+            // never holding docs the index can't see.
+            pairs.write.mode("overwrite")
+              .parquet(s"$pairsPath/batch=$batchId")
+            batchDocs.write.mode("overwrite")
+              .parquet(s"$docsPath/batch=$batchId")
+            Dedup.minhashBuckets(batchDocs).write.mode("overwrite")
+              .parquet(s"$bucketsPath/batch=$batchId")
           } finally batchDocs.unpersist()
         }
       }

@@ -128,6 +128,67 @@ class StreamsSpec extends SparkSuite {
     assert(spark.read.parquet(s"$lake/buckets").count() === 7L * 4)
   }
 
+  test("scrub gate composed into the near-dup maintainer: the index " +
+    "sees redacted text, contaminated docs never enter the lake") {
+    import spark.implicits._
+    def doc(seed: Int, change: Int = -1, pii: String = null): String =
+      (1 to 40).map(i =>
+        if (i == change) "CHANGED"
+        else if (i == 5 && pii != null) pii
+        else s"w${seed}_$i").mkString(" ")
+    val stage = tmpDir("scrub_maintain_stage")
+    val lake = tmpDir("scrub_maintain_lake")
+    def stageBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = tmpDir(s"stage_$name")
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    // 1 and 2 carry DIFFERENT emails in the same slot: only after
+    // redaction (<EMAIL> in both) are they EXACT duplicates — the
+    // jaccard-1.0 assertion below is therefore proof the index was
+    // built over scrubbed text, not the raw stream. 13 is an exact
+    // doc(7) copy whose intact w7_4..w7_7 gram matches the probe → it
+    // is dropped at the gate and must never index or pair. 10 arrives
+    // in batch B: near-dup of 1/2 across batches (its email breaks
+    // the probe gram; CHANGED at 31 keeps it a 1-word diff).
+    stageBatch("a", Seq(
+      (1L, doc(7, pii = "alice@example.com")),
+      (2L, doc(7, pii = "bob@test.org")),
+      (3L, doc(9)),
+      (13L, doc(7))))
+    stageBatch("b", Seq(
+      (10L, doc(7, change = 31, pii = "carol@mail.net"))))
+    val probes = Seq("w7_4 w7_5 w7_6 w7_7")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val scrubbed = Streams.scrubbedDocuments(stream, probes, ngramSize = 4)
+      .filter(!col("contaminated"))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val q = Streams.nearDupMaintainer(scrubbed, lake,
+      checkpoint = tmpDir("scrub_maintain_ckpt"), threshold = 0.5)
+    q.awaitTermination(180000)
+    val pairs = spark.read.parquet(s"$lake/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).sorted ===
+      Seq((1L, 2L), (1L, 10L), (2L, 10L)))
+    // exact duplicates ONLY post-redaction: raw texts differ in the
+    // email slot, so jaccard 1.0 here pins the scrubbed composition
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 === 1.0)
+    val lakeDocs = spark.read.parquet(s"$lake/documents")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lakeDocs.keySet === Set(1L, 2L, 3L, 10L)) // 13 gated out
+    assert(lakeDocs(1L).contains("<EMAIL>") &&
+      !lakeDocs(1L).contains("alice@"))
+    assert(spark.read.parquet(s"$lake/buckets")
+      .select("doc_id", "band", "bucket").count() === 4L * 4)
+  }
+
   test("streaming scrub gate flags PII and contamination in-flight") {
     import spark.implicits._
     val stage = tmpDir("docs_scrub_stream")
