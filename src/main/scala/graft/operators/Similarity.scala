@@ -561,9 +561,33 @@ object Similarity {
     (0 until shards).map { sh =>
       val slice = sampled.getOrElse(sh, Seq.empty)
         .map(_.map(_.toDouble).toArray).toArray
-      if (slice.isEmpty) Array(Array.fill(1)(0f)) // unreachable shard
+      // a shard no vector hashed to has NO centroids: consumers skip
+      // empty slices explicitly ([[dispatchCells]], [[shardedQueryProbes]])
+      // rather than relying on a sentinel matrix whose safety hinged on
+      // NearestCentroids null-propagating a dimension mismatch
+      if (slice.isEmpty) Array.empty[Array[Float]]
       else kmeansCentroids(slice, math.min(cells, slice.length))
         .map(_.map(_.toFloat))
+    }
+  }
+
+  /** Bounded CASE over shard id — one [[graft.functions.NearestCentroids]]
+    * branch per NON-EMPTY shard. Empty shards get no branch: no corpus
+    * row carries their shard id (that is what made them empty), so the
+    * CASE's null fallthrough is unreachable for assignment dispatch.
+    */
+  private def dispatchCells(v: Column, shardC: Column,
+      centroidsByShard: IndexedSeq[Array[Array[Float]]],
+      nProbe: Int): Column = {
+    import graft.functions.NearestCentroids.nearestCells
+    val live = centroidsByShard.indices.filter(centroidsByShard(_).nonEmpty)
+    require(live.nonEmpty, "no shard has any centroids — empty corpus")
+    live.tail.foldLeft(
+      when(shardC === live.head,
+        nearestCells(v, centroidsByShard(live.head), nProbe))) {
+      (acc, sh) =>
+        acc.when(shardC === sh, nearestCells(v, centroidsByShard(sh),
+          nProbe))
     }
   }
 
@@ -580,19 +604,11 @@ object Similarity {
     val probes = probesFor(cells)
     val centroidsByShard =
       fitShardedCentroids(emb, shards, cells, sampleSize)
-    // per-shard expression dispatch: bounded CASE over shard id, each
-    // branch a NearestCentroids reference-object expression
-    def dispatch(v: Column, shardC: Column, nProbe: Int): Column =
-      (1 until shards).foldLeft(
-        when(shardC === 0, nearestCells(v, centroidsByShard(0), nProbe))) {
-        (acc, sh) =>
-          acc.when(shardC === sh, nearestCells(v, centroidsByShard(sh),
-            nProbe))
-      }
     val assigned = emb.select(col("vec_id"), col("embedding"),
         shardOf.as("shard"))
-      .withColumn("cell",
-        element_at(dispatch(col("embedding"), col("shard"), 1), 1))
+      .withColumn("cell", element_at(
+        dispatchCells(col("embedding"), col("shard"), centroidsByShard, 1),
+        1))
     val queryVecs = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     // queries fan out to EVERY shard's probe cells (lit shard id, so
@@ -610,7 +626,12 @@ object Similarity {
       centroidsByShard: IndexedSeq[Array[Array[Float]]],
       probes: Int): DataFrame = {
     import graft.functions.NearestCentroids.nearestCells
-    centroidsByShard.indices.map { sh =>
+    // empty shards hold no vectors, so probing them can't add a
+    // candidate — skip them instead of building a probe expression
+    // over an empty centroid matrix
+    val live = centroidsByShard.indices.filter(centroidsByShard(_).nonEmpty)
+    require(live.nonEmpty, "no shard has any centroids — empty corpus")
+    live.map { sh =>
       queryVecs.select(col("query_id"), col("q"),
         lit(sh).as("shard"),
         explode(nearestCells(col("q"), centroidsByShard(sh), probes))
@@ -649,15 +670,10 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     Seq((shards, probes)).toDF("shards", "probes")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
-    def dispatch(v: Column, shardC: Column): Column =
-      (1 until shards).foldLeft(
-        when(shardC === 0, nearestCells(v, centroidsByShard(0), 1))) {
-        (acc, sh) =>
-          acc.when(shardC === sh, nearestCells(v, centroidsByShard(sh), 1))
-      }
     emb.select(col("vec_id"), col("embedding"), shardOf.as("shard"))
-      .withColumn("cell",
-        element_at(dispatch(col("embedding"), col("shard")), 1))
+      .withColumn("cell", element_at(
+        dispatchCells(col("embedding"), col("shard"), centroidsByShard, 1),
+        1))
       .write.mode("overwrite").partitionBy("shard", "cell")
       .parquet(s"$indexDir/assignments")
   }

@@ -433,6 +433,23 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("empty shards are skipped, not probed: oversharded tiny corpus " +
+      "still answers every query") {
+    // 64 shards over a tiny corpus leaves many shards with NO vectors
+    // (balls-in-bins, deterministic under the fixed xxhash64): the fit
+    // returns empty centroid slices for them and both dispatch and
+    // query fan-out must skip those shards outright — the old sentinel
+    // matrix relied on NearestCentroids null-propagating a dimension
+    // mismatch. Occupied shards here are small enough to get one cell
+    // each, so the probe is exhaustive and must equal brute force.
+    val brute = Similarity.bruteForceTopK(spark, sf(), nQueries = 3, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val sharded = Similarity.ivfTopKSharded(spark, sf(), nShards = 64,
+        nQueries = 3, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sharded === brute)
+  }
+
   test("shardsFor holds per-shard occupancy at the measured regime") {
     assert(Similarity.shardsFor(500L) === 1)
     assert(Similarity.shardsFor(65536L) === 1)
