@@ -24,8 +24,33 @@ import org.apache.spark.sql.SparkSession
   *    1 s queries), and the JSON carries `"warmed"` + `"warm_sec"` so a
   *    reader comparing rounds knows cold rounds (r1–r6) and warm rounds
   *    (r7+) are not like-for-like.
+  *  - **GC time and peak heap per iteration** (r10): "machine noise"
+  *    claims about slow runs must be measurable, not asserted. Each
+  *    iteration records the JVM-wide GC time that elapsed during it
+  *    (GarbageCollectorMXBeans) and the peak heap-pool usage
+  *    (MemoryPoolMXBeans, peaks reset at iteration start), so a reader
+  *    of the ledger can tell "the plan got slower" from "this run spent
+  *    40% of its wall clock collecting a pressured heap".
   */
 object Bench {
+  private val gcBeans =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+  private val heapPools = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP).toSeq
+  }
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    gcBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+  private def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+  private def peakHeapMb(): Double =
+    heapPools.flatMap(p => Option(p.getPeakUsage).map(_.getUsed)).sum / 1e6
+
+  /** One timed iteration: wall seconds, GC millis spent during it, and
+    * the peak heap (MB) the JVM touched while it ran. */
+  final case class Iter(sec: Double, gcMs: Long, peakMb: Double)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -84,14 +109,17 @@ object Bench {
     // bleeds into BOTH iterations — back-to-back iterations share the
     // degraded context, so min-of-N cannot wash it out. A collection at
     // the boundary makes per-query numbers measure the query.
-    val runsByQuery: Seq[(String, Seq[Either[String, Double]])] =
+    val runsByQuery: Seq[(String, Seq[Either[String, Iter]])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         System.gc()
         name -> (1 to iters).map { _ =>
+          resetHeapPeaks()
+          val gc0 = gcMillis()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
-            Right((System.nanoTime() - t0) / 1e9)
+            val sec = (System.nanoTime() - t0) / 1e9
+            Right(Iter(sec, gcMillis() - gc0, peakHeapMb()))
           } catch {
             case e: Throwable =>
               Left(s"${e.getClass.getSimpleName}: " +
@@ -101,7 +129,7 @@ object Bench {
         }
       }
     val times = runsByQuery.flatMap { case (name, runs) =>
-      val ok = runs.collect { case Right(t) => t }
+      val ok = runs.collect { case Right(it) => it.sec }
       if (ok.nonEmpty) Some(name -> ok.min) else None
     }
     val errors = runsByQuery.flatMap { case (name, runs) =>
@@ -128,7 +156,13 @@ object Bench {
     val unst = unstable.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"iters":$iters,"warmed":$warmed,"warm_sec":$warmSec%.2f,"sf":${jstr(sfDir)},"errors":$errs,"unstable":$unst,"queries":$qs}"""
+    // GC seconds accumulated across every timed iteration — one number
+    // that says how heap-pressured the whole run was (the per-query
+    // split lives in the ledger file)
+    val gcSecTotal = runsByQuery.flatMap(_._2).collect {
+      case Right(it) => it.gcMs
+    }.sum / 1e3
+    val line = f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"iters":$iters,"warmed":$warmed,"warm_sec":$warmSec%.2f,"gc_sec":$gcSecTotal%.2f,"sf":${jstr(sfDir)},"errors":$errs,"unstable":$unst,"queries":$qs}"""
     // authoritative per-query artifact: stdout gets tail-truncated by the
     // driver, the file never is. Includes every raw iteration so a
     // reader can see run-to-run variance, not just the min.
@@ -142,14 +176,25 @@ object Bench {
       if (only.isDefined) "tools/bench_only.json"
       else "tools/bench_latest.json")
     try {
+      // ledger row per query: wall seconds, GC ms, and peak heap MB for
+      // every iteration — the evidence columns a noise-vs-regression
+      // adjudication needs (an inflated run shows its gc_ms/peak_mb)
       val perQuery = runsByQuery.map { case (name, runs) =>
-        val rs = runs.map {
-          case Right(t) => f"$t%.3f"
-          case Left(m)  => jstr("ERROR " + m)
+        val secs = runs.map {
+          case Right(it) => f"${it.sec}%.3f"
+          case Left(m)   => jstr("ERROR " + m)
         }.mkString("[", ",", "]")
-        s"  ${jstr(name)}: $rs"
+        val gcs = runs.map {
+          case Right(it) => it.gcMs.toString
+          case Left(_)   => "null"
+        }.mkString("[", ",", "]")
+        val peaks = runs.map {
+          case Right(it) => f"${it.peakMb}%.0f"
+          case Left(_)   => "null"
+        }.mkString("[", ",", "]")
+        s"""  ${jstr(name)}: {"sec": $secs, "gc_ms": $gcs, "peak_mb": $peaks}"""
       }.mkString("{\n", ",\n", "\n}")
-      val body = f"""{"total_sec": $total%.2f, "iters": $iters, "warmed": $warmed, "warm_sec": $warmSec%.2f, "sf": ${jstr(sfDir)}, "n_queries": ${times.size}, "n_errors": ${errors.size},\n "runs_per_query": $perQuery}\n"""
+      val body = f"""{"total_sec": $total%.2f, "iters": $iters, "warmed": $warmed, "warm_sec": $warmSec%.2f, "gc_sec": $gcSecTotal%.2f, "sf": ${jstr(sfDir)}, "n_queries": ${times.size}, "n_errors": ${errors.size},\n "runs_per_query": $perQuery}\n"""
       val p = java.nio.file.Paths.get(out)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p,
