@@ -20,6 +20,10 @@ object ExplainPlans {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
+    // *_served queries read persisted index paths even at plan time —
+    // prepare them (a job, but the audit prints the SERVE plan)
+    if (names.exists(_.endsWith("_served")))
+      SparkEntry.prepare(spark, "/root/testdata/sf0.01")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")

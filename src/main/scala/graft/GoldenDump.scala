@@ -21,6 +21,7 @@ object GoldenDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (name.endsWith("_served")) SparkEntry.prepare(spark, dir)
     val df = SparkEntry.queries(name)(spark, dir)
     println(df.schema.treeString)
     val rows = df.collect().map { r =>

@@ -35,6 +35,9 @@ object ShuffleAudit {
         }
       }
     }
+    // build the serve indexes OUTSIDE the per-query metrics windows
+    SparkEntry.prepare(spark, sfDir)
+
     spark.sparkContext.addSparkListener(listener)
 
     println(s"# SHUFFLE — measured per-query shuffle volumes ($sfDir)")

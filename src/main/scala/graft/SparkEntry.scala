@@ -32,6 +32,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_monthly_topk")(spark, "/root/testdata/sf0.001")
 
+  /** Build-once prepare hook for the `*_served` queries: persists the
+    * lake indexes they read (see [[graft.registry.TextQueries.prepare]]).
+    * Runners (Verify, Bench, the audit mains) call this before
+    * executing registry queries; construction stays job-free.
+    */
+  def prepare(spark: SparkSession, sfDir: String): Unit =
+    graft.registry.TextQueries.prepare(spark, sfDir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     hierarchyQueries ++

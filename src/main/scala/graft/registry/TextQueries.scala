@@ -66,6 +66,7 @@ object TextQueries {
       Sampling.reservoirEventSample(s, d)),
     "q_multimodal_stats" -> (Multimodal.docAssetStats _),
     "q_wav_decode" -> (Multimodal.wavDecodeStats _),
+    "q_bmp_decode" -> (Multimodal.bmpDecodeStats _),
     "q_token_budget" -> (TextOps.tokenBudget _),
     "q_repetition" -> ((s: SparkSession, d: String) =>
       TextOps.repetitionStats(s, d)),
@@ -82,15 +83,96 @@ object TextQueries {
     "q_dup_clusters" -> ((s: SparkSession, d: String) =>
       Dedup.dupClusters(s, d)),
     "q_dup_clusters_sample" -> ((s: SparkSession, d: String) =>
-      Dedup.dupClustersSampleQuery(s, d))
+      Dedup.dupClustersSampleQuery(s, d)),
+    // ---- persisted-index SERVE paths --------------------------------
+    // The production serving story: the same answers from the lake
+    // artifacts [[prepare]] builds — no fit, no corpus signature pass.
+    // Each is bit-identical to its inline twin (round-tripped in
+    // DedupSimilaritySpec), so each shares the twin's oracle below.
+    // Query CONSTRUCTION only reads the prepared paths; the index
+    // builds run in the [[prepare]] hook, never at construction
+    // (registry queries must stay construction-job-free).
+    "q_ann_lsh_served" -> ((s: SparkSession, d: String) =>
+      Similarity.annTopKFromIndex(s, s"${indexRoot(d)}/lsh",
+        annProbeVectors(s, d))),
+    "q_ann_ivf_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopKFromIndex(s, s"${indexRoot(d)}/ivf",
+        annProbeVectors(s, d))),
+    "q_ann_ivf_sharded_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopKShardedFromIndex(s,
+        s"${indexRoot(d)}/ivf_sharded", annProbeVectors(s, d))),
+    "q_incremental_dedup_served" -> ((s: SparkSession, d: String) =>
+      Dedup.incrementalMinhashPairsFromIndex(
+        s.read.parquet(s"${indexRoot(d)}/minhash_buckets"),
+        incrSplitSide(s, d, newSide = false),
+        incrSplitSide(s, d, newSide = true)))
   )
+
+  /** The 5 probe vectors every ANN registry query uses
+    * (`vec_id < 5` = the inline twins' `nQueries = 5`).
+    */
+  private def annProbeVectors(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.Tables.embeddings(s, d).filter(col("vec_id") < 5)
+  }
+
+  /** One side of the 80/20 incremental split
+    * ([[graft.operators.Dedup.incrementalDedupQuery]]'s fixture rule),
+    * with the split id in-plan as a scalar subquery — constructing the
+    * frame must not run a job.
+    */
+  private def incrSplitSide(s: SparkSession, d: String,
+      newSide: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+    docs.createOrReplaceTempView("graft_incr_docs_served")
+    val splitId =
+      "(select (max(doc_id) * 4) div 5 from graft_incr_docs_served)"
+    docs.filter(expr(
+      if (newSide) s"doc_id >= $splitId" else s"doc_id < $splitId"))
+  }
+
+  /** Root for the build-once lake indexes the `*_served` queries read —
+    * keyed by the sfDir so scales coexist; under the JVM temp dir
+    * because the testdata tree is read-only.
+    */
+  def indexRoot(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lake_indexes/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Build-once prepare hook for the `*_served` queries: persists the
+    * LSH, IVF, sharded-IVF and minhash-bucket indexes for `d`. Verify,
+    * Bench, the audit mains and EntrySpec call this BEFORE executing
+    * registry queries. Always rebuilds — seconds at verify scale, and a
+    * fresh build can never serve a stale on-disk format across code
+    * changes.
+    */
+  def prepare(s: SparkSession, d: String): Unit = {
+    val root = indexRoot(d)
+    Similarity.lshWriteIndex(s, d, s"$root/lsh")
+    Similarity.ivfWriteIndex(s, d, s"$root/ivf")
+    // nShards = 2 matches q_ann_ivf_sharded (shardsFor picks 1 below
+    // the ~65k single-index capacity, and driver data sits below it)
+    Similarity.ivfWriteIndexSharded(s, d, s"$root/ivf_sharded",
+      nShards = 2)
+    Dedup.minhashBuckets(incrSplitSide(s, d, newSide = false))
+      .write.mode("overwrite").parquet(s"$root/minhash_buckets")
+  }
 
   /** q_ann_brute_agg produces identical results to q_ann_brute (the
     * aggregate formulation changes the plan, not the semantics), so it
     * shares the same oracle SQL.
     */
   lazy val oracle: Map[String, String] =
-    baseOracle + ("q_ann_brute_agg" -> baseOracle("q_ann_brute"))
+    baseOracle + ("q_ann_brute_agg" -> baseOracle("q_ann_brute")) +
+      // serve paths are bit-identical to their inline twins (pinned by
+      // the DedupSimilaritySpec round-trips), so they share oracles —
+      // the golden-backed ones inherit the sf0.01-only caveat
+      ("q_ann_lsh_served" -> baseOracle("q_ann_lsh")) +
+      ("q_ann_ivf_served" -> baseOracle("q_ann_ivf")) +
+      ("q_ann_ivf_sharded_served" -> baseOracle("q_ann_ivf_sharded")) +
+      ("q_incremental_dedup_served" -> baseOracle("q_incremental_dedup"))
 
   /** Word-3-gram shingle sets per document, as a DuckDB CTE — mirrors
     * Dedup.shinglesFromTokens (whitespace tokens, empties dropped,
@@ -511,6 +593,18 @@ object TextQueries {
         |   AS BIGINT) AS total_bytes,
         | round(avg(50 + n_chars % 100), 4) AS avg_samples
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // header-decode round-trip for the image modality: width/height
+    // and the PADDED row stride are predictable from the synthesis
+    // parameters — 54-byte headers + ((3w+3)//4)*4-byte rows
+    "q_bmp_decode" ->
+      """SELECT CAST(4 + doc_id % 5 AS INT) AS width,
+        | count(*) AS n_assets,
+        | CAST(sum(54 + (2 + n_chars % 4)
+        |   * (((3 * (4 + doc_id % 5)) + 3) // 4) * 4) AS BIGINT)
+        |   AS total_bytes,
+        | round(avg(2 + n_chars % 4), 4) AS avg_height,
+        | CAST(max(2 + n_chars % 4) AS INT) AS max_height
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_embedding_stats" ->
       """SELECT label, count(*) AS n,
         | round(avg(sqrt(list_sum(list_transform(embedding,

@@ -22,6 +22,7 @@ class EntrySpec extends SparkSuite {
     "q16_supplier_cnt")
 
   test("every query runs and returns rows at sf0.001") {
+    SparkEntry.prepare(spark, sf()) // *_served queries read lake indexes
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val n = fn(spark, sf()).count()
