@@ -239,6 +239,164 @@ object Multimodal {
     }
   }
 
+  /** Real codec #3: BMP (24-bit uncompressed BI_RGB) header parse +
+    * pixel decode, pure JVM — closes the IMAGE modality the way
+    * [[WavCodec]] closed audio. Parsing is total: anything that is not
+    * a well-formed 24bpp uncompressed BMP (bad magic, truncated pixel
+    * array, compressed, palettized, 1/4/8/16/32-bit) yields zero dims
+    * and a zero feature rather than an exception — one bad asset must
+    * never kill a 100 TB partition.
+    *
+    * Field mapping onto the contract: `dims` = (width, |height|)
+    * (negative height is the legal top-down orientation); `feature` =
+    * 8-bin luminance histogram over the decoded BGR pixels (integer
+    * BT.601 weights), L1-normalized — orientation-independent, so
+    * bottom-up and top-down encodings of the same image agree;
+    * `checksum` = CRC32.
+    */
+  object BmpCodec extends MediaCodec {
+    override val featureDim: Int = 8
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    private final case class BmpInfo(width: Int, height: Int,
+      topDown: Boolean, dataOff: Int, rowSize: Int)
+
+    /** BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (≥40 B) walk;
+      * `None` unless planes=1, 24 bpp, BI_RGB, and the whole padded
+      * pixel array is in bounds.
+      */
+    private def parse(b: Array[Byte]): Option[BmpInfo] = {
+      if (b.length < 54 || (b(0) & 0xff) != 'B' || (b(1) & 0xff) != 'M')
+        None
+      else {
+        val dataOff = le32(b, 10)
+        val hdrSize = le32(b, 14)
+        val width = le32(b, 18)
+        val rawHeight = le32(b, 22)
+        val planes = le16(b, 26)
+        val bpp = le16(b, 28)
+        val compression = le32(b, 30)
+        val height = math.abs(rawHeight)
+        val rowSize = ((3 * width + 3) / 4) * 4
+        val ok = hdrSize >= 40 && planes == 1 && bpp == 24 &&
+          compression == 0 && width > 0 && rawHeight != 0 &&
+          dataOff >= 54 && rowSize > 0 &&
+          height <= (Int.MaxValue - dataOff) / rowSize &&
+          dataOff + rowSize.toLong * height <= b.length
+        if (ok) Some(BmpInfo(width, height, rawHeight < 0, dataOff,
+          rowSize))
+        else None
+      }
+    }
+
+    def checksum(bytes: Array[Byte]): Long = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes)
+      crc.getValue
+    }
+
+    def dims(bytes: Array[Byte]): (Int, Int) =
+      parse(bytes).map(i => (i.width, i.height)).getOrElse((0, 0))
+
+    def feature(bytes: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](featureDim)
+      parse(bytes).foreach { info =>
+        var row = 0
+        while (row < info.height) {
+          val base = info.dataOff + row * info.rowSize
+          var px = 0
+          while (px < info.width) {
+            val o = base + 3 * px // BGR triplet
+            val lum = (114 * (bytes(o) & 0xff) +
+              587 * (bytes(o + 1) & 0xff) +
+              299 * (bytes(o + 2) & 0xff)) / 1000
+            hist(lum >> 5) += 1f
+            px += 1
+          }
+          row += 1
+        }
+        val n = info.width.toLong * info.height
+        if (n > 0) { var j = 0; while (j < featureDim) {
+          hist(j) /= n.toFloat; j += 1 } }
+      }
+      hist
+    }
+  }
+
+  /** Serialize a bottom-up 24bpp BI_RGB BMP (the inverse of
+    * [[BmpCodec]]'s parse — round-trip asserted in tests).
+    * `pixelsBgr` is row-major, 3 bytes per pixel, NO padding; rows are
+    * padded to the 4-byte boundary here.
+    */
+  def bmpBytes(width: Int, height: Int,
+      pixelsBgr: Array[Byte]): Array[Byte] = {
+    require(pixelsBgr.length == 3 * width * height,
+      s"expected ${3 * width * height} BGR bytes, got ${pixelsBgr.length}")
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val dataLen = rowSize * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54) // reserved, pixel-array offset
+    bb.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+    bb.putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+    bb.putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = 0
+    while (row < height) {
+      bb.put(pixelsBgr, 3 * width * row, 3 * width)
+      var pad = rowSize - 3 * width
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      row += 1
+    }
+    bb.array()
+  }
+
+  /** Documents re-rendered as deterministic 24bpp BMP assets: width and
+    * height are simple functions of (doc_id, n_chars) — so a SQL oracle
+    * can predict what a CORRECT header decode must recover (including
+    * the padded row stride in the byte size) — while the pixel values
+    * are hash-derived BGR the codec actually decodes.
+    */
+  def syntheticBmpAssets(spark: SparkSession, d: String): Dataset[Asset] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("n_chars"), col("source"))
+      .as[(Long, Long, String)]
+      .map { case (docId, nChars, source) =>
+        val width = (4 + docId % 5).toInt
+        val height = (2 + nChars % 4).toInt
+        val px = Array.tabulate(3 * width * height)(j =>
+          ((docId * 131 + j * 17) % 256).toByte)
+        Asset(docId, "image", bmpBytes(width, height, px),
+          "image/bmp", source)
+      }
+  }
+
+  /** Registered decode round-trip for the image modality: synthesize
+    * BMPs from the documents table, decode them with [[BmpCodec]]
+    * inside the `mapPartitions` plumbing, and aggregate ONLY
+    * decode-derived fields (header dims, byte length). The oracle
+    * recomputes the same stats from the synthesis parameters — a
+    * mis-parsed width, height, or row stride breaks the group keys or
+    * sums and the hashes diverge.
+    */
+  def bmpDecodeStats(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Fns.r4
+    val feats = extractFeatures(syntheticBmpAssets(spark, d), BmpCodec)
+      .toDF()
+    feats.select(col("width"), col("height"), col("n_bytes"))
+      .groupBy(col("width"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        r4(avg(col("height"))).as("avg_height"),
+        max(col("height")).as("max_height"))
+  }
+
   /** Serialize PCM16 samples as a well-formed WAV file (the inverse of
     * [[WavCodec]]'s parse — round-trip asserted in tests).
     */

@@ -83,6 +83,52 @@ class MediaCodecContractSpec extends SparkSuite {
     assert(out.map(_.getInt(0)).toSet.subsetOf(Set(1, 2)))
   }
 
+  test("BmpCodec (real 24bpp BMP parser) satisfies the contract") {
+    checkContract(Multimodal.BmpCodec)
+  }
+
+  test("BmpCodec round-trips bmpBytes and decodes exact luminance " +
+    "histograms, padding and orientation included") {
+    val codec = Multimodal.BmpCodec
+    // 3×2 image (row stride pads 9 → 12 bytes): pure black, pure
+    // white, and four mid-greys — bins 0 (×1), 7 (×1), and the grey's
+    // bin (×4). BGR grey 128 → lum 128 → bin 4.
+    val px = Array[Byte](
+      0, 0, 0, -1, -1, -1, -128, -128, -128, // row 0: black, white, grey
+      -128, -128, -128, -128, -128, -128, -128, -128, -128) // row 1
+    val bmp = Multimodal.bmpBytes(3, 2, px)
+    assert(codec.dims(bmp) === ((3, 2)))
+    assert(bmp.length === 54 + 12 * 2) // padded stride recovered below
+    val hist = codec.feature(bmp)
+    val exp = Seq(1 / 6f, 0f, 0f, 0f, 4 / 6f, 0f, 0f, 1 / 6f)
+    hist.toSeq.zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6f) }
+    // top-down encoding (negative height) must agree: same pixels,
+    // legal alternative orientation
+    val topDown = bmp.clone()
+    val negH = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-2).array()
+    System.arraycopy(negH, 0, topDown, 22, 4)
+    assert(codec.dims(topDown) === ((3, 2)))
+    assert(codec.feature(topDown).toSeq === hist.toSeq)
+    // malformed inputs must degrade, not throw: bad magic, truncated
+    // pixel array, unsupported depth/compression
+    assert(codec.dims("definitely not a bitmap".getBytes) === ((0, 0)))
+    assert(codec.feature(bmp.take(60)).toSeq === Seq.fill(8)(0f))
+    val bpp8 = bmp.clone(); bpp8(28) = 8
+    assert(codec.dims(bpp8) === ((0, 0)))
+    val rle = bmp.clone(); rle(30) = 1 // BI_RLE8
+    assert(codec.dims(rle) === ((0, 0)))
+  }
+
+  test("bmpDecodeStats recovers synthesis parameters through the " +
+    "decode path") {
+    val out = Multimodal.bmpDecodeStats(spark, sf()).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getInt(0)).toSet.subsetOf(Set(4, 5, 6, 7, 8)))
+    assert(out.map(_.getInt(4)).forall(h => h >= 2 && h <= 5))
+  }
+
   test("a conforming alternative codec slots into extractFeatures " +
     "without plumbing changes") {
     object AltCodec extends MediaCodec {
