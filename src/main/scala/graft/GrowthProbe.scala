@@ -151,6 +151,49 @@ object GrowthProbe {
       (n, trueDups, mhCand, verifyDocs, mhPairs, embCand, embDups, ngCand,
         ngPairs, tMhc + tMhp, tEc + tEd, tNg)
     }
+    // ---- incremental path: FIXED batch vs GROWING standing index ----
+    // The scaladoc claim under test (Dedup.incrementalMinhashPairsFromIndex):
+    // per-run work scales with the batch, not the index. Fixture: the
+    // 500-doc corpus replays as the daily batch (ids shifted to keep
+    // ingest-uniqueness) against standing indexes 10×–50× its size.
+    // Every batch doc has an exact text twin in every index (same
+    // generator, same seeds), so the TRUE pair set is identical at
+    // every index size — any growth in work is index-size overhead,
+    // which is exactly what the design says must not happen (the index
+    // contributes only its 24 B/row bucket scan to the probe join).
+    val batch = Tables.documents(spark, "/tmp/graft_growth/n500")
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val incRows = Seq(5000L, 12500L, 25000L).map { n =>
+      val dir = s"/tmp/graft_growth/n$n"
+      val idxDocs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      // index BUILD scales with the corpus — priced separately here to
+      // contrast with the batch-sized serve cost
+      val (_, tBuild) = timed {
+        Dedup.minhashBuckets(idxDocs).write.mode("overwrite")
+          .parquet(s"$dir/minhash_buckets")
+      }
+      val (pairs, tServe) = timed {
+        Dedup.incrementalMinhashPairsFromIndex(
+          spark.read.parquet(s"$dir/minhash_buckets"), idxDocs, batch)
+          .count()
+      }
+      println(f"incremental index=$n%6d batch=500 pairs=$pairs%5d " +
+        f"build=$tBuild%5.1fs serve=$tServe%5.1fs")
+      (n, pairs, tBuild, tServe)
+    }
+    // the pair set is index-size-invariant by construction — a drift
+    // means the probe join's semantics leak index size
+    assert(incRows.map(_._2).distinct.size == 1,
+      s"incremental pair count varies with index size: $incRows")
+    // serve cost must not track the 5× index growth (noise floor: the
+    // sandbox jitters small timings, so allow 3× or +2 s, whichever is
+    // looser — both far under the 5× data growth)
+    val serveMin = incRows.map(_._4).min
+    val serveMax = incRows.map(_._4).max
+    assert(serveMax <= math.max(serveMin * 3, serveMin + 2.0),
+      f"incremental serve time tracks index size: $serveMin%.1f -> " +
+        f"$serveMax%.1f s over a 5x index")
     val json = rows.map {
       case (n, t, mc, vd, mp, ec, ed, nc, np, t1, t2, t3) =>
       f"""  {"n": $n, "true_dups": $t, "minhash_candidates": $mc, """ +
@@ -159,7 +202,11 @@ object GrowthProbe {
         f""""embedding_neardups": $ed, "ngram_block_comparisons": $nc, """ +
         f""""ngram_pairs": $np, "sec_minhash": $t1%.2f, """ +
         f""""sec_embedding": $t2%.2f, "sec_ngram": $t3%.2f}"""
-    }.mkString("[\n", ",\n", "\n]\n")
+    }.mkString("{\n \"growth\": [\n", ",\n", "\n ],\n") +
+      incRows.map { case (n, p, tb, ts) =>
+        f"""  {"index_n": $n, "batch_n": 500, "pairs": $p, """ +
+          f""""sec_index_build": $tb%.2f, "sec_batch_serve": $ts%.2f}"""
+      }.mkString(" \"incremental\": [\n", ",\n", "\n ]\n}\n")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("tools/growth_probe.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
