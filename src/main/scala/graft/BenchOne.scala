@@ -14,6 +14,7 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.read.parquet(s"$d/region.parquet").count() // warm
+    if (args.exists(_.endsWith("_served"))) SparkEntry.prepare(spark, d)
     args.foreach { q =>
       (1 to 3).foreach { _ =>
         val t0 = System.nanoTime()

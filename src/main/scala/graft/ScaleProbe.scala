@@ -167,6 +167,10 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
     spark.read.parquet(s"$dst/region.parquet").count() // warm
+    // the *_served rows read lake indexes — build them for BOTH
+    // layouts outside the timed loops
+    SparkEntry.prepare(spark, src)
+    SparkEntry.prepare(spark, dst)
     // a query that throws records ok=false, NOT a timing — a
     // time-to-failure must never be mistaken for a valid measurement
     def run(dir: String): Seq[(String, (Double, Boolean))] =
