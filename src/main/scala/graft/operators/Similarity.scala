@@ -796,4 +796,248 @@ object Similarity {
           qb.bitwiseXOR(lit(m))): _*)).as("bucket"))
     scoreCandidates(buckets, queryProbes, Seq("bucket"), k)
   }
+
+  // ==== IVF-PQ: the compressed-index tier ==============================
+
+  /** Plain (Euclidean) Lloyd k-means over a driver-side sample — the
+    * PQ subspace fit. Deterministic like [[kmeansCentroids]]: init is
+    * the head of the (already hash-ordered) sample, assignment ties
+    * keep the lower centroid id (strict `<`), an empty cluster keeps
+    * its previous centroid. Euclidean — NOT the spherical variant —
+    * because PQ quantizes raw subvectors whose norms carry signal;
+    * normalizing 8-dim slices of a unit vector would distort exactly
+    * what the codebook must preserve.
+    */
+  def kmeansEuclidean(sample: Array[Array[Double]], k: Int,
+      iters: Int = 10): Array[Array[Double]] = {
+    var cents = sample.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(
+        new Array[Double](sample.head.length))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < p.length) {
+            val diff = p(i) - cents(c)(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))).toArray
+    }
+    cents
+  }
+
+  /** Deterministic PQ codebook fit: the SAME bottom-`sampleSize`
+    * hash-ordered sample as [[fitCentroids]] (one corpus pass, total
+    * order, reproducible), each vector split into `m` contiguous
+    * `dim/m`-dim subvectors, one Euclidean k-means per subspace.
+    * Returns codebooks(j)(c) = centroid c of subspace j. Bounded
+    * driver work: O(iters × sample × ksub × dim) — a model fit, the
+    * same budget class as the coarse-centroid fit.
+    */
+  def fitPqCodebooks(emb: DataFrame, m: Int, ksub: Int,
+      sampleSize: Int = 2048): Array[Array[Array[Float]]] = {
+    val sample: Array[Array[Double]] = emb
+      .select(col("embedding"), xxhash64(col("vec_id")).as("h"),
+        col("vec_id"))
+      .orderBy(col("h"), col("vec_id")).limit(sampleSize)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
+      kmeansEuclidean(sub, math.min(ksub, sub.length))
+        .map(_.map(_.toFloat))
+    }
+  }
+
+  /** The ADC candidate join shared by the inline and persisted IVF-PQ
+    * paths: broadcast (query, probed cell) rows against the (vec_id,
+    * codes, cell) CODE table — the corpus embedding is absent from the
+    * join entirely; each candidate is scored from its m-byte code via
+    * [[graft.functions.PqScore]]. With `refine > 0`, the ADC top-
+    * `refine` shortlist per query is re-ranked by exact fused cosine
+    * against `refineFrom` (the raw-vector store): the shortlist is
+    * broadcast, so the raw vectors for `queries × refine` rows are
+    * fetched in one scan with no shuffle — the production two-tier
+    * serve (compressed shortlist, point-fetch re-rank). `refine = 0`
+    * ranks by ADC alone.
+    */
+  private def scorePqCandidates(codesDf: DataFrame,
+      queryProbes: DataFrame, keys: Seq[String],
+      codebooks: Array[Array[Array[Float]]], k: Int, refine: Int,
+      refineFrom: => DataFrame): DataFrame = {
+    import graft.functions.FusedCosineSimilarity.fusedCosine
+    import graft.functions.PqOps.pqScore
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val adc = codesDf.join(broadcast(queryProbes), keys)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q"), col("vec_id"),
+        pqScore(col("q"), col("codes"), codebooks).as("sim"))
+      .withColumn("rk", row_number().over(w))
+    if (refine <= 0)
+      adc.filter(col("rk") <= k)
+        .select(col("query_id"), col("vec_id"),
+          r4(col("sim")).as("sim"), col("rk"))
+    else {
+      val shortlist = adc.filter(col("rk") <= math.max(refine, k))
+        .select(col("query_id"), col("q"), col("vec_id"))
+      refineFrom.select(col("vec_id"), col("embedding"))
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          fusedCosine(col("q"), col("embedding")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("vec_id"),
+          r4(col("sim")).as("sim"), col("rk"))
+    }
+  }
+
+  /** IVF-PQ ANN top-k — the compressed-index tier, the shape a 100 TB
+    * vector corpus actually serves from: the IVF coarse quantizer
+    * prunes the search to `nProbe` cells (as [[ivfTopK]]), and within
+    * them candidates are scored from m-BYTE product-quantization codes
+    * ([[graft.functions.PqScore]]) instead of raw embeddings — a 64-dim
+    * float vector (256 B payload) becomes an 8-byte code, so the
+    * serveable index is ~30× smaller and the candidate join moves
+    * codes, not vectors. Both fits are deterministic (hash-ordered
+    * sample; spherical k-means for the coarse cells, per-subspace
+    * Euclidean k-means for the codebooks), so results pin to a golden
+    * oracle exactly like the rest of the ANN family.
+    *
+    * `refine` enables the production two-tier ranking: ADC shortlist
+    * (top-`refine` per query from codes alone), then exact fused-cosine
+    * re-rank of the shortlist against the raw vectors — a broadcast of
+    * `queries × refine` rows, one fetch scan, no shuffle. ADC error
+    * then only matters at the shortlist BOUNDARY, so recall approaches
+    * the uncompressed index's while candidate scoring stays on codes.
+    * `refine = 0` ranks purely by ADC (what a codes-only deployment
+    * does).
+    *
+    * Geometry: cells/probes derive from the corpus as in [[ivfTopK]];
+    * `m`/`ksub` default to 16 subspaces × 16 codes with a 100-row
+    * refine shortlist — the PqTune sweep's sandbox optimum (recall@10
+    * 0.90 at sf0.01, the plain-IVF probe ceiling; the near-isotropic
+    * test embeddings need the finer subspace split, and the 500–2k-row
+    * corpora can't fill 256-entry codebooks). Production geometry is
+    * m = dim/8 with ksub = 256 (full-byte codes), which the
+    * reference-object expressions handle without plan growth.
+    */
+  def ivfPqTopK(s: SparkSession, d: String, nCells: Int = 0,
+      nQueries: Int = 5, k: Int = 10, nProbe: Int = 0, m: Int = 16,
+      ksub: Int = 16, refine: Int = 100,
+      sampleSize: Int = 2048): DataFrame = {
+    import graft.functions.NearestCentroids.nearestCells
+    import graft.functions.PqOps.pqEncode
+    val emb = Tables.embeddings(s, d)
+    val cells = if (nCells > 0) nCells else cellsFor(emb.count())
+    val probes = if (nProbe > 0) nProbe else probesFor(cells)
+    val centroidMatrix = fitCentroids(emb, cells, sampleSize)
+    val codebooks = fitPqCodebooks(emb, m, ksub, sampleSize)
+    val codes = emb.select(col("vec_id"),
+      element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
+        .as("cell"),
+      pqEncode(col("embedding"), codebooks).as("codes"))
+    val queryProbes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .select(col("query_id"), col("q"),
+        explode(nearestCells(col("q"), centroidMatrix, probes))
+          .as("cell"))
+    scorePqCandidates(codes, queryProbes, Seq("cell"), codebooks, k,
+      refine, emb)
+  }
+
+  /** Fit and persist the IVF-PQ index: `centroids` (cell, centroid),
+    * `codebooks` (sub, code, centroid), and the compressed `codes`
+    * table (vec_id, codes BINARY(m)) PARTITIONED by cell — ~30× the
+    * raw [[ivfWriteIndex]] assignments' density, and the serve join's
+    * broadcast probe side prunes it to the probed cells' files via
+    * dynamic partition pruning. This is the artifact tier a 100 TB
+    * deployment keeps HOT; the raw embeddings stay in the lake as the
+    * cold point-fetch store the `refine` re-rank reads.
+    */
+  def ivfPqWriteIndex(s: SparkSession, d: String, indexDir: String,
+      nCells: Int = 0, m: Int = 16, ksub: Int = 16,
+      sampleSize: Int = 2048): Unit = {
+    import graft.functions.NearestCentroids.nearestCells
+    import graft.functions.PqOps.pqEncode
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cells = if (nCells > 0) nCells else cellsFor(emb.count())
+    val centroidMatrix = fitCentroids(emb, cells, sampleSize)
+    val codebooks = fitPqCodebooks(emb, m, ksub, sampleSize)
+    centroidMatrix.toIndexedSeq.map(_.toSeq).zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    codebooks.toIndexedSeq.zipWithIndex.flatMap { case (cb, j) =>
+      cb.toIndexedSeq.zipWithIndex.map { case (c, code) =>
+        (j, code, c.toSeq)
+      }
+    }.toDF("sub", "code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    emb.select(col("vec_id"),
+        element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
+          .as("cell"),
+        pqEncode(col("embedding"), codebooks).as("codes"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/codes")
+  }
+
+  /** Serve IVF-PQ top-k from a persisted index ([[ivfPqWriteIndex]]):
+    * bounded collects of the centroid table and codebooks (the model),
+    * probe planning against them, ADC over the partition-pruned codes
+    * table, optional exact re-rank against `refineFrom` (the raw
+    * vector store — required when `refine > 0`). Bit-identical to the
+    * inline [[ivfPqTopK]] at the same geometry (deterministic fits;
+    * pinned in PqSpec).
+    */
+  def ivfPqTopKFromIndex(s: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int = 10, nProbe: Int = 0,
+      refine: Int = 0, refineFrom: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.NearestCentroids.nearestCells
+    require(refine <= 0 || refineFrom.nonEmpty,
+      "refine > 0 needs refineFrom (the raw-vector store)")
+    val centroidMatrix: Array[Array[Float]] =
+      s.read.parquet(s"$indexDir/centroids")
+        .select(col("cell"), col("centroid"))
+        .orderBy(col("cell")).collect()
+        .map(_.getSeq[Float](1).toArray)
+    val codebooks: Array[Array[Array[Float]]] =
+      s.read.parquet(s"$indexDir/codebooks")
+        .select(col("sub"), col("code"), col("centroid"))
+        .orderBy(col("sub"), col("code")).collect()
+        .foldLeft(Map.empty[Int, Vector[Array[Float]]]) { (acc, r) =>
+          val j = r.getInt(0)
+          acc.updated(j,
+            acc.getOrElse(j, Vector.empty) :+ r.getSeq[Float](2).toArray)
+        } match {
+          case bySub => Array.tabulate(bySub.size)(j => bySub(j).toArray)
+        }
+    val probes =
+      if (nProbe > 0) nProbe else probesFor(centroidMatrix.length)
+    val codes = s.read.parquet(s"$indexDir/codes")
+    val queryProbes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .select(col("query_id"), col("q"),
+        explode(nearestCells(col("q"), centroidMatrix, probes))
+          .as("cell"))
+    scorePqCandidates(codes, queryProbes, Seq("cell"), codebooks, k,
+      refine, refineFrom.getOrElse(codes.limit(0)))
+  }
 }

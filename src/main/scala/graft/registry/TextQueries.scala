@@ -53,6 +53,10 @@ object TextQueries {
     // — shardsFor would pick 1 below 65k vectors
     "q_ann_ivf_sharded" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKSharded(s, d, nShards = 2)),
+    // the compressed-index tier: IVF pruning + 16-byte PQ codes +
+    // exact re-rank of the ADC shortlist (r10)
+    "q_ann_ivfpq" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqTopK(s, d)),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairs(s, d)),
     "q_embedding_neardups" -> ((s: SparkSession, d: String) =>
@@ -101,6 +105,13 @@ object TextQueries {
     "q_ann_ivf_sharded_served" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKShardedFromIndex(s,
         s"${indexRoot(d)}/ivf_sharded", annProbeVectors(s, d))),
+    // the two-tier PQ serve: ADC over the partition-pruned codes
+    // table, exact re-rank fetching raw vectors from the lake's
+    // embeddings table (the cold store)
+    "q_ann_ivfpq_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqTopKFromIndex(s, s"${indexRoot(d)}/ivfpq",
+        annProbeVectors(s, d), refine = 100,
+        refineFrom = Some(graft.Tables.embeddings(s, d)))),
     "q_incremental_dedup_served" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalMinhashPairsFromIndex(
         s.read.parquet(s"${indexRoot(d)}/minhash_buckets"),
@@ -156,6 +167,7 @@ object TextQueries {
     // the ~65k single-index capacity, and driver data sits below it)
     Similarity.ivfWriteIndexSharded(s, d, s"$root/ivf_sharded",
       nShards = 2)
+    Similarity.ivfPqWriteIndex(s, d, s"$root/ivfpq")
     Dedup.minhashBuckets(incrSplitSide(s, d, newSide = false))
       .write.mode("overwrite").parquet(s"$root/minhash_buckets")
   }
@@ -172,7 +184,16 @@ object TextQueries {
       ("q_ann_lsh_served" -> baseOracle("q_ann_lsh")) +
       ("q_ann_ivf_served" -> baseOracle("q_ann_ivf")) +
       ("q_ann_ivf_sharded_served" -> baseOracle("q_ann_ivf_sharded")) +
-      ("q_incremental_dedup_served" -> baseOracle("q_incremental_dedup"))
+      ("q_incremental_dedup_served" -> baseOracle("q_incremental_dedup")) +
+      // the IVF-PQ goldens ARE the plain-IVF golden, deliberately: at
+      // sf0.01 the exact re-rank of the ADC top-100 shortlist recovers
+      // the uncompressed IVF ranking row-for-row (verified by
+      // GoldenDump r10), so sharing the golden pins BOTH that recovery
+      // property and any drift in the codebook fit / encoding /
+      // shortlist boundary — a shortlist that loses a true top-10 row
+      // shows up as a hash mismatch here
+      ("q_ann_ivfpq" -> baseOracle("q_ann_ivf")) +
+      ("q_ann_ivfpq_served" -> baseOracle("q_ann_ivf"))
 
   /** Word-3-gram shingle sets per document, as a DuckDB CTE — mirrors
     * Dedup.shinglesFromTokens (whitespace tokens, empties dropped,

@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.Similarity
+import graft.functions.FusedCosineSimilarity.fusedCosine
+import graft.functions.PqOps.{pqEncode, pqScore}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ contracts: ADC scoring is bit-identical to fused cosine of
+  * the composed reconstruction, the fits are deterministic, the
+  * persisted index round-trips bit-for-bit, codegen survives the
+  * production ksub=256 geometry, and recall holds against brute force.
+  */
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val dir001 = sf("sf0.001")
+  private lazy val dir01 = sf("sf0.01")
+
+  test("PqScore == fused cosine of the reconstruction, bit-for-bit") {
+    val emb = Tables.embeddings(spark, dir001)
+    val codebooks = Similarity.fitPqCodebooks(emb, m = 8, ksub = 16)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val scored = emb.select(col("vec_id"),
+        pqEncode(col("embedding"), codebooks).as("codes"),
+        pqScore(typedLit(q), pqEncode(col("embedding"), codebooks),
+          codebooks).as("adc"))
+      .collect()
+    assert(scored.length === 500)
+    // reference: FusedCosineSimilarity's exact arithmetic (sequential
+    // double accumulation in element order) over the reconstruction
+    scored.foreach { r =>
+      val codes = r.getAs[Array[Byte]](1)
+      val recon = codes.zipWithIndex.flatMap { case (b, j) =>
+        codebooks(j)(b & 0xFF)
+      }
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < 64) {
+        val xi = q(i).toDouble
+        val yi = recon(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val want = dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(want),
+        s"vec ${r.getLong(0)}: adc ${r.getDouble(2)} != $want")
+    }
+  }
+
+  test("PqEncode: codes in range, deterministic, null on dim mismatch") {
+    val emb = Tables.embeddings(spark, dir001)
+    val codebooks = Similarity.fitPqCodebooks(emb, m = 8, ksub = 16)
+    val codes = emb.select(pqEncode(col("embedding"), codebooks)
+      .as("codes")).collect().map(_.getAs[Array[Byte]](0))
+    assert(codes.length === 500)
+    codes.foreach { c =>
+      assert(c.length === 8)
+      c.foreach(b => assert((b & 0xFF) < 16))
+    }
+    val again = emb.select(pqEncode(col("embedding"), codebooks)
+      .as("codes")).collect().map(_.getAs[Array[Byte]](0))
+    assert(codes.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // wrong input dimension → null, not garbage
+    val bad = Seq(Seq(1f, 2f, 3f)).toDF("embedding")
+      .select(pqEncode(col("embedding"), codebooks).as("codes"))
+      .collect()
+    assert(bad.head.isNullAt(0))
+  }
+
+  test("inline vs persisted-index serve: bit-identical, both ranking modes") {
+    val idx = tmpDir("pq_idx")
+    Similarity.ivfPqWriteIndex(spark, dir001, idx)
+    val queries = Tables.embeddings(spark, dir001)
+      .filter(col("vec_id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).sortBy(t => (t._1, t._4))
+    // pure ADC
+    assert(canon(Similarity.ivfPqTopK(spark, dir001, refine = 0)) ===
+      canon(Similarity.ivfPqTopKFromIndex(spark, idx, queries)))
+    // refined (two-tier): raw store = the embeddings table
+    assert(canon(Similarity.ivfPqTopK(spark, dir001, refine = 50)) ===
+      canon(Similarity.ivfPqTopKFromIndex(spark, idx, queries,
+        refine = 50,
+        refineFrom = Some(Tables.embeddings(spark, dir001)))))
+  }
+
+  test("PQ codegen survives the production ksub=256 geometry") {
+    import org.apache.spark.sql.execution.debug._
+    val codebooks: Array[Array[Array[Float]]] =
+      Array.tabulate(8, 256, 8) { (j, c, t) =>
+        ((j * 131 + c * 31 + t * 7) % 17 - 8) / 8f
+      }
+    val df = spark.range(200).select(
+        transform(sequence(lit(0), lit(63)), i =>
+          ((pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 500.0)
+            - 1.0).cast("float")).as("v"))
+      .select(col("v"), pqEncode(col("v"), codebooks).as("codes"))
+      .select(pqScore(col("v"), col("codes"), codebooks).as("sim"))
+    val stats = codegenStringSeq(df.queryExecution.executedPlan)
+    assert(stats.nonEmpty)
+    stats.foreach { case (_, _, s) =>
+      assert(s.maxMethodCodeSize < 16000,
+        s"generated method ${s.maxMethodCodeSize} bytes — too close to " +
+          "the 65535 whole-stage fallback threshold")
+    }
+    val rows = df.collect()
+    assert(rows.length === 200)
+    // self-reconstruction of a quantized vector correlates positively
+    rows.foreach(r => assert(r.getDouble(0) > 0.0))
+  }
+
+  test("recall vs brute force: refined two-tier holds the family floor") {
+    val brute = Similarity.bruteForceTopK(spark, dir01, nQueries = 5,
+      k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Similarity.ivfPqTopK(spark, dir01, refine = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.ivfPqTopK(spark, dir01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = (brute & adc).size.toDouble / brute.size
+    val refinedRecall = (brute & refined).size.toDouble / brute.size
+    info(f"sf0.01 recall@10 over 5 queries: adc=$adcRecall%.2f " +
+      f"refined(100)=$refinedRecall%.2f")
+    // ADC ranks from 16-byte codes alone — information-bounded on the
+    // near-isotropic test embeddings; the two-tier refine must recover
+    // the uncompressed family floor (PqTune sweep: 0.90, the plain-IVF
+    // probe ceiling, at the m=16/ksub=16/refine=100 defaults)
+    AccuracyLedger.assertAtLeast("ann_ivfpq_refined_recall_at_10",
+      refinedRecall, 0.75)
+    assert(refinedRecall >= adcRecall,
+      "exact re-rank must not lose recall vs its own shortlist")
+  }
+}
