@@ -283,8 +283,11 @@ object Multimodal {
         val compression = le32(b, 30)
         val height = math.abs(rawHeight)
         val rowSize = ((3 * width + 3) / 4) * 4
+        // height > 0 also rejects rawHeight == Int.MinValue, whose
+        // math.abs is still negative and would slip past the bounds
+        // checks (negative <= positive) into a nonsense BmpInfo
         val ok = hdrSize >= 40 && planes == 1 && bpp == 24 &&
-          compression == 0 && width > 0 && rawHeight != 0 &&
+          compression == 0 && width > 0 && height > 0 &&
           dataOff >= 54 && rowSize > 0 &&
           height <= (Int.MaxValue - dataOff) / rowSize &&
           dataOff + rowSize.toLong * height <= b.length

@@ -55,10 +55,15 @@ object Prefix {
       shards: Int = 32): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     val lead = orderCols.head
+    // a null lead sorts FIRST under the window's default ascending
+    // order, so nulls get a dedicated shard -1 below every real shard
+    // (shard exprs are ≥ 0) — without this a null lead made __shard
+    // null and the === offsets join silently dropped the row
     val sharded = bounds match {
       case Some((lo, hi)) =>
         val width = math.max((hi - lo) / shards + 1, 1L)
-        df.withColumn("__shard", expr(s"($lead - $lo) div $width"))
+        df.withColumn("__shard",
+          coalesce(expr(s"($lead - $lo) div $width"), lit(-1L)))
       case None =>
         // in-plan bounds: a broadcast one-row aggregate over the pruned
         // leading column — declarative (no .head() at construction),
@@ -66,8 +71,9 @@ object Prefix {
         val b = df.groupBy()
           .agg(min(col(lead)).as("__lo"), max(col(lead)).as("__hi"))
         df.crossJoin(broadcast(b))
-          .withColumn("__shard", expr(
-            s"($lead - __lo) div greatest((__hi - __lo) div $shards + 1, 1)"))
+          .withColumn("__shard", coalesce(expr(
+            s"($lead - __lo) div greatest((__hi - __lo) div $shards + 1, 1)"),
+            lit(-1L)))
           .drop("__lo", "__hi")
     }
     // one explicit exchange on (key, shard): the local window and the

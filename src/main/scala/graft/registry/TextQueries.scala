@@ -185,15 +185,7 @@ object TextQueries {
       ("q_ann_ivf_served" -> baseOracle("q_ann_ivf")) +
       ("q_ann_ivf_sharded_served" -> baseOracle("q_ann_ivf_sharded")) +
       ("q_incremental_dedup_served" -> baseOracle("q_incremental_dedup")) +
-      // the IVF-PQ goldens ARE the plain-IVF golden, deliberately: at
-      // sf0.01 the exact re-rank of the ADC top-100 shortlist recovers
-      // the uncompressed IVF ranking row-for-row (verified by
-      // GoldenDump r10), so sharing the golden pins BOTH that recovery
-      // property and any drift in the codebook fit / encoding /
-      // shortlist boundary — a shortlist that loses a true top-10 row
-      // shows up as a hash mismatch here
-      ("q_ann_ivfpq" -> baseOracle("q_ann_ivf")) +
-      ("q_ann_ivfpq_served" -> baseOracle("q_ann_ivf"))
+      ("q_ann_ivfpq_served" -> baseOracle("q_ann_ivfpq"))
 
   /** Word-3-gram shingle sets per document, as a DuckDB CTE — mirrors
     * Dedup.shinglesFromTokens (whitespace tokens, empties dropped,
@@ -337,6 +329,19 @@ object TextQueries {
       s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
          | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
          |${annIvfShardedGolden}) AS t(q, v, s, r)""".stripMargin,
+    // GOLDEN oracle: the compressed tier pins its OWN golden (dumped by
+    // GoldenDump r11). Its values happen to equal q_ann_ivf's at sf0.01
+    // — the refine=100 exact re-rank recovers the uncompressed IVF
+    // ranking row-for-row here (PqSpec measures the non-universal
+    // refined recall separately) — but the dedicated pin means a future
+    // fixture regen, scale change, or geometry tweak reports against
+    // the PQ tier's own expected output, not a misleading "IVF golden
+    // mismatch". Catches drift in the codebook fit, PQ encoding, ADC
+    // shortlist boundary, and re-rank scoring.
+    "q_ann_ivfpq" ->
+      s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+         | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
+         |${annIvfPqGolden}) AS t(q, v, s, r)""".stripMargin,
     // GOLDEN oracle: the scale-mode cluster summary (bounded bottom-k
     // member sample + count instead of collect_list of EVERY member) is
     // deterministic — min-id cluster labels, smallest-k member ids —
@@ -699,6 +704,28 @@ object TextQueries {
       |  (4,496,0.3412,2),(4,89,0.266,8)""".stripMargin
 
   private val annIvfGolden: String =
+    """(0,190,0.2818,7),(0,334,0.3627,2),(0,365,0.37,1),
+      |  (0,387,0.3311,3),(0,388,0.2763,9),(0,423,0.2969,4),
+      |  (0,464,0.2766,8),(0,483,0.2567,10),(0,7,0.2928,6),
+      |  (0,73,0.2954,5),(1,124,0.3028,6),(1,195,0.3227,4),
+      |  (1,203,0.2682,10),(1,220,0.2898,9),(1,27,0.3482,2),
+      |  (1,386,0.3715,1),(1,402,0.2923,7),(1,407,0.327,3),
+      |  (1,472,0.2921,8),(1,64,0.3164,5),(2,112,0.2453,8),
+      |  (2,117,0.3181,1),(2,145,0.2635,3),(2,172,0.2398,10),
+      |  (2,188,0.2633,4),(2,320,0.255,5),(2,350,0.2401,9),
+      |  (2,418,0.254,6),(2,450,0.2663,2),(2,471,0.2472,7),
+      |  (3,174,0.3035,2),(3,192,0.2908,5),(3,207,0.2917,4),
+      |  (3,231,0.2988,3),(3,343,0.3085,1),(3,363,0.2686,8),
+      |  (3,396,0.261,9),(3,437,0.2805,6),(3,463,0.2609,10),
+      |  (3,474,0.2767,7),(4,114,0.3985,1),(4,249,0.2796,5),
+      |  (4,257,0.2724,6),(4,280,0.2798,4),(4,346,0.2316,10),
+      |  (4,384,0.2404,9),(4,408,0.3228,3),(4,470,0.2525,8),
+      |  (4,496,0.3412,2),(4,89,0.266,7)""".stripMargin
+
+  // dedicated IVF-PQ pin (GoldenDump r11, sf0.01) — equal to
+  // annIvfGolden today by the re-rank-recovery property; kept separate
+  // so PQ-tier drift reports against its own expectation
+  private val annIvfPqGolden: String =
     """(0,190,0.2818,7),(0,334,0.3627,2),(0,365,0.37,1),
       |  (0,387,0.3311,3),(0,388,0.2763,9),(0,423,0.2969,4),
       |  (0,464,0.2766,8),(0,483,0.2567,10),(0,7,0.2928,6),

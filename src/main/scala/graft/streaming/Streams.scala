@@ -136,15 +136,24 @@ object Streams {
               s"$lakeDir/pairs")
             // standing index = every committed batch partition EXCEPT
             // this batch's own (a failed earlier attempt may have
-            // written it already); a missing/unreadable path means no
-            // standing index yet — the first-batch case
-            def standing(path: String): Option[DataFrame] =
-              scala.util.Try {
+            // written it already). Only a MISSING path means "no
+            // standing index yet" (the first-batch case); any other
+            // failure (transient FS error, corrupt part file, schema
+            // inference) must propagate so the micro-batch fails and
+            // retries — committing with a silently-empty index would
+            // permanently lose cross-batch pairs.
+            def standing(path: String): Option[DataFrame] = {
+              val p = new org.apache.hadoop.fs.Path(path)
+              val fs = p.getFileSystem(
+                s.sparkContext.hadoopConfiguration)
+              if (!fs.exists(p)) None
+              else {
                 val df = s.read.parquet(path)
                   .filter(col("batch") =!= lit(batchId)).drop("batch")
-                df.schema // force analysis inside the Try
-                df
-              }.toOption
+                df.schema // force analysis eagerly
+                Some(df)
+              }
+            }
             val pairs = (standing(bucketsPath), standing(docsPath)) match {
               case (Some(idxBuckets), Some(idxDocs)) =>
                 Dedup.incrementalMinhashPairsFromIndex(

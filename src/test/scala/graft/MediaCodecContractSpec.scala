@@ -119,6 +119,14 @@ class MediaCodecContractSpec extends SparkSuite {
     assert(codec.dims(bpp8) === ((0, 0)))
     val rle = bmp.clone(); rle(30) = 1 // BI_RLE8
     assert(codec.dims(rle) === ((0, 0)))
+    // height = Int.MinValue: math.abs stays negative, so the bounds
+    // checks pass vacuously — parse must still reject it
+    val minH = bmp.clone()
+    val minHBytes = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Int.MinValue).array()
+    System.arraycopy(minHBytes, 0, minH, 22, 4)
+    assert(codec.dims(minH) === ((0, 0)))
+    assert(codec.feature(minH).toSeq === Seq.fill(8)(0f))
   }
 
   test("bmpDecodeStats recovers synthesis parameters through the " +

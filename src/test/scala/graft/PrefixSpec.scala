@@ -60,6 +60,17 @@ class PrefixSpec extends SparkSuite {
     assert(got === Set(("a", 5L, 2L), ("a", 9L, 5L), ("b", 5L, 7L)))
   }
 
+  test("null leading order keys are kept, matching the window's nulls-first") {
+    val df = Seq(("a", Some(5L), 2L), ("a", None, 3L), ("a", Some(9L), 4L),
+      ("b", None, 7L)).toDF("k", "ord", "v")
+    val want = df.withColumn("cum",
+      sum($"v").over(Window.partitionBy($"k").orderBy($"ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val got = Prefix.shardedRunningSum(df, "k", Seq("ord"), "v", "cum")
+    assert(got.count() === 4, "null-lead rows must not be dropped")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("the dominant key's sort is sharded, not single-task") {
     // the point of the operator: the staged exchange partitions by
     // (key, shard), so the dominant key occupies MULTIPLE shards
