@@ -547,7 +547,26 @@ object Similarity {
     * is why the aggregator's finish sorts.
     */
   def fitShardedCentroids(emb: DataFrame, shards: Int, cells: Int,
-      sampleSize: Int = 2048): IndexedSeq[Array[Array[Float]]] = {
+      sampleSize: Int = 2048): IndexedSeq[Array[Array[Float]]] =
+    shardedSamples(emb, shards, sampleSize).map { slice =>
+      // a shard no vector hashed to has NO centroids: consumers skip
+      // empty slices explicitly ([[dispatchCells]], [[shardedQueryProbes]])
+      // rather than relying on a sentinel matrix whose safety hinged on
+      // NearestCentroids null-propagating a dimension mismatch
+      if (slice.isEmpty) Array.empty[Array[Float]]
+      else kmeansCentroids(slice, math.min(cells, slice.length))
+        .map(_.map(_.toFloat))
+    }
+
+  /** The one-pass stratified sample behind every sharded model fit:
+    * per-shard bottom-`sampleSize` by (id-hash, id) through the
+    * bounded [[BottomKSampleAgg]], returned as per-shard double
+    * matrices in (h, vec_id) order — the same keys as
+    * [[fitCentroids]]'s sort, so 1-shard fits stay bit-identical to
+    * their unsharded twins.
+    */
+  private def shardedSamples(emb: DataFrame, shards: Int,
+      sampleSize: Int): IndexedSeq[Array[Array[Double]]] = {
     val s = emb.sparkSession
     import s.implicits._
     val shardOf = pmod(xxhash64(col("vec_id")), lit(shards)).cast("int")
@@ -559,16 +578,45 @@ object Similarity {
       .agg(new BottomKSampleAgg(sampleSize).toColumn.name("sample"))
       .collect().toMap
     (0 until shards).map { sh =>
-      val slice = sampled.getOrElse(sh, Seq.empty)
+      sampled.getOrElse(sh, Seq.empty)
         .map(_.map(_.toDouble).toArray).toArray
-      // a shard no vector hashed to has NO centroids: consumers skip
-      // empty slices explicitly ([[dispatchCells]], [[shardedQueryProbes]])
-      // rather than relying on a sentinel matrix whose safety hinged on
-      // NearestCentroids null-propagating a dimension mismatch
+    }
+  }
+
+  /** One-pass sharded model fit for the IVF-PQ tier: the SAME
+    * stratified sample as [[fitShardedCentroids]] (one collect) feeds
+    * BOTH per-shard spherical coarse centroids and per-shard Euclidean
+    * PQ codebooks — a 100 TB corpus is scanned once for the whole
+    * model. With 1 shard both fits are bit-identical to
+    * [[fitCentroids]] / [[fitPqCodebooks]] (same sample, same order,
+    * same k-means), which is what pins the sharded tier's 1-shard
+    * degeneracy in PqSpec. Empty shards get empty models; consumers
+    * skip them.
+    */
+  def fitShardedPq(emb: DataFrame, shards: Int, cells: Int, m: Int,
+      ksub: Int, sampleSize: Int = 2048)
+      : (IndexedSeq[Array[Array[Float]]],
+         IndexedSeq[Array[Array[Array[Float]]]]) = {
+    val slices = shardedSamples(emb, shards, sampleSize)
+    val centroids = slices.map { slice =>
       if (slice.isEmpty) Array.empty[Array[Float]]
       else kmeansCentroids(slice, math.min(cells, slice.length))
         .map(_.map(_.toFloat))
     }
+    val codebooks = slices.map { slice =>
+      if (slice.isEmpty) Array.empty[Array[Array[Float]]]
+      else {
+        val dim = slice.head.length
+        require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+        val dsub = dim / m
+        Array.tabulate(m) { j =>
+          val sub = slice.map(v => v.slice(j * dsub, (j + 1) * dsub))
+          kmeansEuclidean(sub, math.min(ksub, sub.length))
+            .map(_.map(_.toFloat))
+        }
+      }
+    }
+    (centroids, codebooks)
   }
 
   /** Bounded CASE over shard id — one [[graft.functions.NearestCentroids]]
@@ -879,15 +927,52 @@ object Similarity {
       queryProbes: DataFrame, keys: Seq[String],
       codebooks: Array[Array[Array[Float]]], k: Int, refine: Int,
       refineFrom: => DataFrame): DataFrame = {
-    import graft.functions.FusedCosineSimilarity.fusedCosine
     import graft.functions.PqOps.pqScore
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
     val adc = codesDf.join(broadcast(queryProbes), keys)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("q"), col("vec_id"),
         pqScore(col("q"), col("codes"), codebooks).as("sim"))
-      .withColumn("rk", row_number().over(w))
+    rankAndRefinePq(adc, k, refine, refineFrom)
+  }
+
+  /** The sharded ADC join: same shape as [[scorePqCandidates]] but the
+    * score expression dispatches to the candidate's SHARD's codebooks
+    * through a bounded CASE (the [[dispatchCells]] pattern) — each
+    * scored row still touches exactly one codebook reference object.
+    */
+  private def scoreShardedPqCandidates(codesDf: DataFrame,
+      queryProbes: DataFrame,
+      codebooksByShard: IndexedSeq[Array[Array[Array[Float]]]], k: Int,
+      refine: Int, refineFrom: => DataFrame): DataFrame = {
+    import graft.functions.PqOps.pqScore
+    val live =
+      codebooksByShard.indices.filter(codebooksByShard(_).nonEmpty)
+    require(live.nonEmpty, "no shard has any codebooks — empty corpus")
+    def dispatchScore(q: Column, codes: Column, shardC: Column): Column =
+      live.tail.foldLeft(
+        when(shardC === live.head,
+          pqScore(q, codes, codebooksByShard(live.head)))) { (acc, sh) =>
+        acc.when(shardC === sh, pqScore(q, codes, codebooksByShard(sh)))
+      }
+    val adc = codesDf.join(broadcast(queryProbes), Seq("shard", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q"), col("vec_id"),
+        dispatchScore(col("q"), col("codes"), col("shard")).as("sim"))
+    rankAndRefinePq(adc, k, refine, refineFrom)
+  }
+
+  /** Shared PQ ranking tail: window-rank the ADC scores; with
+    * `refine > 0` re-rank the broadcast top-`refine` shortlist by
+    * exact fused cosine against `refineFrom` (the raw-vector store) —
+    * one fetch scan, no shuffle. Input `adc`:
+    * (query_id, q, vec_id, sim).
+    */
+  private def rankAndRefinePq(adc0: DataFrame, k: Int, refine: Int,
+      refineFrom: => DataFrame): DataFrame = {
+    import graft.functions.FusedCosineSimilarity.fusedCosine
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val adc = adc0.withColumn("rk", row_number().over(w))
     if (refine <= 0)
       adc.filter(col("rk") <= k)
         .select(col("query_id"), col("vec_id"),
@@ -1038,6 +1123,166 @@ object Similarity {
         explode(nearestCells(col("q"), centroidMatrix, probes))
           .as("cell"))
     scorePqCandidates(codes, queryProbes, Seq("cell"), codebooks, k,
+      refine, refineFrom.getOrElse(codes.limit(0)))
+  }
+
+  /** Sharded IVF-PQ ANN top-k — the 100 TB HOT tier proper: the
+    * compressed index ([[ivfPqTopK]]) composed with the shard
+    * machinery ([[ivfTopKSharded]]), because the corpus a deployment
+    * compresses is exactly the one past a single index's ~65k-vector
+    * capacity. Per-shard coarse centroids AND per-shard PQ codebooks
+    * come from ONE stratified-sample pass ([[fitShardedPq]]); the
+    * corpus is scanned once into (shard, cell, m-byte code) rows;
+    * queries fan out to every shard's probe cells; ADC scores
+    * cross-shard candidates against their own shard's codebooks
+    * through a bounded CASE; one global window merges the union, and
+    * the optional `refine` re-rank fetches raw vectors for the
+    * broadcast shortlist only — so the serve path moves codes between
+    * executors, never embeddings, regardless of shard count.
+    *
+    * With `nShards = 1` every stage degenerates bit-identically to
+    * [[ivfPqTopK]] (same sample, fits, probes, scores — asserted in
+    * PqSpec).
+    */
+  def ivfPqTopKSharded(s: SparkSession, d: String, nShards: Int = 0,
+      nQueries: Int = 5, k: Int = 10, m: Int = 16, ksub: Int = 16,
+      refine: Int = 100, sampleSize: Int = 2048): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count() // parquet-footer read, same as ivfTopKSharded
+    val shards = if (nShards > 0) nShards else shardsFor(n)
+    val shardOf = pmod(xxhash64(col("vec_id")), lit(shards)).cast("int")
+    val cells = cellsFor(math.ceil(n.toDouble / shards).toLong)
+    val probes = probesFor(cells)
+    val (centroidsByShard, codebooksByShard) =
+      fitShardedPq(emb, shards, cells, m, ksub, sampleSize)
+    val codes = emb
+      .select(col("vec_id"), col("embedding"), shardOf.as("shard"))
+      .select(col("vec_id"), col("shard"),
+        element_at(dispatchCells(col("embedding"), col("shard"),
+          centroidsByShard, 1), 1).as("cell"),
+        dispatchPqEncode(col("embedding"), col("shard"),
+          codebooksByShard).as("codes"))
+    val queryVecs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val queryProbes = shardedQueryProbes(queryVecs, centroidsByShard,
+      probes)
+    scoreShardedPqCandidates(codes, queryProbes, codebooksByShard, k,
+      refine, emb)
+  }
+
+  /** Bounded CASE over shard id for PQ encoding — one
+    * [[graft.functions.PqEncode]] branch per non-empty shard, the
+    * [[dispatchCells]] pattern.
+    */
+  private def dispatchPqEncode(v: Column, shardC: Column,
+      codebooksByShard: IndexedSeq[Array[Array[Array[Float]]]]): Column = {
+    import graft.functions.PqOps.pqEncode
+    val live =
+      codebooksByShard.indices.filter(codebooksByShard(_).nonEmpty)
+    require(live.nonEmpty, "no shard has any codebooks — empty corpus")
+    live.tail.foldLeft(
+      when(shardC === live.head,
+        pqEncode(v, codebooksByShard(live.head)))) { (acc, sh) =>
+      acc.when(shardC === sh, pqEncode(v, codebooksByShard(sh)))
+    }
+  }
+
+  /** Fit and persist the sharded IVF-PQ index: per-shard `centroids`
+    * (shard, cell, centroid) and `codebooks` (shard, sub, code,
+    * centroid), a one-row `meta` (shards, probes), and the compressed
+    * `codes` table (vec_id, codes BINARY(m)) PARTITIONED by
+    * (shard, cell) — the probe fan-out prunes the serve scan to probed
+    * partitions via dynamic partition pruning, exactly as the raw
+    * sharded index does, at ~1/30 the bytes per pruned-in row. The raw
+    * embeddings stay in the lake as the cold store the `refine`
+    * re-rank point-fetches.
+    */
+  def ivfPqWriteIndexSharded(s: SparkSession, d: String,
+      indexDir: String, nShards: Int = 0, m: Int = 16, ksub: Int = 16,
+      sampleSize: Int = 2048): Unit = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val shards = if (nShards > 0) nShards else shardsFor(n)
+    val shardOf = pmod(xxhash64(col("vec_id")), lit(shards)).cast("int")
+    val cells = cellsFor(math.ceil(n.toDouble / shards).toLong)
+    val probes = probesFor(cells)
+    val (centroidsByShard, codebooksByShard) =
+      fitShardedPq(emb, shards, cells, m, ksub, sampleSize)
+    centroidsByShard.zipWithIndex.flatMap { case (mx, sh) =>
+      mx.toIndexedSeq.map(_.toSeq).zipWithIndex.map { case (c, i) =>
+        (sh, i, c)
+      }
+    }.toDF("shard", "cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    codebooksByShard.zipWithIndex.flatMap { case (cbs, sh) =>
+      cbs.toIndexedSeq.zipWithIndex.flatMap { case (cb, j) =>
+        cb.toIndexedSeq.zipWithIndex.map { case (c, code) =>
+          (sh, j, code, c.toSeq)
+        }
+      }
+    }.toDF("shard", "sub", "code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    Seq((shards, probes)).toDF("shards", "probes")
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+    emb.select(col("vec_id"), col("embedding"), shardOf.as("shard"))
+      .select(col("vec_id"), col("shard"),
+        element_at(dispatchCells(col("embedding"), col("shard"),
+          centroidsByShard, 1), 1).as("cell"),
+        dispatchPqEncode(col("embedding"), col("shard"),
+          codebooksByShard).as("codes"))
+      .write.mode("overwrite").partitionBy("shard", "cell")
+      .parquet(s"$indexDir/codes")
+  }
+
+  /** Serve sharded IVF-PQ top-k from a persisted index
+    * ([[ivfPqWriteIndexSharded]]): bounded reads rebuild the per-shard
+    * model (≤ shards×maxCells centroid rows, shards×m×ksub codebook
+    * rows), probe planning fans out per shard, ADC runs over the
+    * partition-pruned codes table, and `refine > 0` re-ranks against
+    * `refineFrom`. Bit-identical to the inline [[ivfPqTopKSharded]] at
+    * the same geometry (deterministic fits; pinned in PqSpec).
+    */
+  def ivfPqTopKShardedFromIndex(s: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int = 10, refine: Int = 0,
+      refineFrom: Option[DataFrame] = None): DataFrame = {
+    require(refine <= 0 || refineFrom.nonEmpty,
+      "refine > 0 needs refineFrom (the raw-vector store)")
+    val meta = s.read.parquet(s"$indexDir/meta").head()
+    val (shards, probes) =
+      (meta.getAs[Int]("shards"), meta.getAs[Int]("probes"))
+    val centroidsByShard: IndexedSeq[Array[Array[Float]]] =
+      s.read.parquet(s"$indexDir/centroids")
+        .select(col("shard"), col("cell"), col("centroid"))
+        .orderBy(col("shard"), col("cell")).collect()
+        .foldLeft(IndexedSeq.fill(shards)(
+          Vector.empty[Array[Float]])) { (acc, r) =>
+          acc.updated(r.getInt(0),
+            acc(r.getInt(0)) :+ r.getSeq[Float](2).toArray)
+        }.map(_.toArray)
+    val codebooksByShard: IndexedSeq[Array[Array[Array[Float]]]] =
+      s.read.parquet(s"$indexDir/codebooks")
+        .select(col("shard"), col("sub"), col("code"), col("centroid"))
+        .orderBy(col("shard"), col("sub"), col("code")).collect()
+        .foldLeft(IndexedSeq.fill(shards)(
+          Vector.empty[(Int, Array[Float])])) { (acc, r) =>
+          acc.updated(r.getInt(0),
+            acc(r.getInt(0)) :+ ((r.getInt(1), r.getSeq[Float](3).toArray)))
+        }.map { flat =>
+          if (flat.isEmpty) Array.empty[Array[Array[Float]]]
+          else {
+            val bySub = flat.groupBy(_._1)
+            Array.tabulate(bySub.size)(j => bySub(j).map(_._2).toArray)
+          }
+        }
+    val codes = s.read.parquet(s"$indexDir/codes")
+    val queryVecs = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val queryProbes = shardedQueryProbes(queryVecs, centroidsByShard,
+      probes)
+    scoreShardedPqCandidates(codes, queryProbes, codebooksByShard, k,
       refine, refineFrom.getOrElse(codes.limit(0)))
   }
 }

@@ -57,6 +57,15 @@ object TextQueries {
     // exact re-rank of the ADC shortlist (r10)
     "q_ann_ivfpq" -> ((s: SparkSession, d: String) =>
       Similarity.ivfPqTopK(s, d)),
+    // the 100 TB hot tier proper (r11): compressed codes AND past the
+    // single-index capacity wall — nShards=2 as q_ann_ivf_sharded.
+    // refine=150 (not the operator-default 100): the per-shard
+    // codebook fit shifts the ADC error profile just enough that at
+    // this geometry the 100-row shortlist misses one true top-10 row
+    // by 2e-4; 150 recovers the uncompressed sharded ranking
+    // row-for-row, which the dedicated golden then pins
+    "q_ann_ivfpq_sharded" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqTopKSharded(s, d, nShards = 2, refine = 150)),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairs(s, d)),
     "q_embedding_neardups" -> ((s: SparkSession, d: String) =>
@@ -111,6 +120,11 @@ object TextQueries {
     "q_ann_ivfpq_served" -> ((s: SparkSession, d: String) =>
       Similarity.ivfPqTopKFromIndex(s, s"${indexRoot(d)}/ivfpq",
         annProbeVectors(s, d), refine = 100,
+        refineFrom = Some(graft.Tables.embeddings(s, d)))),
+    "q_ann_ivfpq_sharded_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqTopKShardedFromIndex(s,
+        s"${indexRoot(d)}/ivfpq_sharded", annProbeVectors(s, d),
+        refine = 150, // matches the inline twin's boundary note above
         refineFrom = Some(graft.Tables.embeddings(s, d)))),
     "q_incremental_dedup_served" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalMinhashPairsFromIndex(
@@ -168,6 +182,8 @@ object TextQueries {
     Similarity.ivfWriteIndexSharded(s, d, s"$root/ivf_sharded",
       nShards = 2)
     Similarity.ivfPqWriteIndex(s, d, s"$root/ivfpq")
+    Similarity.ivfPqWriteIndexSharded(s, d, s"$root/ivfpq_sharded",
+      nShards = 2)
     Dedup.minhashBuckets(incrSplitSide(s, d, newSide = false))
       .write.mode("overwrite").parquet(s"$root/minhash_buckets")
   }
@@ -185,7 +201,8 @@ object TextQueries {
       ("q_ann_ivf_served" -> baseOracle("q_ann_ivf")) +
       ("q_ann_ivf_sharded_served" -> baseOracle("q_ann_ivf_sharded")) +
       ("q_incremental_dedup_served" -> baseOracle("q_incremental_dedup")) +
-      ("q_ann_ivfpq_served" -> baseOracle("q_ann_ivfpq"))
+      ("q_ann_ivfpq_served" -> baseOracle("q_ann_ivfpq")) +
+      ("q_ann_ivfpq_sharded_served" -> baseOracle("q_ann_ivfpq_sharded"))
 
   /** Word-3-gram shingle sets per document, as a DuckDB CTE — mirrors
     * Dedup.shinglesFromTokens (whitespace tokens, empties dropped,
@@ -342,6 +359,17 @@ object TextQueries {
       s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
          | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
          |${annIvfPqGolden}) AS t(q, v, s, r)""".stripMargin,
+    // GOLDEN oracle: the sharded compressed tier pins its OWN golden
+    // (GoldenDump r11) — equal to q_ann_ivf_sharded's at sf0.01 by the
+    // refine=150 re-rank recovery (see the registry note), kept
+    // separate so sharded-PQ drift reports against its own values.
+    // Catches drift in the per-shard codebook fits, the encode/score
+    // shard dispatch, the cross-shard ADC merge, and the shortlist
+    // boundary.
+    "q_ann_ivfpq_sharded" ->
+      s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+         | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
+         |${annIvfPqShardedGolden}) AS t(q, v, s, r)""".stripMargin,
     // GOLDEN oracle: the scale-mode cluster summary (bounded bottom-k
     // member sample + count instead of collect_list of EVERY member) is
     // deterministic — min-id cluster labels, smallest-k member ids —
@@ -721,6 +749,28 @@ object TextQueries {
       |  (4,257,0.2724,6),(4,280,0.2798,4),(4,346,0.2316,10),
       |  (4,384,0.2404,9),(4,408,0.3228,3),(4,470,0.2525,8),
       |  (4,496,0.3412,2),(4,89,0.266,7)""".stripMargin
+
+  // dedicated sharded-IVF-PQ pin (GoldenDump r11, sf0.01, nShards=2,
+  // refine=150) — equal to annIvfShardedGolden by re-rank recovery;
+  // kept separate so sharded-PQ drift reports against its own values
+  private val annIvfPqShardedGolden: String =
+    """(0,190,0.2818,7),(0,320,0.2879,6),(0,334,0.3627,2),
+      |  (0,365,0.37,1),(0,387,0.3311,3),(0,388,0.2763,9),
+      |  (0,464,0.2766,8),(0,483,0.2567,10),(0,7,0.2928,5),
+      |  (0,73,0.2954,4),(1,124,0.3028,6),(1,195,0.3227,4),
+      |  (1,203,0.2682,10),(1,220,0.2898,9),(1,27,0.3482,2),
+      |  (1,386,0.3715,1),(1,402,0.2923,7),(1,407,0.327,3),
+      |  (1,472,0.2921,8),(1,64,0.3164,5),(2,112,0.2453,7),
+      |  (2,117,0.3181,1),(2,145,0.2635,3),(2,172,0.2398,9),
+      |  (2,197,0.2331,10),(2,320,0.255,4),(2,350,0.2401,8),
+      |  (2,418,0.254,5),(2,450,0.2663,2),(2,471,0.2472,6),
+      |  (3,130,0.3999,1),(3,149,0.3299,2),(3,174,0.3035,4),
+      |  (3,207,0.2917,6),(3,231,0.2988,5),(3,315,0.2852,7),
+      |  (3,343,0.3085,3),(3,363,0.2686,10),(3,437,0.2805,8),
+      |  (3,474,0.2767,9),(4,114,0.3985,1),(4,249,0.2796,6),
+      |  (4,257,0.2724,7),(4,280,0.2798,5),(4,346,0.2316,10),
+      |  (4,408,0.3228,3),(4,470,0.2525,9),(4,482,0.3139,4),
+      |  (4,496,0.3412,2),(4,89,0.266,8)""".stripMargin
 
   // dedicated IVF-PQ pin (GoldenDump r11, sf0.01) — equal to
   // annIvfGolden today by the re-rank-recovery property; kept separate

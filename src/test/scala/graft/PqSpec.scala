@@ -112,6 +112,40 @@ class PqSpec extends SparkSuite {
     rows.foreach(r => assert(r.getDouble(0) > 0.0))
   }
 
+  test("sharded 1-shard degeneracy: bit-identical to the unsharded tier") {
+    // same sample, same fits, same probes, same scores — the sharded
+    // pipeline with nShards=1 IS ivfPqTopK, both ranking modes
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).sortBy(t => (t._1, t._4))
+    assert(canon(Similarity.ivfPqTopKSharded(spark, dir001,
+        nShards = 1, refine = 0)) ===
+      canon(Similarity.ivfPqTopK(spark, dir001, refine = 0)))
+    assert(canon(Similarity.ivfPqTopKSharded(spark, dir001,
+        nShards = 1, refine = 50)) ===
+      canon(Similarity.ivfPqTopK(spark, dir001, refine = 50)))
+  }
+
+  test("sharded inline vs persisted-index serve: bit-identical") {
+    val idx = tmpDir("pq_sharded_idx")
+    Similarity.ivfPqWriteIndexSharded(spark, dir001, idx, nShards = 2)
+    val queries = Tables.embeddings(spark, dir001)
+      .filter(col("vec_id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).sortBy(t => (t._1, t._4))
+    // pure ADC
+    assert(canon(Similarity.ivfPqTopKSharded(spark, dir001,
+        nShards = 2, refine = 0)) ===
+      canon(Similarity.ivfPqTopKShardedFromIndex(spark, idx, queries)))
+    // refined two-tier against the raw store
+    assert(canon(Similarity.ivfPqTopKSharded(spark, dir001,
+        nShards = 2, refine = 50)) ===
+      canon(Similarity.ivfPqTopKShardedFromIndex(spark, idx, queries,
+        refine = 50,
+        refineFrom = Some(Tables.embeddings(spark, dir001)))))
+  }
+
   test("recall vs brute force: refined two-tier holds the family floor") {
     val brute = Similarity.bruteForceTopK(spark, dir01, nQueries = 5,
       k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -131,5 +165,14 @@ class PqSpec extends SparkSuite {
       refinedRecall, 0.75)
     assert(refinedRecall >= adcRecall,
       "exact re-rank must not lose recall vs its own shortlist")
+    // the sharded compressed tier at the registry geometry
+    // (nShards=2, refine=150) must hold the same family floor
+    val sharded = Similarity.ivfPqTopKSharded(spark, dir01,
+        nShards = 2, refine = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shardedRecall = (brute & sharded).size.toDouble / brute.size
+    info(f"sf0.01 sharded refined(150) recall@10: $shardedRecall%.2f")
+    AccuracyLedger.assertAtLeast("ann_ivfpq_sharded_refined_recall_at_10",
+      shardedRecall, 0.75)
   }
 }
