@@ -356,23 +356,43 @@ object Dedup {
   def simhashPairs(s: SparkSession, d: String,
       maxHamming: Int = 6): DataFrame = {
     val fp = TextOps.fingerprints(s, d).select(col("doc_id"), col("simhash"))
+    bandedHammingPairs(fp, "doc_id", "simhash", maxHamming,
+      "doc_a", "doc_b")
+  }
+
+  /** The banded-Hamming machinery behind [[simhashPairs]], usable over
+    * ANY 64-bit signature column (SimHash, image dHash, audio
+    * fingerprints): the signature splits into 4 16-bit bands; rows
+    * sharing any band pair up, verified by Hamming distance over the
+    * full signature — near-dups differ in few bits, so they almost
+    * surely agree on at least one band (pigeonhole: ≤3 flipped bits
+    * can dirty at most 3 of 4 bands). The band self-join carries only
+    * (band, bkey, id, sig); null signatures (failed decodes) are
+    * dropped, never paired. Output: (`outA`, `outB`, hamming) with
+    * outA < outB.
+    */
+  def bandedHammingPairs(sig: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, outA: String, outB: String): DataFrame = {
     // repartition on the join key puts an Exchange under both sides of
-    // the self-join; ReuseExchange then computes the 64-pass SimHash
-    // subtree once instead of once per side
-    val banded = fp.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL)
-          .as("bkey"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
+    // the self-join; ReuseExchange then computes the signature subtree
+    // (e.g. SimHash's 64 bit-votes, or the BMP decode) once instead of
+    // once per side
+    val banded = sig
+      .filter(col(sigCol).isNotNull)
+      .select(col(idCol), col(sigCol),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col(sigCol), b * 16).bitwiseAND(0xffffL)
+            .as("bkey"))): _*)).as("bb"))
+      .select(col(idCol), col(sigCol),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .repartition(col("band"), col("bkey"))
     val candidates = banded
       .join(banded.select(col("band"), col("bkey"),
-        col("doc_id").as("doc_b"), col("simhash").as("sim_b")),
+        col(idCol).as("__b"), col(sigCol).as("__sig_b")),
         Seq("band", "bkey"))
-      .filter(col("doc_id") < col("doc_b"))
-      .select(col("doc_id").as("doc_a"), col("doc_b"),
-        bit_count(col("simhash").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col(idCol) < col("__b"))
+      .select(col(idCol).as(outA), col("__b").as(outB),
+        bit_count(col(sigCol).bitwiseXOR(col("__sig_b"))).as("hamming"))
       .distinct()
     candidates.filter(col("hamming") <= maxHamming)
   }

@@ -306,6 +306,10 @@ object Multimodal {
     def dims(bytes: Array[Byte]): (Int, Int) =
       parse(bytes).map(i => (i.width, i.height)).getOrElse((0, 0))
 
+    private def lumAt(bytes: Array[Byte], o: Int): Int =
+      (114 * (bytes(o) & 0xff) + 587 * (bytes(o + 1) & 0xff) +
+        299 * (bytes(o + 2) & 0xff)) / 1000
+
     def feature(bytes: Array[Byte]): Array[Float] = {
       val hist = new Array[Float](featureDim)
       parse(bytes).foreach { info =>
@@ -314,11 +318,7 @@ object Multimodal {
           val base = info.dataOff + row * info.rowSize
           var px = 0
           while (px < info.width) {
-            val o = base + 3 * px // BGR triplet
-            val lum = (114 * (bytes(o) & 0xff) +
-              587 * (bytes(o + 1) & 0xff) +
-              299 * (bytes(o + 2) & 0xff)) / 1000
-            hist(lum >> 5) += 1f
+            hist(lumAt(bytes, base + 3 * px) >> 5) += 1f
             px += 1
           }
           row += 1
@@ -328,6 +328,64 @@ object Multimodal {
           hist(j) /= n.toFloat; j += 1 } }
       }
       hist
+    }
+
+    /** 64-bit perceptual difference hash (dHash) over the decoded
+      * luminance plane: box-downsample to a 9×8 mean-luminance grid
+      * (any image size — small images repeat pixels, never skip), then
+      * bit `y*8 + x` = "cell (y, x+1) brighter than cell (y, x)".
+      * Orientation-normalized: rows are walked in IMAGE order (top to
+      * bottom), so bottom-up and top-down encodings of the same pixels
+      * hash identically, like [[feature]]. Means are compared as
+      * integer cross-products — no float rounding, bit-reproducible
+      * everywhere. `None` when the bytes are not a well-formed 24bpp
+      * BMP (a failed decode must not pair with anything, rather than
+      * hashing to the all-zero signature every other failed decode
+      * shares).
+      */
+    def dhash(bytes: Array[Byte]): Option[Long] = parse(bytes).map { info =>
+      val sums = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = gy * info.height / 8
+        val y1 = math.max(y0 + 1, (gy + 1) * info.height / 8)
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * info.width / 9
+          val x1 = math.max(x0 + 1, (gx + 1) * info.width / 9)
+          var y = y0
+          while (y < y1) {
+            val storageRow =
+              if (info.topDown) y else info.height - 1 - y
+            val base = info.dataOff + storageRow * info.rowSize
+            var x = x0
+            while (x < x1) {
+              sums(gy)(gx) += lumAt(bytes, base + 3 * x)
+              cnts(gy)(gx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          gx += 1
+        }
+        gy += 1
+      }
+      var h = 0L
+      var b = 0
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          if (sums(yy)(xx + 1) * cnts(yy)(xx) >
+              sums(yy)(xx) * cnts(yy)(xx + 1))
+            h |= 1L << b
+          b += 1
+          xx += 1
+        }
+        yy += 1
+      }
+      h
     }
   }
 
@@ -399,6 +457,80 @@ object Multimodal {
         r4(avg(col("height"))).as("avg_height"),
         max(col("height")).as("max_height"))
   }
+
+  /** Image near-dup fixture corpus: documents re-rendered as grouped
+    * BMPs with PLANTED perturbation levels. Group `g = doc_id div 4`
+    * fixes the dimensions and base pixel pattern; member `m = doc_id
+    * mod 4` perturbs it — m=0 the base itself, m=1 two pixels nudged
+    * (a true near-dup), m=2 six pixels nudged (borderline), m=3 an
+    * unrelated pattern at the same dimensions (the hard negative: it
+    * shares the group's geometry but no content). Deterministic, so
+    * the verified pair set pins to a golden exactly like
+    * q_simhash_pairs.
+    */
+  def syntheticImageCorpus(spark: SparkSession, d: String): Dataset[Asset] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (docId, source) =>
+        val g = docId / 4
+        val m = (docId % 4).toInt
+        val w = (16 + g % 9).toInt
+        val h = (12 + g % 7).toInt
+        // per-group pixel STRIDE, not just a per-group constant shift:
+        // dHash keys on luminance differences, so a shifted copy of
+        // the same gradient would hash equal across groups — distinct
+        // strides make distinct groups perceptually distinct
+        val stride = 11 + (g % 13) * 2
+        val px = Array.tabulate(3 * w * h) { j =>
+          val base =
+            if (m == 3) (g * 197 + 91 + j * (stride + 4)) % 256 // unrelated
+            else (g * 131 + j * stride) % 256
+          base.toByte
+        }
+        val nudges = m match {
+          case 1 => 2
+          case 2 => 6
+          case _ => 0
+        }
+        var k = 0
+        while (k < nudges) {
+          val p = ((g * 31 + k * 97 + m * 13) % (3L * w * h)).toInt
+          px(p) = (px(p) + 60).toByte
+          k += 1
+        }
+        Asset(docId, "image", bmpBytes(w, h, px), "image/bmp", source)
+      }
+  }
+
+  /** Perceptual hashes per asset — the decode stage of the image
+    * near-dup pipeline, batched per partition like [[extractFeatures]]
+    * (a real pipeline amortizes codec init the same way). Output:
+    * (asset_id, phash NULLABLE) — failed decodes carry null and are
+    * dropped by the pairing, never hashed to a shared sentinel.
+    */
+  def imagePHashes(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map(a => (a.asset_id, BmpCodec.dhash(a.content)))
+    }.toDF("asset_id", "phash")
+  }
+
+  /** Image near-duplicate pairs — the multimodal leg of the dedup
+    * story: [[BmpCodec.dhash]] perceptual hashes fed through the SAME
+    * banded-Hamming machinery as SimHash text dedup
+    * ([[Dedup.bandedHammingPairs]]): 4 16-bit bands bucket the
+    * candidates (no all-pairs join), Hamming over the full 64-bit hash
+    * verifies. At 100 TB the decode is a narrow per-partition pass and
+    * the pairing join carries only (band, bkey, id, hash) — the image
+    * bytes never shuffle.
+    */
+  def imageNearDups(spark: SparkSession, d: String,
+      maxHamming: Int = 6): DataFrame =
+    Dedup.bandedHammingPairs(
+      imagePHashes(syntheticImageCorpus(spark, d)),
+      "asset_id", "phash", maxHamming, "asset_a", "asset_b")
 
   /** Serialize PCM16 samples as a well-formed WAV file (the inverse of
     * [[WavCodec]]'s parse — round-trip asserted in tests).

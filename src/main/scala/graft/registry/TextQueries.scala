@@ -80,6 +80,11 @@ object TextQueries {
     "q_multimodal_stats" -> (Multimodal.docAssetStats _),
     "q_wav_decode" -> (Multimodal.wavDecodeStats _),
     "q_bmp_decode" -> (Multimodal.bmpDecodeStats _),
+    // image near-dup (r11): BmpCodec dHash through the same
+    // banded-Hamming machinery as q_simhash_pairs, over the planted
+    // grouped-BMP corpus
+    "q_image_neardups" -> ((s: SparkSession, d: String) =>
+      Multimodal.imageNearDups(s, d)),
     "q_token_budget" -> (TextOps.tokenBudget _),
     "q_repetition" -> ((s: SparkSession, d: String) =>
       TextOps.repetitionStats(s, d)),
@@ -317,6 +322,14 @@ object TextQueries {
       s"""SELECT CAST(a AS BIGINT) AS doc_a, CAST(b AS BIGINT) AS doc_b,
          | CAST(h AS INT) AS hamming FROM (VALUES
          |${simhashGolden}) AS t(a, b, h)""".stripMargin,
+    // GOLDEN oracle: the image near-dup pipeline is deterministic
+    // end-to-end (synthesized grouped BMPs, integer dHash, banded
+    // Hamming) — pinned (asset_a, asset_b, hamming) at sf0.01, the
+    // q_simhash_pairs form for the image modality.
+    "q_image_neardups" ->
+      s"""SELECT CAST(a AS BIGINT) AS asset_a, CAST(b AS BIGINT) AS asset_b,
+         | CAST(h AS INT) AS hamming FROM (VALUES
+         |${imageNearDupGolden}) AS t(a, b, h)""".stripMargin,
     // GOLDEN oracle: the LSH multiprobe ranking is deterministic
     // (seeded planes, fused-cosine doubles, ties on vec_id) — pinned
     // (query_id, vec_id, sim, rk) at sf0.01. Catches regressions in
@@ -749,6 +762,97 @@ object TextQueries {
       |  (4,257,0.2724,6),(4,280,0.2798,4),(4,346,0.2316,10),
       |  (4,384,0.2404,9),(4,408,0.3228,3),(4,470,0.2525,8),
       |  (4,496,0.3412,2),(4,89,0.266,7)""".stripMargin
+
+  // image near-dup pin (GoldenDump r11, sf0.01): the verified
+  // (asset_a, asset_b, hamming) set over the planted grouped-BMP
+  // corpus — every group's (0,1)/(0,2)/(1,2) near-dup pairs plus the
+  // deterministic cross-group dHash coincidences; the m=3 hard
+  // negative never pairs. A change in the dHash grid, the band split,
+  // or the Hamming verify shows up as a hash mismatch here.
+  private val imageNearDupGolden: String =
+    """(0,1,0),(0,2,0),(1,2,0),(100,101,0),(100,102,1),
+      |  (101,102,1),(104,105,0),(104,106,0),(105,106,0),(107,223,5),
+      |  (108,109,0),(108,110,0),(109,110,0),(11,479,4),(112,113,0),
+      |  (112,114,0),(112,367,5),(113,114,0),(113,367,5),(114,367,5),
+      |  (116,117,0),(116,118,0),(117,118,0),(12,13,0),(12,14,0),
+      |  (120,121,0),(120,122,0),(121,122,0),(124,125,0),(124,126,1),
+      |  (125,126,1),(128,129,0),(128,130,2),(129,130,2),(13,14,0),
+      |  (132,133,2),(132,134,0),(133,134,2),(136,137,1),(136,138,2),
+      |  (137,138,3),(140,141,0),(140,142,1),(141,142,1),(144,145,0),
+      |  (144,146,0),(145,146,0),(148,149,0),(148,150,3),(149,150,3),
+      |  (15,380,6),(15,381,6),(15,382,6),(152,153,0),(152,154,1),
+      |  (153,154,1),(156,157,1),(156,158,0),(157,158,1),(16,17,0),
+      |  (16,18,1),(160,161,0),(160,162,0),(161,162,0),(163,376,2),
+      |  (163,377,2),(163,378,2),(164,165,1),(164,166,0),(165,166,1),
+      |  (168,169,0),(168,170,0),(168,223,5),(168,435,4),(169,170,0),
+      |  (169,223,5),(169,435,4),(17,18,1),(170,223,5),(170,435,4),
+      |  (172,173,0),(172,174,1),(173,174,1),(176,177,0),(176,178,2),
+      |  (177,178,2),(180,181,2),(180,182,0),(181,182,2),(184,185,0),
+      |  (184,186,0),(185,186,0),(188,189,0),(188,190,0),(189,190,0),
+      |  (192,193,0),(192,194,2),(193,194,2),(196,197,1),(196,198,3),
+      |  (197,198,4),(20,21,0),(20,22,0),(200,201,0),(200,202,0),
+      |  (201,202,0),(204,205,0),(204,206,0),(204,459,2),(205,206,0),
+      |  (205,459,2),(206,459,2),(208,209,1),(208,210,0),(209,210,1),
+      |  (21,22,0),(212,213,0),(212,214,0),(213,214,0),(216,217,0),
+      |  (216,218,1),(217,218,1),(220,221,0),(220,222,0),(220,475,6),
+      |  (221,222,0),(221,475,6),(222,475,6),(224,225,0),(224,226,1),
+      |  (225,226,1),(228,229,0),(228,230,1),(229,230,1),(232,233,0),
+      |  (232,234,0),(233,234,0),(236,237,0),(236,238,0),(237,238,0),
+      |  (24,25,0),(24,26,2),(24,492,6),(24,493,6),(24,494,6),
+      |  (240,241,0),(240,242,0),(241,242,0),(244,245,0),(244,246,1),
+      |  (245,246,1),(248,249,1),(248,250,0),(249,250,1),(25,26,2),
+      |  (25,492,6),(25,493,6),(25,494,6),(252,253,1),(252,254,3),
+      |  (253,254,4),(256,257,0),(256,258,1),(257,258,1),(260,261,0),
+      |  (260,262,0),(261,262,0),(264,265,0),(264,266,1),(265,266,1),
+      |  (268,269,0),(268,270,1),(269,270,1),(272,273,0),(272,274,0),
+      |  (273,274,0),(276,277,0),(276,278,0),(277,278,0),(28,29,0),
+      |  (28,30,1),(280,281,0),(280,282,1),(281,282,1),(284,285,1),
+      |  (284,286,1),(285,286,2),(288,289,0),(288,290,0),(289,290,0),
+      |  (29,30,1),(292,293,0),(292,294,0),(293,294,0),(296,297,0),
+      |  (296,298,0),(297,298,0),(300,301,0),(300,302,1),(301,302,1),
+      |  (304,305,1),(304,306,1),(305,306,2),(308,309,0),(308,310,0),
+      |  (309,310,0),(312,313,0),(312,314,1),(313,314,1),(315,427,6),
+      |  (316,317,0),(316,318,3),(317,318,3),(319,332,5),(319,333,6),
+      |  (319,334,5),(32,33,1),(32,34,3),(320,321,0),(320,322,1),
+      |  (321,322,1),(324,325,0),(324,326,0),(325,326,0),(328,329,0),
+      |  (328,330,0),(329,330,0),(33,34,4),(332,333,1),(332,334,0),
+      |  (333,334,1),(336,337,0),(336,338,1),(336,427,4),(337,338,1),
+      |  (337,427,4),(340,341,0),(340,342,0),(341,342,0),(344,345,0),
+      |  (344,346,1),(345,346,1),(348,349,0),(348,350,2),(349,350,2),
+      |  (352,353,0),(352,354,2),(353,354,2),(356,357,0),(356,358,1),
+      |  (357,358,1),(36,37,1),(36,38,2),(360,361,0),(360,362,1),
+      |  (361,362,1),(364,365,1),(364,366,1),(365,366,2),(368,369,0),
+      |  (368,370,0),(369,370,0),(37,38,3),(372,373,0),(372,374,0),
+      |  (373,374,0),(376,377,0),(376,378,0),(377,378,0),(380,381,0),
+      |  (380,382,0),(381,382,0),(384,385,0),(384,386,0),(385,386,0),
+      |  (388,389,1),(388,390,0),(389,390,1),(392,393,0),(392,394,1),
+      |  (393,394,1),(396,397,0),(396,398,2),(397,398,2),(4,5,0),
+      |  (4,6,2),(40,41,0),(40,42,2),(400,401,0),(400,402,0),
+      |  (401,402,0),(404,405,1),(404,406,0),(405,406,1),(408,409,2),
+      |  (408,410,0),(409,410,2),(41,42,2),(412,413,0),(412,414,1),
+      |  (413,414,1),(416,417,0),(416,418,0),(417,418,0),(420,421,0),
+      |  (420,422,0),(421,422,0),(424,425,0),(424,426,0),(425,426,0),
+      |  (428,429,0),(428,430,0),(429,430,0),(432,433,1),(432,434,3),
+      |  (433,434,4),(436,437,0),(436,438,0),(437,438,0),(44,45,0),
+      |  (44,46,2),(440,441,0),(440,442,0),(441,442,0),(444,445,1),
+      |  (444,446,1),(445,446,2),(448,449,0),(448,450,0),(449,450,0),
+      |  (45,46,2),(452,453,0),(452,454,0),(453,454,0),(456,457,1),
+      |  (456,458,0),(457,458,1),(460,461,0),(460,462,1),(461,462,1),
+      |  (464,465,0),(464,466,2),(465,466,2),(468,469,0),(468,470,0),
+      |  (469,470,0),(472,473,1),(472,474,2),(473,474,3),(476,477,0),
+      |  (476,478,0),(477,478,0),(48,49,3),(48,50,2),(480,481,0),
+      |  (480,482,0),(481,482,0),(484,485,0),(484,486,1),(485,486,1),
+      |  (488,489,0),(488,490,0),(489,490,0),(49,50,5),(492,493,0),
+      |  (492,494,0),(493,494,0),(496,497,0),(496,498,0),(497,498,0),
+      |  (5,6,2),(52,53,0),(52,54,2),(53,54,2),(56,57,1),
+      |  (56,58,0),(57,58,1),(60,61,0),(60,62,1),(61,62,1),
+      |  (64,65,0),(64,66,0),(65,66,0),(68,69,0),(68,70,1),
+      |  (69,70,1),(72,73,0),(72,74,1),(73,74,1),(76,77,0),
+      |  (76,78,2),(77,78,2),(8,10,1),(8,9,0),(80,335,1),
+      |  (80,81,0),(80,82,1),(81,335,1),(81,82,1),(82,335,2),
+      |  (84,85,1),(84,86,0),(85,86,1),(88,89,0),(88,90,1),
+      |  (89,90,1),(9,10,1),(92,93,0),(92,94,1),(93,94,1),
+      |  (96,97,0),(96,98,0),(97,98,0)""".stripMargin
 
   // dedicated sharded-IVF-PQ pin (GoldenDump r11, sf0.01, nShards=2,
   // refine=150) — equal to annIvfShardedGolden by re-rank recovery;

@@ -129,6 +129,68 @@ class MediaCodecContractSpec extends SparkSuite {
     assert(codec.feature(minH).toSeq === Seq.fill(8)(0f))
   }
 
+  test("BmpCodec.dhash: deterministic, orientation-invariant, total") {
+    val codec = Multimodal.BmpCodec
+    // a 20×16 gradient image — big enough that the 9×8 grid resolves
+    val px = Array.tabulate(3 * 20 * 16)(j => ((j * 13) % 256).toByte)
+    val bmp = Multimodal.bmpBytes(20, 16, px)
+    val h1 = codec.dhash(bmp)
+    assert(h1.nonEmpty)
+    assert(codec.dhash(bmp) === h1) // deterministic
+    // top-down re-encoding of the SAME pixels must hash identically
+    val topDown = bmp.clone()
+    val negH = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-16).array()
+    System.arraycopy(negH, 0, topDown, 22, 4)
+    // flip the stored row order so the image content is unchanged
+    val rowSize = 60 // 3*20, already 4-byte aligned
+    for (r <- 0 until 16)
+      System.arraycopy(bmp, 54 + (15 - r) * rowSize, topDown,
+        54 + r * rowSize, rowSize)
+    assert(codec.dhash(topDown) === h1)
+    // malformed input → None, never a shared sentinel hash
+    assert(codec.dhash("not a bitmap".getBytes).isEmpty)
+    assert(codec.dhash(bmp.take(40)).isEmpty)
+  }
+
+  test("dhash perturbation distance: few nudged pixels stay near, a " +
+    "different gradient lands far") {
+    val codec = Multimodal.BmpCodec
+    def img(stride: Int, nudges: Int): Array[Byte] = {
+      val px = Array.tabulate(3 * 20 * 16)(j => ((j * stride) % 256).toByte)
+      for (k <- 0 until nudges) {
+        val p = (k * 97) % px.length
+        px(p) = (px(p) + 60).toByte
+      }
+      Multimodal.bmpBytes(20, 16, px)
+    }
+    def ham(a: Option[Long], b: Option[Long]): Int =
+      java.lang.Long.bitCount(a.get ^ b.get)
+    val base = codec.dhash(img(13, 0))
+    assert(ham(base, codec.dhash(img(13, 2))) <= 4,
+      "2 nudged pixels must flip at most a few grid comparisons")
+    assert(ham(base, codec.dhash(img(29, 0))) > 6,
+      "a different luminance gradient must land past the pairing bar")
+  }
+
+  test("imageNearDups recovers every planted group and never pairs " +
+    "the hard negative into its group") {
+    val pairs = Multimodal.imageNearDups(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val within = pairs.filter { case (a, b) => a / 4 == b / 4 }
+      .map { case (a, b) => (a / 4, a % 4, b % 4) }
+    val groups = within.map(_._1).distinct
+    assert(groups.length >= 12, s"only ${groups.length} groups paired")
+    // every group recovered with exactly the planted near-dup members
+    groups.foreach { g =>
+      val members = within.filter(_._1 == g).map(t => (t._2, t._3)).toSet
+      assert(members === Set((0L, 1L), (0L, 2L), (1L, 2L)),
+        s"group $g paired $members")
+    }
+    assert(!within.exists(t => t._2 == 3 || t._3 == 3),
+      "the unrelated m=3 member must never pair within its group")
+  }
+
   test("bmpDecodeStats recovers synthesis parameters through the " +
     "decode path") {
     val out = Multimodal.bmpDecodeStats(spark, sf()).collect()
