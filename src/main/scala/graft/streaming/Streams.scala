@@ -183,6 +183,59 @@ object Streams {
       }
       .start()
 
+  /** Index lifecycle maintenance for [[nearDupMaintainer]]'s lake: each
+    * micro-batch leaves a `batch=<id>` partition directory in all three
+    * tables, so a daily cadence over years accretes thousands of tiny
+    * directories — the classic small-files wall. This pass rewrites
+    * every `batch=<id> <= upToBatch` directory of documents/buckets/
+    * pairs into ONE `batch=<upToBatch>` directory per table.
+    *
+    * Self-exclusion still holds afterwards: the standing-index read of
+    * a live batch B excludes only `batch = B`, and compaction is
+    * restricted to batch ids the stream has COMMITTED PAST (run it
+    * with the maintainer stopped, or pass an id strictly below the
+    * last committed batch), so id `upToBatch` can never be re-run and
+    * the compacted rows are never wrongly excluded.
+    *
+    * Idempotent under crashes, in the marker style of the maintainer
+    * itself: (1) the merged rewrite lands in a side directory and is
+    * skipped on re-run once its `_SUCCESS` exists — so a crash between
+    * (2) deleting the source directories and (3) publishing the
+    * compacted one loses nothing: re-running converges from the side
+    * directory. The publish itself is a single directory rename.
+    */
+  def compactIndex(s: SparkSession, lakeDir: String,
+      upToBatch: Long): Unit =
+    Seq("documents", "buckets", "pairs")
+      .foreach(t => compactTable(s, s"$lakeDir/$t", upToBatch))
+
+  private def compactTable(s: SparkSession, path: String,
+      hi: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    def coveredDirs: Seq[Path] = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+      .filter(_.getName.stripPrefix("batch=").toLong <= hi)
+    val tmp = new Path(s"${path}__compact_tmp")
+    val tmpDone = new Path(tmp, "_SUCCESS")
+    if (!fs.exists(tmpDone)) {
+      val dirs = coveredDirs
+      if (dirs.size <= 1) return // nothing to compact, no tmp pending
+      // basePath keeps the batch partition column during the read; the
+      // rewrite drops it — the published directory name carries it
+      s.read.option("basePath", path)
+        .parquet(dirs.map(_.toString): _*)
+        .drop("batch")
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+    // the side dir is complete: now (re-)retire the sources and publish
+    coveredDirs.foreach(fs.delete(_, true))
+    fs.rename(tmp, new Path(root, s"batch=$hi"))
+  }
+
   /** Tumbling-window hourly aggregate with late-data tolerance — the
     * streaming twin of Warehouse.hourlyAggregates (same metric mix).
     */

@@ -128,6 +128,88 @@ class StreamsSpec extends SparkSuite {
     assert(spark.read.parquet(s"$lake/buckets").count() === 7L * 4)
   }
 
+  test("maintainer index compaction: batch dirs collapse to one, " +
+    "content intact, later batches still pair against the compacted index") {
+    import spark.implicits._
+    def doc(seed: Int, change: Int = -1): String =
+      (1 to 40).map(i =>
+        if (i == change) "CHANGED" else s"w${seed}_$i").mkString(" ")
+    val stage = tmpDir("compact_stream")
+    val lake = tmpDir("compact_lake")
+    val ckpt = tmpDir("compact_ckpt")
+    def stageBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = tmpDir(s"stage_$name")
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    def batchDirs(table: String): Seq[String] =
+      new java.io.File(s"$lake/$table").listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).sorted
+    def countFiles(table: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$lake/$table"))
+    }
+    // two micro-batches land as two batch dirs per table
+    stageBatch("a", Seq((1L, doc(7)), (2L, doc(7, change = 5)),
+      (3L, doc(9))))
+    stageBatch("b", Seq((10L, doc(7, change = 31)), (11L, doc(4))))
+    def stream() = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q1 = Streams.nearDupMaintainer(stream(), lake,
+      checkpoint = ckpt, threshold = 0.5)
+    q1.awaitTermination(180000)
+    assert(batchDirs("documents") === Seq("batch=0", "batch=1"))
+    val pairsBefore = spark.read.parquet(s"$lake/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val docsBefore = spark.read.parquet(s"$lake/documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    val bucketsBefore =
+      spark.read.parquet(s"$lake/buckets").drop("batch").count()
+    val filesBefore = Seq("documents", "buckets", "pairs")
+      .map(countFiles).sum
+    // compact everything the stream has committed past
+    Streams.compactIndex(spark, lake, upToBatch = 1L)
+    Seq("documents", "buckets", "pairs").foreach { t =>
+      assert(batchDirs(t) === Seq("batch=1"), s"$t not compacted")
+    }
+    val filesAfter = Seq("documents", "buckets", "pairs")
+      .map(countFiles).sum
+    info(s"parquet files: $filesBefore -> $filesAfter")
+    assert(filesAfter < filesBefore)
+    // content is byte-for-byte the same lake state
+    assert(spark.read.parquet(s"$lake/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted ===
+      pairsBefore)
+    assert(spark.read.parquet(s"$lake/documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted === docsBefore)
+    assert(spark.read.parquet(s"$lake/buckets").drop("batch").count()
+      === bucketsBefore)
+    // re-running compaction is a no-op (idempotent admin op)
+    Streams.compactIndex(spark, lake, upToBatch = 1L)
+    assert(batchDirs("documents") === Seq("batch=1"))
+    // a later batch pairs against the COMPACTED standing index: 20 is
+    // a near-dup of 1/2/10 (cross-batch through compacted dirs) and
+    // nothing self-pairs or duplicates
+    stageBatch("c", Seq((20L, doc(7, change = 17))))
+    val q2 = Streams.nearDupMaintainer(stream(), lake,
+      checkpoint = ckpt, threshold = 0.5)
+    q2.awaitTermination(180000)
+    val pairsAfter = spark.read.parquet(s"$lake/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairsAfter === (pairsBefore ++
+      Seq((1L, 20L), (2L, 20L), (10L, 20L))).sorted)
+  }
+
   test("scrub gate composed into the near-dup maintainer: the index " +
     "sees redacted text, contaminated docs never enter the lake") {
     import spark.implicits._
