@@ -21,6 +21,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("shard")) { shardProbe(); return }
     if (args.headOption.contains("shardbench")) { shardBench(); return }
+    if (args.headOption.contains("pq")) { pqProbe(); return }
     val reps = args.headOption.map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -68,6 +69,77 @@ object ScaleProbe {
           .as("token"))
         .groupBy(col("token")).agg(count(lit(1))))
     }
+    spark.stop()
+  }
+
+  /** `runMain graft.ScaleProbe pq`: the sharded IVF-PQ serve tier
+    * measured at 32× the sf0.1 embeddings (160k vectors) — genuinely
+    * past the ~65k single-index capacity wall, so [[graft.operators
+    * .Similarity.shardsFor]] picks a real shard count (3) and the probe
+    * exercises per-shard fits, the (shard, cell)-partitioned codes
+    * write, cross-shard ADC, and the broadcast-shortlist re-rank at a
+    * scale where fixed overhead stops dominating. Reports index build
+    * (one corpus encode pass), codes footprint vs the raw store, and
+    * min-of-3 serve latency for a 5-query batch — the compressed
+    * tier's measured point for COMPARE.md, like Q1's 32× row.
+    */
+  private def pqProbe(): Unit = {
+    import graft.operators.Similarity
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // 64×: sf0.1 has 2k vectors, so 128k — past the ~65k wall, a real
+    // 2-shard geometry
+    val reps = 64
+    val corpus = "/tmp/graft_pq_scale"
+    val idx = s"$corpus/ivfpq_sharded_idx"
+    def time(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $s%.2f s"); s
+    }
+    if (!new java.io.File(s"$corpus/embeddings.parquet").exists())
+      Tables.embeddings(spark, "/root/testdata/sf0.1")
+        .withColumn("__rep", explode(lit((0 until reps).toArray)))
+        .select((col("vec_id") + col("__rep") * lit(1000000L))
+          .as("vec_id"), col("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val n = Tables.embeddings(spark, corpus).count()
+    val shards = Similarity.shardsFor(n)
+    println(s"corpus: $n vectors, shardsFor -> $shards shards")
+    val tBuild = time(s"ivf-pq sharded index build (${n} vectors)") {
+      Similarity.ivfPqWriteIndexSharded(spark, corpus, idx)
+    }
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+    val rawMb = dirBytes(s"$corpus/embeddings.parquet") / 1e6
+    val codesMb = dirBytes(s"$idx/codes") / 1e6
+    println(f"footprint: raw store $rawMb%.1f MB, codes $codesMb%.1f MB " +
+      f"(${rawMb / codesMb}%.1fx smaller)")
+    val queries = Tables.embeddings(spark, corpus)
+      .filter(col("vec_id") < 5)
+    def serve(refine: Int): Long =
+      Similarity.ivfPqTopKShardedFromIndex(spark, idx, queries,
+        refine = refine,
+        refineFrom =
+          if (refine > 0) Some(Tables.embeddings(spark, corpus))
+          else None).count()
+    serve(0) // warm
+    val tAdc = (1 to 3).map(_ =>
+      time("serve 5 queries, ADC-only")(serve(0))).min
+    val tRefined = (1 to 3).map(_ =>
+      time("serve 5 queries, refine=100")(serve(100))).min
+    println(f"pq-probe summary: build $tBuild%.1f s, " +
+      f"adc-serve $tAdc%.2f s, refined-serve $tRefined%.2f s " +
+      f"(min-of-3, $n vectors, $shards shards)")
     spark.stop()
   }
 

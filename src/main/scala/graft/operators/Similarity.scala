@@ -422,6 +422,11 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding"),
         element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
           .as("cell"))
+      // cluster rows into their partition before the partitioned
+      // write: each (partition) dir gets ONE file per writer instead of
+      // one per scan task - a multi-file corpus would otherwise fan out
+      // to tasks x partitions tiny files, the small-files wall at scale
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/assignments")
   }
@@ -722,6 +727,7 @@ object Similarity {
       .withColumn("cell", element_at(
         dispatchCells(col("embedding"), col("shard"), centroidsByShard, 1),
         1))
+      .repartition(col("shard"), col("cell")) // one file per dir (see ivfWriteIndex)
       .write.mode("overwrite").partitionBy("shard", "cell")
       .parquet(s"$indexDir/assignments")
   }
@@ -815,6 +821,7 @@ object Similarity {
     Tables.parallelized(embRaw)
       .select(col("vec_id"), col("embedding"),
         lshBucket(col("embedding"), dim, planes).as("bucket"))
+      .repartition(col("bucket")) // one file per dir (see ivfWriteIndex)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/buckets")
     Seq((planes, dim)).toDF("planes", "dim")
@@ -1080,6 +1087,7 @@ object Similarity {
         element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
           .as("cell"),
         pqEncode(col("embedding"), codebooks).as("codes"))
+      .repartition(col("cell")) // one file per dir (see ivfWriteIndex)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/codes")
   }
@@ -1233,6 +1241,7 @@ object Similarity {
           centroidsByShard, 1), 1).as("cell"),
         dispatchPqEncode(col("embedding"), col("shard"),
           codebooksByShard).as("codes"))
+      .repartition(col("shard"), col("cell")) // one file per dir (see ivfWriteIndex)
       .write.mode("overwrite").partitionBy("shard", "cell")
       .parquet(s"$indexDir/codes")
   }

@@ -213,15 +213,28 @@ object Warehouse {
   /** A8/A9: refresh an aggregate table — recompute + audit columns +
     * idempotent overwrite (replaces the reference's keyed DELETE +
     * INSERT cycle, S13).
+    *
+    * T3 parity mode: the reference orders the aggregate SELECT before
+    * inserting (`ORDER BY date DESC` / `ORDER BY year DESC, month
+    * DESC`, clickhouse_etl.py:333,410) because ClickHouse storage
+    * order is query-visible. Parquet's is not — a reader orders with
+    * its own ORDER BY — so by default no sort is paid. Passing
+    * `orderBy` reproduces the insert order anyway for consumers that
+    * stream part files in sequence: the range-partitioned sort makes
+    * part-file index order the global sort order, and rows within each
+    * file follow it too.
     */
   def refreshAggregate(agg: DataFrame, path: String,
-      syncIntervalMin: Int, loadMode: String): Unit = {
+      syncIntervalMin: Int, loadMode: String,
+      orderBy: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
     val n = agg.count()
-    agg
+    val stamped = agg
       .withColumn("warehouse_load_time", current_timestamp())
       .withColumn("rows_loaded", lit(n).cast("int"))
       .withColumn("sync_interval_min", lit(syncIntervalMin).cast("int"))
       .withColumn("load_mode", lit(loadMode))
-      .write.mode(SaveMode.Overwrite).parquet(path)
+    val ordered =
+      if (orderBy.isEmpty) stamped else stamped.orderBy(orderBy: _*)
+    ordered.write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

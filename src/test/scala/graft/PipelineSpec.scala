@@ -85,6 +85,30 @@ class PipelineSpec extends SparkSuite {
     assert(Serving.readCacheIfFresh(spark, paths.cache, 0).isEmpty)
   }
 
+  test("T3 ordered aggregate insert: orderBy parity mode writes the " +
+    "reference's date-DESC order into the part files") {
+    import spark.implicits._
+    val path = tmpDir("ordered_agg")
+    val agg = Seq.tabulate(50)(i =>
+        (java.sql.Date.valueOf(f"2026-03-${i % 28 + 1}%02d"), i * 1.5))
+      .toDF("date", "avg_temperature_c")
+      .repartition(8) // scrambled input partitioning
+    Warehouse.refreshAggregate(agg, path, 60, "full_refresh",
+      orderBy = Seq(desc("date")))
+    // global order = part-file index order × within-file row order
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val dates = parts.flatMap(p =>
+      spark.read.parquet(p.getPath).select("date").collect()
+        .map(_.getDate(0).toString))
+    assert(dates.length === 50)
+    assert(dates.toSeq === dates.sortBy(identity).reverse.toSeq,
+      "part files must stream back in descending date order")
+    // the default path stays sort-free (no parity cost unless asked)
+    Warehouse.refreshAggregate(agg, path, 60, "full_refresh")
+    assert(spark.read.parquet(path).count() === 50)
+  }
+
   test("incremental re-run duplicates observations; hourly agg masks " +
     "metric values (SURVEY §8.5 parity)") {
     val paths = Pipeline.Paths(tmpDir("weather_dup"))

@@ -146,6 +146,42 @@ class PqSpec extends SparkSuite {
         refineFrom = Some(Tables.embeddings(spark, dir001)))))
   }
 
+  test("sf0.1 serve-path golden: the persisted two-tier ranking pins " +
+    "at a SECOND scale (5k vectors, 20-cell geometry)") {
+    // every other golden pins at sf0.01 only — a scale-dependent serve
+    // drift (probe planning, partition pruning, geometry derivation)
+    // would pass that gate; this pins the PQ serve tier at sf0.1
+    val dirSf01 = sf("sf0.1")
+    val idx = tmpDir("pq_idx_sf01")
+    Similarity.ivfPqWriteIndex(spark, dirSf01, idx)
+    val got = Similarity.ivfPqTopKFromIndex(spark, idx,
+        Tables.embeddings(spark, dirSf01).filter(col("vec_id") < 5),
+        refine = 100,
+        refineFrom = Some(Tables.embeddings(spark, dirSf01)))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).sortBy(t => (t._1, t._4))
+    val want = Seq(
+      (0,1204,0.4065,1),(0,291,0.3919,2),(0,1020,0.376,3),
+      (0,510,0.3445,4),(0,1511,0.3288,5),(0,1978,0.3192,6),
+      (0,1407,0.3191,7),(0,142,0.3113,8),(0,794,0.3108,9),
+      (0,1841,0.3099,10),(1,1175,0.3703,1),(1,1580,0.3668,2),
+      (1,260,0.3467,3),(1,1843,0.3399,4),(1,173,0.3109,5),
+      (1,986,0.3064,6),(1,134,0.3064,7),(1,810,0.3064,8),
+      (1,1711,0.3028,9),(1,1594,0.2969,10),(2,1303,0.394,1),
+      (2,1053,0.356,2),(2,1912,0.3519,3),(2,798,0.35,4),
+      (2,990,0.3337,5),(2,123,0.3172,6),(2,1196,0.3168,7),
+      (2,315,0.3117,8),(2,1405,0.3116,9),(2,461,0.3015,10),
+      (3,263,0.398,1),(3,1701,0.388,2),(3,720,0.3656,3),
+      (3,859,0.3628,4),(3,1542,0.3242,5),(3,1567,0.3113,6),
+      (3,1617,0.3028,7),(3,965,0.3024,8),(3,1062,0.3012,9),
+      (3,777,0.2984,10),(4,524,0.4191,1),(4,1166,0.3787,2),
+      (4,995,0.3589,3),(4,1653,0.3373,4),(4,825,0.3367,5),
+      (4,1645,0.3266,6),(4,913,0.3195,7),(4,1423,0.3161,8),
+      (4,174,0.3114,9),(4,381,0.3065,10))
+      .map(t => (t._1.toLong, t._2.toLong, t._3, t._4))
+    assert(got.toSeq === want)
+  }
+
   test("recall vs brute force: refined two-tier holds the family floor") {
     val brute = Similarity.bruteForceTopK(spark, dir01, nQueries = 5,
       k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
