@@ -219,6 +219,46 @@ object Multimodal {
     def dims(bytes: Array[Byte]): (Int, Int) =
       parse(bytes).map(w => (w.channels, w.sampleRate)).getOrElse((0, 0))
 
+    /** 64-bit perceptual hash of the decoded audio — the energy-
+      * envelope twin of [[BmpCodec.dhash]]: the PCM samples split into
+      * 65 equal time windows, each window's energy is the integer sum
+      * of absolute sample values, and bit `i` = "window i+1 louder
+      * than window i" (cross-product compare, so uneven window sizes
+      * never need float division). A few perturbed samples move a few
+      * windows' energies — small Hamming distance; different material
+      * scrambles ~half the envelope comparisons. `None` when the bytes
+      * are not a well-formed PCM16 WAV or the data chunk is empty, so
+      * failed decodes never pair.
+      */
+    def dhash(bytes: Array[Byte]): Option[Long] =
+      parse(bytes).filter(_.dataLen >= 2).map { w =>
+        val n = w.dataLen / 2
+        val sums = new Array[Long](65)
+        val cnts = new Array[Long](65)
+        var win = 0
+        while (win < 65) {
+          val i0 = win * n / 65
+          val i1 = math.max(i0 + 1, (win + 1) * n / 65)
+          var i = i0
+          while (i < i1) {
+            val raw = le16(bytes, w.dataOff + 2 * i).toInt
+            val s = (raw << 16) >> 16 // sign-extend LE16
+            sums(win) += math.abs(s.toLong)
+            cnts(win) += 1
+            i += 1
+          }
+          win += 1
+        }
+        var h = 0L
+        var b = 0
+        while (b < 64) {
+          if (sums(b + 1) * cnts(b) > sums(b) * cnts(b + 1))
+            h |= 1L << b
+          b += 1
+        }
+        h
+      }
+
     def feature(bytes: Array[Byte]): Array[Float] = {
       val hist = new Array[Float](featureDim)
       parse(bytes).foreach { w =>
@@ -530,6 +570,76 @@ object Multimodal {
       maxHamming: Int = 6): DataFrame =
     Dedup.bandedHammingPairs(
       imagePHashes(syntheticImageCorpus(spark, d)),
+      "asset_id", "phash", maxHamming, "asset_a", "asset_b")
+
+  /** Audio near-dup fixture corpus — [[syntheticImageCorpus]]'s
+    * structure for the audio modality: group `g = doc_id div 4` fixes
+    * channels, rate, length and the base PCM pattern; member `m` is
+    * the planted perturbation — m=0 the base take, m=1 four samples
+    * nudged (a re-encode-class near-dup), m=2 twelve samples nudged
+    * (borderline), m=3 an unrelated pattern at the same geometry (the
+    * hard negative). Deterministic → golden-pinnable.
+    */
+  def syntheticAudioCorpus(spark: SparkSession, d: String): Dataset[Asset] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (docId, source) =>
+        val g = docId / 4
+        val m = (docId % 4).toInt
+        val channels = (g % 2 + 1).toInt
+        val rate = Seq(8000, 16000, 44100)((g % 3).toInt)
+        val n = (130 + g % 50).toInt * channels
+        // per-group phase AND stride: the envelope shape itself must
+        // differ between groups (the image-corpus lesson: a constant
+        // shift of the same shape is a near-dup to a difference hash)
+        val stride = 40503L + (g % 11) * 4096
+        val seed = if (m == 3) g * 977 + 13 else g * 2654435761L
+        val str = if (m == 3) stride + 8192 else stride
+        val samples = Array.tabulate(n)(j =>
+          ((seed + j * str) % 65536 - 32768).toShort)
+        // m=1 dampens 4 samples by 12.5% (a lossy-re-encode-class
+        // wobble: robustly inside the pairing bar); m=2 halves 12
+        // samples (borderline BY DESIGN — some groups land past
+        // maxHamming, the golden pins which)
+        val nudges = m match {
+          case 1 => 4
+          case 2 => 12
+          case _ => 0
+        }
+        var k = 0
+        while (k < nudges) {
+          val p = ((g * 37 + k * 131 + m * 17) % n.toLong).toInt
+          val damp = if (m == 1) samples(p) / 8 else samples(p) / 2
+          samples(p) = (samples(p) - damp).toShort
+          k += 1
+        }
+        Asset(docId, "audio", wavBytes(channels, rate, samples),
+          "audio/wav", source)
+      }
+  }
+
+  /** Audio perceptual hashes — the decode stage of the audio near-dup
+    * pipeline, per-partition like [[imagePHashes]].
+    */
+  def audioPHashes(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map(a => (a.asset_id, WavCodec.dhash(a.content)))
+    }.toDF("asset_id", "phash")
+  }
+
+  /** Audio near-duplicate pairs — completes the multimodal dedup
+    * story: [[WavCodec.dhash]] energy-envelope hashes through the SAME
+    * banded-Hamming machinery as SimHash text dedup and
+    * [[imageNearDups]]. The audio bytes never shuffle; the pairing
+    * join carries only (band, bkey, id, hash).
+    */
+  def audioNearDups(spark: SparkSession, d: String,
+      maxHamming: Int = 6): DataFrame =
+    Dedup.bandedHammingPairs(
+      audioPHashes(syntheticAudioCorpus(spark, d)),
       "asset_id", "phash", maxHamming, "asset_a", "asset_b")
 
   /** Serialize PCM16 samples as a well-formed WAV file (the inverse of

@@ -80,11 +80,13 @@ object TextQueries {
     "q_multimodal_stats" -> (Multimodal.docAssetStats _),
     "q_wav_decode" -> (Multimodal.wavDecodeStats _),
     "q_bmp_decode" -> (Multimodal.bmpDecodeStats _),
-    // image near-dup (r11): BmpCodec dHash through the same
-    // banded-Hamming machinery as q_simhash_pairs, over the planted
-    // grouped-BMP corpus
+    // image/audio near-dup (r11): BmpCodec dHash / WavCodec energy-
+    // envelope hash through the same banded-Hamming machinery as
+    // q_simhash_pairs, over planted grouped fixture corpora
     "q_image_neardups" -> ((s: SparkSession, d: String) =>
       Multimodal.imageNearDups(s, d)),
+    "q_audio_neardups" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioNearDups(s, d)),
     "q_token_budget" -> (TextOps.tokenBudget _),
     "q_repetition" -> ((s: SparkSession, d: String) =>
       TextOps.repetitionStats(s, d)),
@@ -330,6 +332,12 @@ object TextQueries {
       s"""SELECT CAST(a AS BIGINT) AS asset_a, CAST(b AS BIGINT) AS asset_b,
          | CAST(h AS INT) AS hamming FROM (VALUES
          |${imageNearDupGolden}) AS t(a, b, h)""".stripMargin,
+    // GOLDEN oracle: same form for the audio modality (WavCodec
+    // energy-envelope hash, deterministic end-to-end).
+    "q_audio_neardups" ->
+      s"""SELECT CAST(a AS BIGINT) AS asset_a, CAST(b AS BIGINT) AS asset_b,
+         | CAST(h AS INT) AS hamming FROM (VALUES
+         |${audioNearDupGolden}) AS t(a, b, h)""".stripMargin,
     // GOLDEN oracle: the LSH multiprobe ranking is deterministic
     // (seeded planes, fused-cosine doubles, ties on vec_id) — pinned
     // (query_id, vec_id, sim, rk) at sf0.01. Catches regressions in
@@ -762,6 +770,94 @@ object TextQueries {
       |  (4,257,0.2724,6),(4,280,0.2798,4),(4,346,0.2316,10),
       |  (4,384,0.2404,9),(4,408,0.3228,3),(4,470,0.2525,8),
       |  (4,496,0.3412,2),(4,89,0.266,7)""".stripMargin
+
+  // audio near-dup pin (GoldenDump r11, sf0.01): the verified
+  // (asset_a, asset_b, hamming) set over the planted grouped-WAV
+  // corpus — every group's m1 near-dup recovered, m2 borderline by
+  // design, the m=3 hard negative never pairs within its group.
+  private val audioNearDupGolden: String =
+    """(0,1,1),(0,2,2),(1,2,3),(10,252,5),(10,253,5),
+      |  (10,254,5),(100,101,3),(100,102,5),(104,105,0),(104,106,1),
+      |  (105,106,1),(108,109,0),(108,110,0),(109,110,0),(112,113,2),
+      |  (112,371,3),(113,371,5),(115,135,5),(115,451,5),(116,117,0),
+      |  (116,118,1),(117,118,1),(12,13,0),(12,14,2),(120,121,1),
+      |  (120,122,2),(120,451,6),(121,122,3),(121,451,5),(122,451,6),
+      |  (124,125,1),(128,129,0),(128,130,1),(129,130,1),(13,14,2),
+      |  (132,133,1),(132,134,3),(133,134,4),(136,137,0),(136,138,1),
+      |  (137,138,1),(140,141,0),(140,142,2),(141,142,2),(144,145,0),
+      |  (144,146,3),(145,146,3),(146,428,6),(146,429,6),(146,430,6),
+      |  (148,149,0),(148,150,0),(149,150,0),(151,156,3),(151,157,3),
+      |  (151,158,6),(152,153,0),(152,154,1),(153,154,1),(155,416,3),
+      |  (155,417,3),(155,418,4),(156,157,0),(156,158,3),(156,332,5),
+      |  (156,333,5),(156,334,6),(157,158,3),(157,332,5),(157,333,5),
+      |  (157,334,6),(159,432,5),(159,433,5),(159,434,5),(16,17,0),
+      |  (16,18,3),(16,207,6),(160,161,0),(160,162,3),(161,162,3),
+      |  (164,165,0),(164,166,1),(165,166,1),(168,169,0),(168,170,2),
+      |  (169,170,2),(17,18,3),(17,207,6),(170,322,6),(172,173,1),
+      |  (172,174,0),(173,174,1),(176,177,0),(176,178,3),(177,178,3),
+      |  (180,181,1),(184,185,0),(184,186,3),(185,186,3),(188,189,0),
+      |  (188,190,6),(189,190,6),(19,283,6),(192,193,0),(192,194,1),
+      |  (193,194,1),(195,376,2),(195,377,2),(195,378,5),(196,197,1),
+      |  (196,198,0),(197,198,1),(20,21,0),(20,22,1),(200,201,0),
+      |  (200,202,1),(201,202,1),(204,205,1),(204,206,1),(205,206,2),
+      |  (208,209,0),(208,210,0),(209,210,0),(21,22,1),(212,213,0),
+      |  (212,214,1),(213,214,1),(216,217,1),(216,218,3),(217,218,4),
+      |  (220,221,0),(220,222,4),(221,222,4),(224,225,0),(224,226,5),
+      |  (225,226,5),(228,229,2),(232,233,1),(232,234,3),(233,234,4),
+      |  (236,237,0),(236,238,0),(237,238,0),(24,25,4),(240,241,0),
+      |  (240,242,1),(241,242,1),(244,245,0),(244,420,4),(244,421,4),
+      |  (245,420,4),(245,421,4),(248,249,2),(248,250,2),(249,250,4),
+      |  (252,253,0),(252,254,0),(253,254,0),(256,257,0),(256,258,1),
+      |  (256,340,4),(256,341,4),(257,258,1),(257,340,4),(257,341,4),
+      |  (258,340,5),(258,341,5),(260,261,0),(264,265,0),(264,266,4),
+      |  (265,266,4),(268,269,0),(268,270,1),(269,270,1),(272,273,0),
+      |  (272,274,2),(273,274,2),(276,277,1),(276,278,6),(28,29,0),
+      |  (28,30,1),(280,281,0),(280,282,2),(281,282,2),(284,285,0),
+      |  (284,286,0),(285,286,0),(288,289,2),(29,30,1),(292,293,0),
+      |  (292,294,1),(293,294,1),(296,297,0),(296,298,1),(297,298,1),
+      |  (3,35,6),(300,301,1),(300,302,5),(301,302,6),(304,305,1),
+      |  (304,306,5),(305,306,4),(308,309,0),(312,313,0),(312,314,3),
+      |  (313,314,3),(316,317,2),(316,318,4),(317,318,6),(32,33,0),
+      |  (32,34,4),(32,463,0),(32,468,0),(32,469,0),(32,470,0),
+      |  (320,321,0),(320,322,2),(321,322,2),(324,325,1),(324,326,2),
+      |  (325,326,3),(328,329,0),(328,330,1),(329,330,1),(33,34,4),
+      |  (33,463,0),(33,468,0),(33,469,0),(33,470,0),(332,333,0),
+      |  (332,334,1),(333,334,1),(336,337,0),(336,338,2),(337,338,2),
+      |  (34,463,4),(34,468,4),(34,469,4),(34,470,4),(340,341,0),
+      |  (340,342,2),(341,342,2),(344,345,1),(344,346,2),(345,346,3),
+      |  (348,349,0),(348,350,3),(349,350,3),(352,353,1),(352,354,3),
+      |  (353,354,2),(356,357,1),(356,358,1),(357,358,2),(36,37,1),
+      |  (36,38,2),(360,361,0),(360,362,2),(361,362,2),(364,365,1),
+      |  (368,369,1),(368,370,2),(369,370,3),(37,38,1),(372,373,0),
+      |  (372,374,0),(373,374,0),(376,377,0),(376,378,3),(377,378,3),
+      |  (380,381,0),(380,382,2),(381,382,2),(384,385,0),(384,386,0),
+      |  (385,386,0),(388,389,1),(388,390,4),(389,390,5),(392,393,0),
+      |  (392,394,2),(393,394,2),(396,397,0),(396,398,3),(397,398,3),
+      |  (4,5,0),(4,6,2),(40,41,1),(40,42,2),(400,401,0),
+      |  (400,402,0),(401,402,0),(404,405,3),(404,406,2),(405,406,5),
+      |  (408,409,1),(408,410,0),(409,410,1),(41,42,1),(412,413,0),
+      |  (412,414,1),(412,483,4),(413,414,1),(413,483,4),(414,483,5),
+      |  (416,417,0),(416,418,1),(417,418,1),(420,421,0),(424,425,0),
+      |  (424,426,1),(425,426,1),(428,429,0),(428,430,0),(429,430,0),
+      |  (432,433,0),(432,434,2),(433,434,2),(436,437,2),(44,45,0),
+      |  (44,46,6),(440,441,1),(441,442,6),(444,445,0),(444,446,1),
+      |  (445,446,1),(448,449,0),(448,450,2),(449,450,2),(45,46,6),
+      |  (452,453,0),(452,454,4),(453,454,4),(456,457,0),(456,458,0),
+      |  (457,458,0),(460,461,1),(460,462,1),(461,462,2),(463,468,0),
+      |  (463,469,0),(463,470,0),(464,465,1),(468,469,0),(468,470,0),
+      |  (469,470,0),(472,473,1),(472,474,1),(473,474,0),(476,477,1),
+      |  (48,49,0),(48,50,3),(480,481,0),(480,482,3),(481,482,3),
+      |  (484,485,1),(488,489,1),(488,490,3),(489,490,4),(49,50,3),
+      |  (492,493,1),(492,494,2),(493,494,3),(496,497,0),(496,498,1),
+      |  (497,498,1),(5,6,2),(52,53,1),(55,131,2),(56,57,0),
+      |  (56,58,2),(57,58,2),(60,61,0),(60,62,1),(61,62,1),
+      |  (64,65,0),(64,66,2),(65,66,2),(68,69,0),(72,73,0),
+      |  (72,74,1),(73,74,1),(76,483,6),(76,77,0),(76,78,1),
+      |  (77,483,6),(77,78,1),(8,10,0),(8,252,5),(8,253,5),
+      |  (8,254,5),(8,9,0),(80,81,0),(80,82,1),(81,82,1),
+      |  (84,85,0),(84,86,5),(85,86,5),(88,89,0),(9,10,0),
+      |  (9,252,5),(9,253,5),(9,254,5),(92,93,0),(92,94,2),
+      |  (93,94,2),(96,97,0)""".stripMargin
 
   // image near-dup pin (GoldenDump r11, sf0.01): the verified
   // (asset_a, asset_b, hamming) set over the planted grouped-BMP

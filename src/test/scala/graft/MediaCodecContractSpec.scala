@@ -191,6 +191,47 @@ class MediaCodecContractSpec extends SparkSuite {
       "the unrelated m=3 member must never pair within its group")
   }
 
+  test("WavCodec.dhash: deterministic, perturbation-bounded, total") {
+    val codec = Multimodal.WavCodec
+    def wav(stride: Long, damp: Seq[Int] = Nil): Array[Byte] = {
+      val samples = Array.tabulate(300)(j =>
+        ((7L + j * stride) % 65536 - 32768).toShort)
+      damp.foreach(p => samples(p) = (samples(p) - samples(p) / 8).toShort)
+      Multimodal.wavBytes(1, 8000, samples)
+    }
+    def ham(a: Option[Long], b: Option[Long]): Int =
+      java.lang.Long.bitCount(a.get ^ b.get)
+    val base = codec.dhash(wav(40503))
+    assert(base.nonEmpty)
+    assert(codec.dhash(wav(40503)) === base) // deterministic
+    assert(ham(base, codec.dhash(wav(40503, damp = Seq(11, 97, 200)))) <= 6,
+      "a few dampened samples must stay inside the pairing bar")
+    assert(ham(base, codec.dhash(wav(48695))) > 6,
+      "a different envelope must land past the pairing bar")
+    // malformed / empty-data inputs → None, never a shared sentinel
+    assert(codec.dhash("RIFF but not really".getBytes).isEmpty)
+    assert(codec.dhash(Multimodal.wavBytes(1, 8000,
+      Array.empty[Short])).isEmpty)
+  }
+
+  test("audioNearDups recovers every planted m1 near-dup and never " +
+    "pairs the hard negative into its group") {
+    val pairs = Multimodal.audioNearDups(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val within = pairs.filter { case (a, b) => a / 4 == b / 4 }
+      .map { case (a, b) => (a / 4, a % 4, b % 4) }
+    val groups = within.map(_._1).distinct
+    assert(groups.length >= 12, s"only ${groups.length} groups paired")
+    // the m1 (re-encode-class) near-dup is recovered in EVERY group;
+    // m2 is borderline by design, m3 must never pair
+    groups.foreach { g =>
+      val members = within.filter(_._1 == g).map(t => (t._2, t._3)).toSet
+      assert(members.contains((0L, 1L)), s"group $g missed its m1 pair")
+      assert(!members.exists(p => p._1 == 3 || p._2 == 3),
+        s"group $g paired the unrelated member: $members")
+    }
+  }
+
   test("bmpDecodeStats recovers synthesis parameters through the " +
     "decode path") {
     val out = Multimodal.bmpDecodeStats(spark, sf()).collect()
