@@ -346,7 +346,7 @@ object Multimodal {
     def dims(bytes: Array[Byte]): (Int, Int) =
       parse(bytes).map(i => (i.width, i.height)).getOrElse((0, 0))
 
-    private def lumAt(bytes: Array[Byte], o: Int): Int =
+    private[operators] def lumAt(bytes: Array[Byte], o: Int): Int =
       (114 * (bytes(o) & 0xff) + 587 * (bytes(o + 1) & 0xff) +
         299 * (bytes(o + 2) & 0xff)) / 1000
 
@@ -384,21 +384,31 @@ object Multimodal {
       * shares).
       */
     def dhash(bytes: Array[Byte]): Option[Long] = parse(bytes).map { info =>
+      dhashPlane(bytes, info.dataOff, info.width, info.height,
+        info.rowSize, info.topDown)
+    }
+
+    /** The dHash grid core over a padded 24bpp BGR pixel plane at an
+      * arbitrary offset — shared with [[Video.AviCodec]], whose DIB
+      * frames are exactly this layout without the 54-byte file header.
+      */
+    private[operators] def dhashPlane(bytes: Array[Byte], dataOff: Int,
+        width: Int, height: Int, rowSize: Int, topDown: Boolean): Long = {
       val sums = Array.ofDim[Long](8, 9)
       val cnts = Array.ofDim[Long](8, 9)
       var gy = 0
       while (gy < 8) {
-        val y0 = gy * info.height / 8
-        val y1 = math.max(y0 + 1, (gy + 1) * info.height / 8)
+        val y0 = gy * height / 8
+        val y1 = math.max(y0 + 1, (gy + 1) * height / 8)
         var gx = 0
         while (gx < 9) {
-          val x0 = gx * info.width / 9
-          val x1 = math.max(x0 + 1, (gx + 1) * info.width / 9)
+          val x0 = gx * width / 9
+          val x1 = math.max(x0 + 1, (gx + 1) * width / 9)
           var y = y0
           while (y < y1) {
             val storageRow =
-              if (info.topDown) y else info.height - 1 - y
-            val base = info.dataOff + storageRow * info.rowSize
+              if (topDown) y else height - 1 - y
+            val base = dataOff + storageRow * rowSize
             var x = x0
             while (x < x1) {
               sums(gy)(gx) += lumAt(bytes, base + 3 * x)

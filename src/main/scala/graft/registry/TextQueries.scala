@@ -1,7 +1,7 @@
 package graft.registry
 
 import graft.operators.{Curate, Dedup, Multimodal, Sampling, Scrub,
-  Similarity, TextOps}
+  Similarity, TextOps, Video}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
@@ -87,6 +87,11 @@ object TextQueries {
       Multimodal.imageNearDups(s, d)),
     "q_audio_neardups" -> ((s: SparkSession, d: String) =>
       Multimodal.audioNearDups(s, d)),
+    // video modality (r11): real RIFF-AVI container parse + frame
+    // sampling; decode stats DuckDB-oracled, near-dups golden-pinned
+    "q_avi_decode" -> (Video.aviDecodeStats _),
+    "q_video_neardups" -> ((s: SparkSession, d: String) =>
+      Video.videoNearDups(s, d)),
     "q_token_budget" -> (TextOps.tokenBudget _),
     "q_repetition" -> ((s: SparkSession, d: String) =>
       TextOps.repetitionStats(s, d)),
@@ -680,6 +685,29 @@ object TextQueries {
         | round(avg(2 + n_chars % 4), 4) AS avg_height,
         | CAST(max(2 + n_chars % 4) AS INT) AS max_height
         |FROM documents GROUP BY 1""".stripMargin,
+    // container-parse round-trip for the video modality: dims, frame
+    // count, and the exact file size are predictable from the
+    // synthesis parameters — a fixed 224-byte header region
+    // (RIFF + hdrl with avih/strh/strf + the movi list head) plus
+    // n_frames chunks of 8 + padded-plane bytes each
+    "q_avi_decode" ->
+      """SELECT CAST(4 + doc_id % 5 AS INT) AS width,
+        | CAST(3 + doc_id % 4 AS INT) AS n_frames,
+        | count(*) AS n_assets,
+        | CAST(sum(224 + (3 + doc_id % 4)
+        |   * (8 + (((3 * (4 + doc_id % 5)) + 3) // 4) * 4
+        |     * (2 + n_chars % 4))) AS BIGINT) AS total_bytes,
+        | round(avg(2 + n_chars % 4), 4) AS avg_height
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    // GOLDEN oracle: the video near-dup pipeline is deterministic
+    // end-to-end (synthesized grouped AVIs, frame-sampled integer
+    // dHashes, temporal-majority signature, banded Hamming) — pinned
+    // (asset_a, asset_b, hamming) at sf0.01, the q_image_neardups
+    // form for the video modality.
+    "q_video_neardups" ->
+      s"""SELECT CAST(a AS BIGINT) AS asset_a, CAST(b AS BIGINT) AS asset_b,
+         | CAST(h AS INT) AS hamming FROM (VALUES
+         |${videoNearDupGolden}) AS t(a, b, h)""".stripMargin,
     "q_embedding_stats" ->
       """SELECT label, count(*) AS n,
         | round(avg(sqrt(list_sum(list_transform(embedding,
@@ -858,6 +886,96 @@ object TextQueries {
       |  (84,85,0),(84,86,5),(85,86,5),(88,89,0),(9,10,0),
       |  (9,252,5),(9,253,5),(9,254,5),(92,93,0),(92,94,2),
       |  (93,94,2),(96,97,0)""".stripMargin
+
+  // video near-dup pin (GoldenDump r11, sf0.01): the verified
+  // (asset_a, asset_b, hamming) set over the planted grouped-AVI
+  // corpus — every group's m0/m1 pair (the temporal majority absorbs
+  // the one-frame perturbation), the borderline m2 pairs the golden
+  // pins, and the deterministic cross-group coincidences; the m=3
+  // hard negative never pairs. A change in the frame sampling, the
+  // per-frame dHash, the majority vote, or the banded verify shows up
+  // as a hash mismatch here.
+  private val videoNearDupGolden: String =
+    """(0,1,0),(0,2,0),(1,2,0),(100,101,0),(100,102,1),
+      |  (101,102,1),(104,105,0),(104,106,0),(105,106,0),(108,109,0),
+      |  (108,110,3),(109,110,3),(112,113,0),(112,114,0),(113,114,0),
+      |  (116,117,0),(116,118,0),(116,168,5),(116,169,5),(116,170,6),
+      |  (116,407,6),(117,118,0),(117,168,5),(117,169,5),(117,170,6),
+      |  (117,407,6),(118,168,5),(118,169,5),(118,170,6),(118,407,6),
+      |  (12,13,0),(12,14,1),(120,121,0),(120,122,1),(121,122,1),
+      |  (124,125,0),(124,126,3),(125,126,3),(128,129,0),(128,130,2),
+      |  (129,130,2),(13,14,1),(132,133,0),(132,134,1),(133,134,1),
+      |  (136,137,0),(136,138,2),(137,138,2),(140,141,0),(140,142,4),
+      |  (141,142,4),(144,145,1),(144,146,2),(145,146,3),(148,149,0),
+      |  (148,150,0),(148,168,5),(148,169,5),(148,170,4),(149,150,0),
+      |  (149,168,5),(149,169,5),(149,170,4),(150,168,5),(150,169,5),
+      |  (150,170,4),(152,153,0),(152,154,1),(152,407,5),(153,154,1),
+      |  (153,407,5),(154,407,6),(156,157,0),(16,17,1),(16,18,4),
+      |  (160,161,0),(160,162,0),(161,162,0),(164,165,0),(164,166,0),
+      |  (165,166,0),(168,169,0),(168,170,1),(168,407,5),(169,170,1),
+      |  (169,407,5),(17,18,5),(170,407,6),(172,173,0),(172,174,4),
+      |  (173,174,4),(176,177,1),(176,178,4),(177,178,5),(180,181,0),
+      |  (180,182,1),(181,182,1),(184,185,0),(184,186,2),(185,186,2),
+      |  (188,189,0),(188,190,0),(189,190,0),(192,193,0),(192,194,3),
+      |  (193,194,3),(196,197,1),(196,198,1),(197,198,2),(20,21,0),
+      |  (20,22,0),(200,201,0),(200,202,2),(201,202,2),(204,205,0),
+      |  (204,206,1),(205,206,1),(208,209,0),(208,210,0),(209,210,0),
+      |  (21,22,0),(212,213,0),(212,214,0),(213,214,0),(216,217,0),
+      |  (216,218,1),(217,218,1),(220,221,0),(220,222,3),(221,222,3),
+      |  (224,225,0),(224,226,2),(225,226,2),(228,229,0),(228,230,0),
+      |  (229,230,0),(232,233,0),(232,234,1),(233,234,1),(236,237,0),
+      |  (236,238,2),(237,238,2),(24,25,0),(24,26,3),(240,241,1),
+      |  (240,242,4),(241,242,5),(244,245,0),(244,246,1),(245,246,1),
+      |  (248,249,0),(248,250,0),(249,250,0),(25,26,3),(252,253,0),
+      |  (252,254,3),(253,254,3),(256,257,0),(256,258,3),(257,258,3),
+      |  (260,261,0),(260,262,2),(261,262,2),(264,265,0),(264,266,2),
+      |  (265,266,2),(268,269,0),(268,270,5),(269,270,5),(272,273,0),
+      |  (272,274,2),(273,274,2),(276,277,0),(276,278,2),(277,278,2),
+      |  (28,29,0),(28,30,3),(280,281,0),(280,282,3),(281,282,3),
+      |  (284,285,1),(284,286,1),(285,286,2),(288,289,1),(288,290,0),
+      |  (289,290,1),(29,30,3),(292,293,1),(292,294,2),(293,294,3),
+      |  (296,297,0),(296,298,0),(297,298,0),(300,301,0),(300,302,2),
+      |  (301,302,2),(304,305,2),(304,306,3),(308,309,0),(308,310,0),
+      |  (309,310,0),(312,313,1),(312,314,0),(313,314,1),(316,317,0),
+      |  (316,318,2),(317,318,2),(32,33,0),(32,34,3),(320,321,0),
+      |  (320,322,2),(321,322,2),(324,325,0),(324,326,0),(325,326,0),
+      |  (328,329,0),(328,330,0),(329,330,0),(33,34,3),(332,333,0),
+      |  (332,334,1),(333,334,1),(336,337,0),(336,338,1),(337,338,1),
+      |  (340,341,0),(340,342,2),(341,342,2),(344,345,1),(344,346,0),
+      |  (345,346,1),(348,349,0),(348,350,5),(349,350,5),(352,353,0),
+      |  (352,354,4),(353,354,4),(356,357,0),(356,358,3),(357,358,3),
+      |  (36,37,1),(36,38,3),(360,361,0),(360,362,0),(361,362,0),
+      |  (364,365,0),(364,366,1),(365,366,1),(368,369,0),(368,370,1),
+      |  (369,370,1),(372,373,0),(372,374,0),(373,374,0),(376,377,0),
+      |  (376,378,1),(377,378,1),(380,381,0),(380,382,1),(381,382,1),
+      |  (384,385,0),(384,386,0),(385,386,0),(388,389,0),(388,390,0),
+      |  (389,390,0),(392,393,0),(392,394,2),(393,394,2),(396,397,0),
+      |  (396,398,3),(397,398,3),(4,5,0),(4,6,3),(40,41,0),
+      |  (40,42,3),(400,401,0),(400,402,2),(401,402,2),(404,405,0),
+      |  (404,406,3),(405,406,3),(408,409,1),(408,410,0),(409,410,1),
+      |  (41,42,3),(412,413,0),(412,414,4),(413,414,4),(416,417,0),
+      |  (416,418,5),(417,418,5),(420,421,0),(420,422,1),(421,422,1),
+      |  (424,425,0),(424,426,0),(425,426,0),(428,429,0),(428,430,1),
+      |  (429,430,1),(432,433,0),(432,434,5),(433,434,5),(436,437,0),
+      |  (436,438,0),(437,438,0),(44,45,0),(44,46,3),(440,441,0),
+      |  (440,442,1),(441,442,1),(444,445,2),(444,446,2),(445,446,4),
+      |  (448,449,1),(448,450,1),(449,450,2),(45,46,3),(452,453,0),
+      |  (452,454,2),(453,454,2),(456,457,0),(456,458,0),(457,458,0),
+      |  (460,461,1),(460,462,1),(461,462,2),(464,465,0),(464,466,4),
+      |  (465,466,4),(468,469,0),(468,470,1),(469,470,1),(472,473,0),
+      |  (472,474,1),(473,474,1),(476,477,0),(476,478,3),(477,478,3),
+      |  (48,49,0),(48,50,1),(480,481,0),(480,482,2),(481,482,2),
+      |  (484,485,0),(484,486,3),(485,486,3),(488,489,0),(488,490,0),
+      |  (489,490,0),(49,50,1),(492,493,0),(492,494,3),(493,494,3),
+      |  (496,497,0),(496,498,2),(497,498,2),(5,6,3),(52,53,0),
+      |  (52,54,2),(53,54,2),(56,57,0),(56,58,0),(57,58,0),
+      |  (60,61,0),(60,62,1),(61,62,1),(64,65,0),(64,66,2),
+      |  (65,66,2),(68,69,0),(68,70,2),(69,70,2),(7,168,6),
+      |  (7,169,6),(72,73,0),(72,74,2),(73,74,2),(76,77,0),
+      |  (76,78,2),(77,78,2),(8,10,2),(8,9,0),(80,81,0),
+      |  (80,82,2),(81,82,2),(84,85,0),(84,86,0),(85,86,0),
+      |  (88,89,2),(88,90,0),(89,90,2),(9,10,2),(92,93,1),
+      |  (92,94,3),(93,94,4),(96,97,0),(96,98,3),(97,98,3)""".stripMargin
 
   // image near-dup pin (GoldenDump r11, sf0.01): the verified
   // (asset_a, asset_b, hamming) set over the planted grouped-BMP

@@ -232,6 +232,95 @@ class MediaCodecContractSpec extends SparkSuite {
     }
   }
 
+  test("AviCodec (real RIFF AVI parser) satisfies the contract") {
+    checkContract(graft.operators.Video.AviCodec)
+  }
+
+  test("AviCodec round-trips aviBytes, agrees with BmpCodec on a " +
+    "single frame, and rejects malformed containers") {
+    import graft.operators.Video
+    val codec = Video.AviCodec
+    val px = Array.tabulate(3 * 20 * 16)(j => ((j * 13) % 256).toByte)
+    val avi = Video.aviBytes(20, 16, Array(px))
+    assert(codec.dims(avi) === ((20, 16)))
+    assert(codec.frameCount(avi) === 1)
+    // a single-frame AVI's temporal majority IS the frame hash, and
+    // the frame is the same padded BGR plane a BMP carries — the two
+    // real image codecs must agree bit-for-bit
+    assert(codec.dhash(avi) === Multimodal.BmpCodec
+      .dhash(Multimodal.bmpBytes(20, 16, px)))
+    // the luminance histogram over one frame must equal the BMP's
+    assert(codec.feature(avi).toSeq ===
+      Multimodal.BmpCodec.feature(Multimodal.bmpBytes(20, 16, px)).toSeq)
+    // malformed inputs must degrade, not throw: bad magic, truncated
+    // movi, header/frame-count disagreement
+    assert(codec.dims("RIFF but not an avi".getBytes) === ((0, 0)))
+    assert(codec.dims(avi.take(300)) === ((0, 0)))
+    assert(codec.dhash(avi.take(300)).isEmpty)
+    val badCount = avi.clone()
+    // dwTotalFrames lives at hdrl avih payload offset 16: file offset
+    // 12 (RIFF hdr) + 12 (LIST hdrl head) + 8 (avih head) + 16
+    badCount(48) = 2
+    assert(codec.dims(badCount) === ((0, 0)))
+    assert(codec.frameCount(badCount) === 0)
+  }
+
+  test("AviCodec.dhash: temporal majority absorbs a minority-frame " +
+    "perturbation, a different stream lands far") {
+    import graft.operators.Video
+    def vid(stride: Int, nudgeFrames: Seq[Int]): Array[Byte] = {
+      val frames = Array.tabulate(6) { f =>
+        val px = Array.tabulate(3 * 20 * 16)(j =>
+          ((f * 37 + j * stride) % 256).toByte)
+        if (nudgeFrames.contains(f))
+          for (k <- 0 until 6) {
+            val p = (k * 97) % px.length
+            px(p) = (px(p) + 60).toByte
+          }
+        px
+      }
+      Video.aviBytes(20, 16, frames)
+    }
+    def ham(a: Option[Long], b: Option[Long]): Int =
+      java.lang.Long.bitCount(a.get ^ b.get)
+    val base = Video.AviCodec.dhash(vid(13, Nil))
+    assert(base.nonEmpty)
+    // one perturbed frame among the sampled {0,2,4}: strict minority,
+    // the majority vote must absorb it completely
+    assert(ham(base, Video.AviCodec.dhash(vid(13, Seq(2)))) === 0)
+    // every sampled frame perturbed: the drift passes through, but a
+    // 6-pixel nudge stays near
+    assert(ham(base, Video.AviCodec.dhash(vid(13, Seq(0, 2, 4)))) <= 6)
+    // a different gradient must land past the pairing bar
+    assert(ham(base, Video.AviCodec.dhash(vid(29, Nil))) > 6)
+  }
+
+  test("videoNearDups recovers every planted m1 near-dup and never " +
+    "pairs the hard negative into its group") {
+    val pairs = graft.operators.Video.videoNearDups(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val within = pairs.filter { case (a, b) => a / 4 == b / 4 }
+      .map { case (a, b) => (a / 4, a % 4, b % 4) }
+    val groups = within.map(_._1).distinct
+    assert(groups.length >= 12, s"only ${groups.length} groups paired")
+    // the m1 (minority-frame) near-dup is recovered in EVERY group;
+    // m2 is borderline by design, m3 must never pair
+    groups.foreach { g =>
+      val members = within.filter(_._1 == g).map(t => (t._2, t._3)).toSet
+      assert(members.contains((0L, 1L)), s"group $g missed its m1 pair")
+      assert(!members.exists(p => p._1 == 3 || p._2 == 3),
+        s"group $g paired the unrelated member: $members")
+    }
+  }
+
+  test("aviDecodeStats recovers synthesis parameters through the " +
+    "decode path") {
+    val out = graft.operators.Video.aviDecodeStats(spark, sf()).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getInt(0)).toSet.subsetOf(Set(4, 5, 6, 7, 8)))
+    assert(out.map(_.getInt(1)).toSet.subsetOf(Set(3, 4, 5, 6)))
+  }
+
   test("bmpDecodeStats recovers synthesis parameters through the " +
     "decode path") {
     val out = Multimodal.bmpDecodeStats(spark, sf()).collect()
