@@ -408,7 +408,8 @@ object Similarity {
     * PartitionFilters verified on the serve plan).
     */
   def ivfWriteIndex(s: SparkSession, d: String, indexDir: String,
-      nCells: Int = 0, sampleSize: Int = 2048): Unit = {
+      nCells: Int = 0, sampleSize: Int = 2048,
+      assignOnly: Option[Column] = None): Unit = {
     import graft.functions.NearestCentroids.nearestCells
     import s.implicits._
     val emb = Tables.embeddings(s, d)
@@ -419,7 +420,12 @@ object Similarity {
       .toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    emb.select(col("vec_id"), col("embedding"),
+    // assignOnly restricts which vectors are INDEXED (the rest arrive
+    // later via ivfAppendBatch) — the centroid fit stays on the full
+    // corpus, the production pattern: geometry is fit once on a
+    // historical snapshot and held fixed while data accretes
+    assignOnly.map(emb.filter).getOrElse(emb)
+      .select(col("vec_id"), col("embedding"),
         element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
           .as("cell"))
       // cluster rows into their partition before the partitioned
@@ -429,6 +435,95 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/assignments")
+  }
+
+  /** Read the bounded centroids table onto the driver — the same
+    * model-sized collect as the inline fit (≤ maxCells rows).
+    */
+  private def readCentroids(s: SparkSession,
+      indexDir: String): Array[Array[Float]] =
+    s.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Append a batch of new vectors to a persisted IVF index WITHOUT
+    * refitting: assign each vector to its nearest EXISTING centroid
+    * (the frozen geometry [[ivfWriteIndex]] fit) and write the batch
+    * as `assignments_batches/batch=<id>/cell=<c>/` partition dirs.
+    * This is how the 100 TB lake actually grows — per-batch work
+    * scales with the batch, never the corpus, and nightly refits of a
+    * corpus-sized index don't exist.
+    *
+    * Exactly-once under retries, the near-dup maintainer's pattern
+    * (`Streams.nearDupMaintainer`): dynamic partition overwrite keyed
+    * by the batch partition means a re-run of batch `id` replaces its
+    * own directories instead of duplicating rows. [[ivfTopKFromIndex]]
+    * unions the batch dirs into the serve scan (cell pruning intact —
+    * `cell` is a partition column in both layouts);
+    * [[compactIvfAppends]] folds committed batches back into one to
+    * bound the small-files growth.
+    *
+    * With geometry frozen, append-then-serve is BIT-IDENTICAL to
+    * having indexed everything up front (assignment is a pure
+    * function of (embedding, centroids)) — pinned by
+    * `q_ann_ivf_appended_served` sharing `q_ann_ivf`'s golden and by
+    * the parity spec. Drift monitoring (cells filling unevenly as the
+    * distribution shifts → time to refit) reads the same bounded
+    * per-cell counts the serve plan prunes on.
+    */
+  def ivfAppendBatch(s: SparkSession, indexDir: String,
+      newVectors: DataFrame, batchId: Long): Unit = {
+    import graft.functions.NearestCentroids.nearestCells
+    val centroidMatrix = readCentroids(s, indexDir)
+    newVectors
+      .select(lit(batchId).as("batch"), col("vec_id"), col("embedding"),
+        element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
+          .as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell")
+      .parquet(s"$indexDir/assignments_batches")
+  }
+
+  /** Fold every `batch=<id> <= upToBatch` append directory into ONE
+    * `batch=<upToBatch>` directory (cell partitioning preserved) —
+    * [[graft.streaming.Streams.compactIndex]]'s side-dir pattern for
+    * the ANN lake: at daily append cadence the batch dirs are the
+    * small-files wall, and the base `assignments` table stays
+    * untouched (no corpus rewrite). Run with appends quiesced and
+    * `upToBatch` at or below the last committed batch. Idempotent
+    * under crashes: the merged rewrite lands in a side directory
+    * first (skipped on re-run once its `_SUCCESS` exists), sources
+    * are then retired and the publish is a single rename.
+    */
+  def compactIvfAppends(s: SparkSession, indexDir: String,
+      upToBatch: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$indexDir/assignments_batches")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    def coveredDirs: Seq[Path] = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+      .filter(_.getName.stripPrefix("batch=").toLong <= upToBatch)
+    val tmp = new Path(s"$indexDir/assignments_batches__compact_tmp")
+    val tmpDone = new Path(tmp, "_SUCCESS")
+    if (!fs.exists(tmpDone)) {
+      val dirs = coveredDirs
+      if (dirs.size <= 1) return // nothing to compact, no tmp pending
+      s.read.option("basePath", root.toString)
+        .parquet(dirs.map(_.toString): _*)
+        .drop("batch")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(tmp.toString)
+    }
+    // the side dir is complete: now (re-)retire the sources and publish
+    coveredDirs.foreach(fs.delete(_, true))
+    fs.rename(tmp, new Path(root, s"batch=$upToBatch"))
   }
 
   /** Serve IVF top-k from a persisted index ([[ivfWriteIndex]]):
@@ -442,14 +537,21 @@ object Similarity {
   def ivfTopKFromIndex(s: SparkSession, indexDir: String,
       queries: DataFrame, k: Int = 10, nProbe: Int = 0): DataFrame = {
     import graft.functions.NearestCentroids.nearestCells
-    val centroidMatrix: Array[Array[Float]] =
-      s.read.parquet(s"$indexDir/centroids")
-        .select(col("cell"), col("centroid"))
-        .orderBy(col("cell")).collect()
-        .map(_.getSeq[Float](1).toArray)
+    val centroidMatrix: Array[Array[Float]] = readCentroids(s, indexDir)
     val probes =
       if (nProbe > 0) nProbe else probesFor(centroidMatrix.length)
-    val assigned = s.read.parquet(s"$indexDir/assignments")
+    val base = s.read.parquet(s"$indexDir/assignments")
+    // vectors appended after the build ([[ivfAppendBatch]]) live in a
+    // sibling batch-partitioned table; cell stays a partition column
+    // there too, so pruning covers both sides of the union
+    val batchesPath = new org.apache.hadoop.fs.Path(
+      s"$indexDir/assignments_batches")
+    val fs = batchesPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val assigned =
+      if (fs.exists(batchesPath))
+        base.unionByName(
+          s.read.parquet(batchesPath.toString).drop("batch"))
+      else base
     val queryProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
       .select(col("query_id"), col("q"),

@@ -138,6 +138,11 @@ object TextQueries {
         s"${indexRoot(d)}/ivfpq_sharded", annProbeVectors(s, d),
         refine = 150, // matches the inline twin's boundary note above
         refineFrom = Some(graft.Tables.embeddings(s, d)))),
+    // the grown index: 80% built + 20% appended under frozen geometry
+    // must serve exactly what a one-shot full build serves
+    "q_ann_ivf_appended_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopKFromIndex(s, s"${indexRoot(d)}/ivf_appended",
+        annProbeVectors(s, d))),
     "q_incremental_dedup_served" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalMinhashPairsFromIndex(
         s.read.parquet(s"${indexRoot(d)}/minhash_buckets"),
@@ -196,6 +201,19 @@ object TextQueries {
     Similarity.ivfPqWriteIndex(s, d, s"$root/ivfpq")
     Similarity.ivfPqWriteIndexSharded(s, d, s"$root/ivfpq_sharded",
       nShards = 2)
+    // the grow-in-place tier: index 80% at build time (geometry fit on
+    // the full corpus — the frozen-codebook production pattern), then
+    // the held-out 20% arrives as an append batch; the serve must be
+    // bit-identical to q_ann_ivf (assignment is a pure function of
+    // (embedding, centroids)), which q_ann_ivf_appended_served pins
+    val appended = s"$root/ivf_appended"
+    Similarity.ivfWriteIndex(s, d, appended,
+      assignOnly = Some(org.apache.spark.sql.functions
+        .col("vec_id") % 5 =!= 4))
+    Similarity.ivfAppendBatch(s, appended,
+      graft.Tables.embeddings(s, d)
+        .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 4),
+      batchId = 1L)
     Dedup.minhashBuckets(incrSplitSide(s, d, newSide = false))
       .write.mode("overwrite").parquet(s"$root/minhash_buckets")
   }
@@ -211,6 +229,9 @@ object TextQueries {
       // the golden-backed ones inherit the sf0.01-only caveat
       ("q_ann_lsh_served" -> baseOracle("q_ann_lsh")) +
       ("q_ann_ivf_served" -> baseOracle("q_ann_ivf")) +
+      // append-parity: frozen geometry ⇒ the grown index serves the
+      // one-shot build's exact ranking (spec-pinned; golden shared)
+      ("q_ann_ivf_appended_served" -> baseOracle("q_ann_ivf")) +
       ("q_ann_ivf_sharded_served" -> baseOracle("q_ann_ivf_sharded")) +
       ("q_incremental_dedup_served" -> baseOracle("q_incremental_dedup")) +
       ("q_ann_ivfpq_served" -> baseOracle("q_ann_ivfpq")) +

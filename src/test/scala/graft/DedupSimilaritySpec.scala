@@ -382,6 +382,47 @@ class DedupSimilaritySpec extends SparkSuite {
       Tables.embeddings(spark, sf()).count()))
   }
 
+  test("ivfAppendBatch under frozen geometry: grown index serves " +
+      "bit-identical to the one-shot build, idempotent under re-runs, " +
+      "and compaction preserves it") {
+    // the production growth pattern: fit geometry once (full corpus),
+    // index 80%, let the held-out 20% arrive as append batches —
+    // assignment is a pure function of (embedding, centroids), so the
+    // grown index must serve the one-shot build's exact ranking
+    val full = tmpDir("ivffull")
+    val grown = tmpDir("ivfgrown")
+    Similarity.ivfWriteIndex(spark, sf(), full)
+    Similarity.ivfWriteIndex(spark, sf(), grown,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
+    val heldOut = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") % 5 === 4)
+    Similarity.ivfAppendBatch(spark, grown,
+      heldOut.filter(col("vec_id") % 2 === 0), batchId = 1L)
+    Similarity.ivfAppendBatch(spark, grown,
+      heldOut.filter(col("vec_id") % 2 =!= 0), batchId = 2L)
+    val queries = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") < 5)
+    def serve(dir: String): Seq[String] =
+      Similarity.ivfTopKFromIndex(spark, dir, queries)
+        .collect().map(_.toString).sorted.toSeq
+    val oneShot = serve(full)
+    assert(serve(grown) === oneShot)
+    // a retried batch must REPLACE its own partitions, not duplicate
+    // rows (dynamic partition overwrite keyed by batch=<id>)
+    Similarity.ivfAppendBatch(spark, grown,
+      heldOut.filter(col("vec_id") % 2 =!= 0), batchId = 2L)
+    assert(serve(grown) === oneShot)
+    // compaction folds the committed batch dirs into one; the served
+    // ranking is unchanged and the base assignments stay untouched
+    val batchesRoot = new java.io.File(s"$grown/assignments_batches")
+    def batchDirs: Seq[String] = batchesRoot.listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(batchDirs === Seq("batch=1", "batch=2"))
+    Similarity.compactIvfAppends(spark, grown, upToBatch = 2L)
+    assert(batchDirs === Seq("batch=2"))
+    assert(serve(grown) === oneShot)
+  }
+
   test("persisted SHARDED IVF index serves queries bit-identical to " +
       "the inline sharded fit") {
     val dir = tmpDir("ivfshidx")
