@@ -487,6 +487,45 @@ object Similarity {
       .parquet(s"$indexDir/assignments_batches")
   }
 
+  /** The full assignment set of a persisted index: the base
+    * `assignments` table plus any [[ivfAppendBatch]] batch dirs —
+    * `cell` is a partition column in both layouts, so partition
+    * pruning covers both sides of the union.
+    */
+  private def readAssignments(s: SparkSession,
+      indexDir: String): DataFrame = {
+    val base = s.read.parquet(s"$indexDir/assignments")
+    val batchesPath = new org.apache.hadoop.fs.Path(
+      s"$indexDir/assignments_batches")
+    val fs = batchesPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(batchesPath))
+      base.unionByName(s.read.parquet(batchesPath.toString).drop("batch"))
+    else base
+  }
+
+  /** Drift monitor for the frozen-geometry lake: per-cell occupancy
+    * over the same base+batches union the serve path scans. With
+    * geometry fit once and held fixed while batches accrete
+    * ([[ivfAppendBatch]]), a distribution shift shows up here first —
+    * mass concentrating into few cells degrades probe recall and
+    * skews serve-side work, and a rising max share is the "time to
+    * refit" signal. The scan reads only (cell, vec_id) — the
+    * embedding column never leaves the parquet footer — and the
+    * output is bounded by the cell count, so the monitor is safe to
+    * run at any cadence against a 100 TB index.
+    */
+  def ivfCellStats(s: SparkSession, indexDir: String): DataFrame = {
+    val counts = readAssignments(s, indexDir)
+      .select(col("cell"), col("vec_id"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    // the share window runs over the aggregated frame (≤ cells rows),
+    // not the corpus — a single bounded exchange
+    counts.withColumn("share",
+      r4(col("n_vectors") /
+        sum(col("n_vectors")).over(Window.partitionBy())))
+  }
+
   /** Fold every `batch=<id> <= upToBatch` append directory into ONE
     * `batch=<upToBatch>` directory (cell partitioning preserved) —
     * [[graft.streaming.Streams.compactIndex]]'s side-dir pattern for
@@ -540,18 +579,7 @@ object Similarity {
     val centroidMatrix: Array[Array[Float]] = readCentroids(s, indexDir)
     val probes =
       if (nProbe > 0) nProbe else probesFor(centroidMatrix.length)
-    val base = s.read.parquet(s"$indexDir/assignments")
-    // vectors appended after the build ([[ivfAppendBatch]]) live in a
-    // sibling batch-partitioned table; cell stays a partition column
-    // there too, so pruning covers both sides of the union
-    val batchesPath = new org.apache.hadoop.fs.Path(
-      s"$indexDir/assignments_batches")
-    val fs = batchesPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val assigned =
-      if (fs.exists(batchesPath))
-        base.unionByName(
-          s.read.parquet(batchesPath.toString).drop("batch"))
-      else base
+    val assigned = readAssignments(s, indexDir)
     val queryProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
       .select(col("query_id"), col("q"),

@@ -143,6 +143,10 @@ object TextQueries {
     "q_ann_ivf_appended_served" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKFromIndex(s, s"${indexRoot(d)}/ivf_appended",
         annProbeVectors(s, d))),
+    // the lake's drift monitor: per-cell occupancy over the same
+    // base+batches union the serve path scans (refit signal)
+    "q_ann_ivf_cell_stats" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfCellStats(s, s"${indexRoot(d)}/ivf_appended")),
     "q_incremental_dedup_served" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalMinhashPairsFromIndex(
         s.read.parquet(s"${indexRoot(d)}/minhash_buckets"),
@@ -417,6 +421,16 @@ object TextQueries {
       s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
          | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
          |${annIvfPqShardedGolden}) AS t(q, v, s, r)""".stripMargin,
+    // GOLDEN oracle: cell assignment is a pure function of (embedding,
+    // frozen centroids), so the drift monitor's occupancy histogram is
+    // deterministic — pinned at sf0.01 over the grown (80% built +
+    // 20% appended) index. Catches drift in the centroid fit, the
+    // assignment expression, and the base+batches serve union (a
+    // missed batch dir changes the counts).
+    "q_ann_ivf_cell_stats" ->
+      s"""SELECT CAST(c AS INT) AS cell, CAST(n AS BIGINT) AS n_vectors,
+         | CAST(s AS DOUBLE) AS share FROM (VALUES
+         |${ivfCellStatsGolden}) AS t(c, n, s)""".stripMargin,
     // GOLDEN oracle: the scale-mode cluster summary (bounded bottom-k
     // member sample + count instead of collect_list of EVERY member) is
     // deterministic — min-id cluster labels, smallest-k member ids —
@@ -907,6 +921,14 @@ object TextQueries {
       |  (84,85,0),(84,86,5),(85,86,5),(88,89,0),(9,10,0),
       |  (9,252,5),(9,253,5),(9,254,5),(92,93,0),(92,94,2),
       |  (93,94,2),(96,97,0)""".stripMargin
+
+  // drift-monitor pin (GoldenDump r11, sf0.01): per-cell occupancy of
+  // the grown ivf_appended index
+  private val ivfCellStatsGolden: String =
+    """(0,32,0.064),(1,32,0.064),(10,32,0.064),(11,31,0.062),(12,23,0.046),
+      |  (13,30,0.06),(14,24,0.048),(15,30,0.06),(2,34,0.068),(3,32,0.064),
+      |  (4,27,0.054),(5,32,0.064),(6,33,0.066),(7,34,0.068),(8,41,0.082),
+      |  (9,33,0.066)""".stripMargin
 
   // video near-dup pin (GoldenDump r11, sf0.01): the verified
   // (asset_a, asset_b, hamming) set over the planted grouped-AVI

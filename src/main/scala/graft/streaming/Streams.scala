@@ -183,6 +183,39 @@ object Streams {
       }
       .start()
 
+  /** Streaming ANN index maintainer — [[nearDupMaintainer]]'s pattern
+    * for the vector lake: new embedding vectors arrive as a stream,
+    * and each micro-batch assigns them to the FROZEN centroids of a
+    * persisted IVF index ([[graft.operators.Similarity.ivfAppendBatch]])
+    * keyed by the micro-batch id. Exactly-once under checkpoint
+    * replay for free: a retried batch id overwrites its own
+    * `batch=<id>/cell=<c>` partition directories (dynamic partition
+    * overwrite) instead of appending duplicates, so any retry
+    * converges to the same lake state. Per-batch work scales with the
+    * batch — one centroids read (bounded, model-sized) plus one
+    * narrow assignment pass — never the corpus, and queries served
+    * between batches see a consistent base+committed-batches union
+    * ([[graft.operators.Similarity.ivfTopKFromIndex]]). Batch-dir
+    * growth is bounded by
+    * [[graft.operators.Similarity.compactIvfAppends]] at admin
+    * cadence, with the maintainer stopped.
+    */
+  def annIndexMaintainer(vectors: DataFrame, indexDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Similarity.ivfAppendBatch(batch.sparkSession,
+            indexDir, batch.select(col("vec_id"), col("embedding")),
+            batchId)
+        }
+      }
+      .start()
+
   /** Index lifecycle maintenance for [[nearDupMaintainer]]'s lake: each
     * micro-batch leaves a `batch=<id>` partition directory in all three
     * tables, so a daily cadence over years accretes thousands of tiny

@@ -11,6 +11,65 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class StreamsSpec extends SparkSuite {
 
+  test("streaming ANN index maintainer: micro-batched vector arrivals " +
+    "grow the frozen-geometry index to the one-shot build's exact " +
+    "ranking, exactly-once across restarts") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val full = tmpDir("ann_maint_full")
+    val grown = tmpDir("ann_maint_grown")
+    val stage = tmpDir("ann_maint_stage")
+    val ckpt = tmpDir("ann_maint_ckpt")
+    // one-shot reference build vs a base holding only 80% of the
+    // corpus (geometry fit on the full corpus, the production pattern)
+    Similarity.ivfWriteIndex(spark, sf(), full)
+    Similarity.ivfWriteIndex(spark, sf(), grown,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
+    // the held-out 20% arrives as two staged files → two micro-batches
+    val heldOut = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id"), col("embedding"))
+    def stageBatch(name: String, part: org.apache.spark.sql.DataFrame):
+        Unit = {
+      val tmp = tmpDir(s"ann_stage_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    stageBatch("a", heldOut.filter(col("vec_id") % 2 === 0))
+    stageBatch("b", heldOut.filter(col("vec_id") % 2 =!= 0))
+    def stream() = spark.readStream
+      .schema(heldOut.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = Streams.annIndexMaintainer(stream(), grown, ckpt)
+    q.awaitTermination(180000)
+    val queries = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") < 5)
+    def serve(dir: String): Seq[String] =
+      Similarity.ivfTopKFromIndex(spark, dir, queries)
+        .collect().map(_.toString).sorted.toSeq
+    val oneShot = serve(full)
+    assert(serve(grown) === oneShot)
+    // two micro-batches → two batch dirs in the append table
+    val batchDirs = new java.io.File(s"$grown/assignments_batches")
+      .listFiles().toSeq.map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(batchDirs === Seq("batch=0", "batch=1"))
+    // a restart on the same checkpoint re-reads nothing and changes
+    // nothing (exactly-once: committed batches are not re-delivered)
+    val q2 = Streams.annIndexMaintainer(stream(), grown, ckpt)
+    q2.awaitTermination(180000)
+    assert(serve(grown) === oneShot)
+    // the drift monitor sees the grown lake: occupancy sums to the
+    // full corpus and shares to 1
+    val stats = Similarity.ivfCellStats(spark, grown).collect()
+    assert(stats.map(_.getLong(1)).sum ===
+      Tables.embeddings(spark, sf()).count())
+    assert(math.abs(stats.map(_.getDouble(2)).sum - 1.0) < 0.01)
+  }
+
   private lazy val fixtureDir = {
     val dir = tmpDir("stream_fix")
     WeatherFixtures.writeJson(dir, "batch1.json",
