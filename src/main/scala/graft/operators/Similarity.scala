@@ -538,9 +538,10 @@ object Similarity {
     * are then retired and the publish is a single rename.
     */
   def compactIvfAppends(s: SparkSession, indexDir: String,
-      upToBatch: Long): Unit = {
+      upToBatch: Long,
+      table: String = "assignments_batches"): Unit = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(s"$indexDir/assignments_batches")
+    val root = new Path(s"$indexDir/$table")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     def coveredDirs: Seq[Path] = fs.listStatus(root).toSeq
@@ -548,7 +549,7 @@ object Similarity {
         st.getPath.getName.startsWith("batch="))
       .map(_.getPath)
       .filter(_.getName.stripPrefix("batch=").toLong <= upToBatch)
-    val tmp = new Path(s"$indexDir/assignments_batches__compact_tmp")
+    val tmp = new Path(s"$indexDir/${table}__compact_tmp")
     val tmpDone = new Path(tmp, "_SUCCESS")
     if (!fs.exists(tmpDone)) {
       val dirs = coveredDirs
@@ -1193,7 +1194,7 @@ object Similarity {
     */
   def ivfPqWriteIndex(s: SparkSession, d: String, indexDir: String,
       nCells: Int = 0, m: Int = 16, ksub: Int = 16,
-      sampleSize: Int = 2048): Unit = {
+      sampleSize: Int = 2048, assignOnly: Option[Column] = None): Unit = {
     import graft.functions.NearestCentroids.nearestCells
     import graft.functions.PqOps.pqEncode
     import s.implicits._
@@ -1213,13 +1214,67 @@ object Similarity {
     }.toDF("sub", "code", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    emb.select(col("vec_id"),
+    // assignOnly restricts which vectors are ENCODED (the rest arrive
+    // later via ivfPqAppendBatch) — both model fits stay on the full
+    // corpus, as with ivfWriteIndex
+    assignOnly.map(emb.filter).getOrElse(emb)
+      .select(col("vec_id"),
         element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
           .as("cell"),
         pqEncode(col("embedding"), codebooks).as("codes"))
       .repartition(col("cell")) // one file per dir (see ivfWriteIndex)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/codes")
+  }
+
+  /** Read the bounded codebooks table onto the driver (m × ksub rows —
+    * the model, same class of collect as [[readCentroids]]).
+    */
+  private def readCodebooks(s: SparkSession,
+      indexDir: String): Array[Array[Array[Float]]] =
+    s.read.parquet(s"$indexDir/codebooks")
+      .select(col("sub"), col("code"), col("centroid"))
+      .orderBy(col("sub"), col("code")).collect()
+      .foldLeft(Map.empty[Int, Vector[Array[Float]]]) { (acc, r) =>
+        val j = r.getInt(0)
+        acc.updated(j,
+          acc.getOrElse(j, Vector.empty) :+ r.getSeq[Float](2).toArray)
+      } match {
+        case bySub => Array.tabulate(bySub.size)(j => bySub(j).toArray)
+      }
+
+  /** [[ivfAppendBatch]] for the compressed tier: encode a batch of new
+    * vectors against the FROZEN model of a persisted IVF-PQ index
+    * (coarse centroids AND PQ codebooks — both fit once, both held
+    * fixed as the lake grows) and write it as
+    * `codes_batches/batch=<id>/cell=<c>/` dirs with dynamic partition
+    * overwrite — exactly-once under retries, per-batch work scales
+    * with the batch. Since both the cell assignment and the m-byte
+    * code are pure functions of (embedding, frozen model), the grown
+    * codes table is row-identical to a one-shot encode of the union —
+    * the ADC shortlist, and therefore the refined serve, must
+    * reproduce the one-shot build's ranking exactly
+    * (`q_ann_ivfpq_appended_served` pins this against the
+    * `q_ann_ivfpq` golden). The 100 TB hot tier is exactly the index
+    * that must grow in place: at 16 B/vector a nightly re-encode is
+    * affordable NEVER, while a batch encode is one narrow pass.
+    */
+  def ivfPqAppendBatch(s: SparkSession, indexDir: String,
+      newVectors: DataFrame, batchId: Long): Unit = {
+    import graft.functions.NearestCentroids.nearestCells
+    import graft.functions.PqOps.pqEncode
+    val centroidMatrix = readCentroids(s, indexDir)
+    val codebooks = readCodebooks(s, indexDir)
+    newVectors
+      .select(lit(batchId).as("batch"), col("vec_id"),
+        element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
+          .as("cell"),
+        pqEncode(col("embedding"), codebooks).as("codes"))
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell")
+      .parquet(s"$indexDir/codes_batches")
   }
 
   /** Serve IVF-PQ top-k from a persisted index ([[ivfPqWriteIndex]]):
@@ -1236,25 +1291,21 @@ object Similarity {
     import graft.functions.NearestCentroids.nearestCells
     require(refine <= 0 || refineFrom.nonEmpty,
       "refine > 0 needs refineFrom (the raw-vector store)")
-    val centroidMatrix: Array[Array[Float]] =
-      s.read.parquet(s"$indexDir/centroids")
-        .select(col("cell"), col("centroid"))
-        .orderBy(col("cell")).collect()
-        .map(_.getSeq[Float](1).toArray)
-    val codebooks: Array[Array[Array[Float]]] =
-      s.read.parquet(s"$indexDir/codebooks")
-        .select(col("sub"), col("code"), col("centroid"))
-        .orderBy(col("sub"), col("code")).collect()
-        .foldLeft(Map.empty[Int, Vector[Array[Float]]]) { (acc, r) =>
-          val j = r.getInt(0)
-          acc.updated(j,
-            acc.getOrElse(j, Vector.empty) :+ r.getSeq[Float](2).toArray)
-        } match {
-          case bySub => Array.tabulate(bySub.size)(j => bySub(j).toArray)
-        }
+    val centroidMatrix: Array[Array[Float]] = readCentroids(s, indexDir)
+    val codebooks: Array[Array[Array[Float]]] = readCodebooks(s, indexDir)
     val probes =
       if (nProbe > 0) nProbe else probesFor(centroidMatrix.length)
-    val codes = s.read.parquet(s"$indexDir/codes")
+    // codes appended after the build ([[ivfPqAppendBatch]]) live in a
+    // sibling batch-partitioned table; cell stays a partition column
+    // there too, so pruning covers both sides of the union
+    val base = s.read.parquet(s"$indexDir/codes")
+    val batchesPath = new org.apache.hadoop.fs.Path(
+      s"$indexDir/codes_batches")
+    val fs = batchesPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val codes =
+      if (fs.exists(batchesPath))
+        base.unionByName(s.read.parquet(batchesPath.toString).drop("batch"))
+      else base
     val queryProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
       .select(col("query_id"), col("q"),

@@ -147,6 +147,12 @@ object TextQueries {
     // base+batches union the serve path scans (refit signal)
     "q_ann_ivf_cell_stats" -> ((s: SparkSession, d: String) =>
       Similarity.ivfCellStats(s, s"${indexRoot(d)}/ivf_appended")),
+    // the grown COMPRESSED index: batch-encoded appends under frozen
+    // centroids+codebooks must serve the one-shot build's ranking
+    "q_ann_ivfpq_appended_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqTopKFromIndex(s, s"${indexRoot(d)}/ivfpq_appended",
+        annProbeVectors(s, d), refine = 100,
+        refineFrom = Some(graft.Tables.embeddings(s, d)))),
     "q_incremental_dedup_served" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalMinhashPairsFromIndex(
         s.read.parquet(s"${indexRoot(d)}/minhash_buckets"),
@@ -218,6 +224,17 @@ object TextQueries {
       graft.Tables.embeddings(s, d)
         .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 4),
       batchId = 1L)
+    // the compressed tier grows the same way: frozen centroids AND
+    // codebooks, batch-encoded appends; q_ann_ivfpq_appended_served
+    // pins the serve against the one-shot q_ann_ivfpq golden
+    val appendedPq = s"$root/ivfpq_appended"
+    Similarity.ivfPqWriteIndex(s, d, appendedPq,
+      assignOnly = Some(org.apache.spark.sql.functions
+        .col("vec_id") % 5 =!= 4))
+    Similarity.ivfPqAppendBatch(s, appendedPq,
+      graft.Tables.embeddings(s, d)
+        .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 4),
+      batchId = 1L)
     Dedup.minhashBuckets(incrSplitSide(s, d, newSide = false))
       .write.mode("overwrite").parquet(s"$root/minhash_buckets")
   }
@@ -239,6 +256,9 @@ object TextQueries {
       ("q_ann_ivf_sharded_served" -> baseOracle("q_ann_ivf_sharded")) +
       ("q_incremental_dedup_served" -> baseOracle("q_incremental_dedup")) +
       ("q_ann_ivfpq_served" -> baseOracle("q_ann_ivfpq")) +
+      // compressed append-parity: frozen centroids+codebooks ⇒ the
+      // grown codes table is row-identical to the one-shot encode
+      ("q_ann_ivfpq_appended_served" -> baseOracle("q_ann_ivfpq")) +
       ("q_ann_ivfpq_sharded_served" -> baseOracle("q_ann_ivfpq_sharded"))
 
   /** Word-3-gram shingle sets per document, as a DuckDB CTE — mirrors

@@ -87,6 +87,45 @@ class PqSpec extends SparkSuite {
         refineFrom = Some(Tables.embeddings(spark, dir001)))))
   }
 
+  test("ivfPqAppendBatch under the frozen model: grown codes serve " +
+    "bit-identical to the one-shot build, idempotent, compactable") {
+    // fit-once-on-history for BOTH models (coarse centroids and PQ
+    // codebooks): encode 80% at build, batch-encode the held-out 20% —
+    // cell and code are pure functions of (embedding, frozen model),
+    // so the grown codes table must serve the one-shot ranking
+    val full = tmpDir("pq_full")
+    val grown = tmpDir("pq_grown")
+    Similarity.ivfPqWriteIndex(spark, dir001, full)
+    Similarity.ivfPqWriteIndex(spark, dir001, grown,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
+    val heldOut = Tables.embeddings(spark, dir001)
+      .filter(col("vec_id") % 5 === 4)
+    Similarity.ivfPqAppendBatch(spark, grown,
+      heldOut.filter(col("vec_id") % 2 === 0), batchId = 1L)
+    Similarity.ivfPqAppendBatch(spark, grown,
+      heldOut.filter(col("vec_id") % 2 =!= 0), batchId = 2L)
+    val queries = Tables.embeddings(spark, dir001)
+      .filter(col("vec_id") < 5)
+    def serve(dir: String): Seq[(Long, Long, Double, Int)] =
+      Similarity.ivfPqTopKFromIndex(spark, dir, queries, refine = 50,
+          refineFrom = Some(Tables.embeddings(spark, dir001)))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq
+    val oneShot = serve(full)
+    assert(serve(grown) === oneShot)
+    // retried batch replaces its own partitions (exactly-once)
+    Similarity.ivfPqAppendBatch(spark, grown,
+      heldOut.filter(col("vec_id") % 2 =!= 0), batchId = 2L)
+    assert(serve(grown) === oneShot)
+    // compaction folds the batch dirs; the served ranking is unchanged
+    Similarity.compactIvfAppends(spark, grown, upToBatch = 2L,
+      table = "codes_batches")
+    val dirs = new java.io.File(s"$grown/codes_batches").listFiles()
+      .toSeq.map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(dirs === Seq("batch=2"))
+    assert(serve(grown) === oneShot)
+  }
+
   test("PQ codegen survives the production ksub=256 geometry") {
     import org.apache.spark.sql.execution.debug._
     val codebooks: Array[Array[Array[Float]]] =
