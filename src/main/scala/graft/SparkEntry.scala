@@ -109,6 +109,19 @@ object SparkEntry {
         r4(capHumidity(col("value"))).as("capped"))
     }),
 
+    // F15 complete: the dashboard display envelope — integer-rounded
+    // overall temperature in F plus the verbatim ±8 hi/lo estimate
+    // (dashboard.py:668,678-679), over the grand-averages row
+    "q_display_envelope" -> ((s, d) => {
+      val tempF = cToF(col("overall_avg_value"))
+      Hierarchy.grandAverages(Tables.events(s, d)).select(
+        displayRound(tempF).as("temp_f"),
+        hiEstimate(tempF).as("temp_high"),
+        loEstimate(tempF).as("temp_low"),
+        displayRound(col("total_sum")).as("total_display"),
+        col("period_months"))
+    }),
+
     // ---- TPC-H-ish relational core (SURVEY §2.4/§2.5 generalization) ----
     "q1_pricing" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -263,6 +276,30 @@ object SparkEntry {
         | round(CASE WHEN value IS NOT NULL AND value > 0
         |        THEN least(value, 100.0) ELSE value END, 4) AS capped
         |FROM events""".stripMargin,
+    "q_display_envelope" ->
+      """SELECT CAST(round(temp_f_raw) AS BIGINT) AS temp_f,
+        | CAST(round(temp_f_raw + 8) AS BIGINT) AS temp_high,
+        | CAST(round(temp_f_raw - 8) AS BIGINT) AS temp_low,
+        | CAST(round(total_sum) AS BIGINT) AS total_display,
+        | period_months
+        |FROM (
+        |  SELECT avg(CASE WHEN avg_value IS NOT NULL AND avg_value <> 0
+        |          THEN avg_value END) * 9 / 5 + 32 AS temp_f_raw,
+        |   sum(sum_hourly_max) AS total_sum,
+        |   count(*) AS period_months
+        |  FROM (
+        |    SELECT year(date) AS yr, month(date) AS mon,
+        |     avg(avg_value) AS avg_value,
+        |     sum(sum_hourly_max) AS sum_hourly_max
+        |    FROM (
+        |      SELECT date, avg(avg_value) AS avg_value,
+        |       sum(max_value) AS sum_hourly_max
+        |      FROM (
+        |        SELECT CAST(ts AS DATE) AS date, hour(ts) AS hr,
+        |         avg(value) AS avg_value, max(value) AS max_value
+        |        FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |      GROUP BY date)
+        |    GROUP BY 1, 2))""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 4) AS sum_qty,

@@ -54,6 +54,22 @@ object Fns {
   /** P9: Python-truthy predicate — non-null AND non-zero. */
   def truthy(c: Column): Column = c.isNotNull && c =!= 0
 
+  /** F15 (complete): integer display rounding — the dashboard's
+    * `Math.round` tier (dashboard.py:668,678-679,686,691) — with the
+    * same half-boundary nudge as [[r4]] so both engines round exact
+    * .5 display values identically.
+    */
+  def displayRound(c: Column): Column =
+    round(c + lit(1e-9), 0).cast("long")
+
+  /** F15: the dashboard's `±8°F` high/low estimate around the overall
+    * average (dashboard.py:678-679 — "Estimate high/low (could be
+    * improved with actual min/max)"); ported verbatim as the display
+    * envelope, quirk included.
+    */
+  def hiEstimate(tempF: Column): Column = displayRound(tempF + lit(8))
+  def loEstimate(tempF: Column): Column = displayRound(tempF - lit(8))
+
   /** Round a double aggregate for deterministic cross-engine comparison.
     * Summation order differs between engines (and between Spark
     * partition layouts), drifting results by ~1e-15 relative — and
