@@ -111,10 +111,13 @@ object SparkEntry {
 
     // F15 complete: the dashboard display envelope — integer-rounded
     // overall temperature in F plus the verbatim ±8 hi/lo estimate
-    // (dashboard.py:668,678-679), over the grand-averages row
+    // (dashboard.py:668,678-679), over the grand-averages row scoped to
+    // the latest 13 months exactly as the dashboard fallback does
+    // (get_monthly_averages(13), dashboard.py:1107)
     "q_display_envelope" -> ((s, d) => {
       val tempF = cToF(col("overall_avg_value"))
-      Hierarchy.grandAverages(Tables.events(s, d)).select(
+      Hierarchy.grandAverages(Tables.events(s, d), latestMonths = Some(13))
+        .select(
         displayRound(tempF).as("temp_f"),
         hiEstimate(tempF).as("temp_high"),
         loEstimate(tempF).as("temp_low"),
@@ -232,9 +235,10 @@ object SparkEntry {
         |ORDER BY yr DESC, mon DESC LIMIT 12""".stripMargin,
     "q_grand_avg" ->
       """SELECT
-        | round(avg(CASE WHEN avg_value IS NOT NULL AND avg_value <> 0
-        |            THEN avg_value END), 4) AS overall_avg_value,
-        | round(sum(sum_hourly_max), 4) AS total_sum,
+        | round(sum(CASE WHEN avg_value IS NOT NULL AND avg_value <> 0
+        |            THEN avg_value END) / count(*), 4) AS overall_avg_value,
+        | round(CAST(sum(CAST(sum_hourly_max AS DECIMAL(18,6))) AS DOUBLE),
+        |    4) AS total_sum,
         | round(avg(max_value), 4) AS overall_avg_max,
         | CAST(sum(n_obs) AS BIGINT) AS total_obs,
         | count(*) AS period_months
@@ -283,9 +287,11 @@ object SparkEntry {
         | CAST(round(total_sum) AS BIGINT) AS total_display,
         | period_months
         |FROM (
-        |  SELECT avg(CASE WHEN avg_value IS NOT NULL AND avg_value <> 0
-        |          THEN avg_value END) * 9 / 5 + 32 AS temp_f_raw,
-        |   sum(sum_hourly_max) AS total_sum,
+        |  SELECT (sum(CASE WHEN avg_value IS NOT NULL AND avg_value <> 0
+        |           THEN avg_value END) / count(*)) * 9 / 5 + 32
+        |     AS temp_f_raw,
+        |   CAST(sum(CAST(sum_hourly_max AS DECIMAL(18,6))) AS DOUBLE)
+        |     AS total_sum,
         |   count(*) AS period_months
         |  FROM (
         |    SELECT year(date) AS yr, month(date) AS mon,
@@ -299,7 +305,8 @@ object SparkEntry {
         |         avg(value) AS avg_value, max(value) AS max_value
         |        FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
         |      GROUP BY date)
-        |    GROUP BY 1, 2))""".stripMargin,
+        |    GROUP BY 1, 2
+        |    ORDER BY yr DESC, mon DESC LIMIT 13))""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 4) AS sum_qty,

@@ -21,17 +21,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as a raw nanosecond long instead. The raw
-    * `ts` long keeps full ns precision (exact ordering parity with
-    * engines that read ns natively); `ts_event` is a micros-truncated
-    * real timestamp for date/hour bucketing and streaming watermarks.
+  /** `events.ts` arrives in either of two physical schemas depending on
+    * the testdata generation: parquet TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader rejects, so it is read as a raw nanosecond long —
+    * or plain TIMESTAMP(MICROS). Both normalize to the same downstream
+    * contract every operator and oracle assumes: `ts` is an epoch
+    * NANOSECOND long (exact integer ordering and gap arithmetic,
+    * bit-identical across engines — DuckDB's `epoch_ns(ts)` agrees in
+    * both cases) and `ts_event` is a micros real timestamp for
+    * date/hour bucketing and streaming watermarks.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+    normalizeEvents(t(s, d, "events"))
   }
+
+  /** Normalize a raw events frame in either physical schema to the
+    * downstream contract (also used by the streaming specs, which
+    * readStream the same parquet).
+    */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        val tsLtz = col("ts").cast("timestamp")
+        raw.withColumn("ts_event", tsLtz)
+          .withColumn("ts", unix_micros(tsLtz) * lit(1000L))
+    }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

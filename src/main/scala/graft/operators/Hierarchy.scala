@@ -79,17 +79,33 @@ object Hierarchy {
       .limit(months)
 
   /** A7 analog — grand averages over the monthly rows, replicating the
-    * reference's Python-truthy filter (drops 0.0; SURVEY §8.2): the main
-    * metric uses truthy semantics, the count-weighted total uses plain sum.
+    * reference's Python-truthy filter (drops 0.0; SURVEY §8.2). The
+    * denominator quirk matters: the truthy-filtered SUM is divided by the
+    * FULL month count (`total_temp / len(monthly_data)`,
+    * redis_etl.py:32-38, dashboard.py:1109-1115) — NOT by the truthy
+    * count — so a month whose average is 0.0 still dilutes the overall
+    * average. The total accumulates in DECIMAL(18,6) so the value is
+    * bit-identical across engines before display rounding.
+    *
+    * `latestMonths` restricts the scope to the most recent N monthly
+    * rows (the reference always windows: 12 for the cache path,
+    * redis_etl.py:22; 13 for the dashboard fallback, dashboard.py:1107);
+    * None keeps the deliberate all-months generalization.
     */
-  def grandAverages(events: DataFrame): DataFrame =
-    monthly(events).agg(
-      avg(when(truthy(col("avg_value")), col("avg_value")))
-        .as("overall_avg_value"),
-      sum(col("sum_hourly_max")).as("total_sum"),
+  def grandAverages(events: DataFrame,
+      latestMonths: Option[Int] = None): DataFrame = {
+    val all = monthly(events)
+    val scoped = latestMonths
+      .map(n => all.orderBy(col("yr").desc, col("mon").desc).limit(n))
+      .getOrElse(all)
+    scoped.agg(
+      (sum(when(truthy(col("avg_value")), col("avg_value"))) /
+        count(lit(1))).as("overall_avg_value"),
+      dsum(col("sum_hourly_max")).as("total_sum"),
       avg(col("max_value")).as("overall_avg_max"),
       sum(col("n_obs")).as("total_obs"),
       count(lit(1)).as("period_months"))
+  }
 
   /** The hand-rolled hour→day→month nest as a NATIVE grouping-set
     * rollup over (year, month, date, hour) — the summarization form the

@@ -324,6 +324,67 @@ object TextOps {
     * normalization and a degenerate hash, without needing xxhash64 in
     * the oracle engine.
     */
+  /** Cross-document boilerplate-span removal (C4 / "Deduplicating
+    * Training Data Makes Language Models Better"-style): any word
+    * n-gram occurring in at least `minDocs` DISTINCT documents marks
+    * every token position it covers as boilerplate; covered tokens are
+    * stripped and the survivors are re-joined in order. Output per doc:
+    * token counts before/after, the covered-fraction, and the cleaned
+    * text.
+    *
+    * Scale shape: grams shuffle as (doc_id, pos, xxhash64) — the 8-byte
+    * hash, never the gram text — keyed on the high-cardinality hash, so
+    * the boilerplate count is a two-phase partial aggregate with no skew
+    * (a 64-bit collision could only over-mark; at corpus scales past
+    * ~2^32 grams widen the key with a second seeded hash). The covered
+    * position set re-joins on (doc_id, pos) and the reassembly is a
+    * per-doc collect bounded by document length. No stage holds more
+    * than one document's tokens in memory.
+    */
+  def boilerplate(s: SparkSession, d: String, n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val docs = Tables.parallelized(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+    // sequence(1, size-(n-1)) counts DOWN when the doc is shorter than
+    // n tokens — guard with an empty array so short docs yield no grams
+    val grams = docs
+      .select(col("doc_id"), col("ts"),
+        explode(when(size(col("ts")) >= n,
+          sequence(lit(1), size(col("ts")) - (n - 1)))
+          .otherwise(array())).as("p"))
+      .select(col("doc_id"), col("p"),
+        xxhash64(array_join(slice(col("ts"), col("p"), lit(n)), " "))
+          .as("g"))
+    val boiler = grams
+      .groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"))
+    val covered = grams.join(boiler, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(col("ts")).as(Seq("i", "tok")))
+      .select(col("doc_id"), (col("i") + 1).as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"),
+            col("tok")))), x => x.getField("tok")), " ")
+          .as("cleaned_text"))
+    docs.select(col("doc_id"), size(col("ts")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_covered"),
+        r4((col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("double") / col("n_tokens")).as("covered_frac"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   def fingerprintClasses(s: SparkSession, d: String): DataFrame =
     fingerprints(s, d)
       .groupBy(col("fingerprint")).agg(count(lit(1)).as("n_copies"))

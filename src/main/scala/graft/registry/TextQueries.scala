@@ -25,6 +25,8 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tokens" -> (TextOps.tokenCounts _),
+    "q_boilerplate" -> ((s: SparkSession, d: String) =>
+      TextOps.boilerplate(s, d)),
     "q_head_tokens" -> (TextOps.headTokenCounts _),
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_stats" -> (TextOps.langSourceStats _),
@@ -479,6 +481,44 @@ object TextQueries {
         |                            t -> t <> '')) AS token
         |  FROM documents)
         |GROUP BY token""".stripMargin,
+    // exhaustive recomputation of the 8-gram/minDocs=2 boilerplate
+    // masking on the raw gram STRINGS (the Spark side shuffles xxhash64
+    // keys — a value mismatch would expose any collision over-marking)
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, p, array_to_string(list_slice(ts, p, p + 7), ' ')
+        |    AS g
+        |  FROM toks, LATERAL unnest(generate_series(1, length(ts) - 7))
+        |    AS s(p)
+        |  WHERE length(ts) >= 8),
+        |boiler AS (
+        |  SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos
+        |  FROM (SELECT doc_id, p FROM grams JOIN boiler USING (g)),
+        |       LATERAL unnest(generate_series(p, p + 7)) AS c(pos)),
+        |tok AS (
+        |  SELECT doc_id, i AS pos, ts[i] AS tok
+        |  FROM toks, LATERAL unnest(generate_series(1, length(ts)))
+        |    AS s(i)),
+        |kept AS (
+        |  SELECT t.doc_id, count(*) AS n_kept,
+        |   string_agg(t.tok, ' ' ORDER BY t.pos) AS cleaned_text
+        |  FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(length(d.ts) AS INT) AS n_tokens,
+        | length(d.ts) - coalesce(k.n_kept, 0) AS n_covered,
+        | round(CAST(length(d.ts) - coalesce(k.n_kept, 0) AS DOUBLE)
+        |       / length(d.ts), 4) AS covered_frac,
+        | coalesce(k.cleaned_text, '') AS cleaned_text
+        |FROM toks d LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
     "q_head_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(list_slice(list_filter(string_split(text, ' '),

@@ -403,12 +403,9 @@ class StreamsSpec extends SparkSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${sf()}/events.parquet"),
       java.nio.file.Paths.get(s"$stageDir/events.parquet"))
-    val schema = Tables.events(spark, sf()).schema
-    val stream = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(
-        schema.filter(_.name != "ts_event")))
-      .parquet(stageDir)
-      .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+    val rawSchema = spark.read.parquet(s"$stageDir/events.parquet").schema
+    val stream = Tables.normalizeEvents(
+      spark.readStream.schema(rawSchema).parquet(stageDir))
     val q = Streams.userSessions(stream)
       .writeStream.format("memory").queryName("sessions_stream")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -439,12 +436,9 @@ class StreamsSpec extends SparkSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${sf()}/events.parquet"),
       java.nio.file.Paths.get(s"$stageDir/events.parquet"))
-    val schema = Tables.events(spark, sf()).schema
-    val stream = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(
-        schema.filter(_.name != "ts_event")))
-      .parquet(stageDir)
-      .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+    val rawSchema = spark.read.parquet(s"$stageDir/events.parquet").schema
+    val stream = Tables.normalizeEvents(
+      spark.readStream.schema(rawSchema).parquet(stageDir))
     val q = Streams.purchaseAttribution(stream)
       .writeStream.format("memory").queryName("attr_stream")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -467,12 +461,9 @@ class StreamsSpec extends SparkSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${sf()}/events.parquet"),
       java.nio.file.Paths.get(s"$stageDir/events.parquet"))
-    val schema = Tables.events(spark, sf()).schema
-    val stream = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(
-        schema.filter(_.name != "ts_event")))
-      .parquet(stageDir)
-      .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+    val rawSchema = spark.read.parquet(s"$stageDir/events.parquet").schema
+    val stream = Tables.normalizeEvents(
+      spark.readStream.schema(rawSchema).parquet(stageDir))
     val q = Streams.eventHourly(stream)
       .writeStream.format("memory").queryName("ev_hourly")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
