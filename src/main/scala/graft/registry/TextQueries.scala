@@ -1,7 +1,7 @@
 package graft.registry
 
 import graft.operators.{Curate, Dedup, Multimodal, Sampling, Scrub,
-  Similarity, TextOps, Video}
+  Search, Similarity, TextOps, Video}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
@@ -119,6 +119,12 @@ object TextQueries {
     // Query CONSTRUCTION only reads the prepared paths; the index
     // builds run in the [[prepare]] hook, never at construction
     // (registry queries must stay construction-job-free).
+    // BM25 keyword retrieval over the documents corpus: inline twin
+    // recomputes postings/df/corpus stats; the served twin reads the
+    // term-partitioned inverted index written by [[prepare]]
+    "q_bm25" -> ((s: SparkSession, d: String) => Search.bm25(s, d)),
+    "q_bm25_served" -> ((s: SparkSession, d: String) =>
+      Search.bm25FromIndex(s, s"${indexRoot(d)}/bm25")),
     "q_ann_lsh_served" -> ((s: SparkSession, d: String) =>
       Similarity.annTopKFromIndex(s, s"${indexRoot(d)}/lsh",
         annProbeVectors(s, d))),
@@ -239,6 +245,7 @@ object TextQueries {
       batchId = 1L)
     Dedup.minhashBuckets(incrSplitSide(s, d, newSide = false))
       .write.mode("overwrite").parquet(s"$root/minhash_buckets")
+    Search.buildIndex(s, d, s"$root/bm25")
   }
 
   /** q_ann_brute_agg produces identical results to q_ann_brute (the
@@ -261,7 +268,10 @@ object TextQueries {
       // compressed append-parity: frozen centroids+codebooks ⇒ the
       // grown codes table is row-identical to the one-shot encode
       ("q_ann_ivfpq_appended_served" -> baseOracle("q_ann_ivfpq")) +
-      ("q_ann_ivfpq_sharded_served" -> baseOracle("q_ann_ivfpq_sharded"))
+      ("q_ann_ivfpq_sharded_served" -> baseOracle("q_ann_ivfpq_sharded")) +
+      // the BM25 serve path reads back exactly the frames the inline
+      // twin computes (one shared scorer), so one oracle covers both
+      ("q_bm25_served" -> baseOracle("q_bm25"))
 
   /** Word-3-gram shingle sets per document, as a DuckDB CTE — mirrors
     * Dedup.shinglesFromTokens (whitespace tokens, empties dropped,
@@ -519,6 +529,43 @@ object TextQueries {
         |       / length(d.ts), 4) AS covered_frac,
         | coalesce(k.cleaned_text, '') AS cleaned_text
         |FROM toks d LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
+    // full BM25 recomputation (Lucene idf, k1=1.2, b=0.75): integer
+    // tf/df/dl/N make every input exact; the score rounds to 4 dp
+    // BEFORE the per-query rank so the top-10 is engine-independent
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(length(ts)) AS DOUBLE) AS sumdl
+        |  FROM toks),
+        |queries(query_id, term) AS (
+        |  VALUES (1, 'hash'), (1, 'join'),
+        |         (2, 'window'), (2, 'agg'), (2, 'stream'),
+        |         (3, 'dup'), (3, 'scan')),
+        |post AS (
+        |  SELECT term, doc_id, dl, count(*) AS tf FROM (
+        |    SELECT doc_id, length(ts) AS dl, unnest(ts) AS term
+        |    FROM toks)
+        |  GROUP BY term, doc_id, dl),
+        |tstats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        |scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |   round(sum(ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+        |     * (p.tf * 2.2)
+        |     / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (s.sumdl / s.n)))),
+        |    4) AS score
+        |  FROM post p
+        |  JOIN queries q USING (term)
+        |  JOIN tstats t USING (term), stats s
+        |  GROUP BY q.query_id, p.doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+        |FROM ranked WHERE rank <= 10""".stripMargin,
     "q_head_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(list_slice(list_filter(string_split(text, ' '),

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Search, TextOps}
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval + boilerplate masking: hand-computed scores on a
+  * planted corpus, inline ≡ served parity through a persisted index,
+  * and the masking semantics (short-doc guard, full coverage, order
+  * preservation).
+  */
+class SearchSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Write a planted documents table in the testdata schema. */
+  private def plant(rows: Seq[(Long, String)]): String = {
+    val dir = tmpDir("search_docs")
+    rows.map { case (id, text) =>
+      (id, text, "en", "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bm25 matches hand-computed Okapi scores on a planted corpus") {
+    val d = plant(Seq(
+      1L -> "cat dog cat",
+      2L -> "cat fish",
+      3L -> "bird bird bird bird"))
+    val got = Search.bm25(spark, d, queries = Seq(1 -> "cat"), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // N=3, sumdl=9, avgdl=3; df(cat)=2 → idf = ln(1 + 1.5/2.5)
+    val idf = math.log(1.6)
+    def tfn(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    def r4d(x: Double) = math.rint((x + 1e-9) * 1e4) / 1e4
+    assert(got.toSeq === Seq(
+      (1, 1L, r4d(idf * tfn(2, 3))),
+      (2, 2L, r4d(idf * tfn(1, 2)))))
+  }
+
+  test("served index reproduces the inline ranking bit-for-bit") {
+    val d = sf() // real sf0.001 corpus
+    val idx = tmpDir("bm25_idx")
+    Search.buildIndex(spark, d, idx)
+    val inline = Search.bm25(spark, d).collect().toSet
+    val served = Search.bm25FromIndex(spark, idx).collect().toSet
+    assert(inline === served)
+    assert(inline.nonEmpty)
+  }
+
+  test("boilerplate masks only cross-doc spans and keeps order") {
+    val shared = (1 to 8).map(i => s"b$i").mkString(" ")
+    val d = plant(Seq(
+      1L -> s"u1 u2 $shared u3",
+      2L -> s"$shared v1 v2 v3",
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9",
+      4L -> "tiny doc")) // < 8 tokens: no grams, untouched
+    val got = TextOps.boilerplate(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getString(4))).toMap
+    assert(got(1L) === ((11, 8L, "u1 u2 u3")))
+    assert(got(2L) === ((11, 8L, "v1 v2 v3")))
+    assert(got(3L) === ((9, 0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")))
+    assert(got(4L) === ((2, 0L, "tiny doc")))
+  }
+
+  test("boilerplate fully-covered doc empties cleanly") {
+    val shared = (1 to 8).map(i => s"c$i").mkString(" ")
+    val d = plant(Seq(1L -> shared, 2L -> shared))
+    val got = TextOps.boilerplate(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+      .toSet
+    assert(got === Set((1L, 8L, ""), (2L, 8L, "")))
+  }
+}
