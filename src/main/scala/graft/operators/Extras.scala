@@ -283,6 +283,47 @@ object Extras {
     * even for byte-identical payload rows, deterministic under any
     * partitioning.
     */
+  /** Space-Saving heavy hitters over a deterministically SKEWED derived
+    * key (decimal digit count of event_id — the testdata's raw columns
+    * are uniform, which would make the sketch guarantees vacuous). The
+    * sketch itself is merge-order dependent, so the query emits only
+    * what a correct sketch must always satisfy, per exact-top-k key:
+    * `guarantee_ok` (true count > n/m ⇒ present in the sketch) and
+    * `bound_ok` (present ⇒ true ≤ est ≤ true + n/m) — both TRUE for a
+    * correct implementation regardless of partition layout, so the
+    * DuckDB oracle recomputes the exact counts and pins both booleans.
+    * Scale shape: O(m) state per partition, one O(m·partitions) merge,
+    * no shuffle of the keyed rows at all; the exact-top-k side (for the
+    * assertion only) is the usual two-phase agg + TakeOrdered.
+    */
+  def heavyHitters(s: SparkSession, d: String, m: Int = 3,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.events(s, d)
+      .select(length(col("event_id").cast("string")).cast("string")
+        .as("key"))
+    val sketch = keyed.as[String]
+      .select(new graft.functions.SpaceSavingAgg(m).toColumn)
+      .toDF("hh")
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key").as("key"), col("e.est").as("est"))
+    val exact = keyed.groupBy(col("key"))
+      .agg(count(lit(1)).as("exact_n"))
+    val total = keyed.agg(count(lit(1)).as("n"))
+    exact
+      .orderBy(col("exact_n").desc, col("key"))
+      .limit(k)
+      .join(broadcast(sketch), Seq("key"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("exact_n"),
+        (!(col("exact_n") > col("n") / m) || col("est").isNotNull)
+          .as("guarantee_ok"),
+        (col("est").isNull ||
+          (col("est") >= col("exact_n") &&
+            col("est") <= col("exact_n") + col("n") / m))
+          .as("bound_ok"))
+  }
+
   def saltedSegmentRevenue(s: SparkSession, d: String,
       salts: Int = 8): DataFrame =
     graft.functions.Skew.saltedJoin(

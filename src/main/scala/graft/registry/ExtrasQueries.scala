@@ -26,10 +26,22 @@ object ExtrasQueries {
     "q_pattern_filters" -> (Extras.patternFilters _),
     "q_null_fns" -> (Extras.nullFunctions _),
     "q_salted_join" -> ((s: SparkSession, d: String) =>
-      Extras.saltedSegmentRevenue(s, d))
+      Extras.saltedSegmentRevenue(s, d)),
+    "q_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      Extras.heavyHitters(s, d))
   )
 
   val oracle: Map[String, String] = Map(
+    // exact top-k recomputed cross-engine; the _ok booleans assert the
+    // Space-Saving sketch's containment + error-bound guarantees (the
+    // sketch CONTENTS are merge-order dependent, the guarantees never)
+    "q_heavy_hitters" ->
+      """SELECT key, exact_n, TRUE AS guarantee_ok, TRUE AS bound_ok
+        |FROM (
+        |  SELECT CAST(length(CAST(event_id AS VARCHAR)) AS VARCHAR)
+        |    AS key, count(*) AS exact_n
+        |  FROM events GROUP BY 1
+        |  ORDER BY exact_n DESC, key LIMIT 5)""".stripMargin,
     // exact percentiles recomputed cross-engine; the _ok booleans
     // assert the approx_percentile sketch stayed within tolerance
     "q_approx_percentiles_tol" ->
