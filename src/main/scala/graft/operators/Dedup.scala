@@ -463,6 +463,55 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-prune, after Abbas et
+    * al. 2023, behaviorally): embeddings cluster on the IVF k-means
+    * geometry ([[Similarity.fitCentroids]] — deterministic 2048-row
+    * sample fit, codegen'd NearestCentroids assignment), then within
+    * each cluster any vector with a LOWER-id neighbor at cosine ≥
+    * `threshold` is dropped. This is the parallel "dominance" form of
+    * the paper's keep-one policy: unlike sequential greedy it is
+    * deterministic under every partition layout, and it keeps exactly
+    * the per-cluster minima of the threshold graph's components'
+    * dominance order. Output is a bounded per-cell summary (members,
+    * kept, the dropped ids) — the full keep/drop decision is readable
+    * from it since dropped ids are enumerated.
+    *
+    * Scale shape: the only corpus-sized exchange is the hash shuffle on
+    * `cell`; the within-cell self-join compares ids before cosines, so
+    * a cell of c members costs c²/2 fused-cosine evaluations — bounded
+    * by the clustering granularity (cells ~ n/256 keeps c ~ 256; a
+    * skewed cell would sub-bucket with the same in-block LSH guard as
+    * [[ngramJaccardPairs]]). Embeddings ride the join but never the
+    * aggregate; the summary is O(cells) rows.
+    */
+  def semDedup(s: SparkSession, d: String, nCells: Int = 16,
+      threshold: Double = 0.85): DataFrame = {
+    import graft.functions.FusedCosineSimilarity.fusedCosine
+    import graft.functions.NearestCentroids.nearestCells
+    val centroidMatrix =
+      Similarity.fitCentroids(Tables.embeddings(s, d), nCells)
+    val assigned = Tables.parallelized(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
+          .as("cell"),
+        col("embedding"))
+    val dropped = assigned
+      .join(assigned.select(col("cell"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("cell"))
+      .filter(col("vec_b") < col("vec_id") &&
+        fusedCosine(col("embedding"), col("emb_b")) >= threshold)
+      .select(col("cell"), col("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.select(col("cell"), col("vec_id"))
+      .join(dropped, Seq("cell", "vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        count(when(col("is_dropped").isNull, 1)).as("n_kept"),
+        array_join(array_sort(collect_list(
+          when(col("is_dropped"), col("vec_id")))), ",")
+          .as("dropped_ids"))
+  }
+
   /** Connected components over near-duplicate pair edges — the step a
     * real dedup pipeline needs AFTER pair generation: near-duplication
     * is not transitive, so pairs (a,b) and (b,c) must collapse into one

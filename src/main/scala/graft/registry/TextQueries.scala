@@ -107,6 +107,16 @@ object TextQueries {
     // operator default stays at the published-practice 13
     "q_contamination" -> ((s: SparkSession, d: String) =>
       Scrub.contamination(s, d, nProbes = 3, ngramSize = 4)),
+    // SemDeDup-style cluster-then-prune semantic dedup: per-cell
+    // summary with enumerated dropped ids (GOLDEN oracle — centroid
+    // geometry is engine-specific; policy semantics spec-tested on
+    // planted single-cell corpora in SearchSpec). τ=0.45 because the
+    // driver embeddings carry no planted near-dups (max pairwise
+    // cosine ≈0.51) — the registry threshold exercises the drop
+    // policy; the operator default stays at the published-practice
+    // range (same pattern as q_contamination's ngramSize=4)
+    "q_semdedup" -> ((s: SparkSession, d: String) =>
+      Dedup.semDedup(s, d, threshold = 0.45)),
     "q_dup_clusters" -> ((s: SparkSession, d: String) =>
       Dedup.dupClusters(s, d)),
     "q_dup_clusters_sample" -> ((s: SparkSession, d: String) =>
@@ -529,6 +539,20 @@ object TextQueries {
         |       / length(d.ts), 4) AS covered_frac,
         | coalesce(k.cleaned_text, '') AS cleaned_text
         |FROM toks d LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
+    // GOLDEN oracle: SemDeDup summary pinned at sf0.01 — centroid
+    // geometry (k-means fit + NearestCentroids assignment) is
+    // engine-specific, so cross-engine recomputation is impossible;
+    // the drop POLICY itself is pinned exactly on planted single-cell
+    // corpora in SearchSpec
+    "q_semdedup" ->
+      """SELECT CAST(c AS INT) AS cell, CAST(m AS BIGINT) AS n_members,
+        | CAST(k AS BIGINT) AS n_kept, d AS dropped_ids FROM (VALUES
+        |  (0,32,32,''), (1,32,32,''), (10,32,32,''),
+        |  (11,31,30,'388'), (12,23,23,''), (13,30,30,''),
+        |  (14,24,24,''), (15,30,30,''), (2,34,33,'340'),
+        |  (3,32,30,'287,324'), (4,27,27,''), (5,32,32,''),
+        |  (6,33,33,''), (7,34,34,''), (8,41,40,'256'),
+        |  (9,33,33,'')) AS t(c, m, k, d)""".stripMargin,
     // full BM25 recomputation (Lucene idf, k1=1.2, b=0.75): integer
     // tf/df/dl/N make every input exact; the score rounds to 4 dp
     // BEFORE the per-query rank so the top-10 is engine-independent

@@ -230,6 +230,28 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(dups === Set((0L, 1L)))
   }
 
+  test("semDedup dominance policy: lower-id survivor, scale-invariant " +
+    "drops, threshold gates — exact on a single-cell corpus") {
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val v0 = vec()
+    val near = v0.clone(); near(0) = near(0) + 0.01f // cos ≈ 1 with v0
+    val scaled = v0.map(_ * 3.0f) // cosine is scale-invariant: drops
+    val other = vec() // unrelated: kept
+    val dir = tmpDir("semdedup")
+    Seq((10L, v0, 0), (11L, near, 0), (12L, scaled, 0), (13L, other, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // nCells=1 ⇒ one cell, dominance is exact and hand-checkable
+    val got = Dedup.semDedup(spark, dir, nCells = 1, threshold = 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq((4L, 2L, "11,12")))
+    // a threshold above every pairwise cosine keeps everything
+    val all = Dedup.semDedup(spark, dir, nCells = 1, threshold = 1.01)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(all.toSeq === Seq((4L, 4L, "")))
+  }
+
   test("corpus-scaled LSH planes keep candidate counts ~linear on a " +
     "growing clustered corpus") {
     val dim = 16
