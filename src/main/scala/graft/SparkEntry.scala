@@ -37,8 +37,11 @@ object SparkEntry {
     * Runners (Verify, Bench, the audit mains) call this before
     * executing registry queries; construction stays job-free.
     */
-  def prepare(spark: SparkSession, sfDir: String): Unit =
+  def prepare(spark: SparkSession, sfDir: String): Unit = {
     graft.registry.TextQueries.prepare(spark, sfDir)
+    graft.operators.Relational.prepareBucketed(spark, sfDir,
+      s"${graft.registry.TextQueries.indexRoot(sfDir)}/bucketed")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -24,6 +24,46 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
+  /** Write orders and lineitem as BUCKETED tables on the join key —
+    * the lake layout that removes the fact⋈fact exchange entirely: a
+    * co-located sort-merge join reads matching buckets side by side
+    * with zero shuffle of either fact (at 100 TB, the difference
+    * between a join that moves both corpora and one that moves
+    * nothing). `bucketBy` requires the table catalog, so the tables
+    * land as external parquet under `path` with deterministic names;
+    * always rebuilt by the prepare hook (same policy as the lake
+    * indexes — a fresh build can never serve a stale format).
+    */
+  def prepareBucketed(s: SparkSession, d: String, path: String,
+      buckets: Int = 8): Unit = {
+    s.sql("DROP TABLE IF EXISTS graft_orders_bucketed")
+    s.sql("DROP TABLE IF EXISTS graft_lineitem_bucketed")
+    graft.sources.Layout.writeBucketed(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+      "graft_orders_bucketed", "o_orderkey", buckets,
+      Some(s"$path/orders_bucketed"))
+    graft.sources.Layout.writeBucketed(
+      Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount")),
+      "graft_lineitem_bucketed", "l_orderkey", buckets,
+      Some(s"$path/lineitem_bucketed"))
+  }
+
+  /** Co-located fact⋈fact revenue rollup over the bucketed tables:
+    * the join itself plans with NO Exchange on either side (asserted
+    * in PlansLayoutSpec); the only shuffle left is the final tiny
+    * status aggregate.
+    */
+  def bucketedRevenue(s: SparkSession): DataFrame =
+    s.table("graft_orders_bucketed")
+      .join(s.table("graft_lineitem_bucketed"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** TPC-H Q3-style shipping priority: fact⋈fact shuffle join plus a
     * broadcast dimension, aggregated revenue, deterministic top-10.
     */

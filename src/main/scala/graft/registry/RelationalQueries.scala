@@ -31,7 +31,11 @@ object RelationalQueries {
     "q_synth_keys" -> (Relational.synthKeys _),
     "q_json_extract" -> (Relational.jsonExtract _),
     "q_sessionize" -> ((s: SparkSession, d: String) =>
-      Relational.sessionize(s, d))
+      Relational.sessionize(s, d)),
+    // reads the bucketed lake tables written by the prepare hook: the
+    // fact⋈fact join plans with zero Exchange on either side
+    "q_bucketed_join_served" -> ((s: SparkSession, _: String) =>
+      Relational.bucketedRevenue(s))
   )
 
   /** DECIMAL(18,6)-accumulated sums emitted as DOUBLE — see Fns.dsum. */
@@ -162,6 +166,14 @@ object RelationalQueries {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
         | count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
+    // same rollup recomputed over the raw tables — the bucketed layout
+    // must change the PLAN (no fact exchanges), never the answer
+    "q_bucketed_join_served" ->
+      s"""SELECT o_orderstatus,
+         | ${ds("l_extendedprice * (1 - l_discount)")} AS revenue,
+         | count(*) AS n_items
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderstatus""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(session_idx AS INT) AS session_idx,
         | count(*) AS n_events, min(event_id) AS first_event_id,

@@ -22,18 +22,22 @@ object Layout {
       .write.partitionBy(partitionCol).mode(SaveMode.Overwrite)
       .parquet(path)
 
-  /** Bucket a DataFrame into a managed table, clustered and sorted by
-    * the join key. Joins between two tables bucketed the same way plan
-    * as shuffle-free sort-merge joins.
+  /** Bucket a DataFrame into a table, clustered and sorted by the join
+    * key. Joins between two tables bucketed the same way plan as
+    * shuffle-free sort-merge joins. `path` makes the table external
+    * (data at a caller-owned location — the prepare hook uses this so
+    * a fresh in-memory catalog never collides with a previous JVM's
+    * managed location).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int): Unit =
-    df.write
+      nBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .mode(SaveMode.Overwrite)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Co-located join of two same-bucketed tables. */
   def bucketedJoin(spark: SparkSession, leftTable: String,

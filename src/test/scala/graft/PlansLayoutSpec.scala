@@ -71,6 +71,28 @@ class PlansLayoutSpec extends SparkSuite {
     assert(joined.count() === expected)
   }
 
+  test("q_bucketed_join_served: fact-fact join plans with zero fact " +
+    "exchanges and matches the plain-join rollup") {
+    val root = graft.registry.TextQueries.indexRoot(sf())
+    graft.operators.Relational.prepareBucketed(spark, sf(),
+      s"$root/bucketed")
+    val q = graft.operators.Relational.bucketedRevenue(spark)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed fact join still shuffles a fact side:\n$plan")
+    val plain = Tables.orders(spark, sf())
+      .join(Tables.lineitem(spark, sf()),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(graft.functions.Fns.dsum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+    assert(q.collect().map(_.toSeq).toSet ===
+      plain.collect().map(_.toSeq).toSet)
+  }
+
   test("partitioned+sorted layout prunes partitions in the plan") {
     val root = tmpDir("graft_layout")
     val ev = Tables.events(spark, sf())
