@@ -364,25 +364,29 @@ object TextOps {
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
       .distinct()
+    // posexplode_outer keeps token-less docs as a (null, null) row, so
+    // one grouped pass yields totals, kept counts AND the reassembled
+    // text — no extra corpus scan or per-doc re-join for n_tokens
     val toks = docs.select(col("doc_id"),
-      posexplode(col("ts")).as(Seq("i", "tok")))
+      posexplode_outer(col("ts")).as(Seq("i", "tok")))
       .select(col("doc_id"), (col("i") + 1).as("pos"), col("tok"))
-    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val keptTok = col("tok").isNotNull && col("cov").isNull
+    toks.join(covered.withColumn("cov", lit(true)),
+        Seq("doc_id", "pos"), "left")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_kept"),
+        count(when(col("tok").isNotNull, 1))
+          .cast("int").as("n_tokens"),
+        count(when(keptTok, 1)).as("n_kept"),
         array_join(
-          transform(array_sort(collect_list(struct(col("pos"),
-            col("tok")))), x => x.getField("tok")), " ")
-          .as("cleaned_text"))
-    docs.select(col("doc_id"), size(col("ts")).as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
+          transform(array_sort(collect_list(when(keptTok,
+            struct(col("pos"), col("tok"))))), x => x.getField("tok")),
+          " ").as("cleaned_text"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-          .cast("long").as("n_covered"),
-        r4((col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-          .cast("double") / col("n_tokens")).as("covered_frac"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+        (col("n_tokens") - col("n_kept")).cast("long").as("n_covered"),
+        r4((col("n_tokens") - col("n_kept")).cast("double") /
+          col("n_tokens")).as("covered_frac"),
+        col("cleaned_text"))
   }
 
   def fingerprintClasses(s: SparkSession, d: String): DataFrame =
