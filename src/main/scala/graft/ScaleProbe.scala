@@ -22,6 +22,7 @@ object ScaleProbe {
     if (args.headOption.contains("shard")) { shardProbe(); return }
     if (args.headOption.contains("shardbench")) { shardBench(); return }
     if (args.headOption.contains("pq")) { pqProbe(); return }
+    if (args.headOption.contains("bm25")) { bm25Probe(); return }
     val reps = args.headOption.map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -140,6 +141,63 @@ object ScaleProbe {
     println(f"pq-probe summary: build $tBuild%.1f s, " +
       f"adc-serve $tAdc%.2f s, refined-serve $tRefined%.2f s " +
       f"(min-of-3, $n vectors, $shards shards)")
+    spark.stop()
+  }
+
+  /** BM25 scale probe: documents replicated 32× on disk (160k docs),
+    * inverted index built once, then inline-vs-served query timing and
+    * the pruned-read evidence — the bytes under the query terms'
+    * postings partitions vs the whole postings table (what the
+    * PartitionFilters actually save at this corpus size).
+    */
+  private def bm25Probe(): Unit = {
+    import graft.operators.Search
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reps = 32
+    val corpus = "/tmp/graft_bm25_scale"
+    val idx = s"$corpus/bm25_idx"
+    def time(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $s%.2f s"); s
+    }
+    if (!new java.io.File(s"$corpus/documents.parquet").exists())
+      Tables.documents(spark, "/root/testdata/sf0.1")
+        .withColumn("__rep", explode(lit((0 until reps).toArray)))
+        .select((col("doc_id") * reps + col("__rep")).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val n = Tables.documents(spark, corpus).count()
+    val tBuild = time(s"bm25 index build ($n docs)") {
+      Search.buildIndex(spark, corpus, idx)
+    }
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+    val allMb = dirBytes(s"$idx/postings") / 1e6
+    val terms = Search.defaultQueries.map(_._2).distinct
+    val prunedMb = terms.map(t =>
+      dirBytes(s"$idx/postings/term=$t")).sum / 1e6
+    println(f"postings: total $allMb%.1f MB, query terms read " +
+      f"$prunedMb%.1f MB (${100 * prunedMb / allMb}%.0f%%)")
+    Search.bm25FromIndex(spark, idx).count() // warm
+    val tInline = (1 to 3).map(_ =>
+      time("inline bm25 (recompute everything)")(
+        Search.bm25(spark, corpus).count())).min
+    val tServed = (1 to 3).map(_ =>
+      time("served bm25 (pruned index read)")(
+        Search.bm25FromIndex(spark, idx).count())).min
+    println(f"bm25-probe summary: build $tBuild%.1f s, inline " +
+      f"$tInline%.2f s, served $tServed%.2f s (min-of-3, $n docs)")
     spark.stop()
   }
 
