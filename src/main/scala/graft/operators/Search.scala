@@ -46,9 +46,12 @@ object Search {
     2 -> "window", 2 -> "agg", 2 -> "stream",
     3 -> "dup", 3 -> "scan")
 
-  private def tokensOf(s: SparkSession, d: String): DataFrame =
-    Tables.parallelized(Tables.documents(s, d))
+  private def tokensOf(s: SparkSession, d: String,
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val docs = Tables.parallelized(Tables.documents(s, d))
+    docFilter.map(docs.filter).getOrElse(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+  }
 
   /** Inverted-index rows (term, doc_id, dl, tf) — dl denormalized. */
   private def postingsOf(toks: DataFrame): DataFrame =
@@ -68,9 +71,13 @@ object Search {
     toks.agg(count(lit(1)).as("n"),
       sum(size(col("ts"))).cast("double").as("sumdl"))
 
-  /** Persist the index: term-partitioned postings + df + corpus stats. */
-  def buildIndex(s: SparkSession, d: String, indexDir: String): Unit = {
-    val toks = tokensOf(s, d)
+  /** Persist the index: term-partitioned postings + df + corpus stats.
+    * `docFilter` restricts which documents are indexed at build time —
+    * the rest arrive later via [[appendBatch]].
+    */
+  def buildIndex(s: SparkSession, d: String, indexDir: String,
+      docFilter: Option[org.apache.spark.sql.Column] = None): Unit = {
+    val toks = tokensOf(s, d, docFilter)
     val post = postingsOf(toks)
     post.write.mode("overwrite").partitionBy("term")
       .parquet(s"$indexDir/postings")
@@ -78,6 +85,50 @@ object Search {
       .parquet(s"$indexDir/termstats")
     statsOf(toks).coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/stats")
+  }
+
+  /** Grow the index with a batch of NEW documents — no rebuild. Unlike
+    * the ANN tiers there is no frozen-model approximation to accept:
+    * postings rows are per (doc, term) and batches carry disjoint
+    * docs, so base ∪ batches IS the one-shot index of the union, and
+    * df / N / Σdl are plain sums of per-batch partials — the grown
+    * serve is bit-identical to a full rebuild (spec-pinned). Retries
+    * are exactly-once: each batch replaces its own `batch=<id>` dirs.
+    * [[Similarity.compactIvfAppends]] (partitionCol = "term") folds
+    * committed batch dirs into one to bound small-files growth.
+    */
+  def appendBatch(s: SparkSession, indexDir: String, newDocs: DataFrame,
+      batchId: Long): Unit = {
+    val toks = newDocs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    val post = postingsOf(toks)
+    post.write.mode("overwrite").partitionBy("term")
+      .parquet(s"$indexDir/postings_batches/batch=$batchId")
+    termstatsOf(post).coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/termstats_batches/batch=$batchId")
+    statsOf(toks).coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/stats_batches/batch=$batchId")
+  }
+
+  /** True when the index has committed append batches. Hadoop FS, not
+    * java.io — index dirs live on the lake filesystem (HDFS/S3) in a
+    * real deployment. */
+  private def hasBatches(s: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/postings_batches")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Union a base table with its `<table>_batches/batch=*` side dirs
+    * (absent side dirs → base alone). */
+  private def withBatches(s: SparkSession, indexDir: String,
+      table: String): DataFrame = {
+    val base = s.read.parquet(s"$indexDir/$table")
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/${table}_batches")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) base
+    else base.unionByName(
+      s.read.option("basePath", root.toString)
+        .parquet(root.toString).drop("batch"))
   }
 
   /** Shared BM25 scorer: Lucene's idf = ln(1 + (N-df+.5)/(df+.5)),
@@ -118,16 +169,28 @@ object Search {
     score(s, post, termstatsOf(post), statsOf(toks), queries, k)
   }
 
-  /** Serve twin: reads the persisted index; the term filter statically
-    * prunes the term-partitioned postings scan.
+  /** Serve twin: reads the persisted index (base plus any committed
+    * append batches); the term filter statically prunes the
+    * term-partitioned postings scans on BOTH sides, and the bounded
+    * stats partials fold by summation.
     */
   def bm25FromIndex(s: SparkSession, indexDir: String,
       queries: Seq[(Int, String)] = defaultQueries,
       k: Int = 10): DataFrame = {
     val terms = queries.map(_._2).distinct
-    val post = s.read.parquet(s"$indexDir/postings")
+    val grown = hasBatches(s, indexDir)
+    val post = withBatches(s, indexDir, "postings")
       .filter(col("term").isin(terms: _*))
-    score(s, post, s.read.parquet(s"$indexDir/termstats"),
-      s.read.parquet(s"$indexDir/stats"), queries, k)
+    // sum-fold the bounded df/corpus partials only when batches exist —
+    // an ungrown index serves with the minimal plan
+    val termstats =
+      if (grown) withBatches(s, indexDir, "termstats")
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      else s.read.parquet(s"$indexDir/termstats")
+    val stats =
+      if (grown) withBatches(s, indexDir, "stats")
+        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+      else s.read.parquet(s"$indexDir/stats")
+    score(s, post, termstats, stats, queries, k)
   }
 }

@@ -539,7 +539,8 @@ object Similarity {
     */
   def compactIvfAppends(s: SparkSession, indexDir: String,
       upToBatch: Long,
-      table: String = "assignments_batches"): Unit = {
+      table: String = "assignments_batches",
+      partitionCol: String = "cell"): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(s"$indexDir/$table")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -557,8 +558,8 @@ object Similarity {
       s.read.option("basePath", root.toString)
         .parquet(dirs.map(_.toString): _*)
         .drop("batch")
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
+        .repartition(col(partitionCol))
+        .write.mode("overwrite").partitionBy(partitionCol)
         .parquet(tmp.toString)
     }
     // the side dir is complete: now (re-)retire the sources and publish

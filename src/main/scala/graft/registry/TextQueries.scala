@@ -135,6 +135,12 @@ object TextQueries {
     "q_bm25" -> ((s: SparkSession, d: String) => Search.bm25(s, d)),
     "q_bm25_served" -> ((s: SparkSession, d: String) =>
       Search.bm25FromIndex(s, s"${indexRoot(d)}/bm25")),
+    // grow-in-place retrieval tier: base indexed on 80% of docs, the
+    // held-out 20% appended as a batch; postings/df/stats fold by
+    // exact summation, so the grown serve answers the FULL-corpus
+    // oracle (no frozen-model caveat, unlike the ANN appends)
+    "q_bm25_appended_served" -> ((s: SparkSession, d: String) =>
+      Search.bm25FromIndex(s, s"${indexRoot(d)}/bm25_appended")),
     "q_ann_lsh_served" -> ((s: SparkSession, d: String) =>
       Similarity.annTopKFromIndex(s, s"${indexRoot(d)}/lsh",
         annProbeVectors(s, d))),
@@ -256,6 +262,14 @@ object TextQueries {
     Dedup.minhashBuckets(incrSplitSide(s, d, newSide = false))
       .write.mode("overwrite").parquet(s"$root/minhash_buckets")
     Search.buildIndex(s, d, s"$root/bm25")
+    val bm25App = s"$root/bm25_appended"
+    Search.buildIndex(s, d, bm25App,
+      docFilter = Some(org.apache.spark.sql.functions
+        .col("doc_id") % 5 =!= 4))
+    Search.appendBatch(s, bm25App,
+      graft.Tables.documents(s, d)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 4),
+      batchId = 1L)
   }
 
   /** q_ann_brute_agg produces identical results to q_ann_brute (the
@@ -280,8 +294,11 @@ object TextQueries {
       ("q_ann_ivfpq_appended_served" -> baseOracle("q_ann_ivfpq")) +
       ("q_ann_ivfpq_sharded_served" -> baseOracle("q_ann_ivfpq_sharded")) +
       // the BM25 serve path reads back exactly the frames the inline
-      // twin computes (one shared scorer), so one oracle covers both
-      ("q_bm25_served" -> baseOracle("q_bm25"))
+      // twin computes (one shared scorer), so one oracle covers both;
+      // the grown index is an exact sum-fold of disjoint-doc partials,
+      // so it answers the same full-corpus oracle
+      ("q_bm25_served" -> baseOracle("q_bm25")) +
+      ("q_bm25_appended_served" -> baseOracle("q_bm25"))
 
   /** Word-3-gram shingle sets per document, as a DuckDB CTE — mirrors
     * Dedup.shinglesFromTokens (whitespace tokens, empties dropped,

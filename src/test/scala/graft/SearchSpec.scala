@@ -49,6 +49,34 @@ class SearchSpec extends SparkSuite {
     assert(inline.nonEmpty)
   }
 
+  test("grown index serves the one-shot ranking bit-for-bit; appends " +
+    "are retry-idempotent and survive compaction") {
+    val d = sf()
+    val oneShot = tmpDir("bm25_full")
+    Search.buildIndex(spark, d, oneShot)
+    val want = Search.bm25FromIndex(spark, oneShot).collect().toSet
+    val grown = tmpDir("bm25_grown")
+    Search.buildIndex(spark, d, grown,
+      docFilter = Some(col("doc_id") % 3 =!= 0))
+    val batch1 = graft.Tables.documents(spark, d)
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+    val batch2 = graft.Tables.documents(spark, d)
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
+    Search.appendBatch(spark, grown, batch1, batchId = 1L)
+    Search.appendBatch(spark, grown, batch2, batchId = 2L)
+    assert(Search.bm25FromIndex(spark, grown).collect().toSet === want)
+    // retry: re-running a batch replaces its own dirs, changes nothing
+    Search.appendBatch(spark, grown, batch2, batchId = 2L)
+    assert(Search.bm25FromIndex(spark, grown).collect().toSet === want)
+    // compaction folds batch dirs and preserves the answer
+    graft.operators.Similarity.compactIvfAppends(spark, grown,
+      upToBatch = 2L, table = "postings_batches", partitionCol = "term")
+    val batchDirs = new java.io.File(s"$grown/postings_batches")
+      .listFiles().count(_.getName.startsWith("batch="))
+    assert(batchDirs === 1)
+    assert(Search.bm25FromIndex(spark, grown).collect().toSet === want)
+  }
+
   test("boilerplate masks only cross-doc spans and keeps order") {
     val shared = (1 to 8).map(i => s"b$i").mkString(" ")
     val d = plant(Seq(
