@@ -15,7 +15,11 @@ class DeterminismSpec extends SparkSuite {
     // repetition ratios (avg of doubles), packing accounting, and the
     // five-stage curation chain (three keyed windows back to back)
     "q_wav_decode", "q_pii_scan", "q_token_budget", "q_token_mixture",
-    "q_repetition", "q_seq_pack", "q_curate")
+    "q_repetition", "q_seq_pack", "q_curate",
+    // r12 additions: BM25's rounded-score ranking (float sums across
+    // aggregation orders), boilerplate's grouped reassembly, the
+    // sketch-guarantee booleans, and the dominance-policy summary
+    "q_bm25", "q_boilerplate", "q_heavy_hitters", "q_semdedup")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
