@@ -216,6 +216,35 @@ object Streams {
       }
       .start()
 
+  /** Streaming maintainer for the persisted BM25 inverted index: each
+    * micro-batch of new documents runs
+    * [[graft.operators.Search.appendBatch]] keyed by the micro-batch
+    * id, so checkpoint replay overwrites its own `batch=<id>` dirs —
+    * exactly-once for free, the same contract as
+    * [[annIndexMaintainer]]. Because BM25 growth is an exact sum-fold
+    * of disjoint-doc partials (no frozen geometry), the continuously
+    * grown index always serves the answers a full rebuild would.
+    * Batch-dir growth is bounded by
+    * [[graft.operators.Similarity.compactIvfAppends]] with
+    * `table = "postings_batches"`, `partitionCol = "term"` at admin
+    * cadence, with the maintainer stopped.
+    */
+  def bm25IndexMaintainer(docs: DataFrame, indexDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Search.appendBatch(batch.sparkSession,
+            indexDir, batch.select(col("doc_id"), col("text")),
+            batchId)
+        }
+      }
+      .start()
+
   /** Index lifecycle maintenance for [[nearDupMaintainer]]'s lake: each
     * micro-batch leaves a `batch=<id>` partition directory in all three
     * tables, so a daily cadence over years accretes thousands of tiny

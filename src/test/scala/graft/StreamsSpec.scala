@@ -11,6 +11,51 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class StreamsSpec extends SparkSuite {
 
+  test("streaming BM25 index maintainer: micro-batched document " +
+    "arrivals grow the index to the one-shot build's exact ranking, " +
+    "exactly-once across restarts") {
+    import graft.operators.Search
+    val full = tmpDir("bm25_maint_full")
+    val grown = tmpDir("bm25_maint_grown")
+    val stage = tmpDir("bm25_maint_stage")
+    val ckpt = tmpDir("bm25_maint_ckpt")
+    Search.buildIndex(spark, sf(), full)
+    Search.buildIndex(spark, sf(), grown,
+      docFilter = Some(col("doc_id") % 5 =!= 4))
+    val heldOut = Tables.documents(spark, sf())
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("text"))
+    def stageBatch(name: String, part: org.apache.spark.sql.DataFrame):
+        Unit = {
+      val tmp = tmpDir(s"bm25_stage_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    stageBatch("a", heldOut.filter(col("doc_id") % 2 === 0))
+    stageBatch("b", heldOut.filter(col("doc_id") % 2 =!= 0))
+    def stream() = spark.readStream
+      .schema(heldOut.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = Streams.bm25IndexMaintainer(stream(), grown, ckpt)
+    q.awaitTermination(180000)
+    def serve(dir: String): Seq[String] =
+      Search.bm25FromIndex(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    val oneShot = serve(full)
+    assert(serve(grown) === oneShot)
+    val batchDirs = new java.io.File(s"$grown/postings_batches")
+      .listFiles().toSeq.map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(batchDirs === Seq("batch=0", "batch=1"))
+    // restart on the same checkpoint: nothing re-read, nothing changed
+    val q2 = Streams.bm25IndexMaintainer(stream(), grown, ckpt)
+    q2.awaitTermination(180000)
+    assert(serve(grown) === oneShot)
+  }
+
   test("streaming ANN index maintainer: micro-batched vector arrivals " +
     "grow the frozen-geometry index to the one-shot build's exact " +
     "ranking, exactly-once across restarts") {
