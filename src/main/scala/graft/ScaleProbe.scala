@@ -23,6 +23,9 @@ object ScaleProbe {
     if (args.headOption.contains("shardbench")) { shardBench(); return }
     if (args.headOption.contains("pq")) { pqProbe(); return }
     if (args.headOption.contains("bm25")) { bm25Probe(); return }
+    if (args.headOption.contains("bm25growth")) {
+      bm25GrowthProbe(); return
+    }
     val reps = args.headOption.map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -198,6 +201,65 @@ object ScaleProbe {
         Search.bm25FromIndex(spark, idx).count())).min
     println(f"bm25-probe summary: build $tBuild%.1f s, inline " +
       f"$tInline%.2f s, served $tServed%.2f s (min-of-3, $n docs)")
+    spark.stop()
+  }
+
+  /** BM25 append-growth probe: half the corpus indexed at build, the
+    * other half arriving as 16 append batches — measures what the
+    * accumulated `batch=` dirs cost the serve path and what compaction
+    * buys back, against the one-shot build of the same corpus. The
+    * spec pins answer-equality; this records the TIME side of the
+    * lifecycle claim.
+    */
+  private def bm25GrowthProbe(): Unit = {
+    import graft.operators.{Search, Similarity}
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    val oneShot = "/tmp/graft_bm25_growth/full"
+    val grown = "/tmp/graft_bm25_growth/grown"
+    def rmrf(p: String): Unit = {
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        f.delete()
+      }
+      walk(new java.io.File(p))
+    }
+    rmrf("/tmp/graft_bm25_growth")
+    def time(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $s%.2f s"); s
+    }
+    Search.buildIndex(spark, d, oneShot)
+    Search.buildIndex(spark, d, grown,
+      docFilter = Some(col("doc_id") % 2 === 0))
+    val nBatches = 16
+    (0 until nBatches).foreach { b =>
+      Search.appendBatch(spark, grown,
+        graft.Tables.documents(spark, d)
+          .filter(col("doc_id") % 2 =!= 0 &&
+            col("doc_id") % (2 * nBatches) === 2 * b + 1),
+        batchId = b.toLong)
+    }
+    def serve(dir: String, label: String): Double = {
+      Search.bm25FromIndex(spark, dir).count() // warm
+      (1 to 3).map(_ =>
+        time(label)(Search.bm25FromIndex(spark, dir).count())).min
+    }
+    val tOne = serve(oneShot, "serve one-shot index")
+    val tGrown = serve(grown, s"serve grown index ($nBatches batch dirs)")
+    Similarity.compactIvfAppends(spark, grown,
+      upToBatch = nBatches - 1L,
+      table = "postings_batches", partitionCol = "term")
+    val tCompact = serve(grown, "serve grown index (compacted to 1 dir)")
+    println(f"bm25-growth summary: one-shot $tOne%.2f s, " +
+      f"$nBatches-batch grown $tGrown%.2f s, compacted $tCompact%.2f s")
     spark.stop()
   }
 
