@@ -258,8 +258,11 @@ object ScaleProbe {
       upToBatch = nBatches - 1L,
       table = "postings_batches", partitionCol = "term")
     val tCompact = serve(grown, "serve grown index (compacted to 1 dir)")
+    Search.promoteBatches(spark, grown)
+    val tPromoted = serve(grown, "serve promoted index (folded to base)")
     println(f"bm25-growth summary: one-shot $tOne%.2f s, " +
-      f"$nBatches-batch grown $tGrown%.2f s, compacted $tCompact%.2f s")
+      f"$nBatches-batch grown $tGrown%.2f s, compacted $tCompact%.2f s, " +
+      f"promoted $tPromoted%.2f s")
     spark.stop()
   }
 

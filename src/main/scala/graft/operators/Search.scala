@@ -110,6 +110,54 @@ object Search {
       .parquet(s"$indexDir/stats_batches/batch=$batchId")
   }
 
+  /** Admin-cadence promotion: fold every committed append batch back
+    * into the BASE postings/termstats/stats tables and remove the
+    * batch dirs — the grown index returns to the minimal serve plan
+    * (no sum-fold exchanges, one postings scan). This is the rare,
+    * corpus-sized rewrite; [[appendBatch]] + compaction remain the
+    * per-arrival path. Crash-idempotent in the staged-publish style:
+    * all three merged tables land in a side dir first, a ready marker
+    * publishes them, and only then are base tables swapped and batch
+    * dirs retired — a crash at any point re-runs to completion without
+    * double-counting (the merge always reads the UNSWAPPED base, since
+    * swaps begin only after the marker exists, and a re-run that sees
+    * the marker skips the merge entirely).
+    */
+  def promoteBatches(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = s.sparkContext.hadoopConfiguration
+    def path(p: String) = new Path(s"$indexDir/$p")
+    val fs = new Path(indexDir).getFileSystem(conf)
+    val tables = Seq("postings", "termstats", "stats")
+    val ready = path("__promote_ready")
+    if (!fs.exists(path("postings_batches")) && !fs.exists(ready)) return
+    if (!fs.exists(ready)) {
+      withBatches(s, indexDir, "postings")
+        .repartition(col("term"))
+        .write.mode("overwrite").partitionBy("term")
+        .parquet(s"$indexDir/__promote_tmp/postings")
+      withBatches(s, indexDir, "termstats")
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/__promote_tmp/termstats")
+      withBatches(s, indexDir, "stats")
+        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/__promote_tmp/stats")
+      fs.create(ready, true).close()
+    }
+    tables.foreach { t =>
+      val tmp = path(s"__promote_tmp/$t")
+      if (fs.exists(tmp)) {
+        fs.delete(path(t), true)
+        fs.rename(tmp, path(t))
+      }
+    }
+    tables.foreach(t => fs.delete(path(s"${t}_batches"), true))
+    fs.delete(path("__promote_tmp"), true)
+    fs.delete(ready, false)
+  }
+
   /** True when the index has committed append batches. Hadoop FS, not
     * java.io — index dirs live on the lake filesystem (HDFS/S3) in a
     * real deployment. */

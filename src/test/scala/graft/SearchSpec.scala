@@ -75,6 +75,14 @@ class SearchSpec extends SparkSuite {
       .listFiles().count(_.getName.startsWith("batch="))
     assert(batchDirs === 1)
     assert(Search.bm25FromIndex(spark, grown).collect().toSet === want)
+    // promotion folds the batches into base and retires the side dirs:
+    // answers unchanged, index back on the minimal-plan path
+    Search.promoteBatches(spark, grown)
+    assert(!new java.io.File(s"$grown/postings_batches").exists())
+    assert(!new java.io.File(s"$grown/termstats_batches").exists())
+    assert(Search.bm25FromIndex(spark, grown).collect().toSet === want)
+    Search.promoteBatches(spark, grown) // idempotent no-op
+    assert(Search.bm25FromIndex(spark, grown).collect().toSet === want)
   }
 
   test("boilerplate masks only cross-doc spans and keeps order") {
