@@ -16,13 +16,18 @@ case class HeavyHitter(key: String, est: Long, err: Long)
   * full-corpus shuffle: the sketch is O(m) memory per partition, one
   * partial per partition, and a single O(m·partitions) merge.
   *
-  * Guarantees (preserved under the mergeable-summaries merge — sum
-  * counts pointwise, keep the top m):
+  * Guarantees (preserved under the parallel Space-Saving combine: a
+  * key absent from one summary is charged that summary's minimum
+  * counter — its maximum possible hidden count — into both its
+  * estimate and its error ceiling before the merged top m is kept):
   *  - any key with true count > n/m is present in the summary;
   *  - for present keys, true ≤ est ≤ true + n/m.
-  * Which NON-guaranteed keys survive depends on merge order, so
-  * consumers must assert only the guarantees (see q_heavy_hitters),
-  * never exact sketch contents.
+  * A naive pointwise sum (absent side treated as 0) would BREAK the
+  * lower bound: a key evicted in one partition but surviving in
+  * another would surface with est < true. Which NON-guaranteed keys
+  * survive still depends on merge order, so consumers must assert
+  * only the guarantees (see q_heavy_hitters), never exact sketch
+  * contents.
   */
 class SpaceSavingAgg(m: Int)
     extends Aggregator[String, (mutable.Map[String, (Long, Long)], Long),
@@ -51,11 +56,15 @@ class SpaceSavingAgg(m: Int)
       y: (mutable.Map[String, (Long, Long)], Long))
       : (mutable.Map[String, (Long, Long)], Long) = {
     val (a, na) = x; val (b, nb) = y
+    // A summary that never evicted (size < m) tracks absent keys
+    // exactly as 0; a full one may hide up to its min counter.
+    val minA = if (a.size < m) 0L else a.valuesIterator.map(_._1).min
+    val minB = if (b.size < m) 0L else b.valuesIterator.map(_._1).min
     val all = mutable.Map.empty[String, (Long, Long)]
     (a.keysIterator ++ b.keysIterator).foreach { k =>
       if (!all.contains(k)) {
-        val (c1, e1) = a.getOrElse(k, (0L, 0L))
-        val (c2, e2) = b.getOrElse(k, (0L, 0L))
+        val (c1, e1) = a.getOrElse(k, (minA, minA))
+        val (c2, e2) = b.getOrElse(k, (minB, minB))
         all(k) = (c1 + c2, e1 + e2)
       }
     }

@@ -470,9 +470,11 @@ object Dedup {
     * each cluster any vector with a LOWER-id neighbor at cosine ≥
     * `threshold` is dropped. This is the parallel "dominance" form of
     * the paper's keep-one policy: unlike sequential greedy it is
-    * deterministic under every partition layout, and it keeps exactly
-    * the per-cluster minima of the threshold graph's components'
-    * dominance order. Output is a bounded per-cell summary (members,
+    * deterministic under every partition layout, and it keeps every
+    * vector that is not dominated by a lower-id DIRECT neighbor
+    * (per-edge dominance, not per-component: a path component with
+    * edges (1,3),(2,3) keeps both 1 and 2, more than the component
+    * minimum). Output is a bounded per-cell summary (members,
     * kept, the dropped ids) — the full keep/drop decision is readable
     * from it since dropped ids are enumerated.
     *

@@ -43,6 +43,33 @@ class SpaceSavingSpec extends SparkSuite {
     }
   }
 
+  test("merge preserves true<=est when a key was evicted on one side") {
+    // Counterexample to the naive pointwise-sum merge, m=2:
+    // partition A sees x*3 then a*4 then b*4 (x gets evicted),
+    // partition B sees x*5. true(x)=8; a 0-for-absent merge would
+    // keep x at est=5 < true. The parallel combine charges A's min
+    // counter to x, restoring the overestimate invariant.
+    val agg = new SpaceSavingAgg(2)
+    val pa = (Seq.fill(3)("x") ++ Seq.fill(4)("a") ++ Seq.fill(4)("b"))
+      .foldLeft(agg.zero)(agg.reduce)
+    val pb = Seq.fill(5)("x").foldLeft(agg.zero)(agg.reduce)
+    for (merged <- Seq(agg.merge(pa, pb), agg.merge(pb, pa))) {
+      val hh = agg.finish(merged)
+      val n = merged._2
+      assert(n === 16L)
+      val est = hh.map(h => h.key -> h).toMap
+      // with the parallel combine x's merged estimate (5 + minA=4)
+      // outranks a's, so it deterministically survives the top-2 cut
+      assert(est.contains("x"))
+      est.get("x").foreach { h =>
+        assert(h.est >= 8L && h.est <= 8L + n / 2)
+        assert(h.est - h.err <= 8L)
+      }
+      // b: true 4, must satisfy true <= est <= true + n/m
+      est.get("b").foreach(h => assert(h.est >= 4L && h.est <= 4L + n / 2))
+    }
+  }
+
   test("m >= distinct keys makes the sketch exact") {
     val hh = sketch(8, 4, shuffled = true)
     assert(hh.map(h => h.key -> h.est).toMap ===
