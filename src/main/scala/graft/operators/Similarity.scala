@@ -567,6 +567,147 @@ object Similarity {
     fs.rename(tmp, new Path(root, s"batch=$upToBatch"))
   }
 
+  /** Admin-cadence promotion for the ANN lake — [[graft.operators
+    * .Search.promoteBatches]]'s pattern applied to the vector tiers:
+    * fold every committed [[ivfAppendBatch]] (`table = "assignments"`)
+    * or [[ivfPqAppendBatch]] (`table = "codes"`) batch dir back into
+    * the BASE table and retire the side dirs, returning the index to
+    * the minimal serve plan (one partition-pruned scan, no union
+    * node). The frozen model (centroids, codebooks) is untouched —
+    * promotion moves rows, never geometry, so the served ranking is
+    * bit-identical before and after (`q_ann_ivf_promoted_served`
+    * shares `q_ann_ivf`'s golden through the driver gate; the PQ side
+    * is spec-pinned). This is the rare corpus-sized rewrite;
+    * [[ivfAppendBatch]] + [[compactIvfAppends]] remain the
+    * per-arrival path.
+    *
+    * Crash-idempotent staged publish: the merged table lands in a
+    * side dir first, a ready marker publishes it, and only then is
+    * the base swapped and the batch dirs retired. The merge always
+    * reads the UNSWAPPED base (the swap begins only after the marker
+    * exists), and a re-run that sees the marker skips the merge — so
+    * a crash at any point re-runs to completion without
+    * double-counting, and a completed promotion re-runs as a no-op.
+    */
+  def promoteBatches(s: SparkSession, indexDir: String,
+      table: String = "assignments",
+      partitionCol: String = "cell"): Unit = {
+    import org.apache.hadoop.fs.Path
+    def path(p: String) = new Path(s"$indexDir/$p")
+    val fs =
+      new Path(indexDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val batches = path(s"${table}_batches")
+    val ready = path(s"__promote_${table}_ready")
+    val tmp = path(s"__promote_${table}_tmp")
+    if (!fs.exists(batches) && !fs.exists(ready)) return
+    if (!fs.exists(ready)) {
+      s.read.parquet(path(table).toString)
+        .unionByName(s.read.option("basePath", batches.toString)
+          .parquet(batches.toString).drop("batch"))
+        .repartition(col(partitionCol)) // one file per dir, as the build
+        .write.mode("overwrite").partitionBy(partitionCol)
+        .parquet(tmp.toString)
+      fs.create(ready, true).close()
+    }
+    if (fs.exists(tmp)) {
+      fs.delete(path(table), true)
+      fs.rename(tmp, path(table))
+    }
+    fs.delete(batches, true)
+    fs.delete(ready, false)
+  }
+
+  /** Concentration ratio of a persisted IVF index: max cell share ×
+    * centroid count — 1.0 is perfectly balanced, `cells` is everything
+    * in one cell. Scale-free, so one threshold serves any geometry.
+    * Reads [[ivfCellStats]] (bounded, embedding column never leaves
+    * the parquet footer) plus the model-sized centroids table — safe
+    * at any cadence against a 100 TB index.
+    */
+  def ivfConcentration(s: SparkSession, indexDir: String): Double = {
+    val cells = s.read.parquet(s"$indexDir/centroids").count()
+    val maxShare = ivfCellStats(s, indexDir)
+      .agg(max(col("share"))).collect()(0).getDouble(0)
+    maxShare * cells
+  }
+
+  /** Refit the frozen IVF geometry in place: fit fresh centroids over
+    * the CURRENT corpus (base + append batches — the same
+    * deterministic [[fitCentroids]] sample-and-Lloyd the original
+    * build ran, so refitting an index whose accreted content equals a
+    * corpus reproduces that corpus's one-shot geometry bit-for-bit,
+    * which is what lets `q_ann_ivf_refit_served` share `q_ann_ivf`'s
+    * golden), re-assign every vector, and swap the new (centroids,
+    * assignments) pair in atomically. Batch dirs are retired by the
+    * swap — a refit subsumes promotion.
+    *
+    * Crash-idempotent in the staged-publish style of
+    * [[promoteBatches]]: both rewritten tables land under
+    * `__refit_tmp`, a ready marker publishes them, and only then are
+    * the base tables swapped and the batch dirs retired. The fit and
+    * re-assignment always read the UNSWAPPED base (swaps begin only
+    * after the marker exists); a re-run that sees the marker skips
+    * straight to the swap.
+    */
+  def refitIvfIndex(s: SparkSession, indexDir: String, nCells: Int = 0,
+      sampleSize: Int = 2048): Unit = {
+    import graft.functions.NearestCentroids.nearestCells
+    import org.apache.hadoop.fs.Path
+    import s.implicits._
+    def path(p: String) = new Path(s"$indexDir/$p")
+    val fs =
+      new Path(indexDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ready = path("__refit_ready")
+    if (!fs.exists(ready)) {
+      val all = readAssignments(s, indexDir)
+        .select(col("vec_id"), col("embedding"))
+      val cells = if (nCells > 0) nCells else cellsFor(all.count())
+      val centroidMatrix = fitCentroids(all, cells, sampleSize)
+      centroidMatrix.toIndexedSeq.map(_.toSeq).zipWithIndex
+        .map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/__refit_tmp/centroids")
+      all
+        .select(col("vec_id"), col("embedding"),
+          element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
+            .as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/__refit_tmp/assignments")
+      fs.create(ready, true).close()
+    }
+    Seq("centroids", "assignments").foreach { t =>
+      val tmp = path(s"__refit_tmp/$t")
+      if (fs.exists(tmp)) {
+        fs.delete(path(t), true)
+        fs.rename(tmp, path(t))
+      }
+    }
+    fs.delete(path("assignments_batches"), true)
+    fs.delete(path("__refit_tmp"), true)
+    fs.delete(ready, false)
+  }
+
+  /** The drift-triggered refit policy closing the IVF lifecycle:
+    * append batches accrete under frozen geometry ([[ivfAppendBatch]]),
+    * [[ivfCellStats]] watches occupancy, and when the concentration
+    * ratio crosses `maxConcentration` — mass piling into few cells,
+    * i.e. probe recall decaying and serve work skewing — the index
+    * refits on its current content and swaps atomically. Returns
+    * whether a refit ran. The default threshold is deliberately loose
+    * (4× a balanced cell's mass): k-means cells are never uniform, and
+    * a refit is the rare corpus-sized rewrite a 100 TB lake schedules,
+    * not a twitchy reaction to one hot batch.
+    */
+  def refitIvfIfDrifted(s: SparkSession, indexDir: String,
+      maxConcentration: Double = 4.0, nCells: Int = 0,
+      sampleSize: Int = 2048): Boolean = {
+    val drifted = ivfConcentration(s, indexDir) >= maxConcentration
+    if (drifted) refitIvfIndex(s, indexDir, nCells, sampleSize)
+    drifted
+  }
+
   /** Serve IVF top-k from a persisted index ([[ivfWriteIndex]]):
     * reads the bounded centroids table onto the driver (≤ maxCells
     * rows — the same model-sized collect as the inline fit), plans the

@@ -171,6 +171,20 @@ object TextQueries {
     // base+batches union the serve path scans (refit signal)
     "q_ann_ivf_cell_stats" -> ((s: SparkSession, d: String) =>
       Similarity.ivfCellStats(s, s"${indexRoot(d)}/ivf_appended")),
+    // lifecycle close-out #1: the appended index PROMOTED — batches
+    // folded into base, side dirs retired, serve back on the minimal
+    // one-scan plan. Geometry untouched ⇒ bit-identical to q_ann_ivf
+    "q_ann_ivf_promoted_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopKFromIndex(s, s"${indexRoot(d)}/ivf_promoted",
+        annProbeVectors(s, d))),
+    // lifecycle close-out #2: the appended index REFIT — fresh
+    // centroids over the accreted content (base ∪ batches = the full
+    // corpus here), atomic swap. The deterministic fit reproduces the
+    // one-shot full-corpus geometry, so the serve answers q_ann_ivf's
+    // golden exactly
+    "q_ann_ivf_refit_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopKFromIndex(s, s"${indexRoot(d)}/ivf_refit",
+        annProbeVectors(s, d))),
     // the grown COMPRESSED index: batch-encoded appends under frozen
     // centroids+codebooks must serve the one-shot build's ranking
     "q_ann_ivfpq_appended_served" -> ((s: SparkSession, d: String) =>
@@ -248,6 +262,23 @@ object TextQueries {
       graft.Tables.embeddings(s, d)
         .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 4),
       batchId = 1L)
+    // lifecycle close-outs: the same 80/20 grown index, then promoted
+    // (batches folded into base, geometry untouched) or refit (fresh
+    // deterministic geometry over the accreted full corpus + atomic
+    // swap) — both serve q_ann_ivf's exact golden
+    Seq("ivf_promoted" -> false, "ivf_refit" -> true).foreach {
+      case (name, refit) =>
+        val dir = s"$root/$name"
+        Similarity.ivfWriteIndex(s, d, dir,
+          assignOnly = Some(org.apache.spark.sql.functions
+            .col("vec_id") % 5 =!= 4))
+        Similarity.ivfAppendBatch(s, dir,
+          graft.Tables.embeddings(s, d)
+            .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 4),
+          batchId = 1L)
+        if (refit) Similarity.refitIvfIndex(s, dir)
+        else Similarity.promoteBatches(s, dir)
+    }
     // the compressed tier grows the same way: frozen centroids AND
     // codebooks, batch-encoded appends; q_ann_ivfpq_appended_served
     // pins the serve against the one-shot q_ann_ivfpq golden
@@ -286,6 +317,11 @@ object TextQueries {
       // append-parity: frozen geometry ⇒ the grown index serves the
       // one-shot build's exact ranking (spec-pinned; golden shared)
       ("q_ann_ivf_appended_served" -> baseOracle("q_ann_ivf")) +
+      // promotion moves rows, never geometry; refit's deterministic
+      // fit over the accreted full corpus reproduces the one-shot
+      // geometry — both serve the q_ann_ivf golden bit-for-bit
+      ("q_ann_ivf_promoted_served" -> baseOracle("q_ann_ivf")) +
+      ("q_ann_ivf_refit_served" -> baseOracle("q_ann_ivf")) +
       ("q_ann_ivf_sharded_served" -> baseOracle("q_ann_ivf_sharded")) +
       ("q_incremental_dedup_served" -> baseOracle("q_incremental_dedup")) +
       ("q_ann_ivfpq_served" -> baseOracle("q_ann_ivfpq")) +

@@ -445,6 +445,97 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(serve(grown) === oneShot)
   }
 
+  test("promoteBatches folds ANN appends into base: serve unchanged, " +
+      "re-run a no-op, and the PQ codes table promotes the same way") {
+    val full = tmpDir("ivfpromfull")
+    val grown = tmpDir("ivfpromgrown")
+    Similarity.ivfWriteIndex(spark, sf(), full)
+    Similarity.ivfWriteIndex(spark, sf(), grown,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
+    val heldOut = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") % 5 === 4)
+    Similarity.ivfAppendBatch(spark, grown, heldOut, batchId = 1L)
+    val queries = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") < 5)
+    def serve(dir: String): Seq[String] =
+      Similarity.ivfTopKFromIndex(spark, dir, queries)
+        .collect().map(_.toString).sorted.toSeq
+    val want = serve(full)
+    assert(serve(grown) === want)
+    Similarity.promoteBatches(spark, grown)
+    // side dirs retired, all rows in base, answers bit-identical
+    assert(!new java.io.File(s"$grown/assignments_batches").exists())
+    assert(spark.read.parquet(s"$grown/assignments").count() ===
+      Tables.embeddings(spark, sf()).count())
+    assert(serve(grown) === want)
+    Similarity.promoteBatches(spark, grown) // completed: no-op
+    assert(serve(grown) === want)
+    // the compressed tier promotes through the same generic fold
+    val pqFull = tmpDir("pqpromfull")
+    val pqGrown = tmpDir("pqpromgrown")
+    Similarity.ivfPqWriteIndex(spark, sf(), pqFull)
+    Similarity.ivfPqWriteIndex(spark, sf(), pqGrown,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
+    Similarity.ivfPqAppendBatch(spark, pqGrown, heldOut, batchId = 1L)
+    def servePq(dir: String): Seq[String] =
+      Similarity.ivfPqTopKFromIndex(spark, dir, queries)
+        .collect().map(_.toString).sorted.toSeq
+    val wantPq = servePq(pqFull)
+    assert(servePq(pqGrown) === wantPq)
+    Similarity.promoteBatches(spark, pqGrown, table = "codes")
+    assert(!new java.io.File(s"$pqGrown/codes_batches").exists())
+    assert(servePq(pqGrown) === wantPq)
+  }
+
+  test("drift-triggered refit: a hot append batch trips the " +
+      "concentration signal, the refit reproduces the one-shot " +
+      "geometry of the accreted corpus, and batches are retired") {
+    val dim = 16
+    def h(a: Int, b: Int): Float = { // deterministic pseudo-random
+      var z = a.toLong * 0x9e3779b97f4a7c15L + b.toLong + 29
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble).toFloat
+    }
+    val base = (0 until 320).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => h(i, j)), 0))
+    // the drifted arrival: one tight cluster, all landing in one cell
+    val hot = (320 until 620).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => h(7, j) + 0.01f * h(i, j)), 1))
+    val baseDir = tmpDir("driftbase")
+    base.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    val unionDir = tmpDir("driftunion")
+    (base ++ hot).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$unionDir/embeddings.parquet")
+    val idx = tmpDir("driftidx")
+    Similarity.ivfWriteIndex(spark, baseDir, idx)
+    // balanced index: below threshold, the policy must NOT refit
+    assert(Similarity.ivfConcentration(spark, idx) < 4.0)
+    assert(!Similarity.refitIvfIfDrifted(spark, idx))
+    val frozenCentroids = spark.read.parquet(s"$idx/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    Similarity.ivfAppendBatch(spark, idx,
+      Tables.embeddings(spark, unionDir).filter(col("vec_id") >= 320),
+      batchId = 1L)
+    // ~half the corpus now sits in one frozen cell
+    assert(Similarity.ivfConcentration(spark, idx) >= 4.0)
+    assert(Similarity.refitIvfIfDrifted(spark, idx))
+    // swap completed: batches retired, geometry actually changed
+    assert(!new java.io.File(s"$idx/assignments_batches").exists())
+    assert(spark.read.parquet(s"$idx/centroids")
+      .collect().map(_.toString).sorted.toSeq !== frozenCentroids)
+    // the deterministic fit over the accreted content reproduces the
+    // one-shot geometry of the union corpus ⇒ serves bit-identically
+    val queries = Tables.embeddings(spark, unionDir)
+      .filter(col("vec_id") < 5)
+    val served = Similarity.ivfTopKFromIndex(spark, idx, queries)
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Similarity.ivfTopK(spark, unionDir, nQueries = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served === inline)
+  }
+
   test("persisted SHARDED IVF index serves queries bit-identical to " +
       "the inline sharded fit") {
     val dir = tmpDir("ivfshidx")
