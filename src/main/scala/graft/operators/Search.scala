@@ -53,12 +53,25 @@ object Search {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
   }
 
-  /** Inverted-index rows (term, doc_id, dl, tf) — dl denormalized. */
-  private def postingsOf(toks: DataFrame): DataFrame =
-    toks.select(col("doc_id"), size(col("ts")).as("dl"),
-        explode(col("ts")).as("term"))
+  /** Inverted-index rows (term, doc_id, dl, tf[, positions]) — dl
+    * denormalized. `withPositions` adds the sorted token-offset array
+    * enabling phrase (exact-span) matching over the persisted index;
+    * the BM25 serve path never selects it, so the column stays in the
+    * parquet footer (columnar prune) and costs the ranking path
+    * nothing. The inline BM25 twin skips it entirely.
+    */
+  private def postingsOf(toks: DataFrame,
+      withPositions: Boolean = false): DataFrame = {
+    val base = toks.select(col("doc_id"), size(col("ts")).as("dl"),
+        posexplode(col("ts")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+    if (withPositions)
+      // collect_list order is layout-dependent; sort_array restores
+      // determinism (offsets within one doc are distinct)
+      base.agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+    else base.agg(count(lit(1)).as("tf"))
+  }
 
   /** Document frequency per term: postings are unique per (term, doc). */
   private def termstatsOf(postings: DataFrame): DataFrame =
@@ -78,7 +91,7 @@ object Search {
   def buildIndex(s: SparkSession, d: String, indexDir: String,
       docFilter: Option[org.apache.spark.sql.Column] = None): Unit = {
     val toks = tokensOf(s, d, docFilter)
-    val post = postingsOf(toks)
+    val post = postingsOf(toks, withPositions = true)
     post.write.mode("overwrite").partitionBy("term")
       .parquet(s"$indexDir/postings")
     termstatsOf(post).coalesce(1).write.mode("overwrite")
@@ -101,7 +114,7 @@ object Search {
       batchId: Long): Unit = {
     val toks = newDocs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-    val post = postingsOf(toks)
+    val post = postingsOf(toks, withPositions = true)
     post.write.mode("overwrite").partitionBy("term")
       .parquet(s"$indexDir/postings_batches/batch=$batchId")
     termstatsOf(post).coalesce(1).write.mode("overwrite")
@@ -184,12 +197,13 @@ object Search {
     */
   private def score(s: SparkSession, postings: DataFrame,
       termstats: DataFrame, stats: DataFrame,
-      queries: Seq[(Int, String)], k: Int): DataFrame = {
+      queries: Seq[(Int, String)], k: Int,
+      requireAll: Boolean = false): DataFrame = {
     import s.implicits._
     val terms = queries.map(_._2).distinct
     val qdf = queries.toDF("query_id", "term")
     val tstats = termstats.filter(col("term").isin(terms: _*))
-    val scored = postings
+    val perDoc = postings
       .join(broadcast(qdf), "term")
       .join(broadcast(tstats), "term")
       .crossJoin(broadcast(stats))
@@ -200,7 +214,19 @@ object Search {
           (col("tf") + lit(K1) * (lit(1.0 - B) +
             lit(B) * col("dl") / (col("sumdl") / col("n")))))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(r4(sum(col("contrib"))).as("score"))
+      .agg(r4(sum(col("contrib"))).as("score"),
+        count(lit(1)).as("nt")) // matched terms: postings are unique
+                                // per (term, doc), query terms distinct
+    val scored =
+      if (!requireAll) perDoc
+      else {
+        // conjunctive (AND) retrieval: keep only docs matching EVERY
+        // query term — the per-query term count rides a broadcast
+        val qn = queries.groupBy(_._1).view.mapValues(_.size).toSeq
+          .toDF("query_id", "n_terms")
+        perDoc.join(broadcast(qn), "query_id")
+          .filter(col("nt") === col("n_terms"))
+      }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -217,6 +243,104 @@ object Search {
     score(s, post, termstatsOf(post), statsOf(toks), queries, k)
   }
 
+  /** Conjunctive (AND) retrieval: BM25 ranking restricted to documents
+    * containing EVERY query term — the triage mode where a
+    * disjunctive top-k is too permissive (a high-tf hit on one common
+    * term outranking true all-term matches). Same scorer, same
+    * term-pruned scan; the conjunction is a filter on the per-doc
+    * matched-term count already produced by the scoring aggregate, so
+    * the plan shape (and the 100 TB posture) is q_bm25's plus one
+    * broadcast of per-query term counts.
+    */
+  def bm25And(s: SparkSession, d: String,
+      queries: Seq[(Int, String)] = defaultQueries,
+      k: Int = 10): DataFrame = {
+    val toks = tokensOf(s, d)
+    val post = postingsOf(toks)
+    score(s, post, termstatsOf(post), statsOf(toks), queries, k,
+      requireAll = true)
+  }
+
+  /** [[bm25And]] over a persisted index (base + committed batches). */
+  def bm25AndFromIndex(s: SparkSession, indexDir: String,
+      queries: Seq[(Int, String)] = defaultQueries,
+      k: Int = 10): DataFrame =
+    servedFrames(s, indexDir, queries) match {
+      case (post, termstats, stats) =>
+        score(s, post, termstats, stats, queries, k, requireAll = true)
+    }
+
+  /** Fixed deterministic phrase set over the testdata vocabulary:
+    * three common bigrams and one rare trigram (the
+    * contamination-triage shape — "does this exact span occur, where,
+    * how often").
+    */
+  val defaultPhrases: Seq[(Int, String)] = Seq(
+    1 -> "hash join", 2 -> "sort merge", 3 -> "hash join key",
+    4 -> "scan filter")
+
+  /** Shared phrase matcher over an exploded (term, doc_id, pos) frame:
+    * a document contains the phrase at start position p iff word i of
+    * the phrase occurs at p + i for every i — so each posting position
+    * joins its phrase offsets (broadcast), shifts to the implied start,
+    * and a start realized by ALL offsets is one occurrence. Two hash
+    * aggregates, both keyed within (query, doc) — no corpus-sized
+    * state beyond the term-pruned postings themselves, and repeated
+    * phrase words are handled for free (each offset row contributes
+    * its own shifted start).
+    */
+  private def phraseHits(s: SparkSession, positions: DataFrame,
+      phrases: Seq[(Int, String)]): DataFrame = {
+    import s.implicits._
+    val parts = phrases.flatMap { case (qid, p) =>
+      val ws = p.split(" ").filter(_.nonEmpty)
+      ws.zipWithIndex.map { case (w, i) => (qid, w, i, ws.length) }
+    }
+    val pdf = parts.toDF("query_id", "term", "offset", "n_terms")
+    positions
+      .join(broadcast(pdf), "term")
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        (col("pos") - col("offset")).as("start"))
+      // one row per (query, doc, offset, start): count == n_terms
+      // means every phrase word landed on this start
+      .groupBy(col("query_id"), col("doc_id"), col("n_terms"),
+        col("start"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === col("n_terms") && col("start") >= 0)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** Exact-span (phrase) occurrence counts, inline twin: token
+    * positions come straight off the corpus tokenization. Output one
+    * row per (query, matching doc) with the occurrence count.
+    */
+  def phraseMatch(s: SparkSession, d: String,
+      phrases: Seq[(Int, String)] = defaultPhrases): DataFrame = {
+    val terms = phrases.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+    val positions = tokensOf(s, d)
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "term")))
+      .filter(col("term").isin(terms: _*))
+    phraseHits(s, positions, phrases)
+  }
+
+  /** [[phraseMatch]] over a persisted index: the positions arrays in
+    * the term-partitioned posting rows ([[postingsOf]] with
+    * `withPositions`) explode back to (term, doc_id, pos) — the term
+    * filter statically prunes to the phrase words' partitions, so the
+    * served phrase query reads posting lists proportional to the
+    * phrase, never the corpus.
+    */
+  def phraseMatchFromIndex(s: SparkSession, indexDir: String,
+      phrases: Seq[(Int, String)] = defaultPhrases): DataFrame = {
+    val terms = phrases.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+    val positions = withBatches(s, indexDir, "postings")
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"),
+        explode(col("positions")).as("pos"))
+    phraseHits(s, positions, phrases)
+  }
+
   /** Serve twin: reads the persisted index (base plus any committed
     * append batches); the term filter statically prunes the
     * term-partitioned postings scans on BOTH sides, and the bounded
@@ -224,13 +348,23 @@ object Search {
     */
   def bm25FromIndex(s: SparkSession, indexDir: String,
       queries: Seq[(Int, String)] = defaultQueries,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    servedFrames(s, indexDir, queries) match {
+      case (post, termstats, stats) =>
+        score(s, post, termstats, stats, queries, k)
+    }
+
+  /** The three frames a served ranking reads: term-pruned postings,
+    * df, corpus scalars — each folding committed append batches in
+    * only when they exist, so an ungrown index serves with the
+    * minimal plan (no sum-fold exchanges).
+    */
+  private def servedFrames(s: SparkSession, indexDir: String,
+      queries: Seq[(Int, String)]): (DataFrame, DataFrame, DataFrame) = {
     val terms = queries.map(_._2).distinct
     val grown = hasBatches(s, indexDir)
     val post = withBatches(s, indexDir, "postings")
       .filter(col("term").isin(terms: _*))
-    // sum-fold the bounded df/corpus partials only when batches exist —
-    // an ungrown index serves with the minimal plan
     val termstats =
       if (grown) withBatches(s, indexDir, "termstats")
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
@@ -239,6 +373,6 @@ object Search {
       if (grown) withBatches(s, indexDir, "stats")
         .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
       else s.read.parquet(s"$indexDir/stats")
-    score(s, post, termstats, stats, queries, k)
+    (post, termstats, stats)
   }
 }

@@ -135,6 +135,16 @@ object TextQueries {
     "q_bm25" -> ((s: SparkSession, d: String) => Search.bm25(s, d)),
     "q_bm25_served" -> ((s: SparkSession, d: String) =>
       Search.bm25FromIndex(s, s"${indexRoot(d)}/bm25")),
+    // conjunctive retrieval: BM25 restricted to docs matching EVERY
+    // query term (the stricter triage mode)
+    "q_bm25_and" -> ((s: SparkSession, d: String) => Search.bm25And(s, d)),
+    // exact-span (phrase) matching — contamination triage proper:
+    // occurrence counts per (phrase, doc) from token positions; the
+    // served twin reads the positional postings of the persisted index
+    "q_bm25_phrase" -> ((s: SparkSession, d: String) =>
+      Search.phraseMatch(s, d)),
+    "q_bm25_phrase_served" -> ((s: SparkSession, d: String) =>
+      Search.phraseMatchFromIndex(s, s"${indexRoot(d)}/bm25")),
     // grow-in-place retrieval tier: base indexed on 80% of docs, the
     // held-out 20% appended as a batch; postings/df/stats fold by
     // exact summation, so the grown serve answers the FULL-corpus
@@ -334,7 +344,11 @@ object TextQueries {
       // the grown index is an exact sum-fold of disjoint-doc partials,
       // so it answers the same full-corpus oracle
       ("q_bm25_served" -> baseOracle("q_bm25")) +
-      ("q_bm25_appended_served" -> baseOracle("q_bm25"))
+      ("q_bm25_appended_served" -> baseOracle("q_bm25")) +
+      // the served phrase matcher explodes the index's positions
+      // arrays back to the exact (term, doc, pos) rows the inline
+      // twin derives from the corpus — same matcher, same oracle
+      ("q_bm25_phrase_served" -> baseOracle("q_bm25_phrase"))
 
   /** Word-3-gram shingle sets per document, as a DuckDB CTE — mirrors
     * Dedup.shinglesFromTokens (whitespace tokens, empties dropped,
@@ -643,6 +657,75 @@ object TextQueries {
         |  FROM scored)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
         |FROM ranked WHERE rank <= 10""".stripMargin,
+    // conjunctive BM25: q_bm25's recompute plus the AND gate — a doc
+    // ranks only if it matched every one of its query's terms
+    "q_bm25_and" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(length(ts)) AS DOUBLE) AS sumdl
+        |  FROM toks),
+        |queries(query_id, term) AS (
+        |  VALUES (1, 'hash'), (1, 'join'),
+        |         (2, 'window'), (2, 'agg'), (2, 'stream'),
+        |         (3, 'dup'), (3, 'scan')),
+        |post AS (
+        |  SELECT term, doc_id, dl, count(*) AS tf FROM (
+        |    SELECT doc_id, length(ts) AS dl, unnest(ts) AS term
+        |    FROM toks)
+        |  GROUP BY term, doc_id, dl),
+        |tstats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        |scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |   round(sum(ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+        |     * (p.tf * 2.2)
+        |     / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (s.sumdl / s.n)))),
+        |    4) AS score, count(*) AS nt
+        |  FROM post p
+        |  JOIN queries q USING (term)
+        |  JOIN tstats t USING (term), stats s
+        |  GROUP BY q.query_id, p.doc_id),
+        |qn AS (
+        |  SELECT query_id, count(*) AS n_terms FROM queries
+        |  GROUP BY query_id),
+        |ranked AS (
+        |  SELECT sc.query_id, sc.doc_id, sc.score, row_number() OVER (
+        |    PARTITION BY sc.query_id ORDER BY sc.score DESC, sc.doc_id)
+        |    AS rank
+        |  FROM scored sc JOIN qn USING (query_id)
+        |  WHERE sc.nt = qn.n_terms)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+    // exact-span recompute: a phrase occurs at start i iff word j sits
+    // at i + j for every j — enumerated per doc over the token list,
+    // one UNION branch per phrase in Search.defaultPhrases
+    "q_bm25_phrase" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |hits AS (
+        |  SELECT 1 AS query_id, doc_id, len(list_filter(
+        |    range(1, len(ts)),
+        |    i -> ts[i] = 'hash' AND ts[i+1] = 'join')) AS n_occ
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT 2, doc_id, len(list_filter(range(1, len(ts)),
+        |    i -> ts[i] = 'sort' AND ts[i+1] = 'merge'))
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT 3, doc_id, len(list_filter(range(1, len(ts) - 1),
+        |    i -> ts[i] = 'hash' AND ts[i+1] = 'join'
+        |     AND ts[i+2] = 'key'))
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT 4, doc_id, len(list_filter(range(1, len(ts)),
+        |    i -> ts[i] = 'scan' AND ts[i+1] = 'filter'))
+        |  FROM toks)
+        |SELECT query_id, doc_id, n_occ FROM hits
+        |WHERE n_occ > 0""".stripMargin,
     "q_head_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(list_slice(list_filter(string_split(text, ' '),

@@ -85,6 +85,62 @@ class SearchSpec extends SparkSuite {
     assert(Search.bm25FromIndex(spark, grown).collect().toSet === want)
   }
 
+  test("phraseMatch counts exact consecutive spans, including " +
+      "overlapping and repeated-word phrases") {
+    val d = plant(Seq(
+      1L -> "hash join hash join key",
+      2L -> "join hash key",
+      3L -> "hash hash hash"))
+    val got = Search.phraseMatch(spark, d, phrases = Seq(
+        1 -> "hash join", 2 -> "hash join key", 3 -> "hash hash"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // doc1: "hash join" at 0,2; "hash join key" at 2.
+    // doc2: has all three words but never the span — no rows.
+    // doc3: overlapping "hash hash" at 0,1.
+    assert(got === Set((1, 1L, 2L), (2, 1L, 1L), (3, 3L, 2L)))
+  }
+
+  test("phrase serve reads the positional index bit-identically, " +
+      "through appends too; AND retrieval keeps only all-term docs") {
+    val d = sf()
+    val idx = tmpDir("bm25_pos")
+    Search.buildIndex(spark, d, idx)
+    val inline = Search.phraseMatch(spark, d).collect()
+      .map(_.toString).sorted.toSeq
+    assert(inline.nonEmpty)
+    assert(Search.phraseMatchFromIndex(spark, idx).collect()
+      .map(_.toString).sorted.toSeq === inline)
+    // a grown index's batch postings carry positions as well
+    val grown = tmpDir("bm25_pos_grown")
+    Search.buildIndex(spark, d, grown,
+      docFilter = Some(col("doc_id") % 3 =!= 0))
+    Search.appendBatch(spark, grown, graft.Tables.documents(spark, d)
+      .filter(col("doc_id") % 3 === 0), batchId = 1L)
+    assert(Search.phraseMatchFromIndex(spark, grown).collect()
+      .map(_.toString).sorted.toSeq === inline)
+    // conjunctive retrieval: every ranked doc holds ALL its query's
+    // terms; and it is exactly the all-term subset of the plain
+    // ranking's candidate set, re-ranked
+    val byQuery = Search.defaultQueries.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val docTokens = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSet).toMap
+    val andRows = Search.bm25And(spark, d).collect()
+    assert(andRows.nonEmpty)
+    andRows.foreach { r =>
+      val (qid, doc) = (r.getInt(0), r.getLong(2))
+      assert(byQuery(qid).subsetOf(docTokens(doc)),
+        s"query $qid ranked doc $doc missing a term")
+    }
+    // served twin agrees with the inline AND ranking
+    assert(Search.bm25AndFromIndex(spark, idx).collect()
+      .map(_.toString).sorted.toSeq ===
+      andRows.map(_.toString).sorted.toSeq)
+  }
+
   test("boilerplate masks only cross-doc spans and keeps order") {
     val shared = (1 to 8).map(i => s"b$i").mkString(" ")
     val d = plant(Seq(
