@@ -488,11 +488,28 @@ object Dedup {
     */
   def semDedup(s: SparkSession, d: String, nCells: Int = 16,
       threshold: Double = 0.85): DataFrame = {
+    val (assigned, dropped) =
+      semDedupParts(Tables.embeddings(s, d), nCells, threshold)
+    assigned.select(col("cell"), col("vec_id"))
+      .join(dropped, Seq("cell", "vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        count(when(col("is_dropped").isNull, 1)).as("n_kept"),
+        array_join(array_sort(collect_list(
+          when(col("is_dropped"), col("vec_id")))), ",")
+          .as("dropped_ids"))
+  }
+
+  /** Cluster assignment + the dominance drop set over an arbitrary
+    * (vec_id, embedding) frame — the shared core of [[semDedup]]'s
+    * per-cell summary and [[semDedupPerturbed]]'s corpus summary.
+    */
+  private def semDedupParts(emb: DataFrame, nCells: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     import graft.functions.FusedCosineSimilarity.fusedCosine
     import graft.functions.NearestCentroids.nearestCells
-    val centroidMatrix =
-      Similarity.fitCentroids(Tables.embeddings(s, d), nCells)
-    val assigned = Tables.parallelized(Tables.embeddings(s, d))
+    val centroidMatrix = Similarity.fitCentroids(emb, nCells)
+    val assigned = Tables.parallelized(emb)
       .select(col("vec_id"),
         element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
           .as("cell"),
@@ -504,9 +521,52 @@ object Dedup {
         fusedCosine(col("embedding"), col("emb_b")) >= threshold)
       .select(col("cell"), col("vec_id")).distinct()
       .withColumn("is_dropped", lit(true))
-    assigned.select(col("cell"), col("vec_id"))
-      .join(dropped, Seq("cell", "vec_id"), "left")
-      .groupBy(col("cell"))
+    (assigned, dropped)
+  }
+
+  /** The corpus plus deterministic perturbed siblings — the driver
+    * fixture that makes semantic dedup PRUNE at verify scale (the raw
+    * testdata embeddings carry no near-dups; max pairwise cosine
+    * ≈0.51). Every vec_id ≡ 0 (mod 4) gains a ×3-scaled copy at
+    * vec_id + offset (cosine preserved under scaling, so the sibling
+    * co-cells with its original under the cosine-argmax assignment
+    * and is dominated by it), and every vec_id ≡ 1 (mod 4) gains a
+    * NEGATED copy (cosine −1 against its original: never dropped —
+    * the threshold gate's negative control). Both perturbations are
+    * exact in float32 (3x and −x are single correctly-rounded
+    * operations), so an external engine derives the bit-identical
+    * view from the parquet floats.
+    */
+  def semDedupPerturbedView(s: SparkSession, d: String,
+      offset: Long = 1000000L): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val scaled = base.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + offset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(3.0f)).as("embedding"))
+    val negated = base.filter(col("vec_id") % 4 === 1)
+      .select((col("vec_id") + offset).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    base.unionByName(scaled).unionByName(negated)
+  }
+
+  /** [[semDedup]] over the perturbed view, summarized corpus-wide:
+    * one row (n_members, n_kept, dropped_ids). Unlike the per-cell
+    * summary this output is GEOMETRY-FREE — which cell a vector lands
+    * in never shows in the result, only the keep/drop decisions do —
+    * and on this view every ≥-threshold pair is a (v, 3v) sibling
+    * pair, co-celled by scale invariance, so an external engine can
+    * recompute the whole row with an all-pairs cosine scan over the
+    * derived view, no k-means geometry required (q_semdedup's oracle
+    * does exactly that; the former hard-coded golden is retired).
+    */
+  def semDedupPerturbed(s: SparkSession, d: String, nCells: Int = 16,
+      threshold: Double = 0.85): DataFrame = {
+    val (assigned, dropped) =
+      semDedupParts(semDedupPerturbedView(s, d), nCells, threshold)
+    assigned.select(col("vec_id"))
+      .join(dropped.select(col("vec_id"), col("is_dropped")),
+        Seq("vec_id"), "left")
       .agg(count(lit(1)).as("n_members"),
         count(when(col("is_dropped").isNull, 1)).as("n_kept"),
         array_join(array_sort(collect_list(

@@ -107,16 +107,15 @@ object TextQueries {
     // operator default stays at the published-practice 13
     "q_contamination" -> ((s: SparkSession, d: String) =>
       Scrub.contamination(s, d, nProbes = 3, ngramSize = 4)),
-    // SemDeDup-style cluster-then-prune semantic dedup: per-cell
-    // summary with enumerated dropped ids (GOLDEN oracle — centroid
-    // geometry is engine-specific; policy semantics spec-tested on
-    // planted single-cell corpora in SearchSpec). τ=0.45 because the
-    // driver embeddings carry no planted near-dups (max pairwise
-    // cosine ≈0.51) — the registry threshold exercises the drop
-    // policy; the operator default stays at the published-practice
-    // range (same pattern as q_contamination's ngramSize=4)
+    // SemDeDup-style cluster-then-prune semantic dedup over the
+    // deterministic perturbed view (corpus + exact-float32 scaled and
+    // negated siblings): prunes nonzero ids at verify scale and the
+    // geometry-free corpus summary is fully recomputable by DuckDB —
+    // an all-pairs cosine scan, since every ≥τ pair on this view is a
+    // co-celled (v, 3v) sibling pair. Operator default τ=0.85; the
+    // per-cell summary semantics stay spec-pinned on planted corpora
     "q_semdedup" -> ((s: SparkSession, d: String) =>
-      Dedup.semDedup(s, d, threshold = 0.45)),
+      Dedup.semDedupPerturbed(s, d)),
     "q_dup_clusters" -> ((s: SparkSession, d: String) =>
       Dedup.dupClusters(s, d)),
     "q_dup_clusters_sample" -> ((s: SparkSession, d: String) =>
@@ -606,20 +605,33 @@ object TextQueries {
         |       / length(d.ts), 4) AS covered_frac,
         | coalesce(k.cleaned_text, '') AS cleaned_text
         |FROM toks d LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
-    // GOLDEN oracle: SemDeDup summary pinned at sf0.01 — centroid
-    // geometry (k-means fit + NearestCentroids assignment) is
-    // engine-specific, so cross-engine recomputation is impossible;
-    // the drop POLICY itself is pinned exactly on planted single-cell
-    // corpora in SearchSpec
+    // FULL recompute (the former hard-coded golden is retired): the
+    // perturbed view is derived from the parquet floats by exact
+    // float32 ops, the summary is geometry-free, and every
+    // ≥-threshold pair is a co-celled (v, 3v) sibling pair — so an
+    // all-pairs cosine scan recomputes the same keep/drop decisions
+    // the cluster-then-prune operator makes, with no k-means geometry
     "q_semdedup" ->
-      """SELECT CAST(c AS INT) AS cell, CAST(m AS BIGINT) AS n_members,
-        | CAST(k AS BIGINT) AS n_kept, d AS dropped_ids FROM (VALUES
-        |  (0,32,32,''), (1,32,32,''), (10,32,32,''),
-        |  (11,31,30,'388'), (12,23,23,''), (13,30,30,''),
-        |  (14,24,24,''), (15,30,30,''), (2,34,33,'340'),
-        |  (3,32,30,'287,324'), (4,27,27,''), (5,32,32,''),
-        |  (6,33,33,''), (7,34,34,''), (8,41,40,'256'),
-        |  (9,33,33,'')) AS t(c, m, k, d)""".stripMargin,
+      s"""WITH pert AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |   list_transform(embedding, x -> CAST(3.0 * x AS FLOAT))
+         |  FROM embeddings WHERE vec_id % 4 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |   list_transform(embedding, x -> CAST(-x AS FLOAT))
+         |  FROM embeddings WHERE vec_id % 4 = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM pert a JOIN pert b ON b.vec_id < a.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.85)
+         |SELECT
+         | (SELECT count(*) FROM pert) AS n_members,
+         | (SELECT count(*) FROM pert) - (SELECT count(*) FROM dropped)
+         |   AS n_kept,
+         | coalesce((SELECT array_to_string(list_sort(list(vec_id)), ',')
+         |   FROM dropped), '') AS dropped_ids""".stripMargin,
     // full BM25 recomputation (Lucene idf, k1=1.2, b=0.75): integer
     // tf/df/dl/N make every input exact; the score rounds to 4 dp
     // BEFORE the per-query rank so the top-10 is engine-independent
