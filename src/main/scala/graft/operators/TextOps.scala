@@ -340,9 +340,21 @@ object TextOps {
     * position set re-joins on (doc_id, pos) and the reassembly is a
     * per-doc collect bounded by document length. No stage holds more
     * than one document's tokens in memory.
+    *
+    * Skew: boilerplate grams are hot BY DEFINITION (a header shared by
+    * a million pages is one join key with a million occurrence rows),
+    * so the occurrence↔membership join splits on `hotDocs`: grams in
+    * ≥ `hotDocs` docs are few — at most total-occurrences/hotDocs —
+    * and ride a BROADCAST membership probe (their occurrences never
+    * shuffle at all; membership is all the join carries, the C4
+    * observation that past the threshold the per-gram doc list is
+    * irrelevant), while the cold remainder keeps the shuffle join
+    * with per-key width now bounded by `hotDocs`. The split is
+    * disjoint, so the union is exactly the unsplit join (spec-pinned
+    * on a planted hot-gram corpus).
     */
   def boilerplate(s: SparkSession, d: String, n: Int = 8,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, hotDocs: Int = 1024): DataFrame = {
     val docs = Tables.parallelized(Tables.documents(s, d))
       .select(col("doc_id"), tokens(col("text")).as("ts"))
     // sequence(1, size-(n-1)) counts DOWN when the doc is shorter than
@@ -359,8 +371,15 @@ object TextOps {
       .groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select(col("g"))
-    val covered = grams.join(boiler, "g")
+    // hot/cold split of the membership join (see the skew note above):
+    // the hot side is bounded-small, so it broadcasts and its
+    // occurrences never enter an exchange
+    val coveredOcc = grams
+      .join(boiler.filter(col("nd") < hotDocs).select(col("g")), "g")
+      .unionByName(grams.join(
+        broadcast(boiler.filter(col("nd") >= hotDocs).select(col("g"))),
+        "g"))
+    val covered = coveredOcc
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
       .distinct()

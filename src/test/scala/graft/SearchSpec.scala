@@ -157,6 +157,26 @@ class SearchSpec extends SparkSuite {
     assert(got(4L) === ((2, 0L, "tiny doc")))
   }
 
+  test("boilerplate hot-gram split: the broadcast branch masks " +
+      "high-df spans identically to the unsplit join") {
+    val hotSpan = (1 to 8).map(i => s"b$i").mkString(" ")
+    val coldSpan = (1 to 8).map(i => s"c$i").mkString(" ")
+    // 6 docs share hotSpan (>= hotDocs=4: broadcast branch); 2 docs
+    // share coldSpan (< 4: shuffle branch) — both must mask
+    val d = plant((1L to 6L).map(i => i -> s"p$i q$i $hotSpan r$i") ++
+      Seq(7L -> s"x1 x2 $coldSpan", 8L -> s"$coldSpan y1 y2 y3"))
+    def run(hd: Int) = TextOps.boilerplate(spark, d, hotDocs = hd)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+      .toSet
+    val split = run(4)
+    // the split is exactly the unsplit (all-cold) join
+    assert(split === run(Int.MaxValue))
+    val m = split.map { case (id, cov, txt) => id -> ((cov, txt)) }.toMap
+    assert(m(1L) === ((8L, "p1 q1 r1"))) // hot span masked via broadcast
+    assert(m(7L) === ((8L, "x1 x2")))    // cold span masked via shuffle
+    assert(m(8L) === ((8L, "y1 y2 y3")))
+  }
+
   test("boilerplate fully-covered doc empties cleanly") {
     val shared = (1 to 8).map(i => s"c$i").mkString(" ")
     val d = plant(Seq(1L -> shared, 2L -> shared))
