@@ -43,6 +43,13 @@ object SparkEntry {
       s"${graft.registry.TextQueries.indexRoot(sfDir)}/bucketed")
   }
 
+  /** True when `name`'s query function reads a [[prepare]]-built lake
+    * artifact (the `*_served` convention, plus the streaming snapshot
+    * row) — single-query runners use this to decide whether to build.
+    */
+  def needsPrepare(name: String): Boolean =
+    name.endsWith("_served") || name == "q_stream_hourly"
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     hierarchyQueries ++
@@ -57,6 +64,18 @@ object SparkEntry {
     "q_hourly_agg" -> ((s, d) => {
       Hierarchy.hourly(Tables.events(s, d))
         .select(col("date"), col("hr"),
+          r4(col("avg_value")).as("avg_value"),
+          col("max_value"), col("min_value"), col("n_obs"))
+    }),
+    // the Structured Streaming tier under the driver gate: prepare ran
+    // the windowed hourly aggregate as a checkpointed AvailableNow
+    // stream and snapshotted the final state; this row reads the
+    // snapshot and must hash-match the BATCH q_hourly_agg oracle
+    "q_stream_hourly" -> ((s, d) => {
+      s.read.parquet(
+          s"${graft.registry.TextQueries.indexRoot(d)}/stream_hourly")
+        .select(to_date(col("hour_start")).as("date"),
+          hour(col("hour_start")).as("hr"),
           r4(col("avg_value")).as("avg_value"),
           col("max_value"), col("min_value"), col("n_obs"))
     }),
@@ -162,7 +181,12 @@ object SparkEntry {
       graft.registry.TpcHQueries.oracle)
       .view.mapValues(_.replace("round(", "round(1e-9 + ")).toMap
 
-  private def hierarchyOracle: Map[String, String] = Map(
+  private def hierarchyOracle: Map[String, String] = hierarchyOracleBase +
+    // the streaming snapshot must answer the batch oracle exactly —
+    // same rows, same rounding — or the gate fails
+    ("q_stream_hourly" -> hierarchyOracleBase("q_hourly_agg"))
+
+  private lazy val hierarchyOracleBase: Map[String, String] = Map(
     "q_hourly_agg" ->
       """SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INT) AS hr,
         | round(avg(value), 4) AS avg_value, max(value) AS max_value,

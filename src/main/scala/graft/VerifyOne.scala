@@ -19,7 +19,7 @@ object VerifyOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    if (names.exists(_.endsWith("_served"))) SparkEntry.prepare(spark, sfDir)
+    if (names.exists(SparkEntry.needsPrepare)) SparkEntry.prepare(spark, sfDir)
     names.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")

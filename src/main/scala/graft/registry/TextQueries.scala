@@ -310,6 +310,11 @@ object TextQueries {
       graft.Tables.documents(s, d)
         .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 4),
       batchId = 1L)
+    // the streaming tier's driver row: a real AvailableNow streaming
+    // run over events, snapshotted; q_stream_hourly reads it and must
+    // match the batch q_hourly_agg oracle
+    graft.streaming.Streams.hourlyEventsSnapshot(s, d,
+      s"$root/stream_hourly", s"$root/stream_hourly_ckpt")
   }
 
   /** q_ann_brute_agg produces identical results to q_ann_brute (the

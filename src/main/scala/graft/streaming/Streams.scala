@@ -298,6 +298,60 @@ object Streams {
     fs.rename(tmp, new Path(root, s"batch=$hi"))
   }
 
+  /** The driver-gate streaming row (`q_stream_hourly`): run the
+    * tumbling-window hourly aggregate over the events table as a real
+    * Structured Streaming query (`Trigger.AvailableNow`, checkpointed
+    * file source) and snapshot the final state to `outDir` — which
+    * must then hash-match the BATCH `q_hourly_agg` oracle exactly,
+    * putting the streaming tier under the same cross-engine gate as
+    * every batch operator. Complete output mode + a foreachBatch
+    * overwrite keeps every window emittable on a finite source (append
+    * mode would hold back the last watermark's worth of windows
+    * forever); a long-lived deployment over an unbounded stream flips
+    * to append + watermark ([[hourlyWindowed]]) and pays state only
+    * for open windows — the snapshot shape here is the parity harness,
+    * not the 100 TB posture.
+    */
+  def hourlyEventsSnapshot(s: SparkSession, d: String, outDir: String,
+      checkpoint: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs =
+      new Path(outDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(outDir), true)
+    fs.delete(new Path(checkpoint), true)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source wants a DIRECTORY of arriving files:
+    // stage the single events file into one (the specs' pattern)
+    val eventsFile = s"$d/events.parquet"
+    val stage = new Path(s"${outDir}__stage")
+    fs.delete(stage, true)
+    fs.mkdirs(stage)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(eventsFile), fs,
+      new Path(stage, "events.parquet"), false,
+      s.sparkContext.hadoopConfiguration)
+    val ev = graft.Tables.normalizeEvents(
+      s.readStream.schema(s.read.parquet(eventsFile).schema)
+        .parquet(stage.toString))
+    val agg = ev.filter(col("value").isNotNull)
+      .groupBy(window(col("ts_event"), "1 hour"))
+      .agg(
+        avg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        count(lit(1)).as("n_obs"))
+      .select(col("window.start").as("hour_start"), col("avg_value"),
+        col("max_value"), col("min_value"), col("n_obs"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Tumbling-window hourly aggregate with late-data tolerance — the
     * streaming twin of Warehouse.hourlyAggregates (same metric mix).
     */

@@ -11,6 +11,31 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class StreamsSpec extends SparkSuite {
 
+  test("hourlyEventsSnapshot: the AvailableNow streaming run lands " +
+    "exactly the batch hourly aggregate, and re-runs overwrite cleanly") {
+    import graft.operators.Hierarchy
+    val out = tmpDir("stream_hourly_out")
+    val ckpt = tmpDir("stream_hourly_ckpt")
+    def snapshot(): Set[String] = {
+      Streams.hourlyEventsSnapshot(spark, sf(), out, ckpt)
+      spark.read.parquet(out)
+        .select(to_date(col("hour_start")).as("date"),
+          hour(col("hour_start")).as("hr"),
+          graft.functions.Fns.r4(col("avg_value")).as("avg_value"),
+          col("max_value"), col("min_value"), col("n_obs"))
+        .collect().map(_.toString).toSet
+    }
+    val batch = Hierarchy.hourly(Tables.events(spark, sf()))
+      .select(col("date"), col("hr"),
+        graft.functions.Fns.r4(col("avg_value")).as("avg_value"),
+        col("max_value"), col("min_value"), col("n_obs"))
+      .collect().map(_.toString).toSet
+    val first = snapshot()
+    assert(first === batch)
+    assert(first.nonEmpty)
+    assert(snapshot() === batch) // fresh-checkpoint re-run: same rows
+  }
+
   test("streaming BM25 index maintainer: micro-batched document " +
     "arrivals grow the index to the one-shot build's exact ranking, " +
     "exactly-once across restarts") {
