@@ -124,64 +124,70 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          import graft.operators.Dedup
-          val s = batch.sparkSession
           // the batch feeds three actions (pairs, docs, buckets) —
           // persist it so the source isn't re-read per action
           val batchDocs =
             batch.select(col("doc_id"), col("text")).persist()
-          try {
-            val (docsPath, bucketsPath, pairsPath) = (
-              s"$lakeDir/documents", s"$lakeDir/buckets",
-              s"$lakeDir/pairs")
-            // standing index = every committed batch partition EXCEPT
-            // this batch's own (a failed earlier attempt may have
-            // written it already). Only a MISSING path means "no
-            // standing index yet" (the first-batch case); any other
-            // failure (transient FS error, corrupt part file, schema
-            // inference) must propagate so the micro-batch fails and
-            // retries — committing with a silently-empty index would
-            // permanently lose cross-batch pairs.
-            def standing(path: String): Option[DataFrame] = {
-              val p = new org.apache.hadoop.fs.Path(path)
-              val fs = p.getFileSystem(
-                s.sparkContext.hadoopConfiguration)
-              if (!fs.exists(p)) None
-              else {
-                val df = s.read.parquet(path)
-                  .filter(col("batch") =!= lit(batchId)).drop("batch")
-                df.schema // force analysis eagerly
-                Some(df)
-              }
-            }
-            val pairs = (standing(bucketsPath), standing(docsPath)) match {
-              case (Some(idxBuckets), Some(idxDocs)) =>
-                Dedup.incrementalMinhashPairsFromIndex(
-                  idxBuckets, idxDocs, batchDocs, threshold = threshold)
-              // first batch: no standing index — new-vs-new only, via
-              // the same path with empty index frames
-              case _ =>
-                Dedup.incrementalMinhashPairsFromIndex(
-                  Dedup.minhashBuckets(batchDocs.limit(0)),
-                  batchDocs.limit(0), batchDocs, threshold = threshold)
-            }
-            // write order no longer carries correctness weight: the
-            // index read above excludes this batch's partitions, so a
-            // retry recomputes identical pairs no matter which of the
-            // three writes the previous attempt finished. Pairs go
-            // first only because they are derived — if the job dies
-            // here, the lake is merely missing this batch entirely,
-            // never holding docs the index can't see.
-            pairs.write.mode("overwrite")
-              .parquet(s"$pairsPath/batch=$batchId")
-            batchDocs.write.mode("overwrite")
-              .parquet(s"$docsPath/batch=$batchId")
-            Dedup.minhashBuckets(batchDocs).write.mode("overwrite")
-              .parquet(s"$bucketsPath/batch=$batchId")
-          } finally batchDocs.unpersist()
+          try nearDupBatchSync(batchDocs, lakeDir, batchId, threshold)
+          finally batchDocs.unpersist()
         }
       }
       .start()
+
+  /** One micro-batch of the near-dup lake loop (the body shared by
+    * [[nearDupMaintainer]] and [[curationMaintainer]]): probe the
+    * standing index, then land pairs/docs/buckets under this batch's
+    * partition dirs. `batchDocs` should be persisted by the caller —
+    * it feeds three actions.
+    */
+  private def nearDupBatchSync(batchDocs: DataFrame, lakeDir: String,
+      batchId: Long, threshold: Double): Unit = {
+    import graft.operators.Dedup
+    val s = batchDocs.sparkSession
+    val (docsPath, bucketsPath, pairsPath) = (
+      s"$lakeDir/documents", s"$lakeDir/buckets", s"$lakeDir/pairs")
+    // standing index = every committed batch partition EXCEPT this
+    // batch's own (a failed earlier attempt may have written it
+    // already). Only a MISSING path means "no standing index yet"
+    // (the first-batch case); any other failure (transient FS error,
+    // corrupt part file, schema inference) must propagate so the
+    // micro-batch fails and retries — committing with a
+    // silently-empty index would permanently lose cross-batch pairs.
+    def standing(path: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val df = s.read.parquet(path)
+          .filter(col("batch") =!= lit(batchId)).drop("batch")
+        df.schema // force analysis eagerly
+        Some(df)
+      }
+    }
+    val pairs = (standing(bucketsPath), standing(docsPath)) match {
+      case (Some(idxBuckets), Some(idxDocs)) =>
+        Dedup.incrementalMinhashPairsFromIndex(
+          idxBuckets, idxDocs, batchDocs, threshold = threshold)
+      // first batch: no standing index — new-vs-new only, via the
+      // same path with empty index frames
+      case _ =>
+        Dedup.incrementalMinhashPairsFromIndex(
+          Dedup.minhashBuckets(batchDocs.limit(0)),
+          batchDocs.limit(0), batchDocs, threshold = threshold)
+    }
+    // write order no longer carries correctness weight: the index
+    // read above excludes this batch's partitions, so a retry
+    // recomputes identical pairs no matter which of the three writes
+    // the previous attempt finished. Pairs go first only because they
+    // are derived — if the job dies here, the lake is merely missing
+    // this batch entirely, never holding docs the index can't see.
+    pairs.write.mode("overwrite")
+      .parquet(s"$pairsPath/batch=$batchId")
+    batchDocs.write.mode("overwrite")
+      .parquet(s"$docsPath/batch=$batchId")
+    Dedup.minhashBuckets(batchDocs).write.mode("overwrite")
+      .parquet(s"$bucketsPath/batch=$batchId")
+  }
 
   /** Streaming ANN index maintainer — [[nearDupMaintainer]]'s pattern
     * for the vector lake: new embedding vectors arrive as a stream,
@@ -241,6 +247,72 @@ object Streams {
           graft.operators.Search.appendBatch(batch.sparkSession,
             indexDir, batch.select(col("doc_id"), col("text")),
             batchId)
+        }
+      }
+      .start()
+
+  /** The full streaming curation pipeline as ONE continuous query —
+    * the production shape the individual maintainers compose into:
+    * a single document stream of (doc_id, text, embedding) rows (the
+    * upstream embedder attaches the vector) flows, per micro-batch,
+    * through
+    *
+    *  1. the scrub gate ([[scrubbedDocuments]]): PII redacted
+    *     in-place; contaminated docs are QUARANTINED to
+    *     `lakeDir/quarantine/batch=<id>` (auditable, never indexed);
+    *  2. the near-dup lake (pairs/documents/buckets, the
+    *     [[nearDupMaintainer]] body);
+    *  3. the ANN index (frozen-geometry
+    *     [[graft.operators.Similarity.ivfAppendBatch]]);
+    *  4. the BM25 inverted index
+    *     ([[graft.operators.Search.appendBatch]] — positional).
+    *
+    * All four indexes advance under the SAME micro-batch id, and every
+    * write is a `batch=<id>`-keyed overwrite — so a checkpoint replay
+    * rewrites the same directories in all four lakes and the composed
+    * pipeline stays exactly-once as a whole, not just per leg. Indexed
+    * text is the REDACTED text: what the curation lake serves is what
+    * passed the gate. Per-batch work scales with the batch in every
+    * leg; compaction/promotion run at admin cadence per index
+    * ([[graft.operators.Similarity.compactIvfAppends]] /
+    * `promoteBatches`), maintainer stopped.
+    */
+  def curationMaintainer(docs: DataFrame, probeGrams: Seq[String],
+      lakeDir: String, annIndexDir: String, bm25IndexDir: String,
+      checkpoint: String, threshold: Double = 0.7,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val scrubbed = scrubbedDocuments(batch, probeGrams).persist()
+          try {
+            scrubbed.filter(col("contaminated"))
+              .select(col("doc_id"), col("text"), col("clean_text"),
+                col("pii_found"))
+              .write.mode("overwrite")
+              .parquet(s"$lakeDir/quarantine/batch=$batchId")
+            // admitted docs: redacted text, original embedding
+            val admitted = scrubbed.filter(!col("contaminated"))
+              .select(col("doc_id"), col("clean_text").as("text"),
+                col("embedding"))
+              .persist()
+            try {
+              nearDupBatchSync(
+                admitted.select(col("doc_id"), col("text")),
+                lakeDir, batchId, threshold)
+              graft.operators.Similarity.ivfAppendBatch(
+                admitted.sparkSession, annIndexDir,
+                admitted.select(col("doc_id").as("vec_id"),
+                  col("embedding")),
+                batchId)
+              graft.operators.Search.appendBatch(admitted.sparkSession,
+                bm25IndexDir,
+                admitted.select(col("doc_id"), col("text")), batchId)
+            } finally admitted.unpersist()
+          } finally scrubbed.unpersist()
         }
       }
       .start()

@@ -36,6 +36,104 @@ class StreamsSpec extends SparkSuite {
     assert(snapshot() === batch) // fresh-checkpoint re-run: same rows
   }
 
+  test("curationMaintainer: one document stream advances quarantine, " +
+    "near-dup, ANN and BM25 lakes exactly-once with shared batch ids") {
+    import graft.operators.{Scrub, Search, Similarity}
+    val d = sf()
+    val lake = tmpDir("cur_lake")
+    val ann = tmpDir("cur_ann")
+    val bm25 = tmpDir("cur_bm25")
+    val stage = tmpDir("cur_stage")
+    val ckpt = tmpDir("cur_ckpt")
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    // the stream contract: the upstream embedder attached the vector
+    val streamed = docs
+      .join(Tables.embeddings(spark, d)
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .filter(col("doc_id") % 5 === 4)
+    // contamination probe: the first 13 tokens of doc 4 — exact-dup
+    // texts exist in the corpus, so derive the expected quarantine set
+    // with the same gate instead of assuming only doc 4 trips it
+    val probe = docs.filter(col("doc_id") === 4).collect()(0)
+      .getString(1).split(" ").filter(_.nonEmpty).take(13).mkString(" ")
+    val quarIds = Streams.scrubbedDocuments(streamed, Seq(probe))
+      .filter(col("contaminated")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(quarIds.contains(4L))
+    // base indexes: 80% of the corpus, model fit on the full corpus
+    Search.buildIndex(spark, d, bm25,
+      docFilter = Some(col("doc_id") % 5 =!= 4))
+    Similarity.ivfWriteIndex(spark, d, ann,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
+    def stageBatch(name: String, part: org.apache.spark.sql.DataFrame):
+        Unit = {
+      val tmp = tmpDir(s"cur_stage_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    stageBatch("a", streamed.filter(col("doc_id") % 2 === 0))
+    stageBatch("b", streamed.filter(col("doc_id") % 2 =!= 0))
+    def stream() = spark.readStream.schema(streamed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,
+      bm25, ckpt)
+    q.awaitTermination(300000)
+    // quarantine holds exactly the contaminated docs; the near-dup
+    // lake holds exactly the admitted ones, in both batch dirs
+    assert(spark.read.parquet(s"$lake/quarantine")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet === quarIds)
+    val streamedIds =
+      streamed.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(s"$lake/documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet ===
+      streamedIds -- quarIds)
+    def batchDirs(path: String): Seq[String] =
+      new java.io.File(path).listFiles().toSeq.map(_.getName)
+        .filter(_.startsWith("batch=")).sorted
+    assert(batchDirs(s"$lake/documents") === Seq("batch=0", "batch=1"))
+    assert(batchDirs(s"$ann/assignments_batches") ===
+      Seq("batch=0", "batch=1"))
+    assert(batchDirs(s"$bm25/postings_batches") ===
+      Seq("batch=0", "batch=1"))
+    // ANN leg: the grown index serves the one-shot build over
+    // everything-but-quarantined (frozen geometry, pure assignment)
+    val annRef = tmpDir("cur_ann_ref")
+    Similarity.ivfWriteIndex(spark, d, annRef,
+      assignOnly = Some(!col("vec_id").isin(quarIds.toSeq: _*)))
+    val queries = Tables.embeddings(spark, d).filter(col("vec_id") < 5)
+    def serveAnn(dir: String): Seq[String] =
+      Similarity.ivfTopKFromIndex(spark, dir, queries)
+        .collect().map(_.toString).sorted.toSeq
+    assert(serveAnn(ann) === serveAnn(annRef))
+    // BM25 leg: the grown index serves a one-shot build over raw base
+    // docs plus REDACTED admitted docs — indexed text is gated text
+    val refDocsDir = tmpDir("cur_bm25_ref_docs")
+    docs.filter(col("doc_id") % 5 =!= 4)
+      .unionByName(streamed
+        .filter(!col("doc_id").isin(quarIds.toSeq: _*))
+        .select(col("doc_id"), Scrub.redactPii(col("text")).as("text")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$refDocsDir/documents.parquet")
+    val bm25Ref = tmpDir("cur_bm25_ref")
+    Search.buildIndex(spark, refDocsDir, bm25Ref)
+    def serveBm(dir: String): Seq[String] =
+      Search.bm25FromIndex(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    assert(serveBm(bm25) === serveBm(bm25Ref))
+    // restart on the same checkpoint with no new files: every lake
+    // unchanged — the composed pipeline is exactly-once as a whole
+    val q2 = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,
+      bm25, ckpt)
+    q2.awaitTermination(300000)
+    assert(batchDirs(s"$bm25/postings_batches") ===
+      Seq("batch=0", "batch=1"))
+    assert(serveBm(bm25) === serveBm(bm25Ref))
+    assert(serveAnn(ann) === serveAnn(annRef))
+  }
+
   test("streaming BM25 index maintainer: micro-batched document " +
     "arrivals grow the index to the one-shot build's exact ranking, " +
     "exactly-once across restarts") {
