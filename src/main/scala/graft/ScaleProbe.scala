@@ -26,6 +26,7 @@ object ScaleProbe {
     if (args.headOption.contains("bm25growth")) {
       bm25GrowthProbe(); return
     }
+    if (args.headOption.contains("skew")) { skewProbe(); return }
     val reps = args.headOption.map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -73,6 +74,111 @@ object ScaleProbe {
           .as("token"))
         .groupBy(col("token")).agg(count(lit(1))))
     }
+    spark.stop()
+  }
+
+  /** `runMain graft.ScaleProbe skew`: when does AQE's runtime
+    * skew-join split suffice, and when is explicit salting
+    * ([[graft.functions.Skew.saltedJoin]]) still required? Planted
+    * fixture at 32× sf0.1: ~19M fact rows where 60% share ONE join
+    * key, sort-merge-joined (broadcast disabled) against a 100k-key
+    * dim. Three measured runs:
+    *
+    *  1. AQE on (defaults): the skewed partition is split at runtime —
+    *     evidence printed straight from the adaptive plan
+    *     (`skew=true` on the SMJ sort children) alongside wall time;
+    *  2. AQE off: the single-task hot partition, the degenerate
+    *     baseline;
+    *  3. AQE off + saltedJoin: the explicit spread recovers the
+    *     parallelism by construction.
+    *
+    * The conclusion this records for SCALE.md: a plain shuffle JOIN
+    * with one celebrity key is AQE's case — ship it unsalted and let
+    * the runtime split carry it; salting remains for the shapes AQE
+    * cannot rewrite (skewed AGGREGATE keys, and joins whose skewed
+    * side feeds a co-partitioned consumer that must not see splits).
+    */
+  private def skewProbe(): Unit = {
+    import graft.functions.Skew
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // force the SMJ regime: a 100k-row dim would otherwise broadcast
+      // and hide the skew entirely (which is itself the first answer)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE's skew thresholds assume production partition sizes
+      // (256 MB); scale them to the probe's ~20 MB hot partition so
+      // the runtime exhibits at local scale exactly what it does at
+      // cluster scale — a split is triggered by RELATIVE skew (5x
+      // median) past an absolute floor, and the floor is the knob
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "8m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $s%.2f s"); s
+    }
+    // ~19M rows, 60% on key 0, the rest uniform over 100k keys; the
+    // row id (l_orderkey, l_linenumber, __rep) stays as salt identity.
+    // `pad` is 8 incompressible bytes per row: AQE's skew detection
+    // reads COMPRESSED map output sizes, and a constant-key fixture
+    // lz4s to ~0.6 B/row — real fact rows don't
+    val fact = Tables.lineitem(spark, d)
+      .repartition(32)
+      .withColumn("__rep", explode(lit((0 until 32).toArray)))
+      .select(col("l_orderkey"), col("l_linenumber"), col("__rep"),
+        when(col("l_orderkey") % 5 < 3, lit(0L))
+          .otherwise(pmod(xxhash64(col("l_orderkey"),
+            col("l_linenumber"), col("__rep")), lit(100000L)))
+          .as("k"),
+        col("l_quantity"),
+        xxhash64(col("l_orderkey"), col("l_linenumber"), col("__rep"),
+          lit(7)).as("pad"))
+    val dim = spark.range(100000).select(col("id").as("k"),
+      (col("id") * 2).as("payload"))
+    def joined = fact.join(dim, "k")
+      .agg(sum(col("l_quantity") * col("payload")).as("s"),
+        sum(col("pad") % 1000).as("p"), count(lit(1)).as("n"))
+    // warm the scan/codegen so the three timed runs compare fairly
+    joined.collect()
+    // 1. AQE on: runtime skew split
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    var aqePlan = ""
+    val tAqe = time("skewed SMJ, AQE on (runtime split)") {
+      val df = joined
+      df.collect()
+      aqePlan = df.queryExecution.executedPlan.toString
+    }
+    val split = aqePlan.linesIterator
+      .filter(_.contains("skew=true")).take(4).toSeq
+    println(s"AQE skew-split evidence (${split.size} marked nodes):")
+    split.foreach(l => println("  " + l.trim.take(120)))
+    if (split.isEmpty) {
+      println("-- no skew marker; adaptive plan was:")
+      aqePlan.linesIterator.take(40).foreach(l =>
+        println("  " + l.take(130)))
+    }
+    // 2. AQE off: the hot key lands on one task
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val tOff = time("skewed SMJ, AQE off (single hot task)") {
+      joined.collect()
+    }
+    // 3. AQE off + explicit salt: parallel by construction
+    val tSalt = time("saltedJoin(32), AQE off") {
+      Skew.saltedJoin(fact, dim, "k", salts = 32,
+          idCols = Seq("l_orderkey", "l_linenumber", "__rep"))
+        .agg(sum(col("l_quantity") * col("payload")).as("s"),
+          sum(col("pad") % 1000).as("p"), count(lit(1)).as("n"))
+        .collect()
+    }
+    println(f"summary: aqe=$tAqe%.2f s, off=$tOff%.2f s, " +
+      f"salted=$tSalt%.2f s, aqe_skew_nodes=${split.size}")
     spark.stop()
   }
 
