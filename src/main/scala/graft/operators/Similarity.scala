@@ -492,11 +492,11 @@ object Similarity {
     * `cell` is a partition column in both layouts, so partition
     * pruning covers both sides of the union.
     */
-  private def readAssignments(s: SparkSession,
-      indexDir: String): DataFrame = {
-    val base = s.read.parquet(s"$indexDir/assignments")
+  private def readAssignments(s: SparkSession, indexDir: String,
+      table: String = "assignments"): DataFrame = {
+    val base = s.read.parquet(s"$indexDir/$table")
     val batchesPath = new org.apache.hadoop.fs.Path(
-      s"$indexDir/assignments_batches")
+      s"$indexDir/${table}_batches")
     val fs = batchesPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(batchesPath))
       base.unionByName(s.read.parquet(batchesPath.toString).drop("batch"))
@@ -514,8 +514,9 @@ object Similarity {
     * output is bounded by the cell count, so the monitor is safe to
     * run at any cadence against a 100 TB index.
     */
-  def ivfCellStats(s: SparkSession, indexDir: String): DataFrame = {
-    val counts = readAssignments(s, indexDir)
+  def ivfCellStats(s: SparkSession, indexDir: String,
+      table: String = "assignments"): DataFrame = {
+    val counts = readAssignments(s, indexDir, table)
       .select(col("cell"), col("vec_id"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"))
@@ -706,6 +707,73 @@ object Similarity {
     val drifted = ivfConcentration(s, indexDir) >= maxConcentration
     if (drifted) refitIvfIndex(s, indexDir, nCells, sampleSize)
     drifted
+  }
+
+  /** [[refitIvfIndex]] for the COMPRESSED tier. The codes table holds
+    * m-byte codes, not vectors, so a refit must re-encode from the
+    * raw store (`refitFrom`, the cold tier the `refine` re-rank
+    * already reads): fresh coarse centroids AND PQ codebooks are fit
+    * on it with the same deterministic sample-and-Lloyd as the
+    * original build — so refitting a grown index whose accreted
+    * content equals `refitFrom` reproduces the one-shot build's
+    * model and codes bit-for-bit (spec-pinned, and
+    * `q_ann_ivfpq_refit_served` shares `q_ann_ivfpq`'s golden) —
+    * then every vector re-encodes in one narrow corpus pass and the
+    * (centroids, codebooks, codes) triple swaps atomically with the
+    * same staged-publish marker protocol; batch dirs retire with the
+    * swap. This is THE planned rewrite of the 100 TB hot tier:
+    * per-batch appends freeze the model ([[ivfPqAppendBatch]]),
+    * [[ivfCellStats]] (table = "codes") watches drift, and the
+    * re-encode is the one index-sized job, scheduled, never nightly.
+    */
+  def refitIvfPqIndex(s: SparkSession, indexDir: String,
+      refitFrom: DataFrame, nCells: Int = 0, m: Int = 16,
+      ksub: Int = 16, sampleSize: Int = 2048): Unit = {
+    import graft.functions.NearestCentroids.nearestCells
+    import graft.functions.PqOps.pqEncode
+    import org.apache.hadoop.fs.Path
+    import s.implicits._
+    def path(p: String) = new Path(s"$indexDir/$p")
+    val fs =
+      new Path(indexDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ready = path("__refit_ready")
+    if (!fs.exists(ready)) {
+      val all = refitFrom.select(col("vec_id"), col("embedding"))
+      val cells = if (nCells > 0) nCells else cellsFor(all.count())
+      val centroidMatrix = fitCentroids(all, cells, sampleSize)
+      val codebooks = fitPqCodebooks(all, m, ksub, sampleSize)
+      centroidMatrix.toIndexedSeq.map(_.toSeq).zipWithIndex
+        .map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/__refit_tmp/centroids")
+      codebooks.toIndexedSeq.zipWithIndex.flatMap { case (cb, j) =>
+        cb.toIndexedSeq.zipWithIndex.map { case (c, code) =>
+          (j, code, c.toSeq)
+        }
+      }.toDF("sub", "code", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/__refit_tmp/codebooks")
+      all
+        .select(col("vec_id"),
+          element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
+            .as("cell"),
+          pqEncode(col("embedding"), codebooks).as("codes"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/__refit_tmp/codes")
+      fs.create(ready, true).close()
+    }
+    Seq("centroids", "codebooks", "codes").foreach { t =>
+      val tmp = path(s"__refit_tmp/$t")
+      if (fs.exists(tmp)) {
+        fs.delete(path(t), true)
+        fs.rename(tmp, path(t))
+      }
+    }
+    fs.delete(path("codes_batches"), true)
+    fs.delete(path("__refit_tmp"), true)
+    fs.delete(ready, false)
   }
 
   /** Serve IVF top-k from a persisted index ([[ivfWriteIndex]]):

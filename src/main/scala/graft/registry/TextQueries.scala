@@ -200,6 +200,14 @@ object TextQueries {
       Similarity.ivfPqTopKFromIndex(s, s"${indexRoot(d)}/ivfpq_appended",
         annProbeVectors(s, d), refine = 100,
         refineFrom = Some(graft.Tables.embeddings(s, d)))),
+    // compressed-tier lifecycle close-out: the grown PQ index REFIT —
+    // fresh centroids+codebooks from the raw store, full re-encode,
+    // atomic swap; the deterministic fits reproduce the one-shot
+    // model, so the serve answers q_ann_ivfpq's golden exactly
+    "q_ann_ivfpq_refit_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqTopKFromIndex(s, s"${indexRoot(d)}/ivfpq_refit",
+        annProbeVectors(s, d), refine = 100,
+        refineFrom = Some(graft.Tables.embeddings(s, d)))),
     "q_incremental_dedup_served" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalMinhashPairsFromIndex(
         s.read.parquet(s"${indexRoot(d)}/minhash_buckets"),
@@ -299,6 +307,18 @@ object TextQueries {
       graft.Tables.embeddings(s, d)
         .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 4),
       batchId = 1L)
+    // compressed-tier refit close-out: same 80/20 grown index, then a
+    // full refit from the raw store — deterministic fits reproduce the
+    // one-shot model, q_ann_ivfpq_refit_served pins it to the golden
+    val refitPq = s"$root/ivfpq_refit"
+    Similarity.ivfPqWriteIndex(s, d, refitPq,
+      assignOnly = Some(org.apache.spark.sql.functions
+        .col("vec_id") % 5 =!= 4))
+    Similarity.ivfPqAppendBatch(s, refitPq,
+      graft.Tables.embeddings(s, d)
+        .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 4),
+      batchId = 1L)
+    Similarity.refitIvfPqIndex(s, refitPq, graft.Tables.embeddings(s, d))
     Dedup.minhashBuckets(incrSplitSide(s, d, newSide = false))
       .write.mode("overwrite").parquet(s"$root/minhash_buckets")
     Search.buildIndex(s, d, s"$root/bm25")
@@ -342,6 +362,9 @@ object TextQueries {
       // compressed append-parity: frozen centroids+codebooks ⇒ the
       // grown codes table is row-identical to the one-shot encode
       ("q_ann_ivfpq_appended_served" -> baseOracle("q_ann_ivfpq")) +
+      // the PQ refit's deterministic fits over the full raw store
+      // reproduce the one-shot model ⇒ same golden
+      ("q_ann_ivfpq_refit_served" -> baseOracle("q_ann_ivfpq")) +
       ("q_ann_ivfpq_sharded_served" -> baseOracle("q_ann_ivfpq_sharded")) +
       // the BM25 serve path reads back exactly the frames the inline
       // twin computes (one shared scorer), so one oracle covers both;

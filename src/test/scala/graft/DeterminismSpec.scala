@@ -19,7 +19,12 @@ class DeterminismSpec extends SparkSuite {
     // r12 additions: BM25's rounded-score ranking (float sums across
     // aggregation orders), boilerplate's grouped reassembly, the
     // sketch-guarantee booleans, and the dominance-policy summary
-    "q_bm25", "q_boilerplate", "q_heavy_hitters", "q_semdedup")
+    "q_bm25", "q_boilerplate", "q_heavy_hitters", "q_semdedup",
+    // r13 additions: exact-span counts (two stacked count aggregates),
+    // the conjunctive ranking (same rounded scores + the term-count
+    // gate) — q_semdedup above now runs the perturbed-view summary,
+    // whose sorted dropped_ids csv is the layout-sensitive part
+    "q_bm25_phrase", "q_bm25_and")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -126,6 +126,39 @@ class PqSpec extends SparkSuite {
     assert(serve(grown) === oneShot)
   }
 
+  test("refitIvfPqIndex: re-fit + re-encode from the raw store " +
+    "reproduces the one-shot model bit-for-bit and retires batches") {
+    val full = tmpDir("pq_refit_full")
+    val grown = tmpDir("pq_refit_grown")
+    Similarity.ivfPqWriteIndex(spark, dir001, full)
+    Similarity.ivfPqWriteIndex(spark, dir001, grown,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
+    Similarity.ivfPqAppendBatch(spark, grown,
+      Tables.embeddings(spark, dir001).filter(col("vec_id") % 5 === 4),
+      batchId = 1L)
+    Similarity.refitIvfPqIndex(spark, grown,
+      Tables.embeddings(spark, dir001))
+    // batches retired; deterministic fits over the full raw store
+    // rebuild the one-shot model, so codes AND serve agree exactly
+    assert(!new java.io.File(s"$grown/codes_batches").exists())
+    def table(dir: String, t: String): Set[String] =
+      spark.read.parquet(s"$dir/$t").collect().map(_.toString).toSet
+    assert(table(grown, "centroids") === table(full, "centroids"))
+    assert(table(grown, "codebooks") === table(full, "codebooks"))
+    def codes(dir: String): Set[String] =
+      spark.read.parquet(s"$dir/codes")
+        .select(col("vec_id"), col("cell"), base64(col("codes")))
+        .collect().map(_.toString).toSet
+    assert(codes(grown) === codes(full))
+    val queries = Tables.embeddings(spark, dir001)
+      .filter(col("vec_id") < 5)
+    def serve(dir: String): Seq[String] =
+      Similarity.ivfPqTopKFromIndex(spark, dir, queries, refine = 50,
+          refineFrom = Some(Tables.embeddings(spark, dir001)))
+        .collect().map(_.toString).sorted.toSeq
+    assert(serve(grown) === serve(full))
+  }
+
   test("PQ codegen survives the production ksub=256 geometry") {
     import org.apache.spark.sql.execution.debug._
     val codebooks: Array[Array[Array[Float]]] =
