@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Fns._
+import graft.functions.FusedCosineSimilarity.fusedCosine
+import graft.functions.FusedInt8Cosine.fusedInt8Cosine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Int8 scalar quantization — the WARM storage tier of the embedding
+  * stack, between the raw float vectors (4 bytes/dim, exact) and the
+  * IVF-PQ codes (sub-byte/dim, lossy ADC): one signed byte per
+  * dimension plus one per-vector scale, a ~3.9× shrink at dim=64 that
+  * keeps enough precision for the quantized shortlist to recover the
+  * EXACT brute-force ranking after re-rank (q_ann_int8 answers
+  * q_ann_brute's full cross-engine oracle — unlike the PQ tier, whose
+  * k-means codebooks force pinned goldens).
+  *
+  * Quantizer (closed-form, so DuckDB recomputes it bit-for-bit):
+  * per-vector `scale = max|x_i| / 127` (1.0 for a zero vector), and
+  * `code_i = clamp(floor(x_i / scale + 0.5), -127, 127)` — explicit
+  * floor(+0.5) half-up rounding rather than engine `round()`, whose
+  * tie semantics differ across engines. Codes are ARRAY<TINYINT>:
+  * 1 byte/element in Tungsten rows, INT(8)-annotated dictionary-coded
+  * pages in parquet.
+  *
+  * Serve shape (the scale story): the shortlist pass scans ONLY the
+  * codes table — a quarter of the raw bytes — scoring with the fused
+  * int8 codegen kernel ([[graft.functions.FusedInt8Cosine]]; the
+  * uniform per-vector scale cancels out of cosine, so ranking never
+  * reads the scale column and parquet prunes it). The bounded TopK
+  * aggregator partial-aggregates map-side (≤ refine rows per query per
+  * partition in the exchange, never the corpus), and the exact re-rank
+  * broadcasts the tiny shortlist against the raw-vector store — one
+  * fetch scan, no corpus shuffle, exactly the PQ refine pattern
+  * ([[Similarity]] rankAndRefinePq).
+  */
+object ScalarQuant {
+
+  /** Closed-form int8 quantization of an ARRAY<FLOAT> column:
+    * (scale DOUBLE, codes ARRAY<TINYINT>). Built-in higher-order
+    * functions only — one codegen'd pass for the max-abs, one for the
+    * codes.
+    */
+  def quantized(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val maxabs = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = when(col("maxabs") === 0.0d, lit(1.0d))
+      .otherwise(col("maxabs") / lit(127.0d))
+    emb.withColumn("maxabs", maxabs)
+      .withColumn("scale", scale)
+      .withColumn("codes", transform(col(vecCol),
+        x => greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") / col("scale") + lit(0.5d))))
+          .cast("tinyint")))
+      .drop("maxabs", vecCol)
+  }
+
+  /** Persist the quantized tier for `d`'s embeddings table:
+    * `indexDir/codes` rows (vec_id, scale, codes). Rewritten whole on
+    * each build (seconds at any bounded shard size; at corpus scale
+    * this is a per-shard table maintained alongside the raw store).
+    */
+  def sqWriteIndex(s: SparkSession, d: String, indexDir: String): Unit =
+    quantized(Tables.embeddings(s, d).select("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+
+  /** Decode audit: the persisted codes exploded back to
+    * (vec_id, dim, code) rows — 1-based dim to match SQL lambda
+    * indexing. The driver oracle recomputes every code from the raw
+    * embeddings in DuckDB, pinning the quantizer formula AND the
+    * tinyint parquet round-trip cross-engine.
+    */
+  def codesAudit(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/codes")
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
+        col("col").cast("int").as("code"))
+
+  /** Inline quantize + serve: brute-force over int8 codes, exact
+    * re-rank. Same probe convention as [[Similarity.bruteForceTopK]]
+    * (queries = vec_id < nQueries, self excluded), same output schema
+    * — and the same oracle, which equality-pins shortlist recall 1.0.
+    */
+  def sqTopK(s: SparkSession, d: String, nQueries: Int = 5,
+      k: Int = 10, refine: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    serve(s, quantized(emb.select("vec_id", "embedding")),
+      emb.filter(col("vec_id") < nQueries), k, refine, emb)
+  }
+
+  /** Serve from the persisted codes table ([[sqWriteIndex]]);
+    * `refineFrom` is the raw-vector store (the lake's embeddings
+    * table — the cold tier the shortlist fetch goes back to).
+    */
+  def sqTopKFromIndex(s: SparkSession, indexDir: String,
+      queries: DataFrame, refineFrom: => DataFrame, k: Int = 10,
+      refine: Int = 50): DataFrame =
+    serve(s, s.read.parquet(s"$indexDir/codes"), queries, k, refine,
+      refineFrom)
+
+  private def serve(s: SparkSession, codes: DataFrame, queries: DataFrame,
+      k: Int, refine: Int, refineFrom: => DataFrame): DataFrame = {
+    import s.implicits._
+    val qs = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    // shortlist pass: codes-only scan (scale column pruned), fused
+    // int8 kernel, bounded map-side top-k per query
+    val adc = codes
+      .join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        fusedInt8Cosine(col("codes"), col("q")).as("sim"))
+    val shortlist = adc.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new Sampling.TopKByScoreAgg[Long](math.max(refine, k))
+        .toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), explode(col("topk")).as("cand"))
+      .select(col("query_id"), col("cand._1").as("vec_id"))
+      .join(qs, "query_id") // tiny × tiny: re-attach the query vector
+    // exact re-rank: broadcast the shortlist into one raw-store scan
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    refineFrom.select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        fusedCosine(col("q"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), r4(col("sim")).as("sim"),
+        col("rk"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.registry
 
-import graft.operators.{Curate, Dedup, Multimodal, Sampling, Scrub,
-  Search, Similarity, TextOps, Video}
+import graft.operators.{Curate, Dedup, Multimodal, Sampling, ScalarQuant,
+  Scrub, Search, Similarity, TextOps, Video}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
@@ -212,7 +212,20 @@ object TextQueries {
       Dedup.incrementalMinhashPairsFromIndex(
         s.read.parquet(s"${indexRoot(d)}/minhash_buckets"),
         incrSplitSide(s, d, newSide = false),
-        incrSplitSide(s, d, newSide = true)))
+        incrSplitSide(s, d, newSide = true))),
+    // the int8 scalar-quantized WARM tier: closed-form quantizer, so
+    // (unlike the PQ goldens) BOTH the stored codes and the served
+    // ranking carry full cross-engine oracles — the codes audit pins
+    // the quantizer + tinyint parquet round-trip value-for-value, and
+    // the topk rows answer q_ann_brute's oracle, equality-pinning
+    // shortlist recall 1.0 after the exact re-rank
+    "q_int8_codes" -> ((s: SparkSession, d: String) =>
+      ScalarQuant.codesAudit(s, s"${indexRoot(d)}/int8")),
+    "q_ann_int8" -> ((s: SparkSession, d: String) =>
+      ScalarQuant.sqTopK(s, d)),
+    "q_ann_int8_served" -> ((s: SparkSession, d: String) =>
+      ScalarQuant.sqTopKFromIndex(s, s"${indexRoot(d)}/int8",
+        annProbeVectors(s, d), graft.Tables.embeddings(s, d)))
   )
 
   /** The 5 probe vectors every ANN registry query uses
@@ -330,6 +343,7 @@ object TextQueries {
       graft.Tables.documents(s, d)
         .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 4),
       batchId = 1L)
+    ScalarQuant.sqWriteIndex(s, d, s"$root/int8")
     // the streaming tier's driver row: a real AvailableNow streaming
     // run over events, snapshotted; q_stream_hourly reads it and must
     // match the batch q_hourly_agg oracle
@@ -375,7 +389,33 @@ object TextQueries {
       // the served phrase matcher explodes the index's positions
       // arrays back to the exact (term, doc, pos) rows the inline
       // twin derives from the corpus — same matcher, same oracle
-      ("q_bm25_phrase_served" -> baseOracle("q_bm25_phrase"))
+      ("q_bm25_phrase_served" -> baseOracle("q_bm25_phrase")) +
+      // the int8 tier's ranking rows: quantized shortlist + exact
+      // re-rank recovers the exact brute-force ranking (recall-1.0
+      // pinned by answering the SAME full oracle), inline and served
+      ("q_ann_int8" -> baseOracle("q_ann_brute")) +
+      ("q_ann_int8_served" -> baseOracle("q_ann_brute")) +
+      // full recompute of every stored int8 code from the raw floats:
+      // closed-form half-up quantizer (floor(x/s + 0.5) — explicit,
+      // because engine round() tie semantics differ), clamped ±127
+      ("q_int8_codes" ->
+        """WITH qz AS (
+          |  SELECT vec_id, embedding,
+          |    CASE WHEN list_max(list_transform(embedding,
+          |           x -> abs(CAST(x AS DOUBLE)))) = 0 THEN 1.0
+          |         ELSE list_max(list_transform(embedding,
+          |           x -> abs(CAST(x AS DOUBLE)))) / 127 END AS scale
+          |  FROM embeddings),
+          |ex AS (
+          |  SELECT vec_id,
+          |    unnest(list_transform(embedding,
+          |      (x, i) -> {'dim': i,
+          |        'code': CAST(greatest(-127, least(127,
+          |          floor(CAST(x AS DOUBLE) / scale + 0.5))) AS INT)}))
+          |      AS u
+          |  FROM qz)
+          |SELECT vec_id, CAST(u.dim AS INT) AS dim, u.code AS code
+          |FROM ex""".stripMargin)
 
   /** Word-3-gram shingle sets per document, as a DuckDB CTE — mirrors
     * Dedup.shinglesFromTokens (whitespace tokens, empties dropped,

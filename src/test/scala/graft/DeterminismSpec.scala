@@ -24,7 +24,10 @@ class DeterminismSpec extends SparkSuite {
     // the conjunctive ranking (same rounded scores + the term-count
     // gate) — q_semdedup above now runs the perturbed-view summary,
     // whose sorted dropped_ids csv is the layout-sensitive part
-    "q_bm25_phrase", "q_bm25_and")
+    "q_bm25_phrase", "q_bm25_and",
+    // int8 tier: the quantized-shortlist TopK aggregator merges in
+    // layout-dependent order; the final exact re-rank must not care
+    "q_ann_int8")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
