@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.FusedCosineSimilarity.fusedCosine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: the BM25 keyword leg ([[Search]]) and the dense
+  * embedding leg (the ANN family) fused with reciprocal-rank fusion —
+  * the production serving shape for corpus exploration and RAG-style
+  * lookup, where neither lexical match nor embedding similarity alone
+  * ranks well.
+  *
+  * RRF (Cormack & Clarke's parameter-free fusion): each leg
+  * contributes `1 / (C + rank)` for its top-`kLeg` docs, C = 60 the
+  * canonical constant; docs found by both legs sum both terms. The
+  * fused score is rounded to 6 dp BEFORE the final ranking (ties by
+  * doc_id), the same round-then-rank determinism contract as BM25's
+  * scorer, so the ranking is identical across engines and layouts.
+  *
+  * Probe convention: hybrid query `i` = the BM25 query set's terms for
+  * qid `i` paired with embedding vec_id = `i` as the dense probe (the
+  * corpus embedding standing in for an encoded query vector; it is
+  * excluded from its own candidates, mirroring
+  * [[Similarity.bruteForceTopK]]).
+  *
+  * Scale shape: fusion runs entirely on leg OUTPUTS — ≤ kLeg rows per
+  * query per leg — so its cost is independent of corpus size; the legs
+  * themselves carry the scale machinery (term-partitioned postings,
+  * quantized shortlist + re-rank). The served form composes the two
+  * persisted indexes: BM25 postings for the sparse leg, the int8 codes
+  * tier for the dense leg — whose exact-recall re-rank is what lets
+  * the served hybrid answer the same full cross-engine oracle as the
+  * inline brute-force form (a lossy dense leg would need goldens).
+  */
+object Hybrid {
+  /** Canonical RRF constant (TREC fusion literature). */
+  val C = 60
+
+  /** Dense-probe ids = the BM25 query ids (vec_id `i` probes qid `i`). */
+  private def probes(s: SparkSession, d: String,
+      queries: Seq[(Int, String)]): DataFrame = {
+    val ids = queries.map(_._1.toLong).distinct.sorted
+    Tables.embeddings(s, d).filter(col("vec_id").isin(ids: _*))
+  }
+
+  /** Inline hybrid: BM25 recomputed from the corpus + exact
+    * brute-force dense leg, fused. Full DuckDB oracle.
+    */
+  def rrf(s: SparkSession, d: String, k: Int = 10, kLeg: Int = 10,
+      queries: Seq[(Int, String)] = Search.defaultQueries): DataFrame =
+    fuse(Search.bm25(s, d, queries, k = kLeg),
+      denseLeg(s, d, kLeg, queries), k)
+
+  /** Served hybrid from the persisted indexes: BM25 postings
+    * (identical to inline by the shared-scorer construction) + the
+    * int8 quantized tier with exact re-rank (recall-1.0 pinned by
+    * q_ann_int8's oracle) — so this answers the SAME oracle as [[rrf]].
+    */
+  def rrfFromIndexes(s: SparkSession, d: String, bm25Dir: String,
+      int8Dir: String, k: Int = 10, kLeg: Int = 10,
+      queries: Seq[(Int, String)] = Search.defaultQueries): DataFrame =
+    fuse(
+      Search.bm25FromIndex(s, bm25Dir, queries, k = kLeg),
+      ScalarQuant.sqTopKFromIndex(s, int8Dir, probes(s, d, queries),
+        Tables.embeddings(s, d), k = kLeg),
+      k)
+
+  /** Exact dense top-`kLeg` for the hybrid probes: fused-cosine scores,
+    * bounded map-side TopK per query ([[Similarity.bruteForceTopKAgg]]'s
+    * exchange shape — ≤ kLeg rows per query per partition).
+    */
+  private def denseLeg(s: SparkSession, d: String, kLeg: Int,
+      queries: Seq[(Int, String)]): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val qs = probes(s, d, queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    emb.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        fusedCosine(col("q"), col("embedding")).as("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new Sampling.TopKByScoreAgg[Long](kLeg).toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col._1").as("vec_id"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  /** RRF proper. `sparse`: (query_id, rank, doc_id, ...) — [[Search]]
+    * output; `dense`: (query_id, vec_id, ..., rk) — ANN output, vec_id
+    * keyed to doc_id by the corpus convention (one embedding per doc,
+    * same id).
+    */
+  private def fuse(sparse: DataFrame, dense: DataFrame,
+      k: Int): DataFrame = {
+    val legs = sparse
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
+        col("rank").cast("int").as("rank"))
+      .unionByName(dense.select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rk").cast("int").as("rank")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    legs.groupBy("query_id", "doc_id")
+      .agg(round(sum(lit(1.0) / (lit(C) + col("rank"))) + lit(1e-12), 6)
+        .as("rrf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+  }
+}

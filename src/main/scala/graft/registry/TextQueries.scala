@@ -1,7 +1,7 @@
 package graft.registry
 
-import graft.operators.{Curate, Dedup, Multimodal, Sampling, ScalarQuant,
-  Scrub, Search, Similarity, TextOps, Video}
+import graft.operators.{Curate, Dedup, Hybrid, Multimodal, Sampling,
+  ScalarQuant, Scrub, Search, Similarity, TextOps, Video}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
@@ -225,7 +225,16 @@ object TextQueries {
       ScalarQuant.sqTopK(s, d)),
     "q_ann_int8_served" -> ((s: SparkSession, d: String) =>
       ScalarQuant.sqTopKFromIndex(s, s"${indexRoot(d)}/int8",
-        annProbeVectors(s, d), graft.Tables.embeddings(s, d)))
+        annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
+    // hybrid retrieval: BM25 + dense cosine fused by reciprocal-rank
+    // fusion. The served twin composes the two PERSISTED indexes
+    // (bm25 postings + the int8 codes tier); the int8 leg's exact
+    // re-rank is what lets it answer the same full oracle as the
+    // inline brute-force form
+    "q_hybrid_rrf" -> ((s: SparkSession, d: String) => Hybrid.rrf(s, d)),
+    "q_hybrid_rrf_served" -> ((s: SparkSession, d: String) =>
+      Hybrid.rrfFromIndexes(s, d, s"${indexRoot(d)}/bm25",
+        s"${indexRoot(d)}/int8"))
   )
 
   /** The 5 probe vectors every ANN registry query uses
@@ -395,6 +404,12 @@ object TextQueries {
       // pinned by answering the SAME full oracle), inline and served
       ("q_ann_int8" -> baseOracle("q_ann_brute")) +
       ("q_ann_int8_served" -> baseOracle("q_ann_brute")) +
+      // hybrid RRF: both legs recomputed exhaustively (the BM25 CTEs
+      // verbatim + the brute cosine ranking), fused 1/(60+rank),
+      // rounded to 6 dp before the final rank — served twin included
+      // because its int8 dense leg re-ranks to the exact brute ranking
+      ("q_hybrid_rrf" -> hybridRrfOracle) +
+      ("q_hybrid_rrf_served" -> hybridRrfOracle) +
       // full recompute of every stored int8 code from the raw floats:
       // closed-form half-up quantizer (floor(x/s + 0.5) — explicit,
       // because engine round() tie semantics differ), clamped ±127
@@ -416,6 +431,70 @@ object TextQueries {
           |  FROM qz)
           |SELECT vec_id, CAST(u.dim AS INT) AS dim, u.code AS code
           |FROM ex""".stripMargin)
+
+  /** q_hybrid_rrf(_served): the q_bm25 CTEs verbatim (sparse leg) +
+    * the q_ann_brute cosine ranking over probes 1–3 (dense leg), RRF
+    * fused. Round-then-rank at 6 dp mirrors Hybrid.fuse exactly.
+    */
+  private val hybridRrfOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n, CAST(sum(length(ts)) AS DOUBLE) AS sumdl
+      |  FROM toks),
+      |queries(query_id, term) AS (
+      |  VALUES (1, 'hash'), (1, 'join'),
+      |         (2, 'window'), (2, 'agg'), (2, 'stream'),
+      |         (3, 'dup'), (3, 'scan')),
+      |post AS (
+      |  SELECT term, doc_id, dl, count(*) AS tf FROM (
+      |    SELECT doc_id, length(ts) AS dl, unnest(ts) AS term
+      |    FROM toks)
+      |  GROUP BY term, doc_id, dl),
+      |tstats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+      |scored AS (
+      |  SELECT q.query_id, p.doc_id,
+      |   round(sum(ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+      |     * (p.tf * 2.2)
+      |     / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (s.sumdl / s.n)))),
+      |    4) AS score
+      |  FROM post p
+      |  JOIN queries q USING (term)
+      |  JOIN tstats t USING (term), stats s
+      |  GROUP BY q.query_id, p.doc_id),
+      |sparse AS (
+      |  SELECT query_id, doc_id, rank FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      |    FROM scored) WHERE rank <= 10),
+      |qq AS (
+      |  SELECT vec_id AS query_id, embedding AS qv
+      |  FROM embeddings WHERE vec_id IN (1, 2, 3)),
+      |pairs AS (
+      |  SELECT q.query_id, e.vec_id,
+      |   list_sum(list_transform(e.embedding,
+      |     (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(e.embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      * sqrt(list_sum(list_transform(q.qv,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |  FROM embeddings e CROSS JOIN qq q WHERE e.vec_id <> q.query_id),
+      |dense AS (
+      |  SELECT query_id, vec_id AS doc_id, rank FROM (
+      |    SELECT query_id, vec_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM pairs) WHERE rank <= 10),
+      |legs AS (SELECT * FROM sparse UNION ALL SELECT * FROM dense),
+      |fused AS (
+      |  SELECT query_id, doc_id,
+      |    round(sum(1.0 / (60 + rank)) + 1e-12, 6) AS rrf
+      |  FROM legs GROUP BY query_id, doc_id)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf FROM (
+      |  SELECT query_id, doc_id, rrf, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+      |  FROM fused) WHERE rank <= 10""".stripMargin
 
   /** Word-3-gram shingle sets per document, as a DuckDB CTE — mirrors
     * Dedup.shinglesFromTokens (whitespace tokens, empties dropped,

@@ -27,7 +27,9 @@ class DeterminismSpec extends SparkSuite {
     "q_bm25_phrase", "q_bm25_and",
     // int8 tier: the quantized-shortlist TopK aggregator merges in
     // layout-dependent order; the final exact re-rank must not care
-    "q_ann_int8")
+    "q_ann_int8",
+    // hybrid fusion: two leg windows + the fused-sum groupBy
+    "q_hybrid_rrf")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
