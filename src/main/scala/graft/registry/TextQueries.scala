@@ -1,7 +1,7 @@
 package graft.registry
 
-import graft.operators.{Curate, Dedup, Hybrid, Multimodal, Sampling,
-  ScalarQuant, Scrub, Search, Similarity, TextOps, Video}
+import graft.operators.{Classify, Curate, Dedup, Hybrid, Multimodal,
+  Sampling, ScalarQuant, Scrub, Search, Similarity, TextOps, Video}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
@@ -34,6 +34,11 @@ object TextQueries {
     "q_fingerprint_classes" -> (TextOps.fingerprintClasses _),
     "q_lang_id" -> (TextOps.langId _),
     "q_lang_id_confusion" -> (TextOps.langIdConfusion _),
+    // learned quality filter: in-engine Bernoulli-NB scoring against
+    // the reference slice + a median-quantile keep gate — closed-form,
+    // so training AND inference carry one full cross-engine oracle
+    "q_quality_nb" -> ((s: SparkSession, d: String) =>
+      Classify.nbQuality(s, d)),
     "q_dedup_exact" -> (Dedup.exact _),
     "q_minhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.minhashPairs(s, d)),
@@ -530,6 +535,47 @@ object TextQueries {
        |         (acc, x) -> acc + x)))""".stripMargin
 
   private lazy val baseOracle: Map[String, String] = Map(
+    // Bernoulli-NB quality filter: the full train+score recompute —
+    // add-half-smoothed per-token log-odds from distinct-token doc
+    // frequencies, per-doc sums + prior (4 dp, the shared
+    // sum-of-doubles contract), and the median gate on the ROUNDED
+    // scores (interpolated median of identical 4 dp multisets is
+    // engine-identical, so the keep boolean hash-matches too)
+    "q_quality_nb" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |cls AS (
+        |  SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS npos,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM toks),
+        |dt AS (
+        |  SELECT doc_id, pos, unnest(list_distinct(ts)) AS token
+        |  FROM toks),
+        |tc AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS dfpos,
+        |    CAST(count(*) AS DOUBLE) AS dfall
+        |  FROM dt GROUP BY token),
+        |w AS (
+        |  SELECT token,
+        |    ln((dfpos + 0.5) / (c.npos + 1)) -
+        |    ln((dfall - dfpos + 0.5) / (c.n - c.npos + 1)) AS w
+        |  FROM tc, cls c),
+        |sc AS (
+        |  SELECT dt.doc_id, sum(w.w) AS sumw
+        |  FROM dt JOIN w USING (token) GROUP BY dt.doc_id),
+        |scored AS (
+        |  SELECT t.doc_id, t.pos AS curated,
+        |    round(ln((c.npos + 0.5) / (c.n - c.npos + 0.5))
+        |      + coalesce(sc.sumw, 0), 4) AS score
+        |  FROM toks t LEFT JOIN sc ON t.doc_id = sc.doc_id, cls c)
+        |SELECT doc_id, curated, score,
+        |  score > (SELECT median(score) FROM scored) AS keep
+        |FROM scored""".stripMargin,
     // exhaustive blocked jaccard — the Spark side's small-block path is
     // exhaustive too, so the sets are identical by construction
     "q_ngram_jaccard" ->

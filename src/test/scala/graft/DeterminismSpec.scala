@@ -29,7 +29,9 @@ class DeterminismSpec extends SparkSuite {
     // layout-dependent order; the final exact re-rank must not care
     "q_ann_int8",
     // hybrid fusion: two leg windows + the fused-sum groupBy
-    "q_hybrid_rrf")
+    "q_hybrid_rrf",
+    // NB filter: per-doc double sums + the exact-percentile gate
+    "q_quality_nb")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
