@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus shuffle into training shards — the hand-off
+  * step from curation to the training loader: every document gets a
+  * pseudo-random but reproducible (shard, position), so shard files
+  * can be written once and streamed in a fixed order, any shard
+  * prefix is an unbiased corpus sample, and a re-run after a crash
+  * reproduces the identical layout (no RNG state to lose).
+  *
+  * Permutation key: the Knuth multiplicative hash
+  * `h = (doc_id · 2654435761) mod 2³²` — closed-form integer
+  * arithmetic, so the full assignment is DuckDB-recomputable
+  * (engine-internal hashes like xxhash64 are not; a production
+  * deployment that needs 64-bit mixing swaps the key expression and
+  * gives up the cross-engine oracle, nothing else changes).
+  * `shard = h mod N`; `pos` = rank of `(h, doc_id)` within the shard.
+  *
+  * Scale shape: assignment is embarrassingly parallel; materializing
+  * ordered shards is ONE repartition-by-shard + sort-within-partition
+  * pass (Spark's native shuffle+sort — no global sort, no window over
+  * the corpus). The [[trainShards]] audit DOES use a per-shard
+  * row_number window to emit positions for the oracle; the writer
+  * path never needs it (the sort order IS the position).
+  */
+object Shard {
+
+  private val Knuth = 2654435761L
+  private val M32 = 4294967296L
+
+  /** (doc_id, shard, pos) for every document — the audit/oracle view
+    * of the permutation.
+    */
+  def trainShards(s: SparkSession, d: String, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.parallelized(Tables.documents(s, d))
+      .select(col("doc_id"),
+        ((col("doc_id") * Knuth) % M32).as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Materialize the shards: one dir per shard, rows in (h, doc_id)
+    * order — the file order IS the training order, so the loader just
+    * streams. One shuffle (keyed on shard), one partition-local sort.
+    */
+  def writeShards(s: SparkSession, d: String, outDir: String,
+      nShards: Int = 8): Unit =
+    Tables.documents(s, d)
+      .withColumn("h", (col("doc_id") * Knuth) % M32)
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
+      .drop("h")
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+}

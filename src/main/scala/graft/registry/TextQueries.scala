@@ -1,7 +1,8 @@
 package graft.registry
 
 import graft.operators.{Classify, Curate, Dedup, Hybrid, Multimodal,
-  Sampling, ScalarQuant, Scrub, Search, Similarity, TextOps, Video}
+  Sampling, ScalarQuant, Scrub, Search, Shard, Similarity, TextOps,
+  Video}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
@@ -39,6 +40,10 @@ object TextQueries {
     // so training AND inference carry one full cross-engine oracle
     "q_quality_nb" -> ((s: SparkSession, d: String) =>
       Classify.nbQuality(s, d)),
+    // deterministic corpus shuffle → training shards: closed-form
+    // multiplicative-hash permutation, fully oracle-recomputable
+    "q_train_shards" -> ((s: SparkSession, d: String) =>
+      Shard.trainShards(s, d)),
     "q_dedup_exact" -> (Dedup.exact _),
     "q_minhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.minhashPairs(s, d)),
@@ -535,6 +540,16 @@ object TextQueries {
        |         (acc, x) -> acc + x)))""".stripMargin
 
   private lazy val baseOracle: Map[String, String] = Map(
+    // training-shard permutation: the Knuth multiplicative hash,
+    // shard = h mod 8, pos = rank of (h, doc_id) within the shard
+    "q_train_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+        |FROM h""".stripMargin,
     // Bernoulli-NB quality filter: the full train+score recompute —
     // add-half-smoothed per-token log-odds from distinct-token doc
     // frequencies, per-doc sums + prior (4 dp, the shared

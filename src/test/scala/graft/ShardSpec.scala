@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Shard
+import org.apache.spark.sql.functions._
+
+/** Training-shard permutation: hand-computed hash assignment, the
+  * writer/audit agreement (file order IS the training order), and
+  * shard balance on real data.
+  */
+class ShardSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("assignment matches the closed-form hash permutation") {
+    val d = tmpDir("shard_docs")
+    (0L until 20L).map(i => (i, s"doc $i", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+    val got = Shard.trainShards(spark, d, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val expected = (0L until 20L).map { id =>
+      (id, (id * 2654435761L) % 4294967296L)
+    }.groupBy(t => (t._2 % 4).toInt)
+      .flatMap { case (shard, members) =>
+        members.sortBy(t => (t._2, t._1)).zipWithIndex
+          .map { case ((id, _), i) => (id, shard, i + 1) }
+      }.toSeq
+    assert(got.sortBy(_._1).toSeq === expected.sortBy(_._1))
+  }
+
+  test("written shards stream in pos order and cover the corpus " +
+      "(sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val out = tmpDir("shards_out")
+    Shard.writeShards(spark, d, out, nShards = 4)
+    val audit = Shard.trainShards(spark, d, nShards = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() === Tables.documents(spark, d).count())
+    // per shard: the file's physical row order equals the audit's pos
+    // order (monotone file offsets once Spark tags input order)
+    (0 until 4).foreach { sh =>
+      val fileOrder = spark.read.parquet(s"$out/shard=$sh")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val posOrder = audit.filter(col("shard") === sh)
+        .orderBy("pos").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(fileOrder === posOrder, s"shard $sh order")
+    }
+    // balance: no shard holds more than 2× its fair share
+    val sizes = audit.groupBy("shard").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length === 4 && sizes.max <= 2 * sizes.min,
+      sizes.mkString(","))
+  }
+}
