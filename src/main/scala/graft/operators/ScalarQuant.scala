@@ -58,13 +58,71 @@ object ScalarQuant {
   }
 
   /** Persist the quantized tier for `d`'s embeddings table:
-    * `indexDir/codes` rows (vec_id, scale, codes). Rewritten whole on
-    * each build (seconds at any bounded shard size; at corpus scale
-    * this is a per-shard table maintained alongside the raw store).
+    * `indexDir/codes` rows (vec_id, scale, codes). `assignOnly`
+    * restricts which vectors are INDEXED (the rest arrive later via
+    * [[sqAppendBatch]]); unlike the IVF tiers there is no geometry to
+    * freeze — the quantizer is per-vector closed-form — so a grown
+    * index is EXACTLY a one-shot build, not an approximation of one.
     */
-  def sqWriteIndex(s: SparkSession, d: String, indexDir: String): Unit =
-    quantized(Tables.embeddings(s, d).select("vec_id", "embedding"))
+  def sqWriteIndex(s: SparkSession, d: String, indexDir: String,
+      assignOnly: Option[Column] = None): Unit = {
+    val emb = Tables.embeddings(s, d)
+    quantized(assignOnly.map(emb.filter).getOrElse(emb)
+      .select("vec_id", "embedding"))
       .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** Per-arrival growth: quantize `newEmb` into a batch dir; work
+    * scales with the batch, never the corpus. Exactly-once under
+    * retries: the batch dir is overwritten whole, keyed by `batchId`.
+    */
+  def sqAppendBatch(s: SparkSession, indexDir: String, newEmb: DataFrame,
+      batchId: Long): Unit =
+    quantized(newEmb.select("vec_id", "embedding"))
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/codes_batches/batch=$batchId")
+
+  /** Admin-cadence promotion: fold committed batch dirs back into the
+    * base codes table and retire them — the serve plan returns to one
+    * scan, no union. Crash-idempotent staged publish (the
+    * [[Search.promoteBatches]] pattern): merge into a side dir, ready
+    * marker, swap, retire; a re-run that sees the marker skips the
+    * merge, so nothing double-counts.
+    */
+  def promoteBatches(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def path(p: String) = new Path(s"$indexDir/$p")
+    val fs = new Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ready = path("__promote_ready")
+    if (!fs.exists(path("codes_batches")) && !fs.exists(ready)) return
+    if (!fs.exists(ready)) {
+      readCodes(s, indexDir)
+        .write.mode("overwrite").parquet(s"$indexDir/__promote_tmp/codes")
+      fs.create(ready, true).close()
+    }
+    val tmp = path("__promote_tmp/codes")
+    if (fs.exists(tmp)) {
+      fs.delete(path("codes"), true)
+      fs.rename(tmp, path("codes"))
+    }
+    fs.delete(path("codes_batches"), true)
+    fs.delete(path("__promote_tmp"), true)
+    fs.delete(ready, false)
+  }
+
+  /** Base codes ∪ committed append batches (when any exist — an
+    * ungrown or freshly promoted index serves with the minimal
+    * one-scan plan).
+    */
+  private def readCodes(s: SparkSession, indexDir: String): DataFrame = {
+    val base = s.read.parquet(s"$indexDir/codes")
+    val bp = new org.apache.hadoop.fs.Path(s"$indexDir/codes_batches")
+    val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(bp))
+      base.unionByName(s.read.parquet(bp.toString).drop("batch"))
+    else base
+  }
 
   /** Decode audit: the persisted codes exploded back to
     * (vec_id, dim, code) rows — 1-based dim to match SQL lambda
@@ -97,8 +155,7 @@ object ScalarQuant {
   def sqTopKFromIndex(s: SparkSession, indexDir: String,
       queries: DataFrame, refineFrom: => DataFrame, k: Int = 10,
       refine: Int = 50): DataFrame =
-    serve(s, s.read.parquet(s"$indexDir/codes"), queries, k, refine,
-      refineFrom)
+    serve(s, readCodes(s, indexDir), queries, k, refine, refineFrom)
 
   private def serve(s: SparkSession, codes: DataFrame, queries: DataFrame,
       k: Int, refine: Int, refineFrom: => DataFrame): DataFrame = {

@@ -236,6 +236,16 @@ object TextQueries {
     "q_ann_int8_served" -> ((s: SparkSession, d: String) =>
       ScalarQuant.sqTopKFromIndex(s, s"${indexRoot(d)}/int8",
         annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
+    // int8 lifecycle: the grown index (base ∪ batch union-folds at
+    // serve) and the promoted one (folded back to one scan) — with no
+    // frozen geometry both are exact, so they answer the full brute
+    // oracle like their one-shot twin, not a pinned golden
+    "q_ann_int8_appended_served" -> ((s: SparkSession, d: String) =>
+      ScalarQuant.sqTopKFromIndex(s, s"${indexRoot(d)}/int8_appended",
+        annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
+    "q_ann_int8_promoted_served" -> ((s: SparkSession, d: String) =>
+      ScalarQuant.sqTopKFromIndex(s, s"${indexRoot(d)}/int8_promoted",
+        annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
     // hybrid retrieval: BM25 + dense cosine fused by reciprocal-rank
     // fusion. The served twin composes the two PERSISTED indexes
     // (bm25 postings + the int8 codes tier); the int8 leg's exact
@@ -363,6 +373,22 @@ object TextQueries {
         .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 4),
       batchId = 1L)
     ScalarQuant.sqWriteIndex(s, d, s"$root/int8")
+    // int8 lifecycle twins, the same 80/20 fixture rule as the other
+    // tiers: grown (base + one committed batch) and grown-then-promoted
+    // (back to the one-scan plan). No geometry to freeze, so both are
+    // EXACT rebuilds of the full index by construction
+    Seq("int8_appended" -> false, "int8_promoted" -> true).foreach {
+      case (name, promote) =>
+        val dir = s"$root/$name"
+        ScalarQuant.sqWriteIndex(s, d, dir,
+          assignOnly = Some(org.apache.spark.sql.functions
+            .col("vec_id") % 5 =!= 4))
+        ScalarQuant.sqAppendBatch(s, dir,
+          graft.Tables.embeddings(s, d)
+            .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 4),
+          batchId = 1L)
+        if (promote) ScalarQuant.promoteBatches(s, dir)
+    }
     // the streaming tier's driver row: a real AvailableNow streaming
     // run over events, snapshotted; q_stream_hourly reads it and must
     // match the batch q_hourly_agg oracle
@@ -414,6 +440,8 @@ object TextQueries {
       // pinned by answering the SAME full oracle), inline and served
       ("q_ann_int8" -> baseOracle("q_ann_brute")) +
       ("q_ann_int8_served" -> baseOracle("q_ann_brute")) +
+      ("q_ann_int8_appended_served" -> baseOracle("q_ann_brute")) +
+      ("q_ann_int8_promoted_served" -> baseOracle("q_ann_brute")) +
       // hybrid RRF: both legs recomputed exhaustively (the BM25 CTEs
       // verbatim + the brute cosine ranking), fused 1/(60+rank),
       // rounded to 6 dp before the final rank — served twin included

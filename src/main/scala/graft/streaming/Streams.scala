@@ -265,11 +265,14 @@ object Streams {
     *  3. the ANN index (frozen-geometry
     *     [[graft.operators.Similarity.ivfAppendBatch]]);
     *  4. the BM25 inverted index
-    *     ([[graft.operators.Search.appendBatch]] — positional).
+    *     ([[graft.operators.Search.appendBatch]] — positional);
+    *  5. optionally the int8 quantized tier
+    *     ([[graft.operators.ScalarQuant.sqAppendBatch]]) — the warm
+    *     store the hybrid serve's dense leg reads.
     *
-    * All four indexes advance under the SAME micro-batch id, and every
+    * All the indexes advance under the SAME micro-batch id, and every
     * write is a `batch=<id>`-keyed overwrite — so a checkpoint replay
-    * rewrites the same directories in all four lakes and the composed
+    * rewrites the same directories in all the lakes and the composed
     * pipeline stays exactly-once as a whole, not just per leg. Indexed
     * text is the REDACTED text: what the curation lake serves is what
     * passed the gate. Per-batch work scales with the batch in every
@@ -280,7 +283,8 @@ object Streams {
   def curationMaintainer(docs: DataFrame, probeGrams: Seq[String],
       lakeDir: String, annIndexDir: String, bm25IndexDir: String,
       checkpoint: String, threshold: Double = 0.7,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      int8IndexDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
@@ -311,6 +315,12 @@ object Streams {
               graft.operators.Search.appendBatch(admitted.sparkSession,
                 bm25IndexDir,
                 admitted.select(col("doc_id"), col("text")), batchId)
+              int8IndexDir.foreach(dir =>
+                graft.operators.ScalarQuant.sqAppendBatch(
+                  admitted.sparkSession, dir,
+                  admitted.select(col("doc_id").as("vec_id"),
+                    col("embedding")),
+                  batchId))
             } finally admitted.unpersist()
           } finally scrubbed.unpersist()
         }

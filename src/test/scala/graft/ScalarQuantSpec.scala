@@ -103,4 +103,31 @@ class ScalarQuantSpec extends SparkSuite {
     val audit = ScalarQuant.codesAudit(spark, idx)
     assert(audit.exceptAll(fresh).isEmpty && fresh.exceptAll(audit).isEmpty)
   }
+
+  test("append + promote lifecycle serves the one-shot ranking at " +
+      "every stage, and promotion is re-run idempotent") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val oneShot = ScalarQuant.sqTopK(spark, d).collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString)
+    val idx = tmpDir("sq_lifecycle")
+    ScalarQuant.sqWriteIndex(spark, d, idx,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
+    ScalarQuant.sqAppendBatch(spark, idx,
+      emb.filter(col("vec_id") % 5 === 4), batchId = 1L)
+    def served() = ScalarQuant.sqTopKFromIndex(spark, idx,
+      emb.filter(col("vec_id") < 5), emb).collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(served() === oneShot) // grown
+    ScalarQuant.promoteBatches(spark, idx)
+    assert(served() === oneShot) // promoted: one-scan plan, same rows
+    // batch dirs retired; a re-run is a no-op, not a double-count
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/codes_batches")))
+    ScalarQuant.promoteBatches(spark, idx)
+    assert(served() === oneShot)
+    assert(spark.read.parquet(s"$idx/codes").count() === emb.count())
+  }
 }

@@ -37,12 +37,14 @@ class StreamsSpec extends SparkSuite {
   }
 
   test("curationMaintainer: one document stream advances quarantine, " +
-    "near-dup, ANN and BM25 lakes exactly-once with shared batch ids") {
+    "near-dup, ANN, BM25 and int8 lakes exactly-once with shared " +
+    "batch ids") {
     import graft.operators.{Scrub, Search, Similarity}
     val d = sf()
     val lake = tmpDir("cur_lake")
     val ann = tmpDir("cur_ann")
     val bm25 = tmpDir("cur_bm25")
+    val int8 = tmpDir("cur_int8")
     val stage = tmpDir("cur_stage")
     val ckpt = tmpDir("cur_ckpt")
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
@@ -65,6 +67,8 @@ class StreamsSpec extends SparkSuite {
       docFilter = Some(col("doc_id") % 5 =!= 4))
     Similarity.ivfWriteIndex(spark, d, ann,
       assignOnly = Some(col("vec_id") % 5 =!= 4))
+    graft.operators.ScalarQuant.sqWriteIndex(spark, d, int8,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
     def stageBatch(name: String, part: org.apache.spark.sql.DataFrame):
         Unit = {
       val tmp = tmpDir(s"cur_stage_$name")
@@ -79,7 +83,7 @@ class StreamsSpec extends SparkSuite {
     def stream() = spark.readStream.schema(streamed.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val q = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,
-      bm25, ckpt)
+      bm25, ckpt, int8IndexDir = Some(int8))
     q.awaitTermination(300000)
     // quarantine holds exactly the contaminated docs; the near-dup
     // lake holds exactly the admitted ones, in both batch dirs
@@ -97,6 +101,8 @@ class StreamsSpec extends SparkSuite {
     assert(batchDirs(s"$ann/assignments_batches") ===
       Seq("batch=0", "batch=1"))
     assert(batchDirs(s"$bm25/postings_batches") ===
+      Seq("batch=0", "batch=1"))
+    assert(batchDirs(s"$int8/codes_batches") ===
       Seq("batch=0", "batch=1"))
     // ANN leg: the grown index serves the one-shot build over
     // everything-but-quarantined (frozen geometry, pure assignment)
@@ -123,15 +129,26 @@ class StreamsSpec extends SparkSuite {
       Search.bm25FromIndex(spark, dir)
         .collect().map(_.toString).sorted.toSeq
     assert(serveBm(bm25) === serveBm(bm25Ref))
+    // int8 leg: no geometry to freeze, so the grown warm tier serves
+    // the EXACT one-shot build over everything-but-quarantined
+    val int8Ref = tmpDir("cur_int8_ref")
+    graft.operators.ScalarQuant.sqWriteIndex(spark, d, int8Ref,
+      assignOnly = Some(!col("vec_id").isin(quarIds.toSeq: _*)))
+    def serveInt8(dir: String): Seq[String] =
+      graft.operators.ScalarQuant.sqTopKFromIndex(spark, dir, queries,
+        Tables.embeddings(spark, d))
+        .collect().map(_.toString).sorted.toSeq
+    assert(serveInt8(int8) === serveInt8(int8Ref))
     // restart on the same checkpoint with no new files: every lake
     // unchanged — the composed pipeline is exactly-once as a whole
     val q2 = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,
-      bm25, ckpt)
+      bm25, ckpt, int8IndexDir = Some(int8))
     q2.awaitTermination(300000)
     assert(batchDirs(s"$bm25/postings_batches") ===
       Seq("batch=0", "batch=1"))
     assert(serveBm(bm25) === serveBm(bm25Ref))
     assert(serveAnn(ann) === serveAnn(annRef))
+    assert(serveInt8(int8) === serveInt8(int8Ref))
   }
 
   test("streaming BM25 index maintainer: micro-batched document " +
