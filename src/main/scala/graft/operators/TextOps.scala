@@ -412,4 +412,38 @@ object TextOps {
     fingerprints(s, d)
       .groupBy(col("fingerprint")).agg(count(lit(1)).as("n_copies"))
       .groupBy(col("n_copies")).agg(count(lit(1)).as("n_classes"))
+
+  /** RAG-style document chunking: overlapping token windows of
+    * `window` tokens every `stride` (overlap = window − stride), the
+    * unit the retrieval stack indexes when whole documents are too
+    * long to embed or rank. Chunk starts are `0, stride, 2·stride, …`
+    * while they fall inside the doc, so the final window may be short
+    * (never empty) and every token belongs to ≥ 1 chunk; tokenless
+    * docs emit nothing. Output rows
+    * (doc_id, chunk_idx 1-based, start 0-based, n_tokens, chunk) are a
+    * pure function of the text — fully oracle-recomputable — and the
+    * chunk column is documents-shaped, so the ANN/BM25/int8 builders
+    * consume a chunks table unchanged (chunk identity = the
+    * (doc_id, chunk_idx) pair).
+    *
+    * Scale shape: one projection + one generator per doc — no shuffle
+    * at all; the output is ~(len/stride)× the corpus rows, the
+    * intended fan-out.
+    */
+  def chunks(s: SparkSession, d: String, window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(window >= stride && stride > 0, "need window >= stride > 0")
+    Tables.parallelized(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .withColumn("len", size(col("ts")))
+      .filter(col("len") > 0)
+      .select(col("doc_id"), col("ts"),
+        posexplode(sequence(lit(0), col("len") - 1, lit(stride))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_idx"),
+        col("col").cast("int").as("start"),
+        slice(col("ts"), col("col") + 1, lit(window)).as("cts"))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        size(col("cts")).cast("int").as("n_tokens"),
+        array_join(col("cts"), " ").as("chunk"))
+  }
 }

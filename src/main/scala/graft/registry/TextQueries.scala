@@ -44,6 +44,10 @@ object TextQueries {
     // multiplicative-hash permutation, fully oracle-recomputable
     "q_train_shards" -> ((s: SparkSession, d: String) =>
       Shard.trainShards(s, d)),
+    // RAG chunking: overlapping token windows, the unit the retrieval
+    // stack indexes past whole-doc length limits
+    "q_chunks" -> ((s: SparkSession, d: String) =>
+      TextOps.chunks(s, d)),
     "q_dedup_exact" -> (Dedup.exact _),
     "q_minhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.minhashPairs(s, d)),
@@ -568,6 +572,21 @@ object TextQueries {
        |         (acc, x) -> acc + x)))""".stripMargin
 
   private lazy val baseOracle: Map[String, String] = Map(
+    // chunking: starts 0, 48, … while inside the doc; window 64; the
+    // tail window may be short; 1-based chunk_idx = start/stride + 1
+    "q_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, ts, unnest(range(0, len(ts), 48)) AS start
+        |  FROM toks WHERE len(ts) > 0)
+        |SELECT doc_id, CAST(start // 48 + 1 AS INT) AS chunk_idx,
+        |  CAST(start AS INT) AS start,
+        |  CAST(len(ts[start + 1 : start + 64]) AS INT) AS n_tokens,
+        |  array_to_string(ts[start + 1 : start + 64], ' ') AS chunk
+        |FROM st""".stripMargin,
     // training-shard permutation: the Knuth multiplicative hash,
     // shard = h mod 8, pos = rank of (h, doc_id) within the shard
     "q_train_shards" ->

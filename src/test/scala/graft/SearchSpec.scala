@@ -185,4 +185,42 @@ class SearchSpec extends SparkSuite {
       .toSet
     assert(got === Set((1L, 8L, ""), (2L, 8L, "")))
   }
+
+  test("chunks: overlapping windows cover every token; short tail; " +
+      "tokenless docs drop") {
+    val d = plant(Seq(
+      1L -> (1 to 10).map(i => s"t$i").mkString(" "),
+      2L -> "only three tokens",
+      3L -> ""))
+    val got = TextOps.chunks(spark, d, window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(got.toSeq === Seq(
+      (1L, 1, 0, 4, "t1 t2 t3 t4"),
+      (1L, 2, 3, 4, "t4 t5 t6 t7"),
+      (1L, 3, 6, 4, "t7 t8 t9 t10"),
+      (1L, 4, 9, 1, "t10"), // short tail, never empty
+      (2L, 1, 0, 3, "only three tokens")))
+  }
+
+  test("a chunks table is documents-shaped: BM25 retrieves the one " +
+      "chunk holding a term") {
+    val base = plant(Seq(
+      1L -> ((1 to 60).map(i => s"w$i").mkString(" ") + " needle " +
+        (61 to 90).map(i => s"w$i").mkString(" "))))
+    val chunkDir = tmpDir("chunk_docs")
+    TextOps.chunks(spark, base, window = 32, stride = 32)
+      .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+        col("chunk").as("text"), lit("en").as("lang"),
+        lit("src0").as("source"),
+        length(col("chunk")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$chunkDir/documents.parquet")
+    // "needle" is token 61 → chunk 2 (tokens 33-64) of the 3 windows
+    val hits = Search.bm25(spark, chunkDir,
+      queries = Seq(1 -> "needle"), k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(hits === Seq(1002L))
+  }
 }
