@@ -27,6 +27,7 @@ object ScaleProbe {
       bm25GrowthProbe(); return
     }
     if (args.headOption.contains("skew")) { skewProbe(); return }
+    if (args.headOption.contains("int8")) { int8Probe(); return }
     val reps = args.headOption.map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -250,6 +251,75 @@ object ScaleProbe {
     println(f"pq-probe summary: build $tBuild%.1f s, " +
       f"adc-serve $tAdc%.2f s, refined-serve $tRefined%.2f s " +
       f"(min-of-3, $n vectors, $shards shards)")
+    spark.stop()
+  }
+
+  /** Int8 warm-tier probe at the pq-probe's 64× corpus (128k vectors):
+    * build cost, on-disk footprint vs the raw store, and the
+    * shortlist+re-rank serve vs the raw brute-force scan it replaces —
+    * the tier's claim is "brute-force answers from a quarter of the
+    * bytes, exactly".
+    */
+  private def int8Probe(): Unit = {
+    import graft.operators.{ScalarQuant, Similarity}
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reps = 64
+    val corpus = "/tmp/graft_pq_scale" // shared with pqProbe
+    val idx = s"$corpus/int8_idx"
+    def time(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $s%.2f s"); s
+    }
+    if (!new java.io.File(s"$corpus/embeddings.parquet").exists())
+      Tables.embeddings(spark, "/root/testdata/sf0.1")
+        .withColumn("__rep", explode(lit((0 until reps).toArray)))
+        .select((col("vec_id") + col("__rep") * lit(1000000L))
+          .as("vec_id"), col("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val n = Tables.embeddings(spark, corpus).count()
+    val tBuild = time(s"int8 codes build ($n vectors)") {
+      ScalarQuant.sqWriteIndex(spark, corpus, idx)
+    }
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+    val rawMb = dirBytes(s"$corpus/embeddings.parquet") / 1e6
+    val codesMb = dirBytes(s"$idx/codes") / 1e6
+    println(f"footprint: raw store $rawMb%.1f MB, int8 codes " +
+      f"$codesMb%.1f MB (${rawMb / codesMb}%.1fx smaller)")
+    val queries = Tables.embeddings(spark, corpus)
+      .filter(col("vec_id") < 5)
+    def brute(): Long =
+      Similarity.bruteForceTopKAgg(spark, corpus).count()
+    def served(): Long =
+      ScalarQuant.sqTopKFromIndex(spark, idx, queries,
+        Tables.embeddings(spark, corpus)).count()
+    served() // warm
+    val tBrute = (1 to 3).map(_ =>
+      time("brute-force 5 queries over the raw store")(brute())).min
+    val tServe = (1 to 3).map(_ =>
+      time("int8 shortlist + exact re-rank, 5 queries")(served())).min
+    // measured, not asserted: shortlist recall at this corpus size
+    val bruteRows = Similarity.bruteForceTopKAgg(spark, corpus)
+      .collect().map(_.toString).sorted.toSeq
+    val servedRows = ScalarQuant.sqTopKFromIndex(spark, idx, queries,
+      Tables.embeddings(spark, corpus))
+      .collect().map(_.toString).sorted.toSeq
+    val exact = bruteRows == servedRows
+    println(f"int8-probe summary: build $tBuild%.1f s, raw-brute " +
+      f"$tBrute%.2f s vs int8-served $tServe%.2f s (min-of-3, " +
+      f"$n vectors, served ranking ${if (exact) "IDENTICAL to"
+        else "DIVERGES from"} the exact brute force)")
     spark.stop()
   }
 

@@ -426,9 +426,10 @@ object TextOps {
     * consume a chunks table unchanged (chunk identity = the
     * (doc_id, chunk_idx) pair).
     *
-    * Scale shape: one projection + one generator per doc — no shuffle
-    * at all; the output is ~(len/stride)× the corpus rows, the
-    * intended fan-out.
+    * Scale shape: one projection + one generator per doc — the only
+    * exchange is [[graft.Tables.parallelized]]'s single-file
+    * scan-parallelism repartition, absent on a sharded corpus; the
+    * output is ~(len/stride)× the corpus rows, the intended fan-out.
     */
   def chunks(s: SparkSession, d: String, window: Int = 64,
       stride: Int = 48): DataFrame = {
