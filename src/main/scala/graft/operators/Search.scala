@@ -359,6 +359,33 @@ object Search {
     * only when they exist, so an ungrown index serves with the
     * minimal plan (no sum-fold exchanges).
     */
+  /** Index integrity / drift monitor — the BM25 counterpart of
+    * [[Similarity.ivfCellStats]]: the persisted termstats (committed
+    * append batches sum-folded in) bucketed into a power-of-two df
+    * histogram. The bucket is the integer binary length of df
+    * (`length(bin(df)) − 1`), never a float log — engine-exact at the
+    * power boundaries. Answering the corpus-recompute oracle pins the
+    * INDEX against the corpus: a double-counted append, a lost batch,
+    * or skew in a term's df lands in a different bucket and fails the
+    * hash compare — a distributed fsck for the retrieval tier.
+    */
+  def indexTermStats(s: SparkSession, indexDir: String): DataFrame = {
+    val grown = new org.apache.hadoop.fs.Path(
+      s"$indexDir/termstats_batches")
+    val fs = grown.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val termstats =
+      if (fs.exists(grown))
+        withBatches(s, indexDir, "termstats")
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      else s.read.parquet(s"$indexDir/termstats")
+    termstats
+      .select((length(bin(col("df"))) - 1).cast("int").as("df_bucket"),
+        col("df"))
+      .groupBy("df_bucket")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("df")).cast("long").as("sum_df"))
+  }
+
   private def servedFrames(s: SparkSession, indexDir: String,
       queries: Seq[(Int, String)]): (DataFrame, DataFrame, DataFrame) = {
     val terms = queries.map(_._2).distinct

@@ -46,6 +46,44 @@ object Shard {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Stratified train/val/test split: within each stratum (language),
+    * docs rank by the same hash permutation and are cut at EXACT
+    * integer fractions — `⌊n·trainPct/100⌋` to train, the next
+    * `⌊n·valPct/100⌋` to val, the rest to test — so per-stratum
+    * proportions are exact (not just expected), assignment is
+    * deterministic and leak-free under re-runs, and integer arithmetic
+    * keeps the boundaries engine-identical (a float fraction could
+    * flip a boundary doc cross-engine).
+    *
+    * Scale shape: one rank window + one count per stratum — strata
+    * (languages) are few and internally large, the partitionBy is on
+    * the stratum key; at extreme per-stratum cardinality the rank
+    * window becomes the same repartition+sort pass as [[writeShards]].
+    */
+  def stratifiedSplit(s: SparkSession, d: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct <= 100")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    val cw = Window.partitionBy(col("lang"))
+    // ⌊n·p/100⌋ per boundary (NOT floor of the summed fractions —
+    // that shifts the val cut); n·p ≪ 2⁵³ and a non-divisible n·p sits
+    // ≥ 0.01 from an integer, so the double floor equals the oracle's
+    // integer division exactly
+    val trainCut = floor(col("n") * trainPct / lit(100.0))
+    val valCut = trainCut + floor(col("n") * valPct / lit(100.0))
+    Tables.parallelized(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        ((col("doc_id") * Knuth) % M32).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .select(col("doc_id"), col("lang"),
+        when(col("rk") <= trainCut, "train")
+          .when(col("rk") <= valCut, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Materialize the shards: one dir per shard, rows in (h, doc_id)
     * order — the file order IS the training order, so the loader just
     * streams. One shuffle (keyed on shard), one partition-local sort.

@@ -48,6 +48,15 @@ object TextQueries {
     // stack indexes past whole-doc length limits
     "q_chunks" -> ((s: SparkSession, d: String) =>
       TextOps.chunks(s, d)),
+    // stratified train/val/test split: exact per-language fractions,
+    // deterministic hash order — leak-free under re-runs
+    "q_data_splits" -> ((s: SparkSession, d: String) =>
+      Shard.stratifiedSplit(s, d)),
+    // BM25 index fsck: the GROWN index's sum-folded termstats bucketed
+    // by integer binary length of df, answered against a pure corpus
+    // recompute — a double-counted or lost append batch fails the hash
+    "q_bm25_index_stats" -> ((s: SparkSession, d: String) =>
+      Search.indexTermStats(s, s"${indexRoot(d)}/bm25_appended")),
     "q_dedup_exact" -> (Dedup.exact _),
     "q_minhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.minhashPairs(s, d)),
@@ -587,6 +596,39 @@ object TextQueries {
         |  CAST(len(ts[start + 1 : start + 64]) AS INT) AS n_tokens,
         |  array_to_string(ts[start + 1 : start + 64], ' ') AS chunk
         |FROM st""".stripMargin,
+    // stratified split: rank by the Knuth hash within each lang, cut
+    // at integer-division boundaries (80/10/10)
+    "q_data_splits" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rk <= (n * 80) // 100 THEN 'train'
+        |       WHEN rk <= (n * 80) // 100 + (n * 10) // 100 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin,
+    // BM25 index fsck: df histogram recomputed from the corpus —
+    // integer binary-length buckets, engine-exact at power boundaries
+    "q_bm25_index_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |post AS (
+        |  SELECT term, doc_id FROM (
+        |    SELECT doc_id, unnest(ts) AS term FROM toks)
+        |  GROUP BY term, doc_id),
+        |tstats AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+        |SELECT CAST(length(bin(df)) - 1 AS INT) AS df_bucket,
+        |  count(*) AS n_terms, CAST(sum(df) AS BIGINT) AS sum_df
+        |FROM tstats GROUP BY df_bucket""".stripMargin,
     // training-shard permutation: the Knuth multiplicative hash,
     // shard = h mod 8, pos = rank of (h, doc_id) within the shard
     "q_train_shards" ->

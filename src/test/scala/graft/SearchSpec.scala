@@ -186,6 +186,30 @@ class SearchSpec extends SparkSuite {
     assert(got === Set((1L, 8L, ""), (2L, 8L, "")))
   }
 
+  test("indexTermStats: hand-computed df histogram; a double-counted " +
+      "append batch breaks the fsck") {
+    // df(cat)=3 → bucket 1; df(dog)=2 → bucket 1; df(bird)=1 → bucket 0
+    val d = plant(Seq(
+      1L -> "cat dog", 2L -> "cat dog", 3L -> "cat bird"))
+    val idx = tmpDir("fsck_idx")
+    Search.buildIndex(spark, d, idx,
+      docFilter = Some(col("doc_id") <= 2))
+    Search.appendBatch(spark, idx,
+      Tables.documents(spark, d).filter(col("doc_id") === 3)
+        .select(col("doc_id"), col("text")), batchId = 1L)
+    def hist(dir: String) = Search.indexTermStats(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(hist(idx) === Set((1, 2L, 5L), (0, 1L, 1L)))
+    // corrupt: the same docs appended again under a NEW batch id — the
+    // retry-keyed overwrite can't dedup a different id; the fsck must
+    // see the double count
+    Search.appendBatch(spark, idx,
+      Tables.documents(spark, d).filter(col("doc_id") === 3)
+        .select(col("doc_id"), col("text")), batchId = 2L)
+    assert(hist(idx) !== Set((1, 2L, 5L), (0, 1L, 1L)))
+  }
+
   test("chunks: overlapping windows cover every token; short tail; " +
       "tokenless docs drop") {
     val d = plant(Seq(

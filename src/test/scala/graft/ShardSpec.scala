@@ -52,4 +52,27 @@ class ShardSpec extends SparkSuite {
     assert(sizes.length === 4 && sizes.max <= 2 * sizes.min,
       sizes.mkString(","))
   }
+
+  test("stratified split cuts every stratum at exact integer " +
+      "fractions and is re-run deterministic (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val split = Shard.stratifiedSplit(spark, d)
+    val got = split.groupBy("lang", "split").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val perLang = Tables.documents(spark, d).groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    perLang.foreach { case (lang, n) =>
+      val train = n * 80 / 100
+      val valN = n * 10 / 100
+      assert(got.getOrElse((lang, "train"), 0L) === train, s"$lang train")
+      assert(got.getOrElse((lang, "val"), 0L) === valN, s"$lang val")
+      assert(got.getOrElse((lang, "test"), 0L) === n - train - valN,
+        s"$lang test")
+    }
+    // determinism: a second evaluation assigns identically
+    val a = split.collect().map(_.toSeq).sortBy(_.toString)
+    val b = Shard.stratifiedSplit(spark, d).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
 }
