@@ -82,8 +82,31 @@ object FuseCosineRule extends Rule[LogicalPlan] {
 /** SparkSessionExtensions entry point:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Injects the fused-cosine rewrite rule AND registers the two fused
+  * kernels as SQL functions, so `spark.sql("... fused_cosine(a, b)
+  * ... fused_int8_cosine(codes, q) ...")` works cluster-wide without
+  * per-session `register()` calls.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  private def twoArg(name: String,
+      build: (Expression, Expression) => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) {
+          throw org.apache.spark.sql.GraftBridge
+            .wrongNumArgsError(name, 2, exprs.length)
+        }
+        build(exprs.head, exprs(1))
+      })
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FuseCosineRule)
+    e.injectFunction(twoArg("fused_cosine", FusedCosineSimilarity(_, _)))
+    e.injectFunction(twoArg("fused_int8_cosine",
+      graft.functions.FusedInt8Cosine(_, _)))
+  }
 }
