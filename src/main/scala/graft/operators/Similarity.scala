@@ -1155,11 +1155,17 @@ object Similarity {
     * files via dynamic partition pruning.
     */
   def lshWriteIndex(s: SparkSession, d: String, indexDir: String,
-      dim: Int = 64, nPlanes: Int = 0): Unit = {
+      dim: Int = 64, nPlanes: Int = 0,
+      assignOnly: Option[Column] = None): Unit = {
     import s.implicits._
     val embRaw = Tables.embeddings(s, d)
+    // plane count derives from the FULL corpus even when assignOnly
+    // restricts what is indexed — the rest arrives via lshAppendBatch
+    // under this frozen plane set (the fit-once pattern; the bucket of
+    // a vector is a pure function of (embedding, planes), so a grown
+    // index is EXACTLY the one-shot build at the same plane count)
     val planes = if (nPlanes > 0) nPlanes else planesFor(embRaw.count())
-    Tables.parallelized(embRaw)
+    Tables.parallelized(assignOnly.map(embRaw.filter).getOrElse(embRaw))
       .select(col("vec_id"), col("embedding"),
         lshBucket(col("embedding"), dim, planes).as("bucket"))
       .repartition(col("bucket")) // one file per dir (see ivfWriteIndex)
@@ -1167,6 +1173,26 @@ object Similarity {
       .parquet(s"$indexDir/buckets")
     Seq((planes, dim)).toDF("planes", "dim")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** Per-arrival LSH growth: bucket `newEmb` under the index's frozen
+    * plane set (read from the one-row meta) into a
+    * `buckets_batches/batch=<id>` dir — batch-scaled work, exactly-once
+    * by keyed overwrite, bucket still a partition column so serve
+    * pruning covers both sides of the union.
+    * [[Similarity.promoteBatches]]`(table = "buckets", partitionCol =
+    * "bucket")` folds committed batches back into base.
+    */
+  def lshAppendBatch(s: SparkSession, indexDir: String, newEmb: DataFrame,
+      batchId: Long): Unit = {
+    val meta = s.read.parquet(s"$indexDir/meta").head()
+    val (planes, dim) = (meta.getAs[Int]("planes"), meta.getAs[Int]("dim"))
+    newEmb
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), dim, planes).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/buckets_batches/batch=$batchId")
   }
 
   /** Serve LSH ANN top-k from a persisted index ([[lshWriteIndex]]):
@@ -1182,7 +1208,7 @@ object Similarity {
     val meta = s.read.parquet(s"$indexDir/meta").head()
     val (planes, dim) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("dim"))
-    val buckets = s.read.parquet(s"$indexDir/buckets")
+    val buckets = readAssignments(s, indexDir, table = "buckets")
     val masks = probeMasks(planes, probeRadius)
     val qb = lshBucket(col("q"), dim, planes)
     val queryProbes = queries

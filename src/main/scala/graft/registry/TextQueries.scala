@@ -176,6 +176,15 @@ object TextQueries {
     "q_ann_lsh_served" -> ((s: SparkSession, d: String) =>
       Similarity.annTopKFromIndex(s, s"${indexRoot(d)}/lsh",
         annProbeVectors(s, d))),
+    // LSH lifecycle twins (closing the last index family without one):
+    // bucketing is a pure function of (embedding, frozen planes), so
+    // grown and promoted both serve the one-shot golden exactly
+    "q_ann_lsh_appended_served" -> ((s: SparkSession, d: String) =>
+      Similarity.annTopKFromIndex(s, s"${indexRoot(d)}/lsh_appended",
+        annProbeVectors(s, d))),
+    "q_ann_lsh_promoted_served" -> ((s: SparkSession, d: String) =>
+      Similarity.annTopKFromIndex(s, s"${indexRoot(d)}/lsh_promoted",
+        annProbeVectors(s, d))),
     "q_ann_ivf_served" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKFromIndex(s, s"${indexRoot(d)}/ivf",
         annProbeVectors(s, d))),
@@ -386,6 +395,24 @@ object TextQueries {
         .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 4),
       batchId = 1L)
     ScalarQuant.sqWriteIndex(s, d, s"$root/int8")
+    // LSH lifecycle twins: plane set fit on the full corpus, 80%
+    // indexed, 20% appended under the frozen planes; promotion folds
+    // the batch back. Bucketing is exact given planes, so both serve
+    // the one-shot golden
+    Seq("lsh_appended" -> false, "lsh_promoted" -> true).foreach {
+      case (name, promote) =>
+        val dir = s"$root/$name"
+        Similarity.lshWriteIndex(s, d, dir,
+          assignOnly = Some(org.apache.spark.sql.functions
+            .col("vec_id") % 5 =!= 4))
+        Similarity.lshAppendBatch(s, dir,
+          graft.Tables.embeddings(s, d)
+            .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 4),
+          batchId = 1L)
+        if (promote)
+          Similarity.promoteBatches(s, dir, table = "buckets",
+            partitionCol = "bucket")
+    }
     // int8 lifecycle twins, the same 80/20 fixture rule as the other
     // tiers: grown (base + one committed batch) and grown-then-promoted
     // (back to the one-scan plan). No geometry to freeze, so both are
@@ -419,6 +446,8 @@ object TextQueries {
       // the DedupSimilaritySpec round-trips), so they share oracles —
       // the golden-backed ones inherit the sf0.01-only caveat
       ("q_ann_lsh_served" -> baseOracle("q_ann_lsh")) +
+      ("q_ann_lsh_appended_served" -> baseOracle("q_ann_lsh")) +
+      ("q_ann_lsh_promoted_served" -> baseOracle("q_ann_lsh")) +
       ("q_ann_ivf_served" -> baseOracle("q_ann_ivf")) +
       // append-parity: frozen geometry ⇒ the grown index serves the
       // one-shot build's exact ranking (spec-pinned; golden shared)

@@ -487,6 +487,35 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(servePq(pqGrown) === wantPq)
   }
 
+  test("LSH lifecycle: frozen-plane appends serve the one-shot " +
+      "ranking, and the buckets table promotes through the same fold") {
+    val full = tmpDir("lshlcfull")
+    val grown = tmpDir("lshlcgrown")
+    Similarity.lshWriteIndex(spark, sf(), full)
+    // plane set from the FULL corpus, 80% indexed
+    Similarity.lshWriteIndex(spark, sf(), grown,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
+    val heldOut = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") % 5 === 4)
+    Similarity.lshAppendBatch(spark, grown, heldOut, batchId = 1L)
+    val queries = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") < 5)
+    def serve(dir: String): Seq[String] =
+      Similarity.annTopKFromIndex(spark, dir, queries)
+        .collect().map(_.toString).sorted.toSeq
+    val want = serve(full)
+    assert(serve(grown) === want) // bucket = f(embedding, planes): exact
+    // retry: the same batch id overwrites itself, nothing double-counts
+    Similarity.lshAppendBatch(spark, grown, heldOut, batchId = 1L)
+    assert(serve(grown) === want)
+    Similarity.promoteBatches(spark, grown, table = "buckets",
+      partitionCol = "bucket")
+    assert(!new java.io.File(s"$grown/buckets_batches").exists())
+    assert(spark.read.parquet(s"$grown/buckets").count() ===
+      Tables.embeddings(spark, sf()).count())
+    assert(serve(grown) === want)
+  }
+
   test("drift-triggered refit: a hot append batch trips the " +
       "concentration signal, the refit reproduces the one-shot " +
       "geometry of the accreted corpus, and batches are retired") {
