@@ -139,6 +139,13 @@ class StreamsSpec extends SparkSuite {
         Tables.embeddings(spark, d))
         .collect().map(_.toString).sorted.toSeq
     assert(serveInt8(int8) === serveInt8(int8Ref))
+    // capstone composition: the HYBRID serve over the streamed (grown)
+    // bm25 + int8 indexes answers exactly what it answers over the
+    // one-shot reference builds — the curation stream feeds retrieval
+    def serveHybrid(bmDir: String, sqDir: String): Seq[String] =
+      graft.operators.Hybrid.rrfFromIndexes(spark, d, bmDir, sqDir)
+        .collect().map(_.toString).sorted.toSeq
+    assert(serveHybrid(bm25, int8) === serveHybrid(bm25Ref, int8Ref))
     // restart on the same checkpoint with no new files: every lake
     // unchanged — the composed pipeline is exactly-once as a whole
     val q2 = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,
