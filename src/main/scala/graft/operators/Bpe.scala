@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Fns._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+  * "train the tokenizer on the corpus" stage of a pretraining pipeline,
+  * run as a sequence of vocabulary-sized DataFrame jobs rather than the
+  * single-machine dictionary loop of the reference implementations.
+  *
+  * State is the word-frequency table (distinct corpus words with
+  * occurrence counts — vocabulary-sized, millions of types at 100 TB,
+  * never the corpus itself) carrying a symbol-array column that starts
+  * as characters (word-final character tagged `</w>` so merges cannot
+  * cross word boundaries). Each merge round is:
+  *   1. adjacent-pair counts weighted by word frequency — a zip of two
+  *      array slices (no per-symbol explode row count beyond the pair
+  *      stream) feeding one pair-keyed hash aggregate;
+  *   2. argmax pair by (count DESC, left ASC, right ASC) — a
+  *      deterministic total order; `limit(1).collect` moves ONE row to
+  *      the driver (the same bounded-collect contract as the IVF
+  *      centroid fits);
+  *   3. a greedy left-to-right fold (`functions.aggregate`) replacing
+  *      non-overlapping occurrences of the pair in every word's symbol
+  *      array — lazily-evaluated CASE keeps the empty-accumulator slice
+  *      unreachable;
+  *   4. `localCheckpoint` to truncate lineage so round N's plan does
+  *      not nest N folds.
+  * Encoding joins corpus tokens against the once-encoded word table
+  * (token-keyed, 1:N against single-row words) — documents are never
+  * re-folded per merge.
+  *
+  * The merge table is deterministic given the corpus, so q_bpe_merges
+  * carries a GOLDEN oracle pinned at the driver's verify scale
+  * (re-pin after a testdata regen: `runMain graft.GoldenDump
+  * q_bpe_merges`); the weighted pair-counting machinery underneath is
+  * pinned cross-engine by q_bpe_pair_counts' full DuckDB oracle, and
+  * the greedy fold by the planted-corpus spec (`BpeSpec` reproduces the
+  * classic low/lower/newest/widest merge sequence by hand).
+  */
+object Bpe {
+
+  /** Word-final marker (the standard end-of-word tag). */
+  val Eow = "</w>"
+
+  /** Distinct corpus words with occurrence counts — the training state
+    * seed. Vocabulary-sized output; one token explode + one word-keyed
+    * aggregate over the corpus.
+    */
+  def wordFreq(s: SparkSession, d: String): DataFrame =
+    Tables.parallelized(Tables.documents(s, d))
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol array: the word's characters, last one tagged with
+    * [[Eow]].
+    */
+  private def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i =>
+      when(i === length(word), concat(word.substr(i, lit(1)), lit(Eow)))
+        .otherwise(word.substr(i, lit(1))))
+
+  /** Adjacent symbol pairs of `syms` as (l, r) structs — a slice zip,
+    * not an explode of per-symbol rows.
+    */
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** Frequency-weighted adjacent-pair counts over a (word state) frame
+    * with `syms`/`freq` columns: (l, r, n).
+    */
+  private def pairCounts(state: DataFrame): DataFrame =
+    state.select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("n"))
+
+  /** Greedy left-to-right merge of non-overlapping (l, r) occurrences
+    * in a symbol array. CASE evaluates lazily, so the slice on an empty
+    * accumulator is unreachable.
+    */
+  private def mergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learned merges in application order:
+    * (rank, left, right, pair_count). Also returns the final encoded
+    * word table for [[encode]] reuse.
+    */
+  def learn(s: SparkSession, d: String, nMerges: Int = 16)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var state = wordFreq(s, d)
+      .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = pairCounts(state)
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, n))
+        state = state
+          .withColumn("syms", mergeFold(col("syms"), l, r))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    (merges.result(), state)
+  }
+
+  /** The learned merge table as a DataFrame (driver contract shape). */
+  def merges(s: SparkSession, d: String, nMerges: Int = 16): DataFrame = {
+    val rows = learn(s, d, nMerges)._1
+      .map { case (rk, l, r, n) => Row(rk, l, r, n) }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** Iteration-0 weighted pair counts (character pairs before any
+    * merge) — the cross-engine-oracled half of the trainer: DuckDB
+    * recomputes the same (l, r, n) set from the raw corpus.
+    */
+  def initialPairCounts(s: SparkSession, d: String): DataFrame =
+    pairCounts(wordFreq(s, d)
+      .select(col("freq"), charSyms(col("word")).as("syms")))
+
+  /** Corpus-level encode statistics after `nMerges` learned merges:
+    * one row (n_docs, n_tokens, n_chars, n_syms, compression 4 dp).
+    * `n_chars` is raw token characters (marker excluded) — the
+    * concatenation invariant ties it to the symbol table
+    * cross-engine; `n_syms`/`compression` are merge-dependent and
+    * golden-pinned.
+    */
+  def encodeStats(s: SparkSession, d: String, nMerges: Int = 16)
+      : DataFrame = {
+    val encoded = learn(s, d, nMerges)._2 // (word, freq, syms)
+    val tokens = Tables.parallelized(Tables.documents(s, d))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+    tokens.join(encoded.select(col("word"), size(col("syms")).as("ns")),
+        Seq("word"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("ns")).cast("long").as("n_syms"))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_syms"),
+        r4(col("n_chars").cast("double") / col("n_syms")).as("compression"))
+  }
+}

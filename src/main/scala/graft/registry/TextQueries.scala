@@ -1,8 +1,8 @@
 package graft.registry
 
-import graft.operators.{Classify, Curate, Dedup, Hybrid, Multimodal,
-  Sampling, ScalarQuant, Scrub, Search, Shard, Similarity, TextOps,
-  Video}
+import graft.operators.{Bpe, Classify, Curate, Dedup, Hybrid,
+  Multimodal, Perplexity, Reduce, Sampling, ScalarQuant, Scrub, Search,
+  Shard, Similarity, TextOps, Video}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
@@ -40,6 +40,26 @@ object TextQueries {
     // so training AND inference carry one full cross-engine oracle
     "q_quality_nb" -> ((s: SparkSession, d: String) =>
       Classify.nbQuality(s, d)),
+    // CCNet-style perplexity filter: bigram LM trained on the curated
+    // slice, per-doc ppl, head/middle/tail tertiles — closed-form
+    // Lidstone smoothing, so train+score+bucket carries one full
+    // cross-engine oracle
+    "q_perplexity" -> ((s: SparkSession, d: String) =>
+      Perplexity.perplexityFilter(s, d)),
+    // JL sign random projection: closed-form hash-seeded matrix, zero
+    // shuffles — fully oracle-recomputable
+    "q_rand_proj" -> ((s: SparkSession, d: String) =>
+      Reduce.randomProjection(s, d)),
+    // distributed BPE trainer: iteration-0 weighted pair counts carry
+    // the full cross-engine oracle; the merge table and encode stats
+    // are deterministic loop outputs, golden-pinned (re-pin:
+    // `runMain graft.GoldenDump q_bpe_merges` after a testdata regen)
+    "q_bpe_pair_counts" -> ((s: SparkSession, d: String) =>
+      Bpe.initialPairCounts(s, d)),
+    "q_bpe_merges" -> ((s: SparkSession, d: String) =>
+      Bpe.merges(s, d)),
+    "q_bpe_encode_stats" -> ((s: SparkSession, d: String) =>
+      Bpe.encodeStats(s, d)),
     // deterministic corpus shuffle → training shards: closed-form
     // multiplicative-hash permutation, fully oracle-recomputable
     "q_train_shards" -> ((s: SparkSession, d: String) =>
@@ -658,6 +678,116 @@ object TextQueries {
         |SELECT CAST(length(bin(df)) - 1 AS INT) AS df_bucket,
         |  count(*) AS n_terms, CAST(sum(df) AS BIGINT) AS sum_df
         |FROM tstats GROUP BY df_bucket""".stripMargin,
+    // JL sign random projection: full recompute — the sign matrix is a
+    // closed-form integer hash of (i, j), so DuckDB regenerates it
+    // exactly; 4 dp on the fixed-length dot products is the shared
+    // sum-of-doubles contract
+    "q_rand_proj" ->
+      """SELECT vec_id, j AS dim,
+        |  round(list_sum(list_transform(embedding,
+        |    (x, i) -> CAST(x AS DOUBLE) *
+        |      (CASE WHEN ((i * 2654435761 + j * 1013904223)
+        |          % 4294967296) // 65536 % 2 = 0
+        |        THEN 1.0 ELSE -1.0 END)))
+        |    / sqrt(8.0), 4) AS v
+        |FROM embeddings, (SELECT unnest(range(1, 9)) AS j)""".stripMargin,
+    // BPE iteration-0: weighted character-pair counts (word-final char
+    // tagged '</w>') recomputed from the raw corpus — pins the
+    // frequency-weighted pair-counting machinery under the merge loop
+    "q_bpe_pair_counts" ->
+      """WITH wf AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '),
+        |      t -> t <> '')) AS word
+        |    FROM documents) GROUP BY word),
+        |syms AS (
+        |  SELECT freq,
+        |    list_transform(range(1, len(word) + 1),
+        |      i -> CASE WHEN i = len(word) THEN word[i] || '</w>'
+        |           ELSE word[i] END) AS s
+        |  FROM wf),
+        |pairs AS (
+        |  SELECT freq, s[i] AS l, s[i + 1] AS r
+        |  FROM (SELECT freq, s, unnest(range(1, len(s))) AS i
+        |        FROM syms))
+        |SELECT l, r, CAST(sum(freq) AS BIGINT) AS n
+        |FROM pairs GROUP BY l, r""".stripMargin,
+    // BPE merge table: deterministic loop output (argmax per round
+    // with a total-order tie-break), GOLDEN pinned at sf0.01 — the
+    // pair-counting machinery under it is fully oracled by
+    // q_bpe_pair_counts and the loop semantics by BpeSpec's planted
+    // corpora. Re-pin after a testdata regen:
+    // `runMain graft.GoldenDump q_bpe_merges`
+    "q_bpe_merges" ->
+      """SELECT CAST(rank AS INT) AS rank, left_s AS "left",
+        |  right_s AS "right", CAST(n AS BIGINT) AS pair_count
+        |FROM (VALUES
+        |  (1,'e','r</w>',2779), (2,'o','w</w>',2747), (3,'t','o',1846),
+        |  (4,'a','t',1845), (5,'l','u',1831), (6,'a','s',1801),
+        |  (7,'i','n',1796), (8,'e','r',1789), (9,'o','r',1784),
+        |  (10,'a','r',1758), (11,'p','ar',1758), (12,'i','n</w>',964),
+        |  (13,'j','o',964), (14,'jo','in</w>',964),
+        |  (15,'as','h</w>',947), (16,'h','ash</w>',947))
+        |  t(rank, left_s, right_s, n)""".stripMargin,
+    // BPE encode stats: n_docs/n_tokens/n_chars are corpus facts (the
+    // concatenation invariant — also recomputed by BpeSpec); n_syms
+    // and compression are merge-dependent, pinned with the same golden
+    // caveat as q_bpe_merges. Re-pin:
+    // `runMain graft.GoldenDump q_bpe_encode_stats`
+    "q_bpe_encode_stats" ->
+      """SELECT CAST(500 AS BIGINT) AS n_docs,
+        |  CAST(27165 AS BIGINT) AS n_tokens,
+        |  CAST(122509 AS BIGINT) AS n_chars,
+        |  CAST(95989 AS BIGINT) AS n_syms,
+        |  CAST(1.2763 AS DOUBLE) AS compression""".stripMargin,
+    // bigram-LM perplexity filter: full train+score+bucket recompute —
+    // Lidstone-smoothed bigram probabilities from the reference slice
+    // (BOS context, +1 unseen-vocabulary slot), per-doc ppl at 4 dp
+    // (the shared sum-of-doubles contract), tertile buckets via
+    // interpolated quantiles of the ROUNDED ppl multiset (thresholds
+    // interpolate strictly between order statistics, so the bucket
+    // comparisons are engine-stable like q_quality_nb's median gate)
+    "q_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS ref,
+        |   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, ref,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE ts[i - 1] END AS w1,
+        |    ts[i] AS w2
+        |  FROM (SELECT doc_id, ref, ts,
+        |          unnest(range(1, len(ts) + 1)) AS i
+        |        FROM toks)),
+        |c2 AS (
+        |  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
+        |  FROM bi WHERE ref GROUP BY w1, w2),
+        |c1 AS (
+        |  SELECT w1, CAST(count(*) AS DOUBLE) AS c1
+        |  FROM bi WHERE ref GROUP BY w1),
+        |v AS (
+        |  SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v
+        |  FROM bi WHERE ref),
+        |pd AS (
+        |  SELECT bi.doc_id,
+        |    round(exp(sum(-ln((coalesce(c2.c2, 0) + 0.5) /
+        |      (coalesce(c1.c1, 0) + 0.5 * (v.v + 1)))) / count(*)), 4)
+        |      AS ppl
+        |  FROM bi LEFT JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+        |    LEFT JOIN c1 ON bi.w1 = c1.w1, v
+        |  GROUP BY bi.doc_id),
+        |scored AS (
+        |  SELECT t.doc_id, t.ref, pd.ppl
+        |  FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id),
+        |thr AS (
+        |  SELECT quantile_cont(ppl, 0.3333333333333333) AS t1,
+        |    quantile_cont(ppl, 0.6666666666666666) AS t2 FROM scored)
+        |SELECT doc_id, ref, ppl,
+        |  CASE WHEN ppl IS NULL THEN 'tail'
+        |    WHEN ppl <= t1 THEN 'head'
+        |    WHEN ppl <= t2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM scored, thr""".stripMargin,
     // training-shard permutation: the Knuth multiplicative hash,
     // shard = h mod 8, pos = rank of (h, doc_id) within the shard
     "q_train_shards" ->

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Bpe
+
+/** The distributed BPE trainer: the classic Sennrich
+  * low/lower/newest/widest merge sequence reproduced by hand
+  * (including the deterministic tie-breaks), greedy non-overlapping
+  * fold semantics on repeated symbols, and the encode-stats
+  * concatenation invariant.
+  */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def plant(rows: Seq[(Long, String)]): String = {
+    val dir = tmpDir("bpe")
+    rows.map { case (id, text) =>
+      (id, text, "en", "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("classic corpus learns the hand-derived merge sequence with " +
+      "deterministic tie-breaks") {
+    // word frequencies: low×5, lower×2, newest×6, widest×3
+    val d = plant(Seq(
+      (1L, Seq.fill(5)("low").mkString(" ") + " " +
+        Seq.fill(2)("lower").mkString(" ")),
+      (2L, Seq.fill(6)("newest").mkString(" ") + " " +
+        Seq.fill(3)("widest").mkString(" "))))
+    // round 1: (e,s)=9 ties (s,t</w>)=9 → left ASC picks (e,s)
+    // round 2: (es,t</w>)=9
+    // round 3: (l,o)=7
+    // round 4: (e,w)=6 ties (n,e) and (w,est</w>) → left ASC → (e,w)
+    val got = Bpe.merges(spark, d, nMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1, "e", "s", 9L),
+      (2, "es", "t</w>", 9L),
+      (3, "l", "o", 7L),
+      (4, "e", "w", 6L)))
+  }
+
+  test("greedy fold merges left-to-right without overlap on repeated " +
+      "symbols") {
+    val d = plant(Seq((1L, "aaaa")))
+    // syms a,a,a,a</w>: (a,a)=2 beats (a,a</w>)=1 → merge 1 = (a,a)
+    // fold → [aa, a, a</w>]; round 2 counts (a,a</w>)=1 vs (aa,a)=1 →
+    // left ASC picks (a,a</w>) → fold → [aa, aa</w>]
+    val (merges, state) = Bpe.learn(spark, d, nMerges = 2)
+    assert(merges === Seq((1, "a", "a", 2L), (2, "a", "a</w>", 1L)))
+    val syms = state.select("syms").collect()(0).getSeq[String](0)
+    assert(syms === Seq("aa", "aa</w>"))
+  }
+
+  test("merge exhaustion stops the loop early") {
+    val d = plant(Seq((1L, "ab ab")))
+    // only pair (a,b</w>) → 1 merge then single-symbol words
+    val got = Bpe.merges(spark, d, nMerges = 10).collect()
+    assert(got.length === 1)
+  }
+
+  test("encode stats preserve the concatenation invariant and count " +
+      "one symbol row per corpus token") {
+    val d = sf("sf0.001")
+    val row = Bpe.encodeStats(spark, d, nMerges = 4).collect()(0)
+    val (nDocs, nTokens, nChars, nSyms, compression) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getDouble(4))
+    val expected = Tables.documents(spark, d)
+      .selectExpr("size(filter(split(text, ' '), t -> t <> '')) AS n",
+        "length(replace(text, ' ', '')) AS c")
+      .agg(org.apache.spark.sql.functions.expr(
+        "struct(sum(CAST(n > 0 AS LONG)), CAST(sum(n) AS LONG), " +
+          "CAST(sum(c) AS LONG))"))
+      .collect()(0).getStruct(0)
+    assert(nDocs === expected.getLong(0))
+    assert(nTokens === expected.getLong(1))
+    assert(nChars === expected.getLong(2))
+    // merges only ever shrink the symbol stream; chars bound it below
+    assert(nSyms <= nChars + nTokens && nSyms >= nTokens)
+    assert(compression === math.rint(
+      (nChars.toDouble / nSyms + 1e-9) * 1e4) / 1e4)
+  }
+}
