@@ -50,6 +50,18 @@ object TextQueries {
     // shuffles — fully oracle-recomputable
     "q_rand_proj" -> ((s: SparkSession, d: String) =>
       Reduce.randomProjection(s, d)),
+    // PCA whitening family: the covariance matrix is one narrow pass
+    // with a fixed-size typed aggregate (full oracle); the Jacobi
+    // eigen-fit is a bounded driver-side model fit (d² doubles) —
+    // explained variance golden-pinned, and the whitened-projection
+    // covariance must equal the k×k IDENTITY at 4 dp, which makes its
+    // oracle data-independent (regen-proof)
+    "q_embedding_gram" -> ((s: SparkSession, d: String) =>
+      Reduce.gram(s, d)),
+    "q_pca_evr" -> ((s: SparkSession, d: String) =>
+      Reduce.pcaExplainedVariance(s, d)),
+    "q_pca_whiten" -> ((s: SparkSession, d: String) =>
+      Reduce.pcaWhitenCheck(s, d)),
     // distributed BPE trainer: iteration-0 weighted pair counts carry
     // the full cross-engine oracle; the merge table and encode stats
     // are deterministic loop outputs, golden-pinned (re-pin:
@@ -712,6 +724,43 @@ object TextQueries {
         |        FROM syms))
         |SELECT l, r, CAST(sum(freq) AS BIGINT) AS n
         |FROM pairs GROUP BY l, r""".stripMargin,
+    // embedding covariance, upper triangle: full recompute — avg of
+    // products minus product of avgs over every (i ≤ j) column pair
+    "q_embedding_gram" ->
+      """WITH pr AS (
+        |  SELECT ii.i, jj.j,
+        |    CAST(embedding[ii.i] AS DOUBLE) AS xi,
+        |    CAST(embedding[jj.j] AS DOUBLE) AS xj
+        |  FROM embeddings,
+        |    (SELECT unnest(range(1, 65)) AS i) ii,
+        |    (SELECT unnest(range(1, 65)) AS j) jj
+        |  WHERE ii.i <= jj.j)
+        |SELECT i, j, round(avg(xi * xj) - avg(xi) * avg(xj), 4) AS c
+        |FROM pr GROUP BY i, j""".stripMargin,
+    // PCA explained variance: deterministic Jacobi fit on the exact
+    // covariance — GOLDEN pinned at sf0.01 (the spectrum is
+    // data-dependent; the machinery is pinned cross-engine by
+    // q_embedding_gram's full oracle and q_pca_whiten's identity).
+    // Re-pin after a testdata regen: `runMain graft.GoldenDump q_pca_evr`
+    "q_pca_evr" ->
+      """SELECT CAST(component AS INT) AS component,
+        |  CAST(eigenvalue AS DOUBLE) AS eigenvalue,
+        |  CAST(evr AS DOUBLE) AS evr, CAST(cum_evr AS DOUBLE) AS cum_evr
+        |FROM (VALUES
+        |  (1,0.0275,0.0276,0.0276), (2,0.0272,0.0272,0.0548),
+        |  (3,0.0266,0.0267,0.0815), (4,0.0256,0.0257,0.1071),
+        |  (5,0.0254,0.0254,0.1326), (6,0.0251,0.0251,0.1577),
+        |  (7,0.0239,0.024,0.1817), (8,0.0232,0.0232,0.2049))
+        |  t(component, eigenvalue, evr, cum_evr)""".stripMargin,
+    // whitened-projection covariance == identity: data-independent by
+    // construction — a wrong mean, eigenvector, or scale breaks the
+    // exact 0/1 pattern at 4 dp
+    "q_pca_whiten" ->
+      """SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  CAST(CASE WHEN i = j THEN 1.0 ELSE 0.0 END AS DOUBLE) AS c
+        |FROM (SELECT unnest(range(1, 5)) AS i) ii,
+        |  (SELECT unnest(range(1, 5)) AS j) jj
+        |WHERE i <= j""".stripMargin,
     // BPE merge table: deterministic loop output (argmax per round
     // with a total-order tie-break), GOLDEN pinned at sf0.01 — the
     // pair-counting machinery under it is fully oracled by

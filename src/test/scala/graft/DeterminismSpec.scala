@@ -31,7 +31,12 @@ class DeterminismSpec extends SparkSuite {
     // hybrid fusion: two leg windows + the fused-sum groupBy
     "q_hybrid_rrf",
     // NB filter: per-doc double sums + the exact-percentile gate
-    "q_quality_nb")
+    "q_quality_nb",
+    // perplexity filter: per-doc nll sums + two interpolated-percentile
+    // bucket edges; BPE: the argmax tie-break must not see partial-agg
+    // merge order; random projection: fixed-order fold (narrow, but the
+    // 4 dp contract is what the oracle hashes)
+    "q_perplexity", "q_bpe_merges", "q_rand_proj")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
