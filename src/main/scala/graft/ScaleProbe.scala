@@ -28,6 +28,7 @@ object ScaleProbe {
     }
     if (args.headOption.contains("skew")) { skewProbe(); return }
     if (args.headOption.contains("int8")) { int8Probe(); return }
+    if (args.headOption.contains("zorder")) { zorderProbe(); return }
     val reps = args.headOption.map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -99,6 +100,107 @@ object ScaleProbe {
     * cannot rewrite (skewed AGGREGATE keys, and joins whose skewed
     * side feeds a co-partitioned consumer that must not see splits).
     */
+  /** Z-order vs 1-D-sorted layout at 32× lineitem (19.2M rows ON
+    * DISK each): times the q_zorder_served rectangle aggregate on
+    * both layouts and — the direct evidence — reads every parquet
+    * footer and counts row groups whose (l_orderkey, l_partkey)
+    * min/max stats intersect the rectangle. The 1-D layout prunes
+    * only the orderkey band (~¼ of groups, each spanning all
+    * partkeys); Morton order keeps groups coherent in both keys, so
+    * the ¼×¼ rectangle maps to ~1/16 of groups plus boundary.
+    */
+  private def zorderProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_probe"
+    def time(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $s%.2f s"); s
+    }
+    val fact = Tables.lineitem(spark, d)
+      .repartition(32)
+      .withColumn("__rep", explode(lit((0 until 32).toArray)))
+      .drop("__rep")
+    time("write 1-D sorted (l_orderkey)") {
+      fact.repartitionByRange(64, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(s"$root/sorted")
+    }
+    time("write z-ordered (l_orderkey, l_partkey)") {
+      graft.sources.Layout.writeZordered(fact, s"$root/zorder",
+        "l_orderkey", "l_partkey", partitions = 64)
+    }
+    def rect(path: String): Unit =
+      graft.operators.Relational.zorderRectangle(spark, path, d)
+        .write.format("noop").mode("overwrite").save()
+    rect(s"$root/sorted") // warm
+    val tS = (1 to 3).map(_ =>
+      time("rectangle agg, sorted layout")(rect(s"$root/sorted"))).min
+    val tZ = (1 to 3).map(_ =>
+      time("rectangle agg, z-ordered layout")(rect(s"$root/zorder"))).min
+    println(f"min-of-3: sorted $tS%.2f s vs z-ordered $tZ%.2f s")
+    // footer-level evidence: row groups a stats-pruning reader must read
+    val st = Tables.lineitem(spark, d).agg(
+      min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (loO, hiO, loP, hiP) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val (o1, o2) = (loO + (hiO - loO) / 4, loO + (hiO - loO) / 2)
+    val (p1, p2) = (loP + (hiP - loP) / 4, loP + (hiP - loP) / 2)
+    import scala.jdk.CollectionConverters._
+    def rowGroups(path: String): (Int, Int) = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+      var total = 0; var needed = 0
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.foreach { b =>
+          total += 1
+          def range(name: String): (Long, Long) = {
+            val c = b.getColumns.asScala
+              .find(_.getPath.toDotString == name).get
+            val s = c.getStatistics
+            (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+              s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          }
+          val (oMin, oMax) = range("l_orderkey")
+          val (pMin, pMax) = range("l_partkey")
+          if (oMax >= o1 && oMin <= o2 && pMax >= p1 && pMin <= p2)
+            needed += 1
+        } finally r.close()
+      }
+      (needed, total)
+    }
+    val (nS, tSg) = rowGroups(s"$root/sorted")
+    val (nZ, tZg) = rowGroups(s"$root/zorder")
+    println(s"row groups intersecting the rectangle: " +
+      s"sorted $nS/$tSg vs z-ordered $nZ/$tZg")
+    // granularity sweep: at finer row groups the 1-D layout stays at
+    // the ¼ orderkey band while Morton converges toward the ¼×¼ AREA
+    // fraction — the gap that matters when the corpus outruns cache
+    time("write both layouts at 256 groups") {
+      fact.repartitionByRange(256, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(s"$root/sorted256")
+      graft.sources.Layout.writeZordered(fact, s"$root/zorder256",
+        "l_orderkey", "l_partkey", partitions = 256)
+    }
+    val (nS2, tS2) = rowGroups(s"$root/sorted256")
+    val (nZ2, tZ2) = rowGroups(s"$root/zorder256")
+    println(s"row groups intersecting the rectangle at 256: " +
+      s"sorted $nS2/$tS2 vs z-ordered $nZ2/$tZ2")
+  }
+
   private def skewProbe(): Unit = {
     import graft.functions.Skew
     val spark = SparkSession.builder()

@@ -41,6 +41,8 @@ object SparkEntry {
     graft.registry.TextQueries.prepare(spark, sfDir)
     graft.operators.Relational.prepareBucketed(spark, sfDir,
       s"${graft.registry.TextQueries.indexRoot(sfDir)}/bucketed")
+    graft.operators.Relational.prepareZordered(spark, sfDir,
+      s"${graft.registry.TextQueries.indexRoot(sfDir)}/zorder_lineitem")
   }
 
   /** True when `name`'s query function reads a [[prepare]]-built lake

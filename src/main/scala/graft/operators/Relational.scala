@@ -49,6 +49,40 @@ object Relational {
       Some(s"$path/lineitem_bucketed"))
   }
 
+  /** Z-ordered lineitem copy for the 2-D data-skipping serve path
+    * ([[graft.sources.Layout.writeZordered]] on the two high-cardinality
+    * keys a rectangle workload filters on).
+    */
+  def prepareZordered(s: SparkSession, d: String, path: String): Unit =
+    graft.sources.Layout.writeZordered(Tables.lineitem(s, d), path,
+      "l_orderkey", "l_partkey")
+
+  /** Rectangle aggregate over the z-ordered copy: both BETWEEN bounds
+    * derive from the raw table's min/max with integer arithmetic (a
+    * one-row bounded stats collect, inlined as literals so the parquet
+    * scan gets real PushedFilters and row-group stats pruning on BOTH
+    * columns — a scalar subquery would defeat the pushdown). The
+    * result is layout-independent, so the oracle recomputes it over
+    * the raw lineitem table.
+    */
+  def zorderRectangle(s: SparkSession, path: String, d: String)
+      : DataFrame = {
+    val st = Tables.lineitem(s, d).agg(
+      min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (loO, hiO, loP, hiP) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val (o1, o2) = (loO + (hiO - loO) / 4, loO + (hiO - loO) / 2)
+    val (p1, p2) = (loP + (hiP - loP) / 4, loP + (hiP - loP) / 2)
+    s.read.parquet(path)
+      .where(col("l_orderkey").between(o1, o2) &&
+        col("l_partkey").between(p1, p2))
+      .agg(count(lit(1)).as("n_items"),
+        r4(sum(col("l_quantity"))).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+  }
+
   /** Co-located fact⋈fact revenue rollup over the bucketed tables:
     * the join itself plans with NO Exchange on either side (asserted
     * in PlansLayoutSpec); the only shuffle left is the final tiny

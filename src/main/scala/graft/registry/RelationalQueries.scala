@@ -35,7 +35,14 @@ object RelationalQueries {
     // reads the bucketed lake tables written by the prepare hook: the
     // fact⋈fact join plans with zero Exchange on either side
     "q_bucketed_join_served" -> ((s: SparkSession, _: String) =>
-      Relational.bucketedRevenue(s))
+      Relational.bucketedRevenue(s)),
+    // reads the z-ordered lineitem copy written by the prepare hook:
+    // the 2-D layout is invisible to the result (oracle recomputes over
+    // the raw table) — it exists to give the rectangle scan row-group
+    // stats pruning on both keys at once
+    "q_zorder_served" -> ((s: SparkSession, d: String) =>
+      Relational.zorderRectangle(s,
+        s"${TextQueries.indexRoot(d)}/zorder_lineitem", d))
   )
 
   /** DECIMAL(18,6)-accumulated sums emitted as DOUBLE — see Fns.dsum. */
@@ -166,6 +173,27 @@ object RelationalQueries {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
         | count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
+    // rectangle aggregate recomputed over the RAW lineitem — the
+    // z-order layout must change only which row groups are read, never
+    // the answer; bounds re-derived with the same integer arithmetic
+    "q_zorder_served" ->
+      s"""WITH b AS (
+         |  SELECT
+         |   min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 4
+         |     AS o1,
+         |   min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 2
+         |     AS o2,
+         |   min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 4
+         |     AS p1,
+         |   min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 2
+         |     AS p2
+         |  FROM lineitem)
+         |SELECT count(*) AS n_items,
+         | round(sum(l_quantity), 4) AS sum_qty,
+         | ${ds("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem, b
+         |WHERE l_orderkey BETWEEN b.o1 AND b.o2
+         |  AND l_partkey BETWEEN b.p1 AND b.p2""".stripMargin,
     // same rollup recomputed over the raw tables — the bucketed layout
     // must change the PLAN (no fact exchanges), never the answer
     "q_bucketed_join_served" ->

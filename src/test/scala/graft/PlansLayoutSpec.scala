@@ -107,4 +107,39 @@ class PlansLayoutSpec extends SparkSuite {
     // partition filter present on the scan (pruning, not a data filter)
     assert(scan.contains("PartitionFilters"))
   }
+
+  test("z-ordered layout: zValue interleaves bits, rectangle bounds " +
+      "reach the scan as PushedFilters on BOTH columns, result is " +
+      "layout-independent") {
+    // 0b101 ⨉ 0b011 → a bits at even positions, b bits at odd:
+    // a=5 (101), b=3 (011) → z = 1·1 + 1·2 + 0·4 + 1·8 + 1·16 + 0·32 = 27
+    val z = spark.range(1)
+      .select(Layout.zValue(lit(5), lit(3), 3)).head().getLong(0)
+    assert(z === 27L)
+    val root = tmpDir("graft_zorder")
+    Layout.writeZordered(Tables.lineitem(spark, sf()),
+      s"$root/li_z", "l_orderkey", "l_partkey", partitions = 4)
+    // the scan metadata string truncates at 100 chars by default,
+    // which hides the second pushed bound from the assertion
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val q = graft.operators.Relational.zorderRectangle(
+      spark, s"$root/li_z", sf())
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(l_orderkey") &&
+      scan.contains("GreaterThanOrEqual(l_partkey"),
+      s"rectangle bounds not pushed:\n$scan")
+    // same answer as the raw-layout scan
+    val raw = Tables.lineitem(spark, sf())
+    val st = raw.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (loO, hiO, loP, hiP) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val expected = raw.where(
+      col("l_orderkey").between(loO + (hiO - loO) / 4,
+        loO + (hiO - loO) / 2) &&
+        col("l_partkey").between(loP + (hiP - loP) / 4,
+          loP + (hiP - loP) / 2)).count()
+    assert(q.head().getLong(0) === expected)
+  }
 }
