@@ -57,27 +57,48 @@ object Perplexity {
       reference: Column = defaultReference,
       alpha: Double = 0.5,
       exactThresholds: Boolean = true): DataFrame = {
-    val docs = Tables.parallelized(Tables.documents(s, d))
-    val base = docs.select(col("doc_id"),
+    val base = labeledDocs(s, d, reference)
+    val bi = bigramsOf(base)
+    // counts trained inline from the reference slice of this corpus
+    val counts = bi.where(col("ref")).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c2"))
+    scoreAndBucket(base, bi, counts, alpha, exactThresholds)
+  }
+
+  /** (doc_id, ref, ts) — the shared tokenized view. */
+  private def labeledDocs(s: SparkSession, d: String,
+      reference: Column): DataFrame =
+    Tables.parallelized(Tables.documents(s, d)).select(col("doc_id"),
       reference.cast("boolean").as("ref"),
       TextOps.tokens(col("text")).as("ts"))
-    // bigram stream with BOS: pair i is (ts[i-1] | BOS, ts[i]) — the
-    // index-lambda keeps empty docs at zero pairs with no slice guards
-    val bi = base.select(col("doc_id"), col("ref"),
+
+  /** Bigram stream with BOS: pair i is (ts[i-1] | BOS, ts[i]) — the
+    * index-lambda keeps empty docs at zero pairs with no slice guards.
+    */
+  private def bigramsOf(labeled: DataFrame): DataFrame =
+    labeled.select(col("doc_id"), col("ref"),
       explode(expr(
         s"transform(ts, (w, i) -> struct(" +
           s"CASE WHEN i = 0 THEN '$Bos' ELSE ts[i - 1] END AS w1, " +
           "w AS w2))")).as("bg"))
       .select(col("doc_id"), col("ref"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val refBi = bi.where(col("ref"))
-    val c2 = refBi.groupBy("w1", "w2")
-      .agg(count(lit(1)).cast("double").as("c2"))
-    val c1 = refBi.groupBy("w1")
-      .agg(count(lit(1)).cast("double").as("c1"))
+
+  /** Score every document against a bigram-count table and bucket by
+    * tertiles. The count table is the ENTIRE model: the context totals
+    * and the vocabulary size both derive from it in vocabulary²-bounded
+    * aggregates, which is what makes the persisted-model serve exactly
+    * equal to the inline train (counts are additive and derivations are
+    * pure functions of the summed table).
+    */
+  private def scoreAndBucket(base: DataFrame, bi: DataFrame,
+      counts: DataFrame, alpha: Double,
+      exactThresholds: Boolean): DataFrame = {
+    val c2 = counts.select(col("w1"), col("w2"),
+      col("c2").cast("double").as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     // +1 vocabulary slot absorbs unseen words (P = α / (α·(V+1)))
-    val vocab = refBi.agg(
-      countDistinct(col("w2")).cast("double").as("v"))
+    val vocab = c2.agg(countDistinct(col("w2")).cast("double").as("v"))
     val scoredPairs = bi
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
@@ -104,5 +125,104 @@ object Perplexity {
           .when(col("ppl") <= col("t1"), lit("head"))
           .when(col("ppl") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
+  }
+
+  // ---- persisted-model lifecycle (the count-model analog of the BM25
+  // index loop: build → appendBatch → promote → serve). Because the
+  // model IS a count table, base ∪ batches summed equals the one-shot
+  // train of the union EXACTLY — the grown serve shares the inline
+  // query's full oracle, with no frozen-model approximation to accept.
+
+  /** Train the persisted LM: bigram counts of `d`'s reference slice
+    * (restricted by `docFilter` when the rest arrives via
+    * [[appendBatch]]). One table, LONG counts — everything else
+    * derives at serve time.
+    */
+  def writeModel(s: SparkSession, d: String, modelDir: String,
+      reference: Column = defaultReference,
+      docFilter: Option[Column] = None): Unit = {
+    val docs = labeledDocs(s, d, reference)
+    val kept = docFilter.fold(docs)(docs.where(_))
+    bigramsOf(kept).where(col("ref"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .write.mode("overwrite").parquet(s"$modelDir/bigrams")
+  }
+
+  /** Grow the model with NEW documents — their reference slice's
+    * bigram counts land in a `batch=<id>` side dir. Exactly-once under
+    * retries: a replayed batch id overwrites its own dir.
+    */
+  def appendBatch(s: SparkSession, modelDir: String, newDocs: DataFrame,
+      batchId: Long, reference: Column = defaultReference): Unit =
+    bigramsOf(newDocs.select(col("doc_id"),
+        reference.cast("boolean").as("ref"),
+        TextOps.tokens(col("text")).as("ts")))
+      .where(col("ref"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .write.mode("overwrite")
+      .parquet(s"$modelDir/bigrams_batches/batch=$batchId")
+
+  /** Base ∪ batch counts, summed — the folded model table. A
+    * streaming-fed model may have batches and no base yet; only BOTH
+    * missing is an error.
+    */
+  private def foldedCounts(s: SparkSession, modelDir: String): DataFrame = {
+    def existing(p: String): Option[DataFrame] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) Some(
+        s.read.option("basePath", p).parquet(p)) else None
+    }
+    val base = existing(s"$modelDir/bigrams")
+    val batches = existing(s"$modelDir/bigrams_batches")
+      .map(_.drop("batch"))
+    val all = (base, batches) match {
+      case (Some(b), Some(x)) => b.unionByName(x)
+      case (Some(b), None)    => b
+      case (None, Some(x))    => x
+      case (None, None) => sys.error(
+        s"no perplexity model at $modelDir (neither base nor batches)")
+    }
+    all.groupBy("w1", "w2").agg(sum(col("c2")).as("c2"))
+  }
+
+  /** Admin-cadence promotion: fold committed batches into the base
+    * table and retire the batch dirs (staged publish + ready marker,
+    * crash-idempotent in the [[Search.promoteBatches]] style).
+    */
+  def promoteBatches(s: SparkSession, modelDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def path(p: String) = new Path(s"$modelDir/$p")
+    val fs = new Path(modelDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ready = path("__promote_ready")
+    if (!fs.exists(path("bigrams_batches")) && !fs.exists(ready)) return
+    if (!fs.exists(ready)) {
+      foldedCounts(s, modelDir).write.mode("overwrite")
+        .parquet(s"$modelDir/__promote_tmp/bigrams")
+      fs.create(ready, true).close()
+    }
+    val tmp = path("__promote_tmp/bigrams")
+    if (fs.exists(tmp)) {
+      fs.delete(path("bigrams"), true)
+      fs.rename(tmp, path("bigrams"))
+    }
+    fs.delete(path("bigrams_batches"), true)
+    fs.delete(path("__promote_tmp"), true)
+    fs.delete(ready, false)
+  }
+
+  /** Serve: score `d`'s documents against the persisted (possibly
+    * grown) model. With the model trained on the same corpus's
+    * reference slice — in any base/batch split — this equals
+    * [[perplexityFilter]] exactly and shares its oracle.
+    */
+  def scoreWithModel(s: SparkSession, d: String, modelDir: String,
+      reference: Column = defaultReference,
+      alpha: Double = 0.5,
+      exactThresholds: Boolean = true): DataFrame = {
+    val base = labeledDocs(s, d, reference)
+    scoreAndBucket(base, bigramsOf(base), foldedCounts(s, modelDir),
+      alpha, exactThresholds)
   }
 }

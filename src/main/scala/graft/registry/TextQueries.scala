@@ -46,6 +46,11 @@ object TextQueries {
     // cross-engine oracle
     "q_perplexity" -> ((s: SparkSession, d: String) =>
       Perplexity.perplexityFilter(s, d)),
+    // serves the persisted GROWN count model (80% base + 20% batch):
+    // counts are additive, so this answers the same full oracle as the
+    // inline train — no frozen-model caveat
+    "q_perplexity_served" -> ((s: SparkSession, d: String) =>
+      Perplexity.scoreWithModel(s, d, s"${indexRoot(d)}/ppl_model")),
     // JL sign random projection: closed-form hash-seeded matrix, zero
     // shuffles — fully oracle-recomputable
     "q_rand_proj" -> ((s: SparkSession, d: String) =>
@@ -461,6 +466,18 @@ object TextQueries {
           batchId = 1L)
         if (promote) ScalarQuant.promoteBatches(s, dir)
     }
+    // perplexity LM lifecycle fixture: counts for 80% of the corpus at
+    // build time, the rest as one committed batch — counts are
+    // additive, so the grown serve equals the inline train EXACTLY and
+    // q_perplexity_served answers q_perplexity's full oracle
+    val pplDir = s"$root/ppl_model"
+    Perplexity.writeModel(s, d, pplDir,
+      docFilter = Some(org.apache.spark.sql.functions
+        .col("doc_id") % 5 =!= 4))
+    Perplexity.appendBatch(s, pplDir,
+      graft.Tables.documents(s, d)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 4),
+      batchId = 1L)
     // the streaming tier's driver row: a real AvailableNow streaming
     // run over events, snapshotted; q_stream_hourly reads it and must
     // match the batch q_hourly_agg oracle
@@ -477,6 +494,9 @@ object TextQueries {
       // serve paths are bit-identical to their inline twins (pinned by
       // the DedupSimilaritySpec round-trips), so they share oracles —
       // the golden-backed ones inherit the sf0.01-only caveat
+      // the grown count model scores EXACTLY as the inline train
+      // (additive counts) — a full oracle, not a golden
+      ("q_perplexity_served" -> baseOracle("q_perplexity")) +
       ("q_ann_lsh_served" -> baseOracle("q_ann_lsh")) +
       ("q_ann_lsh_appended_served" -> baseOracle("q_ann_lsh")) +
       ("q_ann_lsh_promoted_served" -> baseOracle("q_ann_lsh")) +

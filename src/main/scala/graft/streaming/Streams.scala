@@ -284,7 +284,8 @@ object Streams {
       lakeDir: String, annIndexDir: String, bm25IndexDir: String,
       checkpoint: String, threshold: Double = 0.7,
       trigger: Trigger = Trigger.AvailableNow(),
-      int8IndexDir: Option[String] = None): StreamingQuery =
+      int8IndexDir: Option[String] = None,
+      pplModelDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
@@ -321,6 +322,15 @@ object Streams {
                   admitted.select(col("doc_id").as("vec_id"),
                     col("embedding")),
                   batchId))
+              // the LM count model grows from the admitted stream —
+              // the stream IS the curated feed, so every admitted doc
+              // trains (reference = true); additive counts keep the
+              // grown model exactly equal to a batch train
+              pplModelDir.foreach(dir =>
+                graft.operators.Perplexity.appendBatch(
+                  admitted.sparkSession, dir,
+                  admitted.select(col("doc_id"), col("text")), batchId,
+                  reference = lit(true)))
             } finally admitted.unpersist()
           } finally scrubbed.unpersist()
         }

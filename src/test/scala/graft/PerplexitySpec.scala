@@ -72,6 +72,37 @@ class PerplexitySpec extends SparkSuite {
     assert(got(3) === ((4L, Some(r4d(1.0 / p4)), "middle")))
   }
 
+  test("persisted-model lifecycle: grown counts serve exactly the " +
+      "inline train, batch replay is exactly-once, promotion changes " +
+      "nothing") {
+    import graft.operators.Perplexity
+    import org.apache.spark.sql.functions.col
+    val d = sf("sf0.001")
+    val model = tmpDir("pplmodel")
+    val inline = Perplexity.perplexityFilter(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    def served = Perplexity.scoreWithModel(spark, d, model)
+      .collect().map(_.toString).sorted.toSeq
+    Perplexity.writeModel(spark, d, model,
+      docFilter = Some(col("doc_id") % 3 === 0))
+    val docs = Tables.documents(spark, d)
+    Perplexity.appendBatch(spark, model,
+      docs.filter(col("doc_id") % 3 === 1), batchId = 1L)
+    Perplexity.appendBatch(spark, model,
+      docs.filter(col("doc_id") % 3 === 2), batchId = 2L)
+    assert(served === inline, "grown model drifted from inline train")
+    // a retried batch overwrites its own dir — no double counting
+    Perplexity.appendBatch(spark, model,
+      docs.filter(col("doc_id") % 3 === 2), batchId = 2L)
+    assert(served === inline, "batch replay double-counted")
+    Perplexity.promoteBatches(spark, model)
+    assert(!new java.io.File(s"$model/bigrams_batches").exists())
+    assert(served === inline, "promotion changed the model")
+    // idempotent re-run on a promoted model
+    Perplexity.promoteBatches(spark, model)
+    assert(served === inline)
+  }
+
   test("approx-threshold scale path agrees with the exact tertiles " +
       "away from the boundaries") {
     // approx_percentile returns an element of the multiset while the

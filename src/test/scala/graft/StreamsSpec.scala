@@ -37,14 +37,15 @@ class StreamsSpec extends SparkSuite {
   }
 
   test("curationMaintainer: one document stream advances quarantine, " +
-    "near-dup, ANN, BM25 and int8 lakes exactly-once with shared " +
-    "batch ids") {
+    "near-dup, ANN, BM25, int8 and LM-count lakes exactly-once with " +
+    "shared batch ids") {
     import graft.operators.{Scrub, Search, Similarity}
     val d = sf()
     val lake = tmpDir("cur_lake")
     val ann = tmpDir("cur_ann")
     val bm25 = tmpDir("cur_bm25")
     val int8 = tmpDir("cur_int8")
+    val ppl = tmpDir("cur_ppl")
     val stage = tmpDir("cur_stage")
     val ckpt = tmpDir("cur_ckpt")
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
@@ -83,7 +84,7 @@ class StreamsSpec extends SparkSuite {
     def stream() = spark.readStream.schema(streamed.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val q = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,
-      bm25, ckpt, int8IndexDir = Some(int8))
+      bm25, ckpt, int8IndexDir = Some(int8), pplModelDir = Some(ppl))
     q.awaitTermination(300000)
     // quarantine holds exactly the contaminated docs; the near-dup
     // lake holds exactly the admitted ones, in both batch dirs
@@ -103,6 +104,8 @@ class StreamsSpec extends SparkSuite {
     assert(batchDirs(s"$bm25/postings_batches") ===
       Seq("batch=0", "batch=1"))
     assert(batchDirs(s"$int8/codes_batches") ===
+      Seq("batch=0", "batch=1"))
+    assert(batchDirs(s"$ppl/bigrams_batches") ===
       Seq("batch=0", "batch=1"))
     // ANN leg: the grown index serves the one-shot build over
     // everything-but-quarantined (frozen geometry, pure assignment)
@@ -146,16 +149,33 @@ class StreamsSpec extends SparkSuite {
       graft.operators.Hybrid.rrfFromIndexes(spark, d, bmDir, sqDir)
         .collect().map(_.toString).sorted.toSeq
     assert(serveHybrid(bm25, int8) === serveHybrid(bm25Ref, int8Ref))
+    // LM leg: the streamed count model (batches only, no base) scores
+    // docs exactly like a one-shot model trained on the same admitted
+    // redacted texts — additive counts, zero approximation
+    val pplRefDocs = tmpDir("cur_ppl_ref_docs")
+    streamed.filter(!col("doc_id").isin(quarIds.toSeq: _*))
+      .select(col("doc_id"), Scrub.redactPii(col("text")).as("text"),
+        lit("en").as("lang"), lit("s").as("source"), lit(0L).as("n_chars"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$pplRefDocs/documents.parquet")
+    val pplRef = tmpDir("cur_ppl_ref")
+    graft.operators.Perplexity.writeModel(spark, pplRefDocs, pplRef,
+      reference = lit(true))
+    def servePpl(dir: String): Seq[String] =
+      graft.operators.Perplexity.scoreWithModel(spark, d, dir)
+        .collect().map(_.toString).sorted.toSeq
+    assert(servePpl(ppl) === servePpl(pplRef))
     // restart on the same checkpoint with no new files: every lake
     // unchanged — the composed pipeline is exactly-once as a whole
     val q2 = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,
-      bm25, ckpt, int8IndexDir = Some(int8))
+      bm25, ckpt, int8IndexDir = Some(int8), pplModelDir = Some(ppl))
     q2.awaitTermination(300000)
     assert(batchDirs(s"$bm25/postings_batches") ===
       Seq("batch=0", "batch=1"))
     assert(serveBm(bm25) === serveBm(bm25Ref))
     assert(serveAnn(ann) === serveAnn(annRef))
     assert(serveInt8(int8) === serveInt8(int8Ref))
+    assert(servePpl(ppl) === servePpl(pplRef))
   }
 
   test("streaming BM25 index maintainer: micro-batched document " +
