@@ -49,6 +49,40 @@ object Relational {
       Some(s"$path/lineitem_bucketed"))
   }
 
+  /** Sequential-pattern funnel over the events stream: users who
+    * viewed, then clicked strictly after their first view, then
+    * purchased strictly after that first qualifying click — the
+    * classic conversion analysis (MATCH_RECOGNIZE's most common use,
+    * composed from joins Spark has). Each step is a user-keyed min
+    * over a set ("earliest qualifying event"), so the result is
+    * deterministic even under timestamp ties. Scale shape: three
+    * user-keyed aggregates + two user-keyed joins — every exchange on
+    * the same key, so the co-partitioning is reused down the chain;
+    * the step summary is three one-row aggregates.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    val base = broadcast(v.agg(count(lit(1)).as("base")))
+    def step(n: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(n).as("step"), lit(name).as("event_type"),
+          col("users"))
+    step(1, "view", v).unionByName(step(2, "click", c))
+      .unionByName(step(3, "purchase", p))
+      .crossJoin(base)
+      .select(col("step"), col("event_type"), col("users"),
+        r4(col("users").cast("double") / col("base")).as("conv_rate"))
+  }
+
   /** Z-ordered lineitem copy for the 2-D data-skipping serve path
     * ([[graft.sources.Layout.writeZordered]] on the two high-cardinality
     * keys a rectangle workload filters on).

@@ -32,6 +32,10 @@ object RelationalQueries {
     "q_json_extract" -> (Relational.jsonExtract _),
     "q_sessionize" -> ((s: SparkSession, d: String) =>
       Relational.sessionize(s, d)),
+    // view → click → purchase conversion funnel: each step the
+    // earliest strictly-later qualifying event per user — set-mins,
+    // so deterministic under timestamp ties
+    "q_funnel" -> (Relational.funnel _),
     // reads the bucketed lake tables written by the prepare hook: the
     // fact⋈fact join plans with zero Exchange on either side
     "q_bucketed_join_served" -> ((s: SparkSession, _: String) =>
@@ -173,6 +177,36 @@ object RelationalQueries {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
         | count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
+    // funnel recompute: the same set-min chain. Only ts ORDERING
+    // matters (the output is step counts), so the raw column works in
+    // either physical schema — min/> give the same element whether ts
+    // is a timestamp or the normalized ns long
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts FROM events),
+        |v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT ev.user_id, min(ev.ts) AS t2
+        |  FROM ev JOIN v ON ev.user_id = v.user_id
+        |  WHERE ev.event_type = 'click' AND ev.ts > v.t1
+        |  GROUP BY ev.user_id),
+        |p AS (
+        |  SELECT ev.user_id, min(ev.ts) AS t3
+        |  FROM ev JOIN c ON ev.user_id = c.user_id
+        |  WHERE ev.event_type = 'purchase' AND ev.ts > c.t2
+        |  GROUP BY ev.user_id),
+        |b AS (SELECT count(*) AS base FROM v),
+        |steps AS (
+        |  SELECT 1 AS step, 'view' AS event_type,
+        |    (SELECT count(*) FROM v) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+        |SELECT CAST(step AS INT) AS step, event_type,
+        |  CAST(users AS BIGINT) AS users,
+        |  round(CAST(users AS DOUBLE) / b.base, 4) AS conv_rate
+        |FROM steps, b""".stripMargin,
     // rectangle aggregate recomputed over the RAW lineitem — the
     // z-order layout must change only which row groups are read, never
     // the answer; bounds re-derived with the same integer arithmetic
