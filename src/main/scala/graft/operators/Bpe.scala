@@ -111,9 +111,16 @@ object Bpe {
         val (l, r, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, n))
-        state = state
-          .withColumn("syms", mergeFold(col("syms"), l, r))
-          .localCheckpoint()
+        state = state.withColumn("syms", mergeFold(col("syms"), l, r))
+        // lineage cadence, not per-round: a checkpoint is a full extra
+        // job over the vocabulary, while re-running ≤3 pending narrow
+        // folds inside the next round's aggregate is nearly free —
+        // truncate every 4th round so plans stay bounded at HALF the
+        // loop's job count (20 vs 32 for 16 merges). Local wall time is
+        // unchanged (the argmax shuffle dominates at local[32]); the
+        // job-count cut is for real schedulers, where each sequential
+        // job pays a scheduler round-trip the loop cannot hide
+        if (rank % 4 == 0) state = state.localCheckpoint()
         rank += 1
       }
     }

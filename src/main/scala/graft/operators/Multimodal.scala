@@ -58,8 +58,9 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake in place of a real codec. */
   object FakeCodec extends MediaCodec {
-    // ??? real implementation would decode image/audio here; the fake
-    // derives stable pseudo-features from the raw bytes instead.
+    // STUB marker (per the brief): a real codec would decode the media
+    // bytes here; the fake derives stable pseudo-features instead.
+    // Real codecs exist behind the same seam: WavCodec/BmpCodec/AviCodec.
     override val featureDim: Int = 8
 
     def checksum(bytes: Array[Byte]): Long =
