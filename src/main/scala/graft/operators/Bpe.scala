@@ -147,6 +147,68 @@ object Bpe {
     pairCounts(wordFreq(s, d)
       .select(col("freq"), charSyms(col("word")).as("syms")))
 
+  // ---- frozen-model lifecycle. Unlike the count/index families, BPE
+  // merges are NOT additive — and production tokenizers are trained
+  // once and FROZEN (retraining changes every downstream token id), so
+  // the lifecycle here is persist → apply-to-anything, with OOV words
+  // (absent from the training vocabulary) encoded by replaying the
+  // frozen merge sequence, exactly like a real tokenizer runtime.
+
+  /** Persist the learned merge table. */
+  def writeModel(s: SparkSession, d: String, modelDir: String,
+      nMerges: Int = 16): Unit =
+    merges(s, d, nMerges).coalesce(1)
+      .write.mode("overwrite").parquet(s"$modelDir/merges")
+
+  /** The persisted merges, in application order — bounded collect
+    * (the merge table is the model; real vocabularies are ≤ ~100k
+    * rows).
+    */
+  def readMerges(s: SparkSession, modelDir: String)
+      : Seq[(String, String)] =
+    s.read.parquet(s"$modelDir/merges").orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Encode ANY document frame under a frozen merge sequence: distinct
+    * words (vocabulary-sized — unseen words included, the OOV path)
+    * start as characters and replay every merge in rank order as
+    * narrow folds (no argmax jobs — lineage checkpointed on the same
+    * cadence as [[learn]]); documents then join token→word against the
+    * encoded vocabulary. Returns (doc_id, word, n_syms) per token
+    * occurrence.
+    */
+  def encodeDocs(docs: DataFrame, merges: Seq[(String, String)])
+      : DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+    var vocab = tokens.select(col("word")).distinct()
+      .select(col("word"), charSyms(col("word")).as("syms"))
+      .localCheckpoint()
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      vocab = vocab.withColumn("syms", mergeFold(col("syms"), l, r))
+      if ((i + 1) % 4 == 0) vocab = vocab.localCheckpoint()
+    }
+    tokens.join(vocab.select(col("word"), size(col("syms")).as("n_syms")),
+      Seq("word"))
+  }
+
+  /** [[encodeStats]] recomputed from a PERSISTED frozen model — with
+    * apply corpus == train corpus this equals the inline row exactly
+    * (same merges, same greedy fold), so it shares the golden.
+    */
+  def encodeStatsFromModel(s: SparkSession, d: String,
+      modelDir: String): DataFrame =
+    encodeDocs(Tables.parallelized(Tables.documents(s, d)),
+        readMerges(s, modelDir))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("n_syms")).cast("long").as("n_syms"))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_syms"),
+        r4(col("n_chars").cast("double") / col("n_syms")).as("compression"))
+
   /** Corpus-level encode statistics after `nMerges` learned merges:
     * one row (n_docs, n_tokens, n_chars, n_syms, compression 4 dp).
     * `n_chars` is raw token characters (marker excluded) — the

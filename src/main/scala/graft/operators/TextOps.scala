@@ -447,4 +447,34 @@ object TextOps {
         size(col("cts")).cast("int").as("n_tokens"),
         array_join(col("cts"), " ").as("chunk"))
   }
+
+  /** Vocabulary overlap across sources — the domain-similarity signal a
+    * mixture planner reads before weighting sources: for every
+    * unordered source pair, distinct-token intersection size and
+    * Jaccard. Scale shape: the corpus reduces to the distinct
+    * (source, token) set first (vocabulary-sized), and the pair join is
+    * token-keyed over THAT set — per-token fan-out is bounded by
+    * sources², never corpus rows; per-source vocabulary sizes ride in
+    * as a broadcast.
+    */
+  def vocabOverlap(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.parallelized(Tables.documents(s, d))
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = st.as("a")
+      .join(st.as("b"), col("a.token") === col("b.token") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "na")), "source_a")
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        r4(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared"))).as("jaccard"))
+  }
 }

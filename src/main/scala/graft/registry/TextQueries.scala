@@ -77,6 +77,15 @@ object TextQueries {
       Bpe.merges(s, d)),
     "q_bpe_encode_stats" -> ((s: SparkSession, d: String) =>
       Bpe.encodeStats(s, d)),
+    // the frozen-tokenizer serve: encode under the PERSISTED merge
+    // table (prepare hook trains it once) — replay-in-rank-order folds,
+    // OOV-capable; with apply == train corpus it equals the inline row
+    "q_bpe_encode_served" -> ((s: SparkSession, d: String) =>
+      Bpe.encodeStatsFromModel(s, d, s"${indexRoot(d)}/bpe_model")),
+    // vocabulary-overlap matrix across sources: distinct-set reduction
+    // first, token-keyed pair join second — fully oracle-recomputable
+    "q_vocab_overlap" -> ((s: SparkSession, d: String) =>
+      TextOps.vocabOverlap(s, d)),
     // deterministic corpus shuffle → training shards: closed-form
     // multiplicative-hash permutation, fully oracle-recomputable
     "q_train_shards" -> ((s: SparkSession, d: String) =>
@@ -466,6 +475,9 @@ object TextQueries {
           batchId = 1L)
         if (promote) ScalarQuant.promoteBatches(s, dir)
     }
+    // frozen BPE tokenizer: trained once here, applied by
+    // q_bpe_encode_served (and to anything else) without retraining
+    Bpe.writeModel(s, d, s"$root/bpe_model")
     // perplexity LM lifecycle fixture: counts for 80% of the corpus at
     // build time, the rest as one committed batch — counts are
     // additive, so the grown serve equals the inline train EXACTLY and
@@ -497,6 +509,9 @@ object TextQueries {
       // the grown count model scores EXACTLY as the inline train
       // (additive counts) — a full oracle, not a golden
       ("q_perplexity_served" -> baseOracle("q_perplexity")) +
+      // frozen-merge replay == the inline greedy train encode (same
+      // merges, same fold) — shares the golden and its re-pin caveat
+      ("q_bpe_encode_served" -> baseOracle("q_bpe_encode_stats")) +
       ("q_ann_lsh_served" -> baseOracle("q_ann_lsh")) +
       ("q_ann_lsh_appended_served" -> baseOracle("q_ann_lsh")) +
       ("q_ann_lsh_promoted_served" -> baseOracle("q_ann_lsh")) +
@@ -809,6 +824,27 @@ object TextQueries {
         |  CAST(122509 AS BIGINT) AS n_chars,
         |  CAST(95989 AS BIGINT) AS n_syms,
         |  CAST(1.2763 AS DOUBLE) AS compression""".stripMargin,
+    // vocabulary overlap: full recompute — distinct (source, token)
+    // set, pairwise intersection counts, Jaccard at 4 dp
+    "q_vocab_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, token FROM (
+        |    SELECT source, unnest(
+        |      list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |    FROM documents)),
+        |sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared
+        |  FROM st a JOIN st b
+        |    ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) /
+        |    (sa.n + sb.n - n_shared), 4) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.source = inter.source_a
+        |JOIN sz sb ON sb.source = inter.source_b""".stripMargin,
     // bigram-LM perplexity filter: full train+score+bucket recompute —
     // Lidstone-smoothed bigram probabilities from the reference slice
     // (BOS context, +1 unseen-vocabulary slot), per-doc ppl at 4 dp

@@ -63,6 +63,33 @@ class BpeSpec extends SparkSuite {
     assert(got.length === 1)
   }
 
+  test("frozen-model apply: persisted merges encode UNSEEN words by " +
+      "rank-order replay; stats from the model equal the inline train " +
+      "on the same corpus") {
+    import org.apache.spark.sql.functions.col
+    val train = plant(Seq(
+      (1L, Seq.fill(5)("low").mkString(" ") + " " +
+        Seq.fill(2)("lower").mkString(" ")),
+      (2L, Seq.fill(6)("newest").mkString(" ") + " " +
+        Seq.fill(3)("widest").mkString(" "))))
+    val model = tmpDir("bpemodel")
+    Bpe.writeModel(spark, train, model, nMerges = 4)
+    // merges: (e,s) (es,t</w>) (l,o) (e,w) — "lowest" is OOV; replay:
+    // l,o,w,es,t</w> → l,o,w,est</w> → lo,w,est</w> → [lo, w, est</w>]
+    val apply = plant(Seq((1L, "lowest zz")))
+    val got = Bpe.encodeDocs(
+      Tables.documents(spark, apply), Bpe.readMerges(spark, model))
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getInt(2)))
+    assert(got.toSeq === Seq(("lowest", 3), ("zz", 2)))
+    // same corpus through the frozen model == the inline train row
+    val d = sf("sf0.001")
+    val m2 = tmpDir("bpemodel2")
+    Bpe.writeModel(spark, d, m2)
+    assert(Bpe.encodeStatsFromModel(spark, d, m2).collect().toSeq ===
+      Bpe.encodeStats(spark, d).collect().toSeq)
+  }
+
   test("encode stats preserve the concatenation invariant and count " +
       "one symbol row per corpus token") {
     val d = sf("sf0.001")

@@ -36,7 +36,9 @@ class DeterminismSpec extends SparkSuite {
     // bucket edges; BPE: the argmax tie-break must not see partial-agg
     // merge order; random projection: fixed-order fold (narrow, but the
     // 4 dp contract is what the oracle hashes)
-    "q_perplexity", "q_bpe_merges", "q_rand_proj")
+    "q_perplexity", "q_bpe_merges", "q_rand_proj",
+    // funnel: set-min steps must not see join/agg merge order
+    "q_funnel")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
