@@ -50,7 +50,8 @@ object SparkEntry {
     * row) — single-query runners use this to decide whether to build.
     */
   def needsPrepare(name: String): Boolean =
-    name.endsWith("_served") || name == "q_stream_hourly"
+    name.endsWith("_served") || name == "q_stream_hourly" ||
+      name == "q_bm25_index_stats" || name == "q_ppl_model_stats"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -335,4 +335,60 @@ object Extras {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("revenue"))
+
+  /** Deequ-style column profiler: one row per numeric lineitem column
+    * with (n, nulls, n_distinct, min, max, mean 4 dp, stddev 4 dp) —
+    * the data-quality profiling pass a pipeline runs before trusting a
+    * new drop. All columns profile in ONE scan (a single aggregate
+    * emits every metric; `stack` reshapes the one wide row), except
+    * the exact distinct counts, which run as one multi-distinct
+    * aggregate — at PB scale swap them for HLL sketches (the
+    * q_hll_mergeable machinery) to keep the pass single-shuffle.
+    */
+  def profile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, d)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
+        r4(avg(col(c))).as(s"mean_$c"),
+        r4(stddev(col(c))).as(s"sd_$c"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', n_$c, nulls_$c, nd_$c, min_$c, max_$c, mean_$c, sd_$c"
+    }.mkString(", ")
+    wide.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+      "(col_name, n, nulls, n_distinct, min_v, max_v, mean_v, stddev_v)")
+  }
+
+  /** HLL sketch mergeability — the property that makes distinct counts
+    * pre-aggregable at 100 TB (per-partition/per-day sketches roll up
+    * without rescanning): per-source Datasketches HLL sketches UNIONED
+    * must estimate within 5% of exact, and so must the direct
+    * whole-corpus sketch. (The two are NOT bit-equal: the union path
+    * runs through Datasketches' union gadget, whose target
+    * representation differs from the straight accumulator — measured,
+    * so the contract is two tolerance booleans, not equality; both are
+    * deterministic given the data, the q_heavy_hitters
+    * guarantee-oracle pattern.)
+    */
+  def hllMergeable(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merged = docs.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(doc_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val direct = docs.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(doc_id))").as("est_direct"))
+    val exact = docs.agg(countDistinct(col("doc_id")).as("n_exact"))
+    exact.crossJoin(broadcast(merged)).crossJoin(broadcast(direct))
+      .select(col("n_exact"),
+        (abs(col("est_merged") - col("n_exact")) <=
+          col("n_exact") * 0.05).as("merged_within_tol"),
+        (abs(col("est_direct") - col("n_exact")) <=
+          col("n_exact") * 0.05).as("direct_within_tol"))
+  }
 }

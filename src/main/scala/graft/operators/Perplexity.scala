@@ -212,6 +212,21 @@ object Perplexity {
     fs.delete(ready, false)
   }
 
+  /** LM-count fsck — [[Search.indexTermStats]]'s counterpart for the
+    * count model: the folded (base ∪ batches) bigram counts bucketed
+    * by INTEGER binary length of c2 (never a float log — engine-exact
+    * at power boundaries). The driver row reads the GROWN model and
+    * answers a pure corpus recompute, so a double-counted replay, a
+    * lost batch, or count drift fails the hash compare.
+    */
+  def modelStats(s: SparkSession, modelDir: String): DataFrame =
+    foldedCounts(s, modelDir)
+      .select((length(bin(col("c2"))) - 1).cast("int").as("c_bucket"),
+        col("c2"))
+      .groupBy("c_bucket")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).cast("long").as("sum_c"))
+
   /** Serve: score `d`'s documents against the persisted (possibly
     * grown) model. With the model trained on the same corpus's
     * reference slice — in any base/batch split — this equals

@@ -28,10 +28,35 @@ object ExtrasQueries {
     "q_salted_join" -> ((s: SparkSession, d: String) =>
       Extras.saltedSegmentRevenue(s, d)),
     "q_heavy_hitters" -> ((s: SparkSession, d: String) =>
-      Extras.heavyHitters(s, d))
+      Extras.heavyHitters(s, d)),
+    // one-scan column profiler (Deequ-style data-quality pass)
+    "q_profile" -> (Extras.profile _),
+    // HLL sketch mergeability: per-source sketches unioned ==
+    // whole-corpus sketch, within 5% of exact — the guarantee-boolean
+    // oracle pattern
+    "q_hll_mergeable" -> (Extras.hllMergeable _)
   )
 
   val oracle: Map[String, String] = Map(
+    // full profiling recompute: one row per column, same metrics;
+    // stddev is the sample form in both engines, 4 dp
+    "q_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | min($c) AS min_v, max($c) AS max_v,
+           | round(avg($c), 4) AS mean_v,
+           | round(stddev($c), 4) AS stddev_v
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", ""),
+    // exact distinct + the two guarantee booleans (sketch merge is
+    // associative and lossless at fixed lgK — deterministically TRUE)
+    "q_hll_mergeable" ->
+      """SELECT count(DISTINCT doc_id) AS n_exact,
+        | TRUE AS merged_within_tol, TRUE AS direct_within_tol
+        |FROM documents""".stripMargin,
     // exact top-k recomputed cross-engine; the _ok booleans assert the
     // Space-Saving sketch's containment + error-bound guarantees (the
     // sketch CONTENTS are merge-order dependent, the guarantees never)

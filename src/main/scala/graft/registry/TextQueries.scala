@@ -51,6 +51,11 @@ object TextQueries {
     // inline train — no frozen-model caveat
     "q_perplexity_served" -> ((s: SparkSession, d: String) =>
       Perplexity.scoreWithModel(s, d, s"${indexRoot(d)}/ppl_model")),
+    // LM-count fsck: the GROWN model's folded bigram counts bucketed
+    // by integer binary length, answered by a pure corpus recompute —
+    // a replayed or lost batch fails the hash
+    "q_ppl_model_stats" -> ((s: SparkSession, d: String) =>
+      Perplexity.modelStats(s, s"${indexRoot(d)}/ppl_model")),
     // JL sign random projection: closed-form hash-seeded matrix, zero
     // shuffles — fully oracle-recomputable
     "q_rand_proj" -> ((s: SparkSession, d: String) =>
@@ -845,6 +850,22 @@ object TextQueries {
         |FROM inter
         |JOIN sz sa ON sa.source = inter.source_a
         |JOIN sz sb ON sb.source = inter.source_b""".stripMargin,
+    // LM-count fsck: the bigram-count histogram recomputed from the
+    // raw reference slice (same bigram construction as q_perplexity)
+    "q_ppl_model_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents WHERE lang = 'en'),
+        |bi AS (
+        |  SELECT CASE WHEN i = 1 THEN '<s>' ELSE ts[i - 1] END AS w1,
+        |    ts[i] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM toks)),
+        |c2 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2)
+        |SELECT CAST(length(bin(c)) - 1 AS INT) AS c_bucket,
+        |  count(*) AS n_bigrams, CAST(sum(c) AS BIGINT) AS sum_c
+        |FROM c2 GROUP BY c_bucket""".stripMargin,
     // bigram-LM perplexity filter: full train+score+bucket recompute —
     // Lidstone-smoothed bigram probabilities from the reference slice
     // (BOS context, +1 unseen-vocabulary slot), per-doc ppl at 4 dp
