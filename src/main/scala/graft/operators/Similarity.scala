@@ -64,6 +64,50 @@ object Similarity {
         col("rk"))
   }
 
+  /** Margin-based bitext mining (the LASER/CCMatrix parallel-pair
+    * pattern): between two corpus sides (here the label halves of the
+    * embeddings table standing in for two languages), emit pairs that
+    * are MUTUAL top-1 cosine neighbors with a ratio-margin score —
+    * `cos(x,y) / mean(topK cos of x, topK cos of y)` — above
+    * `minMargin`. The margin denominator is what separates a genuine
+    * translation pair from a hub vector that is everyone's neighbor.
+    *
+    * This is the exhaustive driver-scale form (one broadcast
+    * nested-loop pass, the q_ann_brute baseline class, which is what
+    * makes the full DuckDB oracle possible); at corpus scale the
+    * candidate pairs come from the IVF/LSH serve shortlist
+    * ([[ivfTopKFromIndex]]) and the same windows run over shortlist
+    * rows — margins over approximate kNN are the standard practice.
+    */
+  def bitextMine(s: SparkSession, d: String, k: Int = 4,
+      minMargin: Double = 1.0): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val a = emb.filter(col("label") < 5)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = emb.filter(col("label") >= 5)
+      .select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    val pairs = a.join(broadcast(b))
+      .select(col("a_id"), col("b_id"),
+        fusedCosine(col("av"), col("bv")).as("sim"))
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("sim").desc, col("a_id"))
+    val ranked = pairs
+      .withColumn("rka", row_number().over(wa))
+      .withColumn("rkb", row_number().over(wb))
+    val avgA = ranked.filter(col("rka") <= k).groupBy("a_id")
+      .agg(avg(col("sim")).as("knn_a"))
+    val avgB = ranked.filter(col("rkb") <= k).groupBy("b_id")
+      .agg(avg(col("sim")).as("knn_b"))
+    ranked.filter(col("rka") === 1 && col("rkb") === 1)
+      .join(avgA, "a_id").join(avgB, "b_id")
+      .select(col("a_id"), col("b_id"), r4(col("sim")).as("sim"),
+        r4(col("sim") / ((col("knn_a") + col("knn_b")) / 2.0))
+          .as("margin"))
+      .filter(col("margin") > minMargin)
+  }
+
   /** Brute-force top-k via the bounded TopK aggregator instead of a
     * ranking window: the window form shuffles and sorts every
     * (query, candidate) pair; this form partial-aggregates per

@@ -116,6 +116,10 @@ object TextQueries {
     "q_incremental_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalDedupQuery(s, d)),
     "q_embedding_stats" -> (Similarity.labelStats _),
+    // margin-based bitext mining: mutual top-1 cross-side neighbors
+    // with a ratio margin — exhaustive driver form, fully oracled
+    "q_bitext_mine" -> ((s: SparkSession, d: String) =>
+      Similarity.bitextMine(s, d)),
     "q_ann_brute" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(s, d)),
     "q_ann_brute_agg" -> ((s: SparkSession, d: String) =>
@@ -829,6 +833,42 @@ object TextQueries {
         |  CAST(122509 AS BIGINT) AS n_chars,
         |  CAST(95989 AS BIGINT) AS n_syms,
         |  CAST(1.2763 AS DOUBLE) AS compression""".stripMargin,
+    // bitext mining: exhaustive cross-side cosine, mutual-top-1 +
+    // ratio margin recomputed in full (the q_ann_brute oracle idiom)
+    "q_bitext_mine" ->
+      """WITH a AS (
+        |  SELECT vec_id AS a_id, embedding AS av FROM embeddings
+        |  WHERE label < 5),
+        |b AS (
+        |  SELECT vec_id AS b_id, embedding AS bv FROM embeddings
+        |  WHERE label >= 5),
+        |p AS (
+        |  SELECT a_id, b_id,
+        |   list_sum(list_transform(av,
+        |     (x, i) -> CAST(x AS DOUBLE) * CAST(bv[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(av,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(bv,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM a, b),
+        |r AS (
+        |  SELECT *,
+        |   row_number() OVER (PARTITION BY a_id
+        |     ORDER BY sim DESC, b_id) AS rka,
+        |   row_number() OVER (PARTITION BY b_id
+        |     ORDER BY sim DESC, a_id) AS rkb
+        |  FROM p),
+        |ka AS (SELECT a_id, avg(sim) AS knn_a FROM r WHERE rka <= 4
+        |       GROUP BY a_id),
+        |kb AS (SELECT b_id, avg(sim) AS knn_b FROM r WHERE rkb <= 4
+        |       GROUP BY b_id)
+        |SELECT r.a_id, r.b_id, round(r.sim, 4) AS sim,
+        |  round(r.sim / ((ka.knn_a + kb.knn_b) / 2), 4) AS margin
+        |FROM r JOIN ka ON r.a_id = ka.a_id
+        |  JOIN kb ON r.b_id = kb.b_id
+        |WHERE rka = 1 AND rkb = 1
+        |  AND round(r.sim / ((ka.knn_a + kb.knn_b) / 2), 4) > 1.0
+        |""".stripMargin,
     // vocabulary overlap: full recompute — distinct (source, token)
     // set, pairwise intersection counts, Jaccard at 4 dp
     "q_vocab_overlap" ->
