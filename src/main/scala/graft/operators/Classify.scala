@@ -93,4 +93,31 @@ object Classify {
       .select(col("doc_id"), col("curated"), col("score"),
         (col("score") > col("thr")).as("keep"))
   }
+
+  /** The production keep decision: majority vote of the three quality
+    * signals — heuristic (stopword ratio ≤ 0.12 on the rounded value,
+    * ≥ 5 tokens), the learned NB gate, and the perplexity filter
+    * (bucket ≠ tail). Each leg is the exact oracle-pinned operator, so
+    * the composed decision carries one full cross-engine oracle too —
+    * the ensemble is where the filters earn their keep together
+    * (papers consistently find the union beats any single gate).
+    * Scale shape: three independent doc-keyed frames joined on doc_id
+    * — the legs pipeline in parallel, and the joins reuse one
+    * partitioning.
+    */
+  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val heur = TextOps.textStats(s, d).select(col("doc_id"),
+      coalesce(col("stopword_ratio") <= 0.12 && col("n_tokens") >= 5,
+        lit(false)).as("heur_keep"))
+    val nb = nbQuality(s, d)
+      .select(col("doc_id"), col("keep").as("nb_keep"))
+    val ppl = Perplexity.perplexityFilter(s, d)
+      .select(col("doc_id"), (col("bucket") =!= "tail").as("ppl_keep"))
+    val votes = col("heur_keep").cast("int") +
+      col("nb_keep").cast("int") + col("ppl_keep").cast("int")
+    heur.join(nb, "doc_id").join(ppl, "doc_id")
+      .select(col("doc_id"), col("heur_keep"), col("nb_keep"),
+        col("ppl_keep"), votes.cast("int").as("votes"),
+        (votes >= 2).as("keep"))
+  }
 }

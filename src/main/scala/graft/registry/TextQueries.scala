@@ -40,6 +40,11 @@ object TextQueries {
     // so training AND inference carry one full cross-engine oracle
     "q_quality_nb" -> ((s: SparkSession, d: String) =>
       Classify.nbQuality(s, d)),
+    // the composed production keep decision: heuristic + NB +
+    // perplexity majority vote — every leg closed-form, so the
+    // ensemble carries one full oracle
+    "q_quality_ensemble" -> ((s: SparkSession, d: String) =>
+      Classify.qualityEnsemble(s, d)),
     // CCNet-style perplexity filter: bigram LM trained on the curated
     // slice, per-doc ppl, head/middle/tail tertiles — closed-form
     // Lidstone smoothing, so train+score+bucket carries one full
@@ -1005,6 +1010,96 @@ object TextQueries {
         |SELECT doc_id, curated, score,
         |  score > (SELECT median(score) FROM scored) AS keep
         |FROM scored""".stripMargin,
+    // the full three-gate ensemble recompute: the q_quality_nb and
+    // q_perplexity CTE chains verbatim (renamed to coexist) plus the
+    // heuristic leg, majority-voted
+    "q_quality_ensemble" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |heur AS (
+        |  SELECT doc_id,
+        |    coalesce(round(CAST(len(list_filter(ts,
+        |        t -> t IN ('the','a'))) AS DOUBLE) / len(ts), 4)
+        |      <= 0.12 AND len(ts) >= 5, FALSE) AS heur_keep
+        |  FROM toks),
+        |cls AS (
+        |  SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS npos,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM toks),
+        |dt AS (
+        |  SELECT doc_id, pos, unnest(list_distinct(ts)) AS token
+        |  FROM toks),
+        |tc AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS dfpos,
+        |    CAST(count(*) AS DOUBLE) AS dfall
+        |  FROM dt GROUP BY token),
+        |w AS (
+        |  SELECT token,
+        |    ln((dfpos + 0.5) / (c.npos + 1)) -
+        |    ln((dfall - dfpos + 0.5) / (c.n - c.npos + 1)) AS w
+        |  FROM tc, cls c),
+        |sc AS (
+        |  SELECT dt.doc_id, sum(w.w) AS sumw
+        |  FROM dt JOIN w USING (token) GROUP BY dt.doc_id),
+        |nbscored AS (
+        |  SELECT t.doc_id,
+        |    round(ln((c.npos + 0.5) / (c.n - c.npos + 0.5))
+        |      + coalesce(sc.sumw, 0), 4) AS score
+        |  FROM toks t LEFT JOIN sc ON t.doc_id = sc.doc_id, cls c),
+        |nb AS (
+        |  SELECT doc_id,
+        |    score > (SELECT median(score) FROM nbscored) AS nb_keep
+        |  FROM nbscored),
+        |bi AS (
+        |  SELECT doc_id, pos AS ref,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE ts[i - 1] END AS w1,
+        |    ts[i] AS w2
+        |  FROM (SELECT doc_id, pos, ts,
+        |          unnest(range(1, len(ts) + 1)) AS i
+        |        FROM toks)),
+        |c2 AS (
+        |  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
+        |  FROM bi WHERE ref GROUP BY w1, w2),
+        |c1 AS (
+        |  SELECT w1, CAST(count(*) AS DOUBLE) AS c1
+        |  FROM bi WHERE ref GROUP BY w1),
+        |v AS (
+        |  SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v
+        |  FROM bi WHERE ref),
+        |pd AS (
+        |  SELECT bi.doc_id,
+        |    round(exp(sum(-ln((coalesce(c2.c2, 0) + 0.5) /
+        |      (coalesce(c1.c1, 0) + 0.5 * (v.v + 1)))) / count(*)), 4)
+        |      AS ppl
+        |  FROM bi LEFT JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+        |    LEFT JOIN c1 ON bi.w1 = c1.w1, v
+        |  GROUP BY bi.doc_id),
+        |pplscored AS (
+        |  SELECT t.doc_id, pd.ppl
+        |  FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id),
+        |thr AS (
+        |  SELECT quantile_cont(ppl, 0.3333333333333333) AS t1,
+        |    quantile_cont(ppl, 0.6666666666666666) AS t2
+        |  FROM pplscored),
+        |ppl AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN ppl IS NULL THEN 'tail'
+        |      WHEN ppl <= t1 THEN 'head'
+        |      WHEN ppl <= t2 THEN 'middle'
+        |      ELSE 'tail' END) <> 'tail' AS ppl_keep
+        |  FROM pplscored, thr)
+        |SELECT h.doc_id, h.heur_keep, nb.nb_keep, ppl.ppl_keep,
+        |  CAST(CAST(h.heur_keep AS INT) + CAST(nb.nb_keep AS INT)
+        |    + CAST(ppl.ppl_keep AS INT) AS INT) AS votes,
+        |  (CAST(h.heur_keep AS INT) + CAST(nb.nb_keep AS INT)
+        |    + CAST(ppl.ppl_keep AS INT)) >= 2 AS keep
+        |FROM heur h JOIN nb ON h.doc_id = nb.doc_id
+        |  JOIN ppl ON h.doc_id = ppl.doc_id""".stripMargin,
     // exhaustive blocked jaccard — the Spark side's small-block path is
     // exhaustive too, so the sets are identical by construction
     "q_ngram_jaccard" ->
