@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative link analysis over the purchase graph — PageRank as the
+  * training-data pipeline uses it: crawl curation weights documents by
+  * the authority of their source domain (Common Crawl's
+  * harmonic-centrality ranking is the canonical instance), and the
+  * customer→supplier bipartite graph from orders⋈lineitem is the
+  * testdata's stand-in link structure.
+  *
+  * Determinism across engines is the hard part of an iterative fixpoint:
+  * floating-point rank mass accumulates summation-order drift that 4dp
+  * output rounding cannot hide after five iterations. The fix is exact
+  * integer arithmetic end-to-end — ranks are scaled to 1e12 "mass
+  * units", every division is integer `div` (identical floor in both
+  * engines on the non-negative operands involved), so the computed
+  * fixpoint is bit-exact regardless of partitioning, merge order, or
+  * engine. The damping update per node v:
+  *
+  *   rank'(v) = base + (85 * (inflow(v) + dangling/N)) div 100
+  *   base     = (15 * (SCALE div N)) div 100
+  *   inflow(v) = Σ_{u→v} rank(u) div outdeg(u)
+  *
+  * i.e. d = 0.85 with dangling mass (suppliers have no out-edges)
+  * redistributed uniformly — the standard formulation, floored.
+  *
+  * Scale shape per iteration: one shuffle of the rank table on the edge
+  * source key, one dst-keyed partial→final aggregate, one broadcast-able
+  * dangling scalar (a single bounded one-row collect). The edge list is
+  * computed once, persisted, and re-joined — at 100 TB the edges are the
+  * corpus-sized table and each iteration touches them exactly once;
+  * lineage is truncated per round (`localCheckpoint`) so the plan stays
+  * iteration-sized instead of growing 5 plans deep.
+  */
+object Graph {
+
+  val Scale = 1000000000000L
+
+  /** Five damped integer PageRank iterations over the distinct
+    * customer→supplier edges; emits every node's exact scaled rank.
+    */
+  def pageRank(s: SparkSession, d: String, iters: Int = 5): DataFrame = {
+    val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    pageRankEdges(edges, iters)
+  }
+
+  /** The iteration over an arbitrary distinct (src, dst) edge list. */
+  def pageRankEdges(edgesIn: DataFrame, iters: Int): DataFrame = {
+    val edges = edgesIn.persist()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    val base = (15L * (Scale / n)) / 100L
+
+    var rank = nodes.select(col("node"), lit(Scale / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val withDeg = rank.join(outdeg, Seq("node"), "left")
+      // dangling mass: a one-row bounded collect (the standard scalar
+      // of every distributed PageRank round)
+      val dangShare = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0) / n
+      val inflow = withDeg.filter(col("deg").isNotNull)
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"),
+          expr("rank div deg").as("contrib"))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("inflow"))
+      rank = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"${base}L + (85 * (coalesce(inflow, 0L) + " +
+            s"${dangShare}L)) div 100").as("rank"))
+        .localCheckpoint()
+    }
+    edges.unpersist(); nodes.unpersist()
+    rank.select(col("node"), col("rank").as("rank_scaled"))
+  }
+
+  /** The same recurrence as chained DuckDB CTEs — generated from one
+    * template so the driver oracle can never drift from the engine's
+    * iteration count or constants.
+    */
+  def oracleSql(iters: Int = 5): String = {
+    val head =
+      s"""WITH edges AS (
+         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |outdeg AS (SELECT src AS node, count(*) AS deg
+         |           FROM edges GROUP BY src),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |p AS (SELECT count(*) AS n,
+         |        (15 * (${Scale} // count(*))) // 100 AS base
+         |      FROM nodes),
+         |r0 AS (SELECT node, (${Scale} // p.n) AS rank
+         |       FROM nodes, p)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""d$i AS (
+         |  SELECT coalesce(sum(r.rank), 0) AS dm
+         |  FROM $prev r LEFT JOIN outdeg o ON r.node = o.node
+         |  WHERE o.deg IS NULL),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    p.base + (85 * (coalesce(i.inflow, 0) + (d$i.dm // p.n)))
+         |      // 100 AS rank
+         |  FROM nodes CROSS JOIN p CROSS JOIN d$i
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // o.deg) AS inflow
+         |    FROM edges e
+         |      JOIN $prev r ON e.src = r.node
+         |      JOIN outdeg o ON e.src = o.node
+         |    GROUP BY e.dst) i ON nodes.node = i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds
+       |SELECT node, CAST(rank AS BIGINT) AS rank_scaled
+       |FROM r$iters""".stripMargin
+  }
+}

@@ -402,4 +402,31 @@ object Relational {
         col("value"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n"), r4(avg(col("value"))).as("avg_value"))
+
+  /** Fact⋈dim revenue rollup with an explicit Bloom semi-join
+    * reduction ([[graft.functions.Bloom]]): the filtered orders side
+    * is sketched into a ~7 bits/key bit-set, and lineitem rows whose
+    * order key cannot match are dropped at the SCAN side of the plan —
+    * before the fact table's shuffle, which is where a 100 TB join
+    * spends its time. False positives just ride into the exact join,
+    * so the result is identical to the plain join the oracle runs;
+    * SHUFFLE.md records the measured probe-side exchange reduction.
+    */
+  def bloomPrunedJoin(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F" &&
+        year(col("o_orderdate")) === 1996)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bf = graft.functions.Bloom.build(ord, col("o_orderkey"),
+      expectedItems = 1000000L)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .filter(graft.functions.Bloom.mightContain(bf, col("l_orderkey")))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

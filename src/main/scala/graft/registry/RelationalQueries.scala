@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.operators.Relational
+import graft.operators.{Graph, Relational, Timeseries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the relational operator family.
@@ -40,6 +40,21 @@ object RelationalQueries {
     // fact⋈fact join plans with zero Exchange on either side
     "q_bucketed_join_served" -> ((s: SparkSession, _: String) =>
       Relational.bucketedRevenue(s)),
+    // explicit Bloom semi-join reduction: probe-side fact rows that
+    // cannot match the filtered build side are dropped BEFORE the
+    // fact shuffle; the reduction is invisible to the result (the
+    // oracle runs the plain join)
+    "q_bloom_join" -> (Relational.bloomPrunedJoin _),
+    // hourly resample onto the full per-series hour grid, gaps
+    // forward-filled (LOCF) from the already-rounded hourly average
+    "q_gap_fill" -> (Timeseries.gapFill _),
+    // type-2 history build from the purchase changelog: one validity
+    // interval per state change, exact nanosecond bounds
+    "q_scd2" -> (Timeseries.scd2 _),
+    // five damped PageRank iterations over the customer→supplier
+    // graph in exact scaled-integer arithmetic — bit-identical across
+    // engines, partitionings, and merge orders
+    "q_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     // reads the z-ordered lineitem copy written by the prepare hook:
     // the 2-D layout is invisible to the result (oracle recomputes over
     // the raw table) — it exists to give the rectangle scan row-group
@@ -236,6 +251,57 @@ object RelationalQueries {
          | count(*) AS n_items
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus""".stripMargin,
+    // the plain join — the Bloom reduction must never change it
+    "q_bloom_join" ->
+      s"""SELECT o_orderpriority,
+         | ${ds("l_extendedprice * (1 - l_discount)")} AS revenue,
+         | count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'F'
+         |  AND year(CAST(o_orderdate AS DATE)) = 1996
+         |GROUP BY o_orderpriority""".stripMargin,
+    // grid keyed by exact integer epoch-hour (epoch_ns // 3.6e12 —
+    // no timestamp arithmetic), LOCF propagates the 4dp-rounded
+    // hourly average unchanged
+    "q_gap_fill" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    epoch_ns(ts) // 3600000000000 AS h_idx,
+        |    round(avg(value), 4) AS avg_value, count(*) AS n_obs
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h_idx) AS lo, max(h_idx) AS hi
+        |      FROM h GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |           unnest(generate_series(lo, hi)) AS h_idx
+        |         FROM b),
+        |j AS (SELECT g.event_type, g.h_idx, h.avg_value, h.n_obs
+        |      FROM grid g LEFT JOIN h
+        |        ON g.event_type = h.event_type AND g.h_idx = h.h_idx)
+        |SELECT event_type, h_idx,
+        |  CAST(make_timestamp(h_idx * 3600000000) AS DATE) AS date,
+        |  CAST(h_idx % 24 AS INT) AS hr,
+        |  avg_value,
+        |  last_value(avg_value IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY h_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value,
+        |  coalesce(n_obs, 0) AS n_obs,
+        |  (avg_value IS NULL) AS is_gap
+        |FROM j""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, CAST(version AS INT) AS version, value,
+        |  valid_from, valid_to, (valid_to IS NULL) AS is_current
+        |FROM (
+        |  SELECT user_id, value,
+        |    row_number() OVER w AS version,
+        |    epoch_ns(ts) AS valid_from,
+        |    lead(epoch_ns(ts), 1) OVER w AS valid_to
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |""".stripMargin,
+    // generated from the same template as the engine's iteration —
+    // constants and round count can never drift apart
+    "q_pagerank" -> Graph.oracleSql(5),
     "q_sessionize" ->
       """SELECT user_id, CAST(session_idx AS INT) AS session_idx,
         | count(*) AS n_events, min(event_id) AS first_event_id,

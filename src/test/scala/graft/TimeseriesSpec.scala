@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Timeseries
+import java.sql.Timestamp
+
+/** Gap-fill resample and SCD2 history on planted changelogs: exact
+  * grid coverage, LOCF propagation, boundary placement, interval
+  * chaining.
+  */
+class TimeseriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def writeEvents(rows: Seq[(Long, String, Long, String,
+      java.lang.Double, String)]): String = {
+    val d = tmpDir("ts_events")
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.to_timestamp($"ts_s"))
+      .drop("ts_s")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("gapFill covers the grid, flags gaps, and forward-fills the " +
+      "rounded hourly average") {
+    // series m: hours 10, 11, 13 observed (12 missing); an extra
+    // observation placed EXACTLY on the hour-11 boundary must land in
+    // hour 11, and a null value row is excluded entirely
+    val d = writeEvents(Seq(
+      (1L, "2024-01-01 10:15:00", 1L, "m", Double.box(2.0), "{}"),
+      (2L, "2024-01-01 10:45:00", 1L, "m", Double.box(4.0), "{}"),
+      (3L, "2024-01-01 11:00:00", 1L, "m", Double.box(7.0), "{}"),
+      (4L, "2024-01-01 13:30:00", 1L, "m", Double.box(9.0), "{}"),
+      (5L, "2024-01-01 12:10:00", 1L, "m", null, "{}")))
+    val got = Timeseries.gapFill(spark, d)
+      .orderBy("h_idx")
+      .select("hr", "avg_value", "filled_value", "n_obs", "is_gap")
+      .collect()
+      .map(r => (r.getInt(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    assert(got === Seq(
+      (10, Some(3.0), 3.0, 2L, false),
+      (11, Some(7.0), 7.0, 1L, false),
+      (12, None, 7.0, 0L, true),
+      (13, Some(9.0), 9.0, 1L, false)))
+  }
+
+  test("gapFill builds independent grids per series") {
+    val d = writeEvents(Seq(
+      (1L, "2024-01-01 00:30:00", 1L, "a", Double.box(1.0), "{}"),
+      (2L, "2024-01-01 02:30:00", 1L, "a", Double.box(2.0), "{}"),
+      (3L, "2024-01-02 05:00:00", 1L, "b", Double.box(3.0), "{}")))
+    val got = Timeseries.gapFill(spark, d).collect()
+    assert(got.count(_.getString(0) == "a") === 3) // hours 0,1,2
+    assert(got.count(_.getString(0) == "b") === 1)
+    assert(got.filter(_.getString(0) == "a").count(_.getBoolean(7)) === 1)
+  }
+
+  test("scd2 chains validity intervals per entity in (ts, event_id) " +
+      "order with one open current version") {
+    val d = writeEvents(Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "purchase", Double.box(10.0), "{}"),
+      // same timestamp as event 3: event_id breaks the tie
+      (3L, "2024-01-02 00:00:00", 7L, "purchase", Double.box(30.0), "{}"),
+      (2L, "2024-01-02 00:00:00", 7L, "purchase", Double.box(20.0), "{}"),
+      (4L, "2024-01-03 00:00:00", 8L, "purchase", Double.box(40.0), "{}"),
+      (5L, "2024-01-04 00:00:00", 8L, "view", Double.box(99.0), "{}")))
+    val got = Timeseries.scd2(spark, d)
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getBoolean(5)))
+    assert(got.map(t => (t._1, t._2, t._3, t._6)).toSeq === Seq(
+      (7L, 1, 10.0, false), (7L, 2, 20.0, false), (7L, 3, 30.0, true),
+      (8L, 1, 40.0, true)))
+    // interval chaining: each valid_to equals the next valid_from
+    val u7 = got.filter(_._1 == 7L)
+    assert(u7(0)._5.get === u7(1)._4)
+    assert(u7(1)._5.get === u7(2)._4)
+    assert(u7(2)._5.isEmpty)
+  }
+}
