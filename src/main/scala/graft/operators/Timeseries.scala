@@ -92,4 +92,39 @@ object Timeseries {
         lead(col("ts"), 1).over(w).as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Point-in-time dimension lookup: each view event enriched with the
+    * purchase-history version valid at its timestamp — the standard
+    * "join the fact to the SCD2 dimension as of event time". Same
+    * composition as [[AsOf]]: tag, union, ONE entity-keyed window with
+    * ignore-nulls `last` — each row shuffles exactly once, vs the
+    * interval-join formulation that explodes |facts|×|versions| pairs
+    * per entity before filtering. A version's interval includes its
+    * start (purchases sort before views at the same instant, matching
+    * [valid_from, valid_to) from [[scd2]]).
+    */
+  def scd2Lookup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val dim = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("side"), col("value").as("p_value"))
+      .withColumn("p_version", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))).cast("long"))
+    val facts = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("side"), lit(null).cast("double").as("p_value"),
+        lit(null).cast("long").as("p_version"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dim.unionByName(facts)
+      .withColumn("asof_value",
+        last(col("p_value"), ignoreNulls = true).over(w))
+      .withColumn("asof_version",
+        last(col("p_version"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("asof_version"), col("asof_value"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.operators.{Graph, Relational, Timeseries}
+import graft.operators.{Cdc, Graph, Relational, Timeseries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the relational operator family.
@@ -51,6 +51,13 @@ object RelationalQueries {
     // type-2 history build from the purchase changelog: one validity
     // interval per state change, exact nanosecond bounds
     "q_scd2" -> (Timeseries.scd2 _),
+    // point-in-time lookup: each view enriched with the purchase
+    // version valid at its timestamp — one union + one entity-keyed
+    // window, never an interval explosion
+    "q_scd2_lookup" -> (Timeseries.scd2Lookup _),
+    // last-writer-wins changelog compaction + keyed full-outer merge
+    // into the customer snapshot, with per-row disposition
+    "q_cdc_apply" -> (Cdc.applyPurchases _),
     // five damped PageRank iterations over the customer→supplier
     // graph in exact scaled-integer arithmetic — bit-identical across
     // engines, partitionings, and merge orders
@@ -299,6 +306,49 @@ object RelationalQueries {
         |  FROM events WHERE event_type = 'purchase'
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |""".stripMargin,
+    // the same tag-union-window composition; a version's interval
+    // includes its start (purchases sort before views at equal ts)
+    "q_scd2_lookup" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, 0 AS side,
+        |    value AS p_value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS p_version
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, 1 AS side,
+        |    CAST(NULL AS DOUBLE) AS p_value,
+        |    CAST(NULL AS BIGINT) AS p_version
+        |  FROM events WHERE event_type = 'view'),
+        |u AS (SELECT * FROM p UNION ALL SELECT * FROM v),
+        |w AS (
+        |  SELECT user_id, event_id, side,
+        |    last_value(p_value IGNORE NULLS) OVER win AS asof_value,
+        |    last_value(p_version IGNORE NULLS) OVER win AS asof_version
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tsn, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS view_id, user_id, asof_version, asof_value
+        |FROM w WHERE side = 1""".stripMargin,
+    // presence-marker merge semantics: a change row wins even when its
+    // value is NULL, so dispositions come from join presence, not
+    // value-null tests
+    "q_cdc_apply" ->
+      """WITH latest AS (
+        |  SELECT key, new_value FROM (
+        |    SELECT user_id AS key, value AS new_value,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase')
+        |  WHERE rn = 1),
+        |base AS (SELECT c_custkey AS key, c_acctbal FROM customer)
+        |SELECT coalesce(b.key, l.key) AS key,
+        |  round(CASE WHEN l.key IS NOT NULL THEN l.new_value
+        |        ELSE b.c_acctbal END, 4) AS acctbal,
+        |  CASE WHEN b.key IS NULL THEN 'inserted'
+        |       WHEN l.key IS NULL THEN 'kept'
+        |       ELSE 'updated' END AS disposition
+        |FROM base b FULL OUTER JOIN latest l ON b.key = l.key""".stripMargin,
     // generated from the same template as the engine's iteration —
     // constants and round count can never drift apart
     "q_pagerank" -> Graph.oracleSql(5),

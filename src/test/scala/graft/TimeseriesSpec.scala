@@ -80,4 +80,60 @@ class TimeseriesSpec extends SparkSuite {
     assert(u7(1)._5.get === u7(2)._4)
     assert(u7(2)._5.isEmpty)
   }
+
+  test("scd2Lookup resolves each view to the version valid at its " +
+      "timestamp, inclusive of the version start") {
+    val d = writeEvents(Seq(
+      (10L, "2024-01-02 00:00:00", 7L, "purchase", Double.box(1.0), "{}"),
+      (11L, "2024-01-04 00:00:00", 7L, "purchase", Double.box(2.0), "{}"),
+      (20L, "2024-01-01 00:00:00", 7L, "view", Double.box(0.0), "{}"),
+      // exactly at version 1's valid_from: sees version 1
+      (21L, "2024-01-02 00:00:00", 7L, "view", Double.box(0.0), "{}"),
+      (22L, "2024-01-03 00:00:00", 7L, "view", Double.box(0.0), "{}"),
+      (23L, "2024-01-05 00:00:00", 7L, "view", Double.box(0.0), "{}")))
+    val got = Timeseries.scd2Lookup(spark, d)
+      .orderBy("view_id").collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq === Seq(
+      (20L, None, None),
+      (21L, Some(1L), Some(1.0)),
+      (22L, Some(1L), Some(1.0)),
+      (23L, Some(2L), Some(2.0))))
+  }
+
+  test("cdc upsert: presence-marker dispositions, LWW compaction, " +
+      "and a NULL-valued change still wins") {
+    import graft.operators.Cdc
+    val base = Seq((1L, 100.0), (2L, 200.0), (3L, 300.0))
+      .toDF("key", "c_acctbal")
+    val changes = Seq(
+      // key 1: two writers — later ts wins
+      (1L, Double.box(10.0), 1000L, 1L),
+      (1L, Double.box(11.0), 2000L, 2L),
+      // key 2 untouched; key 3 updated to NULL (must still win);
+      // key 9 absent from base (insert)
+      (3L, null.asInstanceOf[java.lang.Double], 1000L, 3L),
+      (9L, Double.box(9.0), 1000L, 4L))
+      .toDF("key", "value", "ts", "event_id")
+    val got = Cdc.upsert(base, changes, "key", "value",
+      Seq("ts", "event_id"))
+      .select(org.apache.spark.sql.functions.col("key"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("in_change"),
+          org.apache.spark.sql.functions.col("new_value"))
+          .otherwise(org.apache.spark.sql.functions.col("c_acctbal"))
+          .as("v"),
+        org.apache.spark.sql.functions.col("in_base"),
+        org.apache.spark.sql.functions.col("in_change"))
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)),
+        !r.isNullAt(2), !r.isNullAt(3)))
+    assert(got.toSeq === Seq(
+      (1L, Some(11.0), true, true),
+      (2L, Some(200.0), true, false),
+      (3L, None, true, true),
+      (9L, Some(9.0), false, true)))
+  }
 }
