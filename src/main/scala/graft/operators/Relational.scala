@@ -412,6 +412,30 @@ object Relational {
     * so the result is identical to the plain join the oracle runs;
     * SHUFFLE.md records the measured probe-side exchange reduction.
     */
+  /** Market-basket co-occurrence: part pairs appearing together in at
+    * least `minSupport` orders — the self-join family (recommendation
+    * mining) the suite otherwise lacks. The basket is deduped first
+    * and both sides shuffle on the SAME order key, so the pair
+    * explosion happens join-local; output pairs are canonical
+    * (p1 < p2). Per-basket pair count is quadratic in basket size —
+    * TPC-H baskets are ≤7 distinct parts so no cap is needed here; at
+    * 100 TB a retail basket tail wants a per-basket top-N slice
+    * before the self-join (the standard guard), which composes as one
+    * extra windowed filter on the deduped items.
+    */
+  def coPurchase(s: SparkSession, d: String,
+      minSupport: Long = 3): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minSupport)
+  }
+
   def bloomPrunedJoin(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
       .filter(col("o_orderstatus") === "F" &&

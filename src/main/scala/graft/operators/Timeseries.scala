@@ -127,4 +127,34 @@ object Timeseries {
       .select(col("event_id").as("view_id"), col("user_id"),
         col("asof_version"), col("asof_value"))
   }
+
+  /** Rolling-baseline anomaly detection: each observation scored
+    * against the mean/stddev of its series' preceding `lookback`
+    * observations (the row itself excluded — a spike must not raise
+    * its own baseline), flagged when it sits more than `sigmas` away.
+    * Rows with fewer than `minBase` history rows are withheld rather
+    * than scored against a noisy baseline.
+    *
+    * Determinism: the flag compares against the 4dp-ROUNDED baseline
+    * columns that are also emitted, so the boolean derives from
+    * engine-identical inputs. Scale shape: one series-keyed window —
+    * the same single shuffle every per-series operator here pays; the
+    * frame is row-bounded so state per row is O(lookback).
+    */
+  def anomalies(s: SparkSession, d: String, lookback: Int = 20,
+      minBase: Int = 10, sigmas: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"),
+        r4(avg(col("value")).over(w)).as("base_mean"),
+        r4(stddev_samp(col("value")).over(w)).as("base_std"),
+        count(col("value")).over(w).as("n_base"))
+      .filter(col("n_base") >= minBase)
+      .withColumn("is_outlier",
+        abs(col("value") - col("base_mean")) >
+          col("base_std") * lit(sigmas))
+  }
 }

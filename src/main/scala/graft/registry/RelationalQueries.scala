@@ -58,6 +58,15 @@ object RelationalQueries {
     // last-writer-wins changelog compaction + keyed full-outer merge
     // into the customer snapshot, with per-row disposition
     "q_cdc_apply" -> (Cdc.applyPurchases _),
+    // rolling-baseline outliers: each value vs the mean/std of its
+    // series' preceding 20 observations (self excluded); the flag
+    // derives from the emitted 4dp baselines, so it is engine-exact
+    "q_anomaly" -> ((s: SparkSession, d: String) =>
+      Timeseries.anomalies(s, d)),
+    // canonical part pairs co-occurring in >= 3 orders: the deduped
+    // basket self-join keyed on the shared order key
+    "q_copurchase" -> ((s: SparkSession, d: String) =>
+      Relational.coPurchase(s, d)),
     // five damped PageRank iterations over the customer→supplier
     // graph in exact scaled-integer arithmetic — bit-identical across
     // engines, partitionings, and merge orders
@@ -349,6 +358,27 @@ object RelationalQueries {
         |       WHEN l.key IS NULL THEN 'kept'
         |       ELSE 'updated' END AS disposition
         |FROM base b FULL OUTER JOIN latest l ON b.key = l.key""".stripMargin,
+    "q_anomaly" ->
+      """SELECT event_type, event_id, value, base_mean, base_std,
+        |  n_base, (abs(value - base_mean) > base_std * 2.0) AS is_outlier
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    round(avg(value) OVER w, 4) AS base_mean,
+        |    round(stddev_samp(value) OVER w, 4) AS base_std,
+        |    count(value) OVER w AS n_base
+        |  FROM events WHERE value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |WHERE n_base >= 10""".stripMargin,
+    "q_copurchase" ->
+      """SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |  count(*) AS n_orders
+        |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 3""".stripMargin,
     // generated from the same template as the engine's iteration —
     // constants and round count can never drift apart
     "q_pagerank" -> Graph.oracleSql(5),

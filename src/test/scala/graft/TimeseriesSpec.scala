@@ -103,6 +103,41 @@ class TimeseriesSpec extends SparkSuite {
       (23L, Some(2L), Some(2.0))))
   }
 
+  test("anomalies: a spike is flagged against the preceding-rows " +
+      "baseline and early rows are withheld") {
+    // 12 stable readings then a spike; lookback window excludes self
+    val rows = (1 to 12).map { i =>
+      (i.toLong, f"2024-01-01 00:${i}%02d:00", 1L, "m",
+        Double.box(10.0 + (i % 2) * 0.2), "{}")
+    } :+ (13L, "2024-01-01 00:13:00", 1L, "m", Double.box(50.0), "{}")
+    val d = writeEvents(rows)
+    val got = Timeseries.anomalies(spark, d, lookback = 20,
+      minBase = 10, sigmas = 2.0)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(1), r.getLong(5), r.getBoolean(6)))
+    // rows 1..10 have < 10 history rows -> withheld
+    assert(got.map(_._1).toSeq === Seq(11L, 12L, 13L))
+    assert(got.map(_._3).toSeq === Seq(false, false, true))
+  }
+
+  test("coPurchase counts canonical part pairs above support") {
+    import graft.operators.Relational
+    val d = tmpDir("basket")
+    // orders 1..4 contain {A,B}, order 5 {A,B,C}; pair (A,B) support
+    // 5, (A,C)/(B,C) support 1; duplicate lines must not double-count
+    val li = Seq(
+      (1L, 100L), (1L, 200L), (1L, 200L),
+      (2L, 100L), (2L, 200L),
+      (3L, 200L), (3L, 100L),
+      (4L, 100L), (4L, 200L),
+      (5L, 100L), (5L, 200L), (5L, 300L))
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Relational.coPurchase(spark, d, minSupport = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((100L, 200L, 5L)))
+  }
+
   test("cdc upsert: presence-marker dispositions, LWW compaction, " +
       "and a NULL-valued change still wins") {
     import graft.operators.Cdc
