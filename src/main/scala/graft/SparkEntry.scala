@@ -43,6 +43,8 @@ object SparkEntry {
       s"${graft.registry.TextQueries.indexRoot(sfDir)}/bucketed")
     graft.operators.Relational.prepareZordered(spark, sfDir,
       s"${graft.registry.TextQueries.indexRoot(sfDir)}/zorder_lineitem")
+    graft.operators.Cdc.prepareLake(spark, sfDir,
+      s"${graft.registry.TextQueries.indexRoot(sfDir)}/cdc")
   }
 
   /** True when `name`'s query function reads a [[prepare]]-built lake

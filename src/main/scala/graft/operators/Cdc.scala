@@ -42,6 +42,126 @@ object Cdc {
       .join(latest, Seq(key), "full_outer")
   }
 
+  // ------------------------------------------------------------------
+  // Persisted CDC lake: the same merge as a grow-in-place lifecycle.
+  // Layout mirrors the index lakes:
+  //   lakeDir/base                      — dimension snapshot rows
+  //   lakeDir/changes_batches/batch=<id> — per-batch LWW-compacted rows
+  // Cross-batch precedence is the batch id (arrival order), within a
+  // batch the (ts, event_id) writer order — so when batches respect
+  // time order (a CDC stream does), the grown snapshot equals the
+  // one-shot merge exactly. Every write is keyed by its batch id and
+  // overwrites its own dir: checkpoint replay is exactly-once, the
+  // contract every maintainer here shares.
+  // ------------------------------------------------------------------
+
+  /** Seed the lake's base snapshot: (key, value) rows, disposition
+    * 'kept' until a change touches them.
+    */
+  def writeBase(s: SparkSession, lakeDir: String, base: DataFrame): Unit =
+    base.select(col("key"), col("value"), lit("kept").as("disposition"))
+      .write.mode("overwrite").parquet(s"$lakeDir/base")
+
+  /** Land one changelog micro-batch of (key, value, ts, event_id)
+    * rows: compact it last-writer-wins and overwrite this batch id's
+    * own dir.
+    */
+  def appendBatch(s: SparkSession, lakeDir: String, changes: DataFrame,
+      batchId: Long): Unit = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    changes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("value"))
+      .write.mode("overwrite")
+      .parquet(s"$lakeDir/changes_batches/batch=$batchId")
+  }
+
+  /** Current snapshot: base ∪ batch dirs, highest batch id wins per
+    * key (base is batch −1); one key-partitioned window computes the
+    * winner and both presence flags in a single shuffle. A key's
+    * disposition reflects its full history — base dispositions
+    * survive promotion, later changes upgrade them.
+    */
+  def snapshot(s: SparkSession, lakeDir: String): DataFrame = {
+    val base = s.read.parquet(s"$lakeDir/base")
+      .select(col("key"), col("value"), col("disposition"),
+        lit(-1L).as("batch"))
+    val p = new org.apache.hadoop.fs.Path(s"$lakeDir/changes_batches")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val all =
+      if (fs.exists(p))
+        base.unionByName(s.read.parquet(p.toString)
+          .select(col("key"), col("value"),
+            lit(null).cast("string").as("disposition"),
+            col("batch").cast("long").as("batch")))
+      else base
+    val byKey = Window.partitionBy(col("key"))
+    val w = byKey.orderBy(col("batch").desc)
+    all
+      .withColumn("rn", row_number().over(w))
+      .withColumn("in_base", max(when(col("batch") === -1L, 1)).over(byKey))
+      .withColumn("in_change", max(when(col("batch") >= 0L, 1)).over(byKey))
+      .withColumn("base_disp",
+        max(when(col("batch") === -1L, col("disposition"))).over(byKey))
+      .filter(col("rn") === 1)
+      .select(col("key"), r4(col("value")).as("acctbal"),
+        when(col("in_change").isNull, col("base_disp"))
+          .when(col("in_base").isNull ||
+            col("base_disp") === "inserted", "inserted")
+          .otherwise("updated").as("disposition"))
+  }
+
+  /** Fold committed batches into base at admin cadence — the staged
+    * ready-marker publish every index lake here uses: idempotent under
+    * crash/re-run, batch dirs retired only after the swap. The folded
+    * base keeps each key's disposition, so the promoted snapshot
+    * answers exactly what the pre-promotion snapshot did.
+    */
+  def promoteBatches(s: SparkSession, lakeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def path(p: String) = new Path(s"$lakeDir/$p")
+    val fs = path("base").getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ready = path("__promote_ready")
+    if (!fs.exists(path("changes_batches")) && !fs.exists(ready)) return
+    if (!fs.exists(ready)) {
+      snapshot(s, lakeDir)
+        .select(col("key"), col("acctbal").as("value"),
+          col("disposition"))
+        .write.mode("overwrite").parquet(s"$lakeDir/__promote_tmp/base")
+      fs.create(ready, true).close()
+    }
+    val tmp = path("__promote_tmp/base")
+    if (fs.exists(tmp)) {
+      fs.delete(path("base"), true)
+      fs.rename(tmp, path("base"))
+    }
+    fs.delete(path("changes_batches"), true)
+    fs.delete(path("__promote_tmp"), true)
+    fs.delete(ready, false)
+  }
+
+  /** Build the driver lake: customer base + the purchase changelog
+    * landed as two time-ordered batches split at the timestamp
+    * midpoint. Because batch order respects time order, the grown
+    * snapshot must equal the one-shot [[applyPurchases]] merge — the
+    * property `q_cdc_apply_served` pins against the SAME oracle.
+    * Always rebuilt by the prepare hook (a fresh build can never
+    * serve a stale format).
+    */
+  def prepareLake(s: SparkSession, d: String, lakeDir: String): Unit = {
+    writeBase(s, lakeDir, Tables.customer(s, d)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("value")))
+    val ch = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("value"),
+        col("ts"), col("event_id"))
+    val mm = ch.agg(min(col("ts")), max(col("ts"))).head()
+    val mid = mm.getLong(0) / 2 + mm.getLong(1) / 2
+    appendBatch(s, lakeDir, ch.filter(col("ts") <= mid), 0L)
+    appendBatch(s, lakeDir, ch.filter(col("ts") > mid), 1L)
+  }
+
   /** The driver-visible instance: customer account balances merged
     * with each customer's latest purchase value (user_id ≡ c_custkey),
     * emitting the post-merge snapshot with per-row disposition.

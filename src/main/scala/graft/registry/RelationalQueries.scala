@@ -58,6 +58,11 @@ object RelationalQueries {
     // last-writer-wins changelog compaction + keyed full-outer merge
     // into the customer snapshot, with per-row disposition
     "q_cdc_apply" -> (Cdc.applyPurchases _),
+    // the PERSISTED CDC lake built by the prepare hook (base + two
+    // time-ordered change batches): the grown snapshot answers the
+    // one-shot merge's oracle exactly
+    "q_cdc_apply_served" -> ((s: SparkSession, d: String) =>
+      Cdc.snapshot(s, s"${TextQueries.indexRoot(d)}/cdc")),
     // rolling-baseline outliers: each value vs the mean/std of its
     // series' preceding 20 observations (self excluded); the flag
     // derives from the emitted 4dp baselines, so it is engine-exact
@@ -83,6 +88,26 @@ object RelationalQueries {
   /** DECIMAL(18,6)-accumulated sums emitted as DOUBLE — see Fns.dsum. */
   private def ds(e: String) =
     s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** One merge recompute, answered by both the inline q_cdc_apply and
+    * the grown-lake q_cdc_apply_served.
+    */
+  private val cdcApplySql =
+    """WITH latest AS (
+      |  SELECT key, new_value FROM (
+      |    SELECT user_id AS key, value AS new_value,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'purchase')
+      |  WHERE rn = 1),
+      |base AS (SELECT c_custkey AS key, c_acctbal FROM customer)
+      |SELECT coalesce(b.key, l.key) AS key,
+      |  round(CASE WHEN l.key IS NOT NULL THEN l.new_value
+      |        ELSE b.c_acctbal END, 4) AS acctbal,
+      |  CASE WHEN b.key IS NULL THEN 'inserted'
+      |       WHEN l.key IS NULL THEN 'kept'
+      |       ELSE 'updated' END AS disposition
+      |FROM base b FULL OUTER JOIN latest l ON b.key = l.key""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // exact distinct counts recomputed cross-engine; the _ok booleans
@@ -342,22 +367,10 @@ object RelationalQueries {
     // presence-marker merge semantics: a change row wins even when its
     // value is NULL, so dispositions come from join presence, not
     // value-null tests
-    "q_cdc_apply" ->
-      """WITH latest AS (
-        |  SELECT key, new_value FROM (
-        |    SELECT user_id AS key, value AS new_value,
-        |      row_number() OVER (PARTITION BY user_id
-        |        ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events WHERE event_type = 'purchase')
-        |  WHERE rn = 1),
-        |base AS (SELECT c_custkey AS key, c_acctbal FROM customer)
-        |SELECT coalesce(b.key, l.key) AS key,
-        |  round(CASE WHEN l.key IS NOT NULL THEN l.new_value
-        |        ELSE b.c_acctbal END, 4) AS acctbal,
-        |  CASE WHEN b.key IS NULL THEN 'inserted'
-        |       WHEN l.key IS NULL THEN 'kept'
-        |       ELSE 'updated' END AS disposition
-        |FROM base b FULL OUTER JOIN latest l ON b.key = l.key""".stripMargin,
+    "q_cdc_apply" -> cdcApplySql,
+    // the grown lake must serve the one-shot merge exactly (batches
+    // are time-ordered, so batch precedence ≡ LWW)
+    "q_cdc_apply_served" -> cdcApplySql,
     "q_anomaly" ->
       """SELECT event_type, event_id, value, base_mean, base_std,
         |  n_base, (abs(value - base_mean) > base_std * 2.0) AS is_outlier

@@ -251,6 +251,33 @@ object Streams {
       }
       .start()
 
+  /** Streaming CDC maintainer: each micro-batch of changelog rows
+    * (key, value, ts, event_id) lands via
+    * [[graft.operators.Cdc.appendBatch]] keyed by the micro-batch id —
+    * compacted last-writer-wins within the batch, cross-batch
+    * precedence carried by the batch id, replay overwriting its own
+    * dir: the exactly-once contract every maintainer here shares.
+    * [[graft.operators.Cdc.snapshot]] over the lake is the serving
+    * merge; [[graft.operators.Cdc.promoteBatches]] folds history into
+    * base at admin cadence, maintainer stopped.
+    */
+  def cdcMaintainer(changes: DataFrame, lakeDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Cdc.appendBatch(batch.sparkSession, lakeDir,
+            batch.select(col("key"), col("value"), col("ts"),
+              col("event_id")),
+            batchId)
+        }
+      }
+      .start()
+
   /** The full streaming curation pipeline as ONE continuous query —
     * the production shape the individual maintainers compose into:
     * a single document stream of (doc_id, text, embedding) rows (the
