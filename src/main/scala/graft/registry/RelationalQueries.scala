@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.operators.{Cdc, Graph, Relational, Timeseries}
+import graft.operators.{Cdc, Entity, Graph, Relational, Timeseries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the relational operator family.
@@ -72,6 +72,11 @@ object RelationalQueries {
     // basket self-join keyed on the shared order key
     "q_copurchase" -> ((s: SparkSession, d: String) =>
       Relational.coPurchase(s, d)),
+    // record linkage: dirty part names (2nd char dropped) matched to
+    // the clean dictionary — block on the edit-invariant (first, last)
+    // chars, levenshtein verify in-block, deterministic argmin
+    "q_fuzzy_match" -> ((s: SparkSession, d: String) =>
+      Entity.fuzzyMatch(s, d)),
     // five damped PageRank iterations over the customer→supplier
     // graph in exact scaled-integer arithmetic — bit-identical across
     // engines, partitionings, and merge orders
@@ -383,6 +388,25 @@ object RelationalQueries {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
         |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
         |WHERE n_base >= 10""".stripMargin,
+    "q_fuzzy_match" ->
+      """WITH clean AS (SELECT DISTINCT p_name FROM part),
+        |dirty AS (
+        |  SELECT p_partkey AS dirty_id,
+        |    left(p_name, 1) || substr(p_name, 3) AS dirty_name
+        |  FROM part),
+        |cand AS (
+        |  SELECT d.dirty_id, d.dirty_name, c.p_name,
+        |    levenshtein(d.dirty_name, c.p_name) AS dist
+        |  FROM dirty d JOIN clean c
+        |    ON left(d.dirty_name, 1) = left(c.p_name, 1)
+        |   AND right(d.dirty_name, 1) = right(c.p_name, 1)
+        |  WHERE levenshtein(d.dirty_name, c.p_name) <= 2)
+        |SELECT dirty_id, dirty_name, p_name AS match_name,
+        |  CAST(dist AS INT) AS dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY dirty_id
+        |        ORDER BY dist, p_name) AS rn
+        |      FROM cand)
+        |WHERE rn = 1""".stripMargin,
     "q_copurchase" ->
       """SELECT a.l_partkey AS p1, b.l_partkey AS p2,
         |  count(*) AS n_orders
