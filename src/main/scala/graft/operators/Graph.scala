@@ -39,6 +39,14 @@ object Graph {
 
   val Scale = 1000000000000L
 
+  /** Per-round lineage truncation; the audit flag exposes the full
+    * iteration subtree to plan tools (same convention as Dedup's
+    * lazyCheckpoint).
+    */
+  private def cut(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.audit.noCheckpoint").contains("true")) df
+    else df.localCheckpoint()
+
   /** Five damped integer PageRank iterations over the distinct
     * customer→supplier edges; emits every node's exact scaled rank.
     */
@@ -52,35 +60,45 @@ object Graph {
     pageRankEdges(edges, iters)
   }
 
-  /** The iteration over an arbitrary distinct (src, dst) edge list. */
+  /** The iteration over an arbitrary distinct (src, dst) edge list.
+    *
+    * One distributed job per round: the dangling-mass scalar rides the
+    * round's own plan as a broadcast one-row aggregate (no separate
+    * driver collect — halving the per-round job count), and the
+    * static edge⋈outdeg frame is computed once and persisted so each
+    * round pays exactly one rank join + one dst-keyed aggregate.
+    */
   def pageRankEdges(edgesIn: DataFrame, iters: Int): DataFrame = {
     val edges = edgesIn.persist()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .withColumnRenamed("src", "node")
+    // deg denormalized onto each edge once — rounds never re-join it
+    // (a pre-repartition on src was tried and measured SLOWER here:
+    // AQE re-plans the tiny rank side anyway and the extra exchange
+    // costs more than it saves)
+    val edgesWithDeg = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("deg")).persist()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct().persist()
+    val srcs = outdeg.select(col("src").as("node")).persist()
     val n = nodes.count()
     val base = (15L * (Scale / n)) / 100L
 
     var rank = nodes.select(col("node"), lit(Scale / n).as("rank"))
     for (_ <- 1 to iters) {
-      val withDeg = rank.join(outdeg, Seq("node"), "left")
-      // dangling mass: a one-row bounded collect (the standard scalar
-      // of every distributed PageRank round)
-      val dangShare = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0) / n
-      val inflow = withDeg.filter(col("deg").isNotNull)
-        .join(edges, col("node") === col("src"))
+      val dang = rank.join(srcs, Seq("node"), "left_anti")
+        .agg(expr(s"coalesce(sum(rank), 0L) div ${n}L")
+          .as("dang_share"))
+      val inflow = rank.join(edgesWithDeg, col("node") === col("src"))
         .select(col("dst").as("node"),
           expr("rank div deg").as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("inflow"))
-      rank = nodes.join(inflow, Seq("node"), "left")
+      rank = cut(nodes.join(inflow, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("node"),
           expr(s"${base}L + (85 * (coalesce(inflow, 0L) + " +
-            s"${dangShare}L)) div 100").as("rank"))
-        .localCheckpoint()
+            "dang_share)) div 100").as("rank")))
     }
-    edges.unpersist(); nodes.unpersist()
+    Seq(edges, edgesWithDeg, nodes, srcs).foreach(_.unpersist())
     rank.select(col("node"), col("rank").as("rank_scaled"))
   }
 
