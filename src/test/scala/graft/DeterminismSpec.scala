@@ -38,7 +38,16 @@ class DeterminismSpec extends SparkSuite {
     // 4 dp contract is what the oracle hashes)
     "q_perplexity", "q_bpe_merges", "q_rand_proj",
     // funnel: set-min steps must not see join/agg merge order
-    "q_funnel")
+    "q_funnel",
+    // fourth-wave r13: the bloom reduction (bitwise-OR merge is
+    // commutative; the exact join must erase any fpp difference), the
+    // LOCF fill (rounded baseline propagated across the grid), the
+    // CDC merge (LWW window + presence flags), the rolling-baseline
+    // flag (compares against the EMITTED rounded columns), the basket
+    // pair counts, the in-block argmin, and the integer-PageRank
+    // fixpoint (exact by construction — this pins it)
+    "q_bloom_join", "q_gap_fill", "q_cdc_apply", "q_anomaly",
+    "q_copurchase", "q_fuzzy_match", "q_pagerank")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
