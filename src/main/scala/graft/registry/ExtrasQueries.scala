@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.operators.{AsOf, Extras}
+import graft.operators.{AsOf, Extras, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the engine-completeness extras. */
@@ -8,6 +8,10 @@ object ExtrasQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (AsOf.purchaseAsOfClick _),
+    // binned interval-containment join: the time-only-predicate family
+    // Spark would otherwise plan as a nested-loop product
+    "q_range_join" -> ((s: SparkSession, d: String) =>
+      RangeJoin.errorWindowCoverage(s, d)),
     "q_window_analytics" -> (Extras.windowAnalytics _),
     "q_grouping_sets" -> (Extras.groupingSets _),
     "q_argmax" -> (Extras.argmaxPerNation _),
@@ -75,6 +79,16 @@ object ExtrasQueries {
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         | TRUE AS median_ok, TRUE AS p90_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // full recompute via the plain inequality join DuckDB plans
+    // natively; all arithmetic on exact epoch-ns integers
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_windows,
+        | min(epoch_ns(p.ts) - epoch_ns(e.ts)) AS min_gap_ns
+        |FROM events p JOIN events e
+        | ON p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND epoch_ns(e.ts) <= epoch_ns(p.ts)
+        | AND epoch_ns(p.ts) - epoch_ns(e.ts) < 1800000000000
+        |GROUP BY 1""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id AS purchase_id, user_id, asof_click_value
         |FROM (
