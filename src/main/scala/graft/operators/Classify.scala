@@ -94,6 +94,75 @@ object Classify {
         (col("score") > col("thr")).as("keep"))
   }
 
+  /** DSIR-style data selection via importance resampling (Xie et al.
+    * 2023, arXiv:2302.03169): weight every raw document by how much
+    * more likely its n-gram features are under the TARGET distribution
+    * than under the raw-crawl distribution, then keep the top weights.
+    * Complements [[nbQuality]] — NB learns a discriminative per-token
+    * log-odds; DSIR is the generative ratio of two feature LMs, the
+    * formulation the paper shows matches target-domain downstream
+    * accuracy better than heuristic filtering.
+    *
+    * Faithful-but-oracle-able variant: the paper's hashed n-gram
+    * features would make the weights engine-specific hash values, so
+    * features here are the RAW bigrams (with BOS) of the shared
+    * [[Perplexity.bigramsOf]] tokenization — same information before
+    * the hashing trick compresses it, and fully recomputable by the
+    * DuckDB oracle. Per-feature Lidstone (α = ½) estimates over an
+    * (F+1)-slot event space, F = distinct bigrams in the whole corpus:
+    * `p(f) = (c(f) + α) / (n + α·(F+1))`; per-document weight is the
+    * MEAN per-occurrence log ratio `(1/|doc|) Σ ln(p_tgt/p_raw)` (the
+    * sum the paper resamples by correlates with length; the mean is
+    * the length-debiased form, rounded 4 dp under the shared
+    * sum-of-doubles contract). The keep gate replaces the paper's
+    * Gumbel-noise sampling with its deterministic limit — top-20% by
+    * weight (`llw > p80`), the same exact/approx quantile twinning as
+    * the NB median gate.
+    *
+    * Scale shape: one explode; two feature-keyed count aggregates
+    * (F-bounded, kept distributed); the per-feature log-ratio table
+    * joins the occurrence stream 1:N — hot stopword bigrams fan out
+    * without skewing a build side — then one doc-keyed mean. Totals
+    * ride along as broadcast one-row frames. Raw counts ⊇ target
+    * counts (the target slice IS part of the raw corpus), so scoring
+    * never meets an unseen feature.
+    */
+  def dsirWeights(s: SparkSession, d: String,
+      target: Column = defaultPositive,
+      alpha: Double = 0.5,
+      exactThreshold: Boolean = true): DataFrame = {
+    val labeled = Perplexity.labeledDocs(s, d, target)
+    val feats = Perplexity.bigramsOf(labeled)
+      .withColumnRenamed("ref", "curated")
+    val cRaw = feats.groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("double").as("cr"),
+        sum(when(col("curated"), 1L).otherwise(0L)).cast("double")
+          .as("ct"))
+    val totals = cRaw.agg(sum(col("cr")).as("nraw"),
+      sum(col("ct")).as("ntgt"),
+      count(lit(1)).cast("double").as("f"))
+    val weights = cRaw.crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"),
+        (log((col("ct") + alpha) /
+            (col("ntgt") + lit(alpha) * (col("f") + 1.0))) -
+          log((col("cr") + alpha) /
+            (col("nraw") + lit(alpha) * (col("f") + 1.0)))).as("lw"))
+    val perDoc = feats.join(weights, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(r4(sum(col("lw")) / count(lit(1))).as("llw"))
+    val scored = labeled
+      .select(col("doc_id"), col("ref").as("curated"))
+      .join(perDoc, Seq("doc_id"), "left")
+    val thr =
+      if (exactThreshold)
+        scored.agg(expr("percentile(llw, 0.8)").as("thr"))
+      else
+        scored.agg(expr("approx_percentile(llw, 0.8, 10000)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("curated"), col("llw"),
+        coalesce(col("llw") > col("thr"), lit(false)).as("keep"))
+  }
+
   /** The production keep decision: majority vote of the three quality
     * signals — heuristic (stopword ratio ≤ 0.12 on the rounded value,
     * ≥ 5 tokens), the learned NB gate, and the perplexity filter

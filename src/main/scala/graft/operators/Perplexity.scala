@@ -66,7 +66,7 @@ object Perplexity {
   }
 
   /** (doc_id, ref, ts) — the shared tokenized view. */
-  private def labeledDocs(s: SparkSession, d: String,
+  private[operators] def labeledDocs(s: SparkSession, d: String,
       reference: Column): DataFrame =
     Tables.parallelized(Tables.documents(s, d)).select(col("doc_id"),
       reference.cast("boolean").as("ref"),
@@ -75,7 +75,7 @@ object Perplexity {
   /** Bigram stream with BOS: pair i is (ts[i-1] | BOS, ts[i]) — the
     * index-lambda keeps empty docs at zero pairs with no slice guards.
     */
-  private def bigramsOf(labeled: DataFrame): DataFrame =
+  private[operators] def bigramsOf(labeled: DataFrame): DataFrame =
     labeled.select(col("doc_id"), col("ref"),
       explode(expr(
         s"transform(ts, (w, i) -> struct(" +

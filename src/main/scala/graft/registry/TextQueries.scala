@@ -40,6 +40,12 @@ object TextQueries {
     // so training AND inference carry one full cross-engine oracle
     "q_quality_nb" -> ((s: SparkSession, d: String) =>
       Classify.nbQuality(s, d)),
+    // DSIR importance resampling: generative bigram-LM ratio weights
+    // (target vs raw crawl) + deterministic top-20% gate — closed-form
+    // Lidstone estimates, so weighting AND selection carry one full
+    // cross-engine oracle
+    "q_dsir" -> ((s: SparkSession, d: String) =>
+      Classify.dsirWeights(s, d)),
     // the composed production keep decision: heuristic + NB +
     // perplexity majority vote — every leg closed-form, so the
     // ensemble carries one full oracle
@@ -1009,6 +1015,50 @@ object TextQueries {
         |  FROM toks t LEFT JOIN sc ON t.doc_id = sc.doc_id, cls c)
         |SELECT doc_id, curated, score,
         |  score > (SELECT median(score) FROM scored) AS keep
+        |FROM scored""".stripMargin,
+    // DSIR full recompute: the q_perplexity bigram CTE feeds joint
+    // raw+target feature counts, per-feature Lidstone log-ratios over
+    // the (F+1)-slot event space, per-doc MEAN per-occurrence ratio
+    // (4 dp, shared sum-of-doubles contract), and the top-20% gate on
+    // the ROUNDED weights (interpolated quantile of identical 4 dp
+    // multisets is engine-identical, so keep hash-matches too)
+    "q_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS curated,
+        |   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, curated,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE ts[i - 1] END AS w1,
+        |    ts[i] AS w2
+        |  FROM (SELECT doc_id, curated, ts,
+        |          unnest(range(1, len(ts) + 1)) AS i
+        |        FROM toks)),
+        |cr AS (
+        |  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cr,
+        |    CAST(sum(CASE WHEN curated THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS ct
+        |  FROM bi GROUP BY w1, w2),
+        |tot AS (
+        |  SELECT sum(cr) AS nraw, sum(ct) AS ntgt,
+        |    CAST(count(*) AS DOUBLE) AS f
+        |  FROM cr),
+        |w AS (
+        |  SELECT w1, w2,
+        |    ln((ct + 0.5) / (tot.ntgt + 0.5 * (tot.f + 1))) -
+        |    ln((cr + 0.5) / (tot.nraw + 0.5 * (tot.f + 1))) AS lw
+        |  FROM cr, tot),
+        |pd AS (
+        |  SELECT bi.doc_id,
+        |    round(1e-9 + sum(w.lw) / count(*), 4) AS llw
+        |  FROM bi JOIN w ON bi.w1 = w.w1 AND bi.w2 = w.w2
+        |  GROUP BY bi.doc_id),
+        |scored AS (
+        |  SELECT t.doc_id, t.curated, pd.llw
+        |  FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id)
+        |SELECT doc_id, curated, llw,
+        |  coalesce(llw > (SELECT quantile_cont(llw, 0.8) FROM scored),
+        |    FALSE) AS keep
         |FROM scored""".stripMargin,
     // the full three-gate ensemble recompute: the q_quality_nb and
     // q_perplexity CTE chains verbatim (renamed to coexist) plus the

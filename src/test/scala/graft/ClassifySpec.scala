@@ -54,6 +54,59 @@ class ClassifySpec extends SparkSuite {
       (2L, r4d(math.log(5.0)), false)))
   }
 
+  test("DSIR weights match hand-computed bigram-LM log ratios; " +
+      "top-20% gate; empty doc is NULL/not-kept") {
+    val d = plant(Seq(
+      (1L, "a a", "en"),
+      (2L, "a b", "fr"),
+      (3L, "", "en")))
+    // bigrams (BOS): doc1 {(<s>,a),(a,a)}, doc2 {(<s>,a),(a,b)}.
+    // cr/ct: (<s>,a)=2/1, (a,a)=1/1, (a,b)=1/0; F=3, nraw=4, ntgt=2;
+    // denoms: tgt 2+0.5·4=4, raw 4+0.5·4=6.
+    val lwSa = math.log(1.5 / 4) - math.log(2.5 / 6)
+    val lwAa = math.log(1.5 / 4) - math.log(1.5 / 6)
+    val lwAb = math.log(0.5 / 4) - math.log(1.5 / 6)
+    val llw1 = r4d((lwSa + lwAa) / 2)
+    val llw2 = r4d((lwSa + lwAb) / 2)
+    // p80 of {llw2 < llw1} interpolates strictly below llw1: only the
+    // target-like doc1 clears the strict gate; empty doc3 has no
+    // features → NULL weight, keep=false by the coalesce
+    val got = Classify.dsirWeights(spark, d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (1L, true, llw1, true),
+      (2L, false, llw2, false),
+      (3L, true, null, false)))
+  }
+
+  test("DSIR direction + gate calibration on real data (sf0.001); " +
+      "approx-threshold path weighs identically") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Classify.dsirWeights(spark, d).collect()
+      .map(r => (r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getBoolean(3)))
+    val scored = rows.collect { case (c, Some(w), k) => (c, w, k) }
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val tgt = scored.collect { case (true, w, _) => w }.toSeq
+    val raw = scored.collect { case (false, w, _) => w }.toSeq
+    assert(tgt.nonEmpty && raw.nonEmpty)
+    // target-slice docs must score higher under the target/raw ratio
+    assert(mean(tgt) > mean(raw))
+    // strict-above-p80 keeps at most 20% and not none
+    val kept = scored.count(_._3)
+    assert(kept > 0 && kept <= math.ceil(scored.size * 0.2).toInt)
+    val approx = Classify
+      .dsirWeights(spark, d, exactThreshold = false).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1)
+    val exact = Classify.dsirWeights(spark, d).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1)
+    assert(approx.toSeq === exact.toSeq)
+  }
+
   test("approx-threshold scale path scores identically and keeps " +
       "about half (sf0.001)") {
     val d = "/root/testdata/sf0.001"
