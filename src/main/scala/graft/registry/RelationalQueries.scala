@@ -81,6 +81,11 @@ object RelationalQueries {
     // graph in exact scaled-integer arithmetic — bit-identical across
     // engines, partitionings, and merge orders
     "q_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
+    // per-node triangle counts over the ≥2-support co-purchase graph
+    // via degree-ordered wedge counting (each triangle found once, at
+    // its minimum vertex in the (deg, id) order)
+    "q_triangles" -> ((s: SparkSession, d: String) =>
+      Graph.triangleCounts(s, d)),
     // reads the z-ordered lineitem copy written by the prepare hook:
     // the 2-D layout is invisible to the result (oracle recomputes over
     // the raw table) — it exists to give the rectangle scan row-group
@@ -419,6 +424,27 @@ object RelationalQueries {
     // generated from the same template as the engine's iteration —
     // constants and round count can never drift apart
     "q_pagerank" -> Graph.oracleSql(5),
+    // full recompute via the id-ordered 3-way join (a DIFFERENT
+    // enumeration from the engine's degree-ordered wedges — the
+    // count-per-node agreement is the cross-check)
+    "q_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+        |    JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+        |SELECT node, count(*) AS n_triangles
+        |FROM (SELECT a AS node FROM tri
+        |      UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |GROUP BY node""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(session_idx AS INT) AS session_idx,
         | count(*) AS n_events, min(event_id) AS first_event_id,

@@ -58,6 +58,41 @@ class GraphSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("triangle counts: hand-counted planted graph, celebrity node " +
+      "included") {
+    // K4 on 1-4 (each member of C(3,2)=3 triangles) + a celebrity hub
+    // 9 connected to 1,2,5,6,7,8: adds triangle {1,2,9} only (5-8 are
+    // mutually unconnected). Hand count: 1,2 → 4; 3,4 → 3; 9 → 1;
+    // 5-8 → 0 triangles (absent from the output).
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 9L), (2L, 9L), (5L, 9L), (6L, 9L), (7L, 9L),
+      (8L, 9L))
+    val got = Graph.triangleCountsOfEdges(es.toDF("p1", "p2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 4L, 2L -> 4L, 3L -> 3L, 4L -> 3L,
+      9L -> 1L))
+  }
+
+  test("triangle counts match an independent id-ordered 3-way join " +
+      "on the full sf0.001 co-purchase graph") {
+    import org.apache.spark.sql.functions._
+    val e = graft.operators.Relational.coPurchase(spark, sf(), 1)
+      .select(col("p1"), col("p2")).cache()
+    val wedge = e.as("e1").join(e.as("e2"),
+        col("e1.p2") === col("e2.p1"))
+      .select(col("e1.p1").as("a"), col("e1.p2").as("b"),
+        col("e2.p2").as("c"))
+    val tri = wedge.join(e.as("e3"),
+      col("a") === col("e3.p1") && col("c") === col("e3.p2"))
+    val naive = tri.select(explode(array(col("a"), col("b"), col("c")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Graph.triangleCountsOfEdges(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got === naive)
+  }
+
   test("authority ordering on the testdata graph is sane (sf0.001)") {
     val ranks = Graph.pageRank(spark, sf(), iters = 2)
       .collect().map(r => r.getString(0) -> r.getLong(1))
