@@ -74,8 +74,14 @@ object Graph {
 
   /** The wedge-counting core over any canonical (p1 < p2) undirected
     * edge list (testing seam, same convention as [[pageRankEdges]]).
+    * The edge list and the oriented view are each referenced several
+    * times downstream (degrees, both wedge sides, the closing probe) —
+    * materialized once via the same lineage cut as the PageRank
+    * rounds, so the co-purchase subtree is computed once, not per
+    * reference.
     */
-  def triangleCountsOfEdges(e: DataFrame): DataFrame = {
+  def triangleCountsOfEdges(edgesIn: DataFrame): DataFrame = {
+    val e = cut(edgesIn)
     val deg = e.select(col("p1").as("v"))
       .unionAll(e.select(col("p2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -85,10 +91,10 @@ object Graph {
     // canonical input has p1 < p2 by id; re-orient by (deg, id)
     val fwd = col("g1") < col("g2") ||
       (col("g1") === col("g2") && col("p1") < col("p2"))
-    val oriented = ed.select(
+    val oriented = cut(ed.select(
       when(fwd, col("p1")).otherwise(col("p2")).as("src"),
       when(fwd, col("p2")).otherwise(col("p1")).as("dst"),
-      when(fwd, col("g2")).otherwise(col("g1")).as("ddeg"))
+      when(fwd, col("g2")).otherwise(col("g1")).as("ddeg")))
     val x = oriented.as("x"); val y = oriented.as("y")
     // wedge (u; v, w) with v before w in the total order — the
     // closing edge, if present, is oriented v→w by construction
@@ -102,6 +108,55 @@ object Graph {
     val tri = wedges.join(closing, Seq("v", "w"))
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Bounded-depth BFS over the co-purchase graph: minimum hop count
+    * from a deterministic seed set (graph nodes whose part key is
+    * divisible by 97), `dist ∈ [0, maxHops]` — the iterative
+    * traversal primitive (k-hop neighborhoods, blast-radius queries,
+    * recursive-CTE workloads) next to [[pageRank]]'s fixpoint and
+    * [[triangleCountsOfEdges]]'s counting.
+    *
+    * Frontier form, NOT path enumeration: each round expands only the
+    * nodes discovered last round and anti-joins away everything
+    * already settled, so per-round work is one frontier-sized join +
+    * one anti join — never the combinatorial path explosion a naive
+    * "unrolled k-way self-join" (or the DuckDB oracle's recursive
+    * CTE, which is fine at oracle scale) performs. BFS settles each
+    * node at its first discovery, which IS its minimum distance, so
+    * no min-aggregate over paths is ever needed. Rounds are
+    * lineage-cut like the PageRank iterations; hop arithmetic is
+    * exact integers, bit-identical across engines.
+    */
+  def kHopReachability(s: SparkSession, d: String, maxHops: Int = 3,
+      minSupport: Long = 2): DataFrame =
+    kHopOfEdges(Relational.coPurchase(s, d, minSupport)
+      .select(col("p1"), col("p2")), maxHops)
+
+  /** The frontier-BFS core over any canonical (p1 < p2) undirected
+    * edge list (testing seam); `seed` selects the hop-0 nodes.
+    */
+  def kHopOfEdges(edgesIn: DataFrame, maxHops: Int,
+      seed: org.apache.spark.sql.Column = col("node") % 97 === 0)
+      : DataFrame = {
+    val e = cut(edgesIn)
+    val bidir = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+    val nodes = e.select(col("p1").as("node"))
+      .unionAll(e.select(col("p2").as("node"))).distinct()
+    var settled = cut(nodes.filter(seed)
+      .select(col("node"), lit(0).as("dist")))
+    var frontier = settled.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = cut(frontier
+        .join(bidir, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("dist")))
+      settled = cut(settled.unionByName(next))
+      frontier = next.select(col("node"))
+    }
+    settled
   }
 
   def pageRank(s: SparkSession, d: String, iters: Int = 5): DataFrame = {

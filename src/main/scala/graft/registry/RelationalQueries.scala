@@ -86,6 +86,11 @@ object RelationalQueries {
     // its minimum vertex in the (deg, id) order)
     "q_triangles" -> ((s: SparkSession, d: String) =>
       Graph.triangleCounts(s, d)),
+    // bounded BFS from the %97 seed set: frontier + anti-join rounds,
+    // never path enumeration (the oracle's recursive CTE enumerates —
+    // fine at oracle scale; min-of-paths ≡ BFS first-discovery)
+    "q_khop" -> ((s: SparkSession, d: String) =>
+      Graph.kHopReachability(s, d)),
     // reads the z-ordered lineitem copy written by the prepare hook:
     // the 2-D layout is invisible to the result (oracle recomputes over
     // the raw table) — it exists to give the rectangle scan row-group
@@ -445,6 +450,32 @@ object RelationalQueries {
         |      UNION ALL SELECT b FROM tri
         |      UNION ALL SELECT c FROM tri)
         |GROUP BY node""".stripMargin,
+    // recursive-CTE recompute: bounded path enumeration + min — equal
+    // to the engine's BFS first-discovery distance by definition
+    "q_khop" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |bidir AS (
+        |  SELECT p1 AS s, p2 AS t FROM e
+        |  UNION ALL SELECT p2, p1 FROM e),
+        |seeds AS (
+        |  SELECT DISTINCT node
+        |  FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e)
+        |  WHERE node % 97 = 0),
+        |reach(node, dist) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION ALL
+        |  SELECT b.t, r.dist + 1
+        |  FROM reach r JOIN bidir b ON b.s = r.node
+        |  WHERE r.dist < 3)
+        |SELECT node, CAST(min(dist) AS INT) AS dist
+        |FROM reach GROUP BY node""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(session_idx AS INT) AS session_idx,
         | count(*) AS n_events, min(event_id) AS first_event_id,

@@ -47,7 +47,16 @@ class DeterminismSpec extends SparkSuite {
     // pair counts, the in-block argmin, and the integer-PageRank
     // fixpoint (exact by construction — this pins it)
     "q_bloom_join", "q_gap_fill", "q_cdc_apply", "q_anomaly",
-    "q_copurchase", "q_fuzzy_match", "q_pagerank")
+    "q_copurchase", "q_fuzzy_match", "q_pagerank",
+    // fifth-wave r13: the binned join's per-purchase aggregate (exact
+    // ns integers — any drift is a binning bug, not rounding), DSIR's
+    // per-doc double means + interpolated p80 gate, and the wedge
+    // count (exact longs; pins that each triangle is found ONCE
+    // regardless of which partition enumerates its wedge)
+    "q_range_join", "q_dsir", "q_triangles",
+    // k-hop BFS: frontier/anti-join rounds must settle the same
+    // distances no matter which partition discovers a node first
+    "q_khop")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

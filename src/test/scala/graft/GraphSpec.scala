@@ -93,6 +93,48 @@ class GraphSpec extends SparkSuite {
     assert(got.nonEmpty && got === naive)
   }
 
+  test("k-hop BFS: hand-traced chain with a shortcut and an " +
+      "unreachable island") {
+    import org.apache.spark.sql.functions.col
+    // chain 1-2-3-4-5 with shortcut 1-4; island 8-9. Seed {1}:
+    // dist 1→0, 2→1, 4→1 (shortcut beats the chain's 3), 3→2, 5→2;
+    // island absent; with maxHops=1 only {1,2,4} settle.
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (8L, 9L))
+    val df = es.toDF("p1", "p2")
+    val got3 = Graph.kHopOfEdges(df, 3, col("node") === 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got3 === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    val got1 = Graph.kHopOfEdges(df, 1, col("node") === 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got1 === Map(1L -> 0, 2L -> 1, 4L -> 1))
+  }
+
+  test("k-hop BFS matches naive bounded path enumeration on the " +
+      "sf0.001 co-purchase graph") {
+    import org.apache.spark.sql.functions._
+    val e = graft.operators.Relational.coPurchase(spark, sf(), 2)
+      .select(col("p1"), col("p2")).cache()
+    val bidir = e.select(col("p1").as("s"), col("p2").as("t"))
+      .unionAll(e.select(col("p2").as("s"), col("p1").as("t")))
+    val seeds = e.select(col("p1").as("node"))
+      .unionAll(e.select(col("p2").as("node"))).distinct()
+      .filter(col("node") % 97 === 0)
+    var paths = seeds.select(col("node"), lit(0).as("dist"))
+    var last = paths
+    for (h <- 1 to 3) {
+      last = last.join(bidir, col("node") === col("s"))
+        .select(col("t").as("node"), lit(h).as("dist")).distinct()
+      paths = paths.unionByName(last)
+    }
+    val naive = paths.groupBy("node")
+      .agg(min(col("dist")).cast("int").as("dist"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Graph.kHopReachability(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.nonEmpty && got === naive)
+  }
+
   test("authority ordering on the testdata graph is sane (sf0.001)") {
     val ranks = Graph.pageRank(spark, sf(), iters = 2)
       .collect().map(r => r.getString(0) -> r.getLong(1))
