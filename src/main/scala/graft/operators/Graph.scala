@@ -159,6 +159,51 @@ object Graph {
     settled
   }
 
+  /** Bounded weighted shortest paths: minimum path COST from the %97
+    * seed set over paths of at most `rounds` edges — the relaxation
+    * family next to [[kHopReachability]]'s hop counting. The two are
+    * NOT the same operator: with weights, a longer path can be
+    * cheaper than a direct edge, so the frontier/anti-join trick
+    * (settle on first discovery) is wrong here — each round must
+    * re-relax every known node. This is synchronous Bellman–Ford:
+    * per lineage-cut round one dist⋈edges join + one node-keyed min
+    * aggregate; after k rounds the table holds the exact minimum over
+    * ≤k-edge paths, which is what the oracle's bounded recursive CTE
+    * enumerates. Edge cost is the exact integer `1000 div n_orders`
+    * (stronger co-purchase affinity = cheaper), so the fixpoint is
+    * bit-identical across engines and partitionings.
+    */
+  def boundedCheapestPaths(s: SparkSession, d: String, rounds: Int = 3,
+      minSupport: Long = 2): DataFrame =
+    cheapestPathsOfEdges(Relational.coPurchase(s, d, minSupport)
+      .select(col("p1"), col("p2"),
+        expr("1000L div n_orders").as("w")), rounds)
+
+  /** The k-round relaxation core over any canonical (p1 < p2, w)
+    * weighted undirected edge list (testing seam).
+    */
+  def cheapestPathsOfEdges(edgesIn: DataFrame, rounds: Int,
+      seed: org.apache.spark.sql.Column = col("node") % 97 === 0)
+      : DataFrame = {
+    val e = cut(edgesIn)
+    val bidir = e.select(col("p1").as("src"), col("p2").as("dst"),
+        col("w"))
+      .unionAll(e.select(col("p2").as("src"), col("p1").as("dst"),
+        col("w")))
+    val nodes = e.select(col("p1").as("node"))
+      .unionAll(e.select(col("p2").as("node"))).distinct()
+    var dist = cut(nodes.filter(seed)
+      .select(col("node"), lit(0L).as("cost")))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(bidir, col("node") === col("src"))
+        .select(col("dst").as("node"),
+          (col("cost") + col("w")).as("cost"))
+      dist = cut(dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("cost")).as("cost")))
+    }
+    dist
+  }
+
   def pageRank(s: SparkSession, d: String, iters: Int = 5): DataFrame = {
     val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),

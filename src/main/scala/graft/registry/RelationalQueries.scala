@@ -91,6 +91,11 @@ object RelationalQueries {
     // fine at oracle scale; min-of-paths ≡ BFS first-discovery)
     "q_khop" -> ((s: SparkSession, d: String) =>
       Graph.kHopReachability(s, d)),
+    // 3-round synchronous Bellman-Ford over integer edge costs
+    // (1000 div n_orders): min cost over <=3-edge paths; frontier
+    // settlement would be WRONG here (cheaper longer paths must win)
+    "q_cheapest_path" -> ((s: SparkSession, d: String) =>
+      Graph.boundedCheapestPaths(s, d)),
     // reads the z-ordered lineitem copy written by the prepare hook:
     // the 2-D layout is invisible to the result (oracle recomputes over
     // the raw table) — it exists to give the rectangle scan row-group
@@ -476,6 +481,33 @@ object RelationalQueries {
         |  WHERE r.dist < 3)
         |SELECT node, CAST(min(dist) AS INT) AS dist
         |FROM reach GROUP BY node""".stripMargin,
+    // bounded-path enumeration + min over exact integer costs — equal
+    // to k rounds of Bellman-Ford relaxation by definition
+    "q_cheapest_path" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    1000 // count(*) AS w
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |bidir AS (
+        |  SELECT p1 AS s, p2 AS t, w FROM e
+        |  UNION ALL SELECT p2, p1, w FROM e),
+        |seeds AS (
+        |  SELECT DISTINCT node
+        |  FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e)
+        |  WHERE node % 97 = 0),
+        |paths(node, cost, hops) AS (
+        |  SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+        |  UNION ALL
+        |  SELECT b.t, p.cost + b.w, p.hops + 1
+        |  FROM paths p JOIN bidir b ON b.s = p.node
+        |  WHERE p.hops < 3)
+        |SELECT node, min(cost) AS cost
+        |FROM paths GROUP BY node""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(session_idx AS INT) AS session_idx,
         | count(*) AS n_events, min(event_id) AS first_event_id,

@@ -56,7 +56,10 @@ class DeterminismSpec extends SparkSuite {
     "q_range_join", "q_dsir", "q_triangles",
     // k-hop BFS: frontier/anti-join rounds must settle the same
     // distances no matter which partition discovers a node first
-    "q_khop")
+    "q_khop",
+    // Bellman-Ford: the per-round min-aggregate must not see partial
+    // merge order (exact longs make any drift a relaxation bug)
+    "q_cheapest_path")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -135,6 +135,50 @@ class GraphSpec extends SparkSuite {
     assert(got.nonEmpty && got === naive)
   }
 
+  test("bounded cheapest paths: a cheaper 2-hop path beats the " +
+      "direct edge (where BFS settlement would be wrong)") {
+    import org.apache.spark.sql.functions.col
+    // 1-3 direct costs 10; 1-2-3 costs 2+3=5. 3-4 costs 1.
+    // Seed {1}, 3 rounds: 1→0, 2→2, 3→5 (via 2, NOT 10), 4→6.
+    // With rounds=1 node 3 holds the direct 10 and 4 is absent.
+    val es = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L),
+      (3L, 4L, 1L))
+    val df = es.toDF("p1", "p2", "w")
+    val got3 = Graph.cheapestPathsOfEdges(df, 3, col("node") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 === Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 6L))
+    val got1 = Graph.cheapestPathsOfEdges(df, 1, col("node") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 === Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+  }
+
+  test("bounded cheapest paths match naive bounded path enumeration " +
+      "on the sf0.001 co-purchase graph") {
+    import org.apache.spark.sql.functions._
+    val e = graft.operators.Relational.coPurchase(spark, sf(), 2)
+      .select(col("p1"), col("p2"), expr("1000L div n_orders").as("w"))
+      .cache()
+    val bidir = e.select(col("p1").as("s"), col("p2").as("t"), col("w"))
+      .unionAll(e.select(col("p2").as("s"), col("p1").as("t"),
+        col("w")))
+    val seeds = e.select(col("p1").as("node"))
+      .unionAll(e.select(col("p2").as("node"))).distinct()
+      .filter(col("node") % 97 === 0)
+    var paths = seeds.select(col("node"), lit(0L).as("cost"))
+    var last = paths
+    for (_ <- 1 to 3) {
+      last = last.join(bidir, col("node") === col("s"))
+        .select(col("t").as("node"), (col("cost") + col("w"))
+          .as("cost"))
+      paths = paths.unionByName(last)
+    }
+    val naive = paths.groupBy("node").agg(min(col("cost")).as("cost"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Graph.boundedCheapestPaths(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got === naive)
+  }
+
   test("authority ordering on the testdata graph is sane (sf0.001)") {
     val ranks = Graph.pageRank(spark, sf(), iters = 2)
       .collect().map(r => r.getString(0) -> r.getLong(1))
