@@ -204,6 +204,73 @@ object Graph {
     dist
   }
 
+  /** Connected components of the co-purchase graph: every node
+    * labelled with the minimum node id of its component — the global
+    * clustering primitive next to [[triangleCountsOfEdges]]'s local
+    * one (the relational twin of [[Dedup]]'s star-contraction over
+    * near-dup edges).
+    *
+    * Min-label propagation to fixpoint: each round pushes labels one
+    * hop (edges are pre-materialized both ways) and keeps the
+    * node-keyed minimum — one edge-keyed join + one min aggregate per
+    * lineage-cut round, converging in O(diameter) rounds. The
+    * convergence test rides the monotonicity: Σ labels strictly
+    * decreases every non-converged round, so ONE scalar row per round
+    * (the PageRank dangling-scalar precedent) detects the fixpoint
+    * with no label-diff join. Exact integers end-to-end; the hard cap
+    * exists only to bound a pathological path-graph input, and
+    * hitting it throws rather than returning unconverged labels. At
+    * 100 TB diameter-proportional rounds are the known cost of label
+    * propagation — the alternating star-contraction in Dedup is the
+    * O(log n)-round variant; this one is the simpler, join-lighter
+    * choice for the small-diameter graphs co-occurrence produces.
+    */
+  def connectedComponents(s: SparkSession, d: String,
+      minSupport: Long = 2, maxRounds: Int = 30): DataFrame = {
+    val e = cut(Relational.coPurchase(s, d, minSupport)
+      .select(col("p1"), col("p2")))
+    componentsOfEdges(e, maxRounds)
+  }
+
+  /** The propagation core over any canonical (p1 < p2) undirected
+    * edge list (testing seam). Unlike [[pageRankEdges]]'s fixed-round
+    * loop, convergence here needs an ACTION per round, so the cuts
+    * are unconditional `localCheckpoint`s (the Bpe-loop convention,
+    * NOT the audit-transparent [[cut]]): without them each round's
+    * convergence job would re-execute exponentially deep uncut
+    * lineage. The audit consequently shows this query near-zero-plan
+    * (work runs at construction), the same documented note as
+    * q_dup_clusters/q_bpe_merges.
+    */
+  def componentsOfEdges(edgesIn: DataFrame, maxRounds: Int = 30)
+      : DataFrame = {
+    val e = edgesIn.localCheckpoint()
+    val bidir = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+    var lab = e.select(col("p1").as("node"))
+      .unionAll(e.select(col("p2").as("node"))).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var prevSum = Long.MaxValue
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val prop = lab.join(bidir, col("node") === col("src"))
+        .select(col("dst").as("node"), col("label"))
+      lab = lab.unionByName(prop)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val sum = lab.agg(org.apache.spark.sql.functions.sum("label"))
+        .head().getLong(0)
+      converged = sum == prevSum
+      prevSum = sum
+      rounds += 1
+    }
+    require(converged,
+      s"label propagation did not converge in $maxRounds rounds")
+    lab
+  }
+
   def pageRank(s: SparkSession, d: String, iters: Int = 5): DataFrame = {
     val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),

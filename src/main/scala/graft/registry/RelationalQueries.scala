@@ -96,6 +96,10 @@ object RelationalQueries {
     // settlement would be WRONG here (cheaper longer paths must win)
     "q_cheapest_path" -> ((s: SparkSession, d: String) =>
       Graph.boundedCheapestPaths(s, d)),
+    // min-label propagation to fixpoint (O(diameter) lineage-cut
+    // rounds; convergence via the monotone label-sum scalar)
+    "q_components" -> ((s: SparkSession, d: String) =>
+      Graph.connectedComponents(s, d)),
     // reads the z-ordered lineitem copy written by the prepare hook:
     // the 2-D layout is invisible to the result (oracle recomputes over
     // the raw table) — it exists to give the rectangle scan row-group
@@ -480,6 +484,28 @@ object RelationalQueries {
         |  FROM reach r JOIN bidir b ON b.s = r.node
         |  WHERE r.dist < 3)
         |SELECT node, CAST(min(dist) AS INT) AS dist
+        |FROM reach GROUP BY node""".stripMargin,
+    // transitive-closure recompute: the recursive CTE's UNION (set)
+    // semantics terminate at the finite (node, reachable-label) pair
+    // space; min per node == component minimum == the engine's
+    // propagation fixpoint
+    "q_components" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |bidir AS (
+        |  SELECT p1 AS s, p2 AS t FROM e
+        |  UNION ALL SELECT p2, p1 FROM e),
+        |reach(node, label) AS (
+        |  SELECT p1, p1 FROM e UNION SELECT p2, p2 FROM e
+        |  UNION
+        |  SELECT b.t, r.label FROM reach r JOIN bidir b ON b.s = r.node)
+        |SELECT node, min(label) AS label
         |FROM reach GROUP BY node""".stripMargin,
     // bounded-path enumeration + min over exact integer costs — equal
     // to k rounds of Bellman-Ford relaxation by definition

@@ -59,7 +59,10 @@ class DeterminismSpec extends SparkSuite {
     "q_khop",
     // Bellman-Ford: the per-round min-aggregate must not see partial
     // merge order (exact longs make any drift a relaxation bug)
-    "q_cheapest_path")
+    "q_cheapest_path",
+    // label propagation: fixpoint labels AND the scalar convergence
+    // probe must agree across layouts (monotone sum is order-free)
+    "q_components")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -179,6 +179,40 @@ class GraphSpec extends SparkSuite {
     assert(got.nonEmpty && got === naive)
   }
 
+  test("connected components: planted two components + a long path " +
+      "that needs several propagation rounds") {
+    // component A: path 10-11-12-13-14-15 (min label must walk 5
+    // hops); component B: triangle 20-21-22 plus pendant 23
+    val es = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (14L, 15L), (20L, 21L), (20L, 22L), (21L, 22L), (22L, 23L))
+    val got = Graph.componentsOfEdges(es.toDF("p1", "p2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      14L -> 10L, 15L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L,
+      23L -> 20L))
+  }
+
+  test("components match an independent union-find on the full " +
+      "sf0.001 co-purchase graph") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.operators.Relational.coPurchase(spark, sf(), 2)
+      .select(col("p1"), col("p2"))
+    val edges = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    val got = Graph.componentsOfEdges(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got === want)
+  }
+
   test("authority ordering on the testdata graph is sane (sf0.001)") {
     val ranks = Graph.pageRank(spark, sf(), iters = 2)
       .collect().map(r => r.getString(0) -> r.getLong(1))
