@@ -93,6 +93,40 @@ object Extras {
         r4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"),
         r4(percentile(col("l_extendedprice"), lit(0.5))).as("median_price"))
 
+  /** Group-relative winsorization — the outlier-capping preprocessing
+    * step (clip each value into its group's [p01, p99] band) as a
+    * bounded per-group summary: how many rows clipped at each tail
+    * and the mean before/after (4 dp). Two passes over the same
+    * group partitioning: the exact per-group quantile bounds (a
+    * GROUP-sized table, joined back broadcast-small) then one
+    * clipping aggregate — at billions of rows swap the exact
+    * percentile for `approx_percentile` exactly as the
+    * q_percentiles/_tol twinning does. The thresholds go through the
+    * 4 dp rounding contract BEFORE the clip comparisons: an
+    * interpolated quantile landing inside a tie run of 2-decimal
+    * prices can differ between engines by an ulp, which would flip a
+    * clipped count; the shared epsilon-nudged rounding collapses both
+    * engines to the identical threshold, making counts AND means
+    * engine-exact.
+    */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val bounds = li.groupBy("l_returnflag")
+      .agg(r4(percentile(col("v"), lit(0.01))).as("lo"),
+        r4(percentile(col("v"), lit(0.99))).as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L))
+          .as("clipped_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L))
+          .as("clipped_hi"),
+        r4(avg(col("v"))).as("mean_raw"),
+        r4(avg(greatest(col("lo"), least(col("hi"), col("v")))))
+          .as("mean_winsorized"))
+  }
+
   /** Approximate percentiles (t-digest-style sketch) — constant memory,
     * engine-specific values → rows-only check.
     */

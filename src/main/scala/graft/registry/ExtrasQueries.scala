@@ -20,6 +20,8 @@ object ExtrasQueries {
     "q_percentiles" -> (Extras.percentiles _),
     "q_approx_percentiles" -> (Extras.approxPercentiles _),
     "q_approx_percentiles_tol" -> (Extras.approxPercentileTolerance _),
+    // group-relative outlier capping into the rounded [p01, p99] band
+    "q_winsorize" -> (Extras.winsorize _),
     "q_pivot" -> (Extras.pivotEvents _),
     "q_except_all" -> (Extras.statusExceptAll _),
     "q_stats_agg" -> (Extras.statsAggregates _),
@@ -79,6 +81,27 @@ object ExtrasQueries {
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         | TRUE AS median_ok, TRUE AS p90_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // full recompute: rounded per-group quantile bounds, then the
+    // clip aggregate — thresholds rounded 4 dp in BOTH engines before
+    // comparison (tie-run interpolation can differ by an ulp raw)
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    round(1e-9 + quantile_cont(l_extendedprice, 0.01), 4)
+        |      AS lo,
+        |    round(1e-9 + quantile_cont(l_extendedprice, 0.99), 4)
+        |      AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        | CAST(sum(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0
+        |   END) AS BIGINT) AS clipped_lo,
+        | CAST(sum(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0
+        |   END) AS BIGINT) AS clipped_hi,
+        | round(1e-9 + avg(l.l_extendedprice), 4) AS mean_raw,
+        | round(1e-9 + avg(greatest(b.lo,
+        |     least(b.hi, l.l_extendedprice))), 4) AS mean_winsorized
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY l.l_returnflag""".stripMargin,
     // full recompute via the plain inequality join DuckDB plans
     // natively; all arithmetic on exact epoch-ns integers
     "q_range_join" ->

@@ -62,7 +62,10 @@ class DeterminismSpec extends SparkSuite {
     "q_cheapest_path",
     // label propagation: fixpoint labels AND the scalar convergence
     // probe must agree across layouts (monotone sum is order-free)
-    "q_components")
+    "q_components",
+    // winsorize: the rounded quantile thresholds and the clip counts
+    // they gate must not see partial-aggregation merge order
+    "q_winsorize")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Extras
+
+/** Group-relative winsorization: hand-computed interpolated bounds and
+  * clip counts on a planted distribution, including a tie-run group
+  * (the case the rounded-threshold contract exists for).
+  */
+class WinsorizeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def r4d(x: Double) = math.rint((x + 1e-9) * 1e4) / 1e4
+
+  test("clip counts and means match hand-computed p01/p99 bounds") {
+    val dir = tmpDir("winsorize")
+    // group A: 1..100 → lo = 1.99, hi = 99.01 → one clip each tail;
+    // symmetric clipping leaves the mean at exactly 50.5.
+    // group B: ten 5.0s + one 50 → lo = 5.0 (tie run), hi = 45.5 →
+    // zero low clips, the 50 clipped high.
+    val rows =
+      (1 to 100).map(v => ("A", v.toDouble)) ++
+        (Seq.fill(10)(5.0) :+ 50.0).map(v => ("B", v))
+    rows.toDF("l_returnflag", "l_extendedprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val got = Extras.winsorize(spark, dir).orderBy("l_returnflag")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      ("A", 100L, 1L, 1L, 50.5, 50.5),
+      ("B", 11L, 0L, 1L, r4d(100.0 / 11), r4d(95.5 / 11))))
+  }
+}
