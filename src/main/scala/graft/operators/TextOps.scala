@@ -173,6 +173,53 @@ object TextOps {
         r4(avg(col("n_chars"))).as("avg_chars"),
         r4(avg(least(col("n_chars") / 500.0, lit(1.0)))).as("avg_quality"))
 
+  /** Per-source distribution drift against the corpus — the mixture
+    * monitor a multi-source training pipeline runs before reweighting
+    * ([[Sampling]]'s token mixture decides proportions; this decides
+    * whether a source's CONTENT distribution has moved): KL(p_s‖q)
+    * and total-variation distance between each source's Lidstone
+    * (α = ½) unigram distribution p_s and the whole-corpus
+    * distribution q, both over the (V+1)-slot event space (the unseen
+    * slot makes both exact probability distributions, so TVD ∈ [0,1]
+    * and KL ≥ 0 hold by construction, not approximately).
+    *
+    * Scale shape: one explode; the corpus count table is V-bounded
+    * and stays distributed; the evaluation grid is vocab × sources —
+    * sources is a GROUP-sized table (broadcast), so the grid is a
+    * broadcast join over the vocab, never a corpus-sized exchange;
+    * per-source totals and the unseen-slot term ride along as
+    * broadcast one-row/dim frames. 4 dp sums (shared contract).
+    */
+  def sourceDrift(s: SparkSession, d: String,
+      alpha: Double = 0.5): DataFrame = {
+    val occ = Tables.parallelized(Tables.documents(s, d))
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val corpus = occ.groupBy("w")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val tot = corpus.agg(sum(col("c")).as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val srcTot = occ.groupBy("source")
+      .agg(count(lit(1)).cast("double").as("ns"))
+    val srcCnt = occ.groupBy("source", "w")
+      .agg(count(lit(1)).cast("double").as("cs"))
+    val grid = corpus.crossJoin(broadcast(srcTot))
+      .join(srcCnt, Seq("source", "w"), "left")
+      .crossJoin(broadcast(tot))
+    val ps = (coalesce(col("cs"), lit(0.0)) + alpha) /
+      (col("ns") + lit(alpha) * (col("v") + 1.0))
+    val q = (col("c") + alpha) /
+      (col("n") + lit(alpha) * (col("v") + 1.0))
+    // closed-form unseen-slot contribution per source
+    val ps0 = lit(alpha) / (col("ns") + lit(alpha) * (col("v") + 1.0))
+    val q0 = lit(alpha) / (col("n") + lit(alpha) * (col("v") + 1.0))
+    grid.groupBy(col("source"), col("ns"), col("n"), col("v"))
+      .agg(sum(ps * log(ps / q)).as("klv"),
+        sum(abs(ps - q)).as("tvv"))
+      .select(col("source"), col("ns").cast("long").as("n_tokens"),
+        r4(col("klv") + ps0 * log(ps0 / q0)).as("kl"),
+        r4((col("tvv") + abs(ps0 - q0)) * 0.5).as("tvd"))
+  }
+
   /** Deterministic 64-bit document fingerprint (xxhash64 of normalized
     * text) + 64-bit SimHash over token hashes. Engine-specific hash
     * values → no SQL oracle; used by dedup and covered by ScalaTest.

@@ -31,6 +31,10 @@ object TextQueries {
     "q_head_tokens" -> (TextOps.headTokenCounts _),
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_stats" -> (TextOps.langSourceStats _),
+    // per-source KL/TVD drift vs the corpus distribution over the
+    // (V+1)-slot Lidstone space — closed-form, fully oracle-able
+    "q_source_drift" -> ((s: SparkSession, d: String) =>
+      TextOps.sourceDrift(s, d)),
     "q_fingerprint" -> (TextOps.fingerprints _),
     "q_fingerprint_classes" -> (TextOps.fingerprintClasses _),
     "q_lang_id" -> (TextOps.langId _),
@@ -1554,6 +1558,43 @@ object TextQueries {
         | round(avg(n_chars), 4) AS avg_chars,
         | round(avg(least(n_chars / 500.0, 1.0)), 4) AS avg_quality
         |FROM documents GROUP BY lang, source""".stripMargin,
+    // full drift recompute: vocab × sources grid with Lidstone
+    // estimates, plus the closed-form unseen-slot term (both
+    // distributions exact over V+1 slots)
+    "q_source_drift" ->
+      """WITH occ AS (
+        |  SELECT source,
+        |   unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        |     AS w
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS c FROM occ GROUP BY w),
+        |tot AS (
+        |  SELECT sum(c) AS n, CAST(count(*) AS DOUBLE) AS v
+        |  FROM corpus),
+        |st AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS ns
+        |  FROM occ GROUP BY source),
+        |sc AS (
+        |  SELECT source, w, CAST(count(*) AS DOUBLE) AS cs
+        |  FROM occ GROUP BY source, w),
+        |terms AS (
+        |  SELECT st.source, st.ns, tot.n, tot.v,
+        |    (coalesce(sc.cs, 0) + 0.5) / (st.ns + 0.5 * (tot.v + 1))
+        |      AS ps,
+        |    (corpus.c + 0.5) / (tot.n + 0.5 * (tot.v + 1)) AS q
+        |  FROM corpus CROSS JOIN st
+        |  LEFT JOIN sc ON sc.source = st.source AND sc.w = corpus.w,
+        |    tot)
+        |SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+        |  round(1e-9 + sum(ps * ln(ps / q)) +
+        |    (0.5 / (ns + 0.5 * (v + 1))) *
+        |      ln((0.5 / (ns + 0.5 * (v + 1))) /
+        |         (0.5 / (n + 0.5 * (v + 1)))), 4) AS kl,
+        |  round(1e-9 + 0.5 * (sum(abs(ps - q)) +
+        |    abs(0.5 / (ns + 0.5 * (v + 1)) -
+        |        0.5 / (n + 0.5 * (v + 1)))), 4) AS tvd
+        |FROM terms GROUP BY source, ns, n, v""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

@@ -65,7 +65,10 @@ class DeterminismSpec extends SparkSuite {
     "q_components",
     // winsorize: the rounded quantile thresholds and the clip counts
     // they gate must not see partial-aggregation merge order
-    "q_winsorize")
+    "q_winsorize",
+    // drift: per-source sums of tiny p·ln(p/q) terms across the
+    // vocab grid — the classic order-sensitive float sum, 4 dp pinned
+    "q_source_drift")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
