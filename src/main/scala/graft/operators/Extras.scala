@@ -93,6 +93,34 @@ object Extras {
         r4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"),
         r4(percentile(col("l_extendedprice"), lit(0.5))).as("median_price"))
 
+  /** Join-key skew profile — the diagnostic a 100 TB planner runs
+    * BEFORE choosing between AQE's runtime skew split and explicit
+    * salting ([[graft.functions.Skew]]; SCALE.md records the measured
+    * regimes): for each candidate join/aggregate key, the per-key row
+    * distribution summarized as the hot key's share, the p99 key
+    * size, and the p99/mean ratio. Per key two stacked aggregates —
+    * key-sized then one summary row — so profiling every key of a
+    * fact table costs one shuffle per key and nothing is collected.
+    * All counts exact; shares/quantiles through the 4 dp contract.
+    */
+  def skewProfile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val keys = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    keys.map { k =>
+      li.groupBy(col(k)).agg(count(lit(1)).as("kn"))
+        .agg(sum(col("kn")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("kn")).as("max_key_rows"),
+          percentile(col("kn"), lit(0.99)).as("p99"))
+        .select(lit(k).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"),
+          r4(col("max_key_rows") / col("n_rows")).as("max_share"),
+          r4(col("p99")).as("p99_key_rows"),
+          r4(col("p99") / (col("n_rows") / col("n_keys")))
+            .as("p99_over_mean"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Group-relative winsorization — the outlier-capping preprocessing
     * step (clip each value into its group's [p01, p99] band) as a
     * bounded per-group summary: how many rows clipped at each tail

@@ -22,6 +22,8 @@ object ExtrasQueries {
     "q_approx_percentiles_tol" -> (Extras.approxPercentileTolerance _),
     // group-relative outlier capping into the rounded [p01, p99] band
     "q_winsorize" -> (Extras.winsorize _),
+    // per-join-key row-distribution summary (hot-key share, p99/mean)
+    "q_skew_profile" -> (Extras.skewProfile _),
     "q_pivot" -> (Extras.pivotEvents _),
     "q_except_all" -> (Extras.statusExceptAll _),
     "q_stats_agg" -> (Extras.statsAggregates _),
@@ -81,6 +83,22 @@ object ExtrasQueries {
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         | TRUE AS median_ok, TRUE AS p90_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // full recompute of the per-key distribution summaries — counts
+    // exact, shares/quantiles 4 dp
+    "q_skew_profile" -> Seq("l_orderkey", "l_partkey", "l_suppkey")
+      .map { k =>
+        s"""SELECT '$k' AS key_col,
+           | CAST(sum(kn) AS BIGINT) AS n_rows, count(*) AS n_keys,
+           | CAST(max(kn) AS BIGINT) AS max_key_rows,
+           | round(1e-9 + CAST(max(kn) AS DOUBLE) / sum(kn), 4)
+           |   AS max_share,
+           | round(1e-9 + quantile_cont(kn, 0.99), 4) AS p99_key_rows,
+           | round(1e-9 + quantile_cont(kn, 0.99) /
+           |   (CAST(sum(kn) AS DOUBLE) / count(*)), 4)
+           |   AS p99_over_mean
+           |FROM (SELECT $k, count(*) AS kn FROM lineitem
+           |      GROUP BY $k)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", ""),
     // full recompute: rounded per-group quantile bounds, then the
     // clip aggregate — thresholds rounded 4 dp in BOTH engines before
     // comparison (tie-run interpolation can differ by an ulp raw)

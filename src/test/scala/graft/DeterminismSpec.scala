@@ -68,7 +68,10 @@ class DeterminismSpec extends SparkSuite {
     "q_winsorize",
     // drift: per-source sums of tiny p·ln(p/q) terms across the
     // vocab grid — the classic order-sensitive float sum, 4 dp pinned
-    "q_source_drift")
+    "q_source_drift",
+    // skew profile: two stacked count aggregates per key — exact
+    // longs plus interpolated p99 through the rounding contract
+    "q_skew_profile")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

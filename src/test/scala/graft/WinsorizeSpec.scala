@@ -31,4 +31,28 @@ class WinsorizeSpec extends SparkSuite {
       ("A", 100L, 1L, 1L, 50.5, 50.5),
       ("B", 11L, 0L, 1L, r4d(100.0 / 11), r4d(95.5 / 11))))
   }
+
+  test("skew profile flags the hot key and reads uniform/constant " +
+      "keys as ratio 1") {
+    val dir = tmpDir("skewprof")
+    // l_orderkey: 60 rows on key 1 + keys 2..41 once each (hot);
+    // l_partkey: all distinct (uniform); l_suppkey: constant.
+    val rows = (0 until 100).map { i =>
+      val ok = if (i < 60) 1L else (i - 58).toLong
+      (ok, i.toLong, 7L)
+    }
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val got = Extras.skewProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))).toMap
+    // orderkey: p99 of {60} ∪ {1}×40 interpolates 1 + .6·59 = 36.4;
+    // mean 100/41 → ratio 36.4·41/100 = 14.924
+    assert(got("l_orderkey") ===
+      ((100L, 41L, 60L, 0.6, 36.4, r4d(36.4 * 41 / 100))))
+    assert(got("l_partkey") === ((100L, 100L, 1L, 0.01, 1.0, 1.0)))
+    assert(got("l_suppkey") === ((100L, 1L, 100L, 1.0, 100.0, 1.0)))
+  }
 }
