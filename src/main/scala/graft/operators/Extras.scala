@@ -93,6 +93,34 @@ object Extras {
         r4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"),
         r4(percentile(col("l_extendedprice"), lit(0.5))).as("median_price"))
 
+  /** Time-based trailing aggregate via a RANGE window frame — the
+    * window family the ROWS-frame queries (`q_window_running` etc.)
+    * cannot express: the frame is bounded by the ORDERING VALUE
+    * (days), not a row count, so all same-day rows enter together
+    * and sparse histories cover exactly the trailing calendar span.
+    * Ordering key is the exact integer epoch-day; the money sum
+    * accumulates DECIMAL(18,6) inside the frame and casts to double
+    * at the edge (the dsum contract), so every emitted value is
+    * bit-identical across engines with no rounding step at all.
+    * One customer-keyed shuffle; the frame is evaluated by the
+    * standard streaming window operator, never a self-join.
+    */
+  def trailingRevenue(s: SparkSession, d: String,
+      days: Int = 30): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("epoch_day"),
+      col("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_day"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    o.select(col("o_orderkey"), col("o_custkey"),
+      sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+        .cast("double").as("trailing_rev"),
+      count(lit(1)).over(w).as("n_orders_window"))
+  }
+
   /** Join-key skew profile — the diagnostic a 100 TB planner runs
     * BEFORE choosing between AQE's runtime skew split and explicit
     * salting ([[graft.functions.Skew]]; SCALE.md records the measured

@@ -24,6 +24,9 @@ object ExtrasQueries {
     "q_winsorize" -> (Extras.winsorize _),
     // per-join-key row-distribution summary (hot-key share, p99/mean)
     "q_skew_profile" -> (Extras.skewProfile _),
+    // RANGE-frame window: trailing 30 calendar days by ordering value
+    "q_window_range" -> ((s: SparkSession, d: String) =>
+      Extras.trailingRevenue(s, d)),
     "q_pivot" -> (Extras.pivotEvents _),
     "q_except_all" -> (Extras.statusExceptAll _),
     "q_stats_agg" -> (Extras.statsAggregates _),
@@ -83,6 +86,18 @@ object ExtrasQueries {
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         | TRUE AS median_ok, TRUE AS p90_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // full recompute: identical RANGE frame over the exact integer
+    // epoch-day; DECIMAL accumulation inside the frame makes every
+    // value bit-identical with NO rounding step
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w
+        |   AS DOUBLE) AS trailing_rev,
+        | count(*) OVER w AS n_orders_window
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin,
     // full recompute of the per-key distribution summaries — counts
     // exact, shares/quantiles 4 dp
     "q_skew_profile" -> Seq("l_orderkey", "l_partkey", "l_suppkey")

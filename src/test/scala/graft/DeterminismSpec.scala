@@ -71,7 +71,10 @@ class DeterminismSpec extends SparkSuite {
     "q_source_drift",
     // skew profile: two stacked count aggregates per key — exact
     // longs plus interpolated p99 through the rounding contract
-    "q_skew_profile")
+    "q_skew_profile",
+    // RANGE frame: decimal accumulation inside the frame — emitted
+    // doubles must be bit-identical with no rounding step at all
+    "q_window_range")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -32,6 +32,29 @@ class WinsorizeSpec extends SparkSuite {
       ("B", 11L, 0L, 1L, r4d(100.0 / 11), r4d(95.5 / 11))))
   }
 
+  test("RANGE frame: same-day peers included, 30-day boundary " +
+      "inclusive at 29 and exclusive at 30, sparse history isolated") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = tmpDir("rangewin")
+    // one customer: two same-day orders (RANGE includes peers — a
+    // ROWS frame would not), a day-29 order (day-0 pair still in),
+    // a day-30 order (day-0 pair out, day-29 in), a far order alone
+    val rows = Seq((1L, 0, 10.0), (2L, 0, 20.0), (3L, 29, 30.0),
+      (4L, 30, 40.0), (5L, 100, 50.0))
+    rows.toDF("o_orderkey", "day", "o_totalprice")
+      .withColumn("o_custkey", expr("7L"))
+      .withColumn("o_orderdate",
+        expr("timestamp(date_add(date'1970-01-01', day))"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val got = Extras.trailingRevenue(spark, dir).orderBy("o_orderkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 30.0, 2L), (2L, 30.0, 2L),
+      (3L, 60.0, 3L), (4L, 70.0, 2L), (5L, 50.0, 1L)))
+  }
+
   test("skew profile flags the hot key and reads uniform/constant " +
       "keys as ratio 1") {
     val dir = tmpDir("skewprof")
