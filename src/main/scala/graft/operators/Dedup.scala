@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.operators.TextOps.tokens
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline over `documents`:
@@ -861,5 +862,79 @@ object Dedup {
 
     // blocks route entirely to one path, so the union is disjoint
     verified(smallPairs).unionByName(verified(bigPairs))
+  }
+
+  /** N-gram CONTAINMENT pairs — C(A,B) = |sh(A) ∩ sh(B)| / min(|sh(A)|,
+    * |sh(B)|) ≥ τ: the partial-overlap detector Jaccard structurally
+    * misses (a short doc quoted whole inside a long one has J ≈
+    * |A|/|B| → 0 but containment 1). Candidate generation is the
+    * prefix filter of the set-similarity-join literature (AllPairs /
+    * PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08): order each
+    * doc's grams by ascending global document frequency and probe the
+    * inverted index with only the first ⌊(1−τ)·n⌋+1 of them — if the
+    * smaller side of a qualifying pair shared NO prefix gram, all its
+    * misses would have to fit in a gram budget the prefix already
+    * exceeds, a contradiction, so recall is exact by construction (the
+    * floor-based length errs ≥ the ceil-derived bound, never under).
+    * Rare grams lead the prefix, so probe fan-out per gram stays tiny;
+    * `dfCap` additionally drops boilerplate-grade grams (df > cap)
+    * from the INDEXED side, bounding worst-case bucket size at corpus
+    * scale — the same df-threshold reasoning as [[graft.operators
+    * .TextOps]]' boilerplate removal, which upstream curation runs
+    * first (a pair is lost only if every shared gram of the smaller
+    * side's prefix is boilerplate-hot; `ContainmentSpec` pins the
+    * planted-hot-gram behavior). All joins carry 8-byte gram hashes;
+    * full arrays are fetched only for verified candidates.
+    */
+  def ngramContainmentPairs(s: SparkSession, d: String,
+      threshold: Double = 0.6, dfCap: Int = 1000): DataFrame =
+    ngramContainmentPairsOf(
+      Tables.parallelized(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))),
+      threshold, dfCap)
+
+  /** [[ngramContainmentPairs]] over an explicit (doc_id, text) frame —
+    * the testable/core form.
+    */
+  def ngramContainmentPairsOf(documents: DataFrame, threshold: Double,
+      dfCap: Int): DataFrame = {
+    // (doc_id, sh sorted gram hashes, n) — staged once; the df join,
+    // prefix ranking, index explode and the verify fetches all read it
+    val docs = lazyCheckpoint(documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("shs"))
+      .select(col("doc_id"),
+        array_sort(transform(col("shs"), x => xxhash64(x))).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n")))
+    val grams = docs.select(col("doc_id"), col("n"),
+      explode(col("sh")).as("gram"))
+    val dfTab = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gdf"))
+    val gdf = grams.join(dfTab, Seq("gram"))
+    // prefix = the ⌊(1−τ)n⌋+1 globally-rarest grams of each doc
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("gdf"), col("gram"))
+    val prefix = gdf
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <=
+        greatest(lit(1L),
+          col("n") - floor(lit(threshold) * col("n")) + lit(1L)))
+      .select(col("gram"), col("doc_id").as("doc_a"))
+    val index = gdf.filter(col("gdf") <= dfCap)
+      .select(col("gram"), col("doc_id").as("doc_b"))
+    val cands = prefix.join(index, Seq("gram"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / least(col("n_a"), col("n_b"))).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 }

@@ -121,6 +121,55 @@ object Extras {
       count(lit(1)).over(w).as("n_orders_window"))
   }
 
+  /** One stage of the 2-D skyline: drop every row dominated within its
+    * (`bkt`, brand) slice. Dominance (minimize price then size, one
+    * strict) decomposes into two declarative checks — a strictly
+    * cheaper row with size ≤ mine exists iff the running min of the
+    * per-price group minima over STRICTLY smaller prices is ≤ my size
+    * (the grouped level has one row per price, so a ROWS frame gives
+    * exact strict-inequality semantics without RANGE offsets), and a
+    * same-price dominator exists iff the price group's min size is
+    * strictly below mine. Equal (price, size) twins never dominate
+    * each other, so duplicates survive — matching the NOT EXISTS
+    * oracle.
+    */
+  private def skylinePrune(df: DataFrame): DataFrame = {
+    val g = df.groupBy(col("bkt"), col("p_brand"), col("p_retailprice"))
+      .agg(min(col("p_size")).as("gm"))
+    val w = Window.partitionBy(col("bkt"), col("p_brand"))
+      .orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g2 = g.withColumn("prev_min", min(col("gm")).over(w))
+    df.join(g2, Seq("bkt", "p_brand", "p_retailprice"))
+      .filter(!(coalesce(col("prev_min") <= col("p_size"), lit(false))
+        || col("gm") < col("p_size")))
+      .drop("gm", "prev_min")
+  }
+
+  /** Per-brand 2-D skyline (Pareto frontier: no other part of the
+    * brand is both cheaper-or-equal and smaller-or-equal with one
+    * strict) — the multi-objective "best tradeoffs" operator, built so
+    * it never needs the quadratic NOT EXISTS the SQL definition
+    * suggests. Two identical prune stages: stage 1 runs per hash
+    * bucket (32-way parallel, each window sorts only its slice) and is
+    * exact-recall because a globally non-dominated row is non-dominated
+    * in every subset it belongs to, while dominance is transitive — so
+    * pruning locally first never removes a skyline row and the
+    * surviving candidate set (≈ per-bucket frontier sizes, tiny) feeds
+    * stage 2's single-slice pass. At 100 TB the heavy data sees one
+    * bucket-local sort; only frontier candidates reach the global
+    * stage.
+    */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_brand"), col("p_partkey"),
+      col("p_retailprice"), col("p_size"))
+    val local = skylinePrune(
+      p.withColumn("bkt", pmod(hash(col("p_partkey")), lit(32))))
+    skylinePrune(local.withColumn("bkt", lit(0)))
+      .select(col("p_brand"), col("p_partkey"),
+        col("p_retailprice"), col("p_size"))
+  }
+
   /** Join-key skew profile — the diagnostic a 100 TB planner runs
     * BEFORE choosing between AQE's runtime skew split and explicit
     * salting ([[graft.functions.Skew]]; SCALE.md records the measured

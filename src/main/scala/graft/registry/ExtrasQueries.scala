@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.operators.{AsOf, Extras, RangeJoin}
+import graft.operators.{AsOf, Extras, RangeJoin, Sketch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the engine-completeness extras. */
@@ -42,6 +42,14 @@ object ExtrasQueries {
       Extras.heavyHitters(s, d)),
     // one-scan column profiler (Deequ-style data-quality pass)
     "q_profile" -> (Extras.profile _),
+    // per-brand Pareto frontier: bucketed local prune then global —
+    // never the quadratic NOT EXISTS the SQL definition suggests
+    "q_skyline" -> (Extras.skyline _),
+    // count-min sketch, full cross-engine recompute (modular hashes)
+    "q_cms" -> ((s: SparkSession, d: String) => Sketch.cmsProbe(s, d)),
+    // AMS/F2 join-size estimate: the CBO-style one-pass sketch that
+    // sizes a self-join without executing it
+    "q_join_size_ams" -> (Sketch.amsJoinSize _),
     // HLL sketch mergeability: per-source sketches unioned ==
     // whole-corpus sketch, within 5% of exact — the guarantee-boolean
     // oracle pattern
@@ -49,6 +57,22 @@ object ExtrasQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // exhaustive dominance check — the definitional quadratic form the
+    // Spark side's two-stage prune must reproduce exactly (incl.
+    // keeping equal (price, size) twins: neither dominates)
+    "q_skyline" ->
+      """SELECT a.p_brand, a.p_partkey, a.p_retailprice, a.p_size
+        |FROM part a WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_brand = a.p_brand
+        |    AND b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size <= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice
+        |      OR b.p_size < a.p_size))""".stripMargin,
+    // full sketch recomputes — same modular-hash constants, generated
+    // from the Scala coefficient tables so the engines cannot drift
+    "q_cms" -> Sketch.cmsOracleSql(),
+    "q_join_size_ams" -> Sketch.amsOracleSql,
     // full profiling recompute: one row per column, same metrics;
     // stddev is the sample form in both engines, 4 dp
     "q_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount",

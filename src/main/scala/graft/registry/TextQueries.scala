@@ -128,6 +128,10 @@ object TextQueries {
       Dedup.minhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       Dedup.ngramJaccardPairs(s, d)),
+    // prefix-filtered containment join: the partial-overlap detector
+    // (quotation / subset duplication) Jaccard structurally misses
+    "q_containment" -> ((s: SparkSession, d: String) =>
+      Dedup.ngramContainmentPairs(s, d)),
     "q_incremental_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalDedupQuery(s, d)),
     "q_embedding_stats" -> (Similarity.labelStats _),
@@ -1166,6 +1170,17 @@ object TextQueries {
          |  AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |   / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+    // exhaustive containment — equality asserts the prefix filter's
+    // exact-recall argument holds on this data (every qualifying pair
+    // shares a gram in the smaller side's rarest-⌊(1−τ)n⌋+1 prefix)
+    "q_containment" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / least(len(a.sh), len(b.sh)) AS containment
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / least(len(a.sh), len(b.sh)) >= 0.6""".stripMargin,
     // exhaustive jaccard at the minhash threshold: equality asserts the
     // banded-LSH candidate stage has recall 1.0 on this data
     "q_minhash_pairs" ->

@@ -74,7 +74,16 @@ class DeterminismSpec extends SparkSuite {
     "q_skew_profile",
     // RANGE frame: decimal accumulation inside the frame — emitted
     // doubles must be bit-identical with no rounding step at all
-    "q_window_range")
+    "q_window_range",
+    // two-stage skyline: the bucketed local prune must be invariant
+    // to how rows land in partitions
+    "q_skyline",
+    // exact-integer sketches: counters/signs are layout-free sums
+    "q_cms",
+    "q_join_size_ams",
+    // prefix-filtered containment: df ranking and candidate set must
+    // not depend on partitioning
+    "q_containment")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
