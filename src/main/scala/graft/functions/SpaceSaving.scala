@@ -86,3 +86,29 @@ class SpaceSavingAgg(m: Int)
   def outputEncoder: Encoder[Seq[HeavyHitter]] =
     ExpressionEncoder[Seq[HeavyHitter]]()
 }
+
+/** [[SpaceSavingAgg]] over the VALUE slot of a (group, key) tuple —
+  * the shape `KeyValueGroupedDataset.agg` needs for PER-GROUP
+  * sketches (one independent O(m) summary per group, partial per
+  * partition per group, merged along the group shuffle). All sketch
+  * logic delegates to the single-key aggregator, so the parallel
+  * combine's guarantee proof carries over unchanged.
+  */
+class SpaceSavingTupleAgg(m: Int)
+    extends Aggregator[(String, String),
+      (mutable.Map[String, (Long, Long)], Long), Seq[HeavyHitter]] {
+  private val inner = new SpaceSavingAgg(m)
+  def zero: (mutable.Map[String, (Long, Long)], Long) = inner.zero
+  def reduce(b: (mutable.Map[String, (Long, Long)], Long),
+      t: (String, String)): (mutable.Map[String, (Long, Long)], Long) =
+    inner.reduce(b, t._2)
+  def merge(x: (mutable.Map[String, (Long, Long)], Long),
+      y: (mutable.Map[String, (Long, Long)], Long))
+      : (mutable.Map[String, (Long, Long)], Long) = inner.merge(x, y)
+  def finish(r: (mutable.Map[String, (Long, Long)], Long))
+      : Seq[HeavyHitter] = inner.finish(r)
+  def bufferEncoder
+      : Encoder[(mutable.Map[String, (Long, Long)], Long)] =
+    inner.bufferEncoder
+  def outputEncoder: Encoder[Seq[HeavyHitter]] = inner.outputEncoder
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Fns._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -461,6 +461,164 @@ object Extras {
           (col("est") >= col("exact_n") &&
             col("est") <= col("exact_n") + col("n") / m))
           .as("bound_ok"))
+  }
+
+  /** Per-group Space-Saving heavy hitters — the sketch as a true GROUP
+    * aggregate: one independent O(m) summary per event_type, partials
+    * merged along the (tiny, group-keyed) shuffle, so profiling every
+    * group of a 100 TB stream still never shuffles the keyed rows.
+    * Same derived skewed key and same guarantee-boolean contract as
+    * the global [[heavyHitters]] (sketch contents are merge-order
+    * dependent; what a CORRECT sketch must satisfy per group is not):
+    * per (group, exact-top-k key), presence when true > n_g/m and
+    * true ≤ est ≤ true + n_g/m against the group's own n.
+    */
+  def heavyHittersGrouped(s: SparkSession, d: String, m: Int = 3,
+      k: Int = 3): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.events(s, d)
+      .select(col("event_type").as("grp"),
+        length(col("event_id").cast("string")).cast("string").as("key"))
+    val sketch = keyed.as[(String, String)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.SpaceSavingTupleAgg(m).toColumn)
+      .toDF("grp", "hh")
+      .select(col("grp"), explode(col("hh")).as("e"))
+      .select(col("grp"), col("e.key").as("key"), col("e.est").as("est"))
+    val exact = keyed.groupBy(col("grp"), col("key"))
+      .agg(count(lit(1)).as("exact_n"))
+    val totals = keyed.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val wTop = Window.partitionBy(col("grp"))
+      .orderBy(col("exact_n").desc, col("key"))
+    exact
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k).drop("rk")
+      .join(broadcast(sketch), Seq("grp", "key"), "left")
+      .join(broadcast(totals), Seq("grp"))
+      .select(col("grp"), col("key"), col("exact_n"),
+        (!(col("exact_n") > col("n") / m) || col("est").isNotNull)
+          .as("guarantee_ok"),
+        (col("est").isNull ||
+          (col("est") >= col("exact_n") &&
+            col("est") <= col("exact_n") + col("n") / m))
+          .as("bound_ok"))
+  }
+
+  /** Chi-square test of independence over the source × lang
+    * contingency grid — the categorical companion to the KL/TVD drift
+    * monitor ([[graft.operators.TextOps]]' sourceDrift): one number
+    * answering "is language composition independent of source?". The
+    * observed grid is one groupBy over the corpus; expected counts
+    * need the FULL R×C grid including empty cells, built by crossing
+    * the two margin tables (grid-sized, broadcast) and left-joining
+    * the observations — never by re-scanning the corpus. dof =
+    * (R−1)(C−1); the statistic sums (O−E)²/E over the grid through
+    * the 4 dp contract.
+    */
+  def chiSquare(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+    val rowM = o.groupBy(col("source")).agg(sum(col("o")).as("rs"))
+    val colM = o.groupBy(col("lang")).agg(sum(col("o")).as("cs"))
+    val n = o.agg(sum(col("o")).as("n"))
+    val grid = broadcast(rowM).crossJoin(broadcast(colM))
+      .join(o, Seq("source", "lang"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("lang"), col("rs"), col("cs"),
+        col("n"), coalesce(col("o"), lit(0L)).as("o"))
+    val e = col("rs").cast("double") * col("cs") / col("n")
+    grid
+      .select(col("n"), col("source"), col("lang"), col("o"),
+        ((col("o") - e) * (col("o") - e) / e).as("term"))
+      .agg(max(col("n")).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        r4(sum(col("term"))).as("chi2"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        ((col("n_sources") - 1) * (col("n_langs") - 1)).as("dof"),
+        col("chi2"))
+  }
+
+  /** Candidate-key and functional-dependency discovery — the
+    * Metanome-class profiling pass a warehouse runs before trusting
+    * declared constraints: a column set is a KEY iff its distinct
+    * count equals the row count, and A → B holds iff adding B to A
+    * changes nothing (|π_A| = |π_{A∪B}|) — so every check is one
+    * multi-distinct aggregate over keys-only projections, a few
+    * bounded scans total and single-row outputs. The checks pin the
+    * testdata's actual shape (notably: (l_orderkey, l_linenumber) is
+    * NOT a composite key in this synthetic corpus — a declared-vs-
+    * actual gap this pass exists to catch). Distinct-tuple null
+    * semantics differ between engines only on null-bearing columns;
+    * every checked column here is null-free.
+    */
+  def keyDiscovery(s: SparkSession, d: String): DataFrame = {
+    def keyCheck(df: DataFrame, chk: String,
+        cols: Seq[String]): DataFrame =
+      df.agg(count(lit(1)).as("n_lhs"),
+        countDistinct(col(cols.head), cols.tail.map(col): _*)
+          .as("n_rhs"))
+        .select(lit(chk).as("chk"), col("n_lhs"), col("n_rhs"),
+          (col("n_lhs") === col("n_rhs")).as("holds"))
+    def fdCheck(df: DataFrame, chk: String, lhs: String,
+        rhs: String): DataFrame =
+      df.agg(countDistinct(col(lhs)).as("n_lhs"),
+        countDistinct(col(lhs), col(rhs)).as("n_rhs"))
+        .select(lit(chk).as("chk"), col("n_lhs"), col("n_rhs"),
+          (col("n_lhs") === col("n_rhs")).as("holds"))
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    Seq(
+      keyCheck(ord, "key:orders.o_orderkey", Seq("o_orderkey")),
+      keyCheck(ord, "key:orders.o_custkey", Seq("o_custkey")),
+      keyCheck(li, "key:lineitem.(l_orderkey,l_linenumber)",
+        Seq("l_orderkey", "l_linenumber")),
+      keyCheck(Tables.part(s, d), "key:part.p_partkey",
+        Seq("p_partkey")),
+      fdCheck(Tables.nation(s, d),
+        "fd:nation.n_nationkey->n_regionkey",
+        "n_nationkey", "n_regionkey"),
+      fdCheck(li, "fd:lineitem.l_orderkey->l_suppkey",
+        "l_orderkey", "l_suppkey"),
+      fdCheck(ord, "fd:orders.o_custkey->o_orderpriority",
+        "o_custkey", "o_orderpriority")
+    ).reduce(_ unionByName _)
+  }
+
+  /** Rule-based validation report — the warehouse quality gate shape
+    * (graft.pipeline.Quality's reference rules run on the weather
+    * schema; this is the driver-data analogue): every rule evaluates
+    * in ONE scan as a conditional-count aggregate, zero-violation
+    * rules emit an explicit 0 row (a silent absence and a clean pass
+    * are different facts), and the row count is rule-count bounded.
+    * The JSON rule reuses the engine-parity extraction the
+    * q_json_extract oracle established.
+    */
+  def validateEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"),
+      col("user_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val rules: Seq[(String, Column)] = Seq(
+      "missing_value" -> col("value").isNull,
+      "negative_value" -> (col("value").isNotNull && col("value") < 0),
+      "value_implausible" ->
+        (col("value").isNotNull && col("value") > 450),
+      "unknown_event_type" -> !col("event_type").isin(
+        "click", "view", "signup", "purchase", "error"),
+      "props_k_out_of_range" ->
+        (col("k").isNotNull && col("k") > 90),
+      "error_with_high_value" ->
+        (col("event_type") === "error" && col("value") > 400))
+    val aggs = rules.map { case (name, bad) =>
+      sum(when(bad, 1L).otherwise(0L)).as(name)
+    }
+    val wide = ev.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.map { case (name, _) =>
+      s"'$name', $name"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${rules.length}, $stackArgs) AS (rule, n_violations)")
   }
 
   def saltedSegmentRevenue(s: SparkSession, d: String,

@@ -64,6 +64,34 @@ object Similarity {
         col("rk"))
   }
 
+  /** Hard-negative mining for contrastive retrieval training: per
+    * probe vector, the top-k most-SIMILAR vectors of a DIFFERENT
+    * label (label standing in for the positive-pair relation) — high
+    * cosine + wrong class is exactly the "hard" negative a dual
+    * encoder needs, vs the uninformative random negatives uniform
+    * sampling yields. Exhaustive driver-scale form (the q_ann_brute
+    * baseline class: probes broadcast, corpus streams once, per-probe
+    * windows); at corpus scale the candidates come from the IVF serve
+    * shortlist ([[ivfTopKFromIndex]]) with the same label anti-filter
+    * applied to shortlist rows — standard ANCE-style practice.
+    */
+  def hardNegatives(s: SparkSession, d: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    emb.join(broadcast(queries), col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"),
+        fusedCosine(col("q"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), r4(col("sim")).as("sim"),
+        col("rk"))
+  }
+
   /** Margin-based bitext mining (the LASER/CCMatrix parallel-pair
     * pattern): between two corpus sides (here the label halves of the
     * embeddings table standing in for two languages), emit pairs that

@@ -157,4 +157,39 @@ object Timeseries {
         abs(col("value") - col("base_mean")) >
           col("base_std") * lit(sigmas))
   }
+
+  /** Seasonal-naive forecast backtest — the baseline every real
+    * forecasting deployment is graded against (and the honest scope
+    * for an engine with no model runtime): per (event_type,
+    * hour-of-day) the TRAIN-window mean predicts every TEST cell of
+    * that season slot; scored as per-type MAE over the test cells.
+    * The 80/20 split day derives from the data's own span in exact
+    * integer day arithmetic (regen-proof), and both the per-slot
+    * model (types × 24 rows, broadcast back) and the per-cell actuals
+    * are single corpus aggregates — training a baseline on 100 TB of
+    * telemetry is two groupBys and a grid join, no iteration.
+    */
+  def forecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        to_date(col("ts_event")).as("date"),
+        hour(col("ts_event")).as("hr"), col("value"))
+    val span = ev.agg(min(col("date")).as("min_d"),
+      max(col("date")).as("max_d"))
+      .select(date_add(col("min_d"),
+        floor(lit(0.8) * (datediff(col("max_d"), col("min_d")) + 1))
+          .cast("int")).as("split_d"))
+    val split = ev.crossJoin(broadcast(span))
+    val model = split.filter(col("date") < col("split_d"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(r4(avg(col("value"))).as("forecast"))
+    val actual = split.filter(col("date") >= col("split_d"))
+      .groupBy(col("event_type"), col("date"), col("hr"))
+      .agg(r4(avg(col("value"))).as("actual"))
+    actual.join(broadcast(model), Seq("event_type", "hr"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test_cells"),
+        r4(avg(abs(col("forecast") - col("actual")))).as("mae"))
+  }
 }

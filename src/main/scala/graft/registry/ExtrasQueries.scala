@@ -40,6 +40,23 @@ object ExtrasQueries {
       Extras.saltedSegmentRevenue(s, d)),
     "q_heavy_hitters" -> ((s: SparkSession, d: String) =>
       Extras.heavyHitters(s, d)),
+    // the sketch as a per-group aggregate: one O(m) summary per
+    // event_type, guarantee booleans against each group's own n
+    "q_heavy_hitters_grouped" -> ((s: SparkSession, d: String) =>
+      Extras.heavyHittersGrouped(s, d)),
+    // chi-square independence over the source × lang grid — the
+    // categorical companion to q_source_drift's KL/TVD
+    "q_chi2" -> (Extras.chiSquare _),
+    // rule-based validation report: every rule one conditional count
+    // in a single scan; zero-violation rules emit explicit 0 rows
+    "q_validate" -> (Extras.validateEvents _),
+    // candidate-key / functional-dependency profiling: each check one
+    // multi-distinct aggregate over keys-only projections
+    "q_key_discovery" -> (Extras.keyDiscovery _),
+    // seasonal-naive forecast baseline, backtested as per-type MAE
+    // over the data-derived 80/20 day split
+    "q_forecast" -> ((s: SparkSession, d: String) =>
+      graft.operators.Timeseries.forecastBacktest(s, d)),
     // one-scan column profiler (Deequ-style data-quality pass)
     "q_profile" -> (Extras.profile _),
     // per-brand Pareto frontier: bucketed local prune then global —
@@ -102,6 +119,112 @@ object ExtrasQueries {
         |    AS key, count(*) AS exact_n
         |  FROM events GROUP BY 1
         |  ORDER BY exact_n DESC, key LIMIT 5)""".stripMargin,
+    // per-group form: exact top-k inside each event_type, both sketch
+    // guarantees pinned TRUE against the group's own n
+    "q_heavy_hitters_grouped" ->
+      """SELECT grp, key, exact_n, TRUE AS guarantee_ok,
+        | TRUE AS bound_ok
+        |FROM (
+        |  SELECT grp, key, exact_n, row_number() OVER (
+        |    PARTITION BY grp ORDER BY exact_n DESC, key) AS rk
+        |  FROM (
+        |    SELECT event_type AS grp,
+        |      CAST(length(CAST(event_id AS VARCHAR)) AS VARCHAR) AS key,
+        |      count(*) AS exact_n
+        |    FROM events GROUP BY 1, 2))
+        |WHERE rk <= 3""".stripMargin,
+    // full recompute: expected counts from the crossed margins over
+    // the COMPLETE grid (empty cells included), (O−E)²/E summed 4 dp
+    "q_chi2" ->
+      """WITH o AS (
+        |  SELECT source, lang, count(*) AS o FROM documents
+        |  GROUP BY 1, 2),
+        |rm AS (SELECT source, sum(o) AS rs FROM o GROUP BY 1),
+        |cm AS (SELECT lang, sum(o) AS cs FROM o GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n FROM o),
+        |grid AS (
+        |  SELECT rm.source, cm.lang, rs, cs, tot.n,
+        |    coalesce(o.o, 0) AS obs
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN o ON o.source = rm.source AND o.lang = cm.lang
+        |  CROSS JOIN tot)
+        |SELECT max(n) AS n_docs,
+        | count(DISTINCT source) AS n_sources,
+        | count(DISTINCT lang) AS n_langs,
+        | (count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1)
+        |   AS dof,
+        | round(sum((obs - CAST(rs AS DOUBLE) * cs / n)
+        |   * (obs - CAST(rs AS DOUBLE) * cs / n)
+        |   / (CAST(rs AS DOUBLE) * cs / n)) + 1e-9, 4) AS chi2
+        |FROM grid""".stripMargin,
+    // one conditional count per rule; the JSON rule reuses the
+    // engine-parity extraction q_json_extract established
+    "q_validate" -> Seq(
+      ("missing_value", "value IS NULL"),
+      ("negative_value", "value IS NOT NULL AND value < 0"),
+      ("value_implausible", "value IS NOT NULL AND value > 450"),
+      ("unknown_event_type", "event_type NOT IN " +
+        "('click', 'view', 'signup', 'purchase', 'error')"),
+      ("props_k_out_of_range",
+        "CAST(json_extract_string(props, '$.k') AS INT) > 90"),
+      ("error_with_high_value",
+        "event_type = 'error' AND value > 400"))
+      .map { case (name, pred) =>
+        s"""SELECT '$name' AS rule,
+           | CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_violations
+           |FROM events""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+    // each check recomputed as the same distinct-count equalities;
+    // DuckDB's struct DISTINCT matches Spark's tuple DISTINCT on the
+    // null-free checked columns
+    "q_key_discovery" -> Seq(
+      ("key:orders.o_orderkey", "orders",
+        "count(*)", "count(DISTINCT o_orderkey)"),
+      ("key:orders.o_custkey", "orders",
+        "count(*)", "count(DISTINCT o_custkey)"),
+      ("key:lineitem.(l_orderkey,l_linenumber)", "lineitem",
+        "count(*)", "count(DISTINCT (l_orderkey, l_linenumber))"),
+      ("key:part.p_partkey", "part",
+        "count(*)", "count(DISTINCT p_partkey)"),
+      ("fd:nation.n_nationkey->n_regionkey", "nation",
+        "count(DISTINCT n_nationkey)",
+        "count(DISTINCT (n_nationkey, n_regionkey))"),
+      ("fd:lineitem.l_orderkey->l_suppkey", "lineitem",
+        "count(DISTINCT l_orderkey)",
+        "count(DISTINCT (l_orderkey, l_suppkey))"),
+      ("fd:orders.o_custkey->o_orderpriority", "orders",
+        "count(DISTINCT o_custkey)",
+        "count(DISTINCT (o_custkey, o_orderpriority))"))
+      .map { case (chk, tbl, lhs, rhs) =>
+        s"""SELECT '$chk' AS chk, $lhs AS n_lhs, $rhs AS n_rhs,
+           | $lhs = $rhs AS holds FROM $tbl""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+    // same split-day derivation, per-slot train means and per-cell
+    // test actuals through the shared 4 dp contract
+    "q_forecast" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS date,
+        |    extract(hour FROM ts) AS hr, value
+        |  FROM events WHERE value IS NOT NULL),
+        |span AS (
+        |  SELECT min(date) + CAST(floor(0.8 *
+        |    (max(date) - min(date) + 1)) AS INT) AS split_d
+        |  FROM ev),
+        |model AS (
+        |  SELECT event_type, hr, round(avg(value) + 1e-9, 4)
+        |    AS forecast
+        |  FROM ev CROSS JOIN span WHERE date < split_d GROUP BY 1, 2),
+        |actual AS (
+        |  SELECT event_type, date, hr, round(avg(value) + 1e-9, 4)
+        |    AS actual
+        |  FROM ev CROSS JOIN span WHERE date >= split_d
+        |  GROUP BY 1, 2, 3)
+        |SELECT a.event_type, count(*) AS n_test_cells,
+        | round(avg(abs(m.forecast - a.actual)) + 1e-9, 4) AS mae
+        |FROM actual a JOIN model m
+        |  ON a.event_type = m.event_type AND a.hr = m.hr
+        |GROUP BY a.event_type""".stripMargin,
     // exact percentiles recomputed cross-engine; the _ok booleans
     // assert the approx_percentile sketch stayed within tolerance
     "q_approx_percentiles_tol" ->

@@ -139,6 +139,10 @@ object TextQueries {
     // with a ratio margin — exhaustive driver form, fully oracled
     "q_bitext_mine" -> ((s: SparkSession, d: String) =>
       Similarity.bitextMine(s, d)),
+    // hard-negative mining: per probe, top-k most-similar vectors of
+    // a DIFFERENT label — the contrastive-training candidate set
+    "q_hard_negatives" -> ((s: SparkSession, d: String) =>
+      Similarity.hardNegatives(s, d)),
     "q_ann_brute" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(s, d)),
     "q_ann_brute_agg" -> ((s: SparkSession, d: String) =>
@@ -1850,6 +1854,27 @@ object TextQueries {
         | round(avg(sqrt(list_sum(list_transform(embedding,
         |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
         |FROM embeddings GROUP BY label""".stripMargin,
+    // exhaustive recompute of the label-anti-filtered top-k
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, label AS q_label, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id,
+        |   list_sum(list_transform(e.embedding,
+        |     (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(q.qv,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.label <> q.q_label)
+        |SELECT query_id, vec_id, round(sim, 4) AS sim,
+        | CAST(rk AS INT) AS rk
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim DESC, vec_id) AS rk
+        |  FROM pairs)
+        |WHERE rk <= 10""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qv

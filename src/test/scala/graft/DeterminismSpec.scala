@@ -83,7 +83,21 @@ class DeterminismSpec extends SparkSuite {
     "q_join_size_ams",
     // prefix-filtered containment: df ranking and candidate set must
     // not depend on partitioning
-    "q_containment")
+    "q_containment",
+    // grid statistic: empty-cell construction and the (O−E)²/E sum
+    // must survive any layout through the 4 dp contract
+    "q_chi2",
+    // conditional-count rules are plain sums; zero rows must persist
+    "q_validate",
+    // per-group sketch: emitted rows carry only exact counts and
+    // guarantee booleans, both layout-free by the merge proof
+    "q_heavy_hitters_grouped",
+    // label-anti-filtered top-k: window ties broken by vec_id
+    "q_hard_negatives",
+    // data-derived split day + slot means through the 4 dp contract
+    "q_forecast",
+    // multi-distinct equalities are exact longs under any layout
+    "q_key_discovery")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
