@@ -83,7 +83,21 @@ object Cdc {
     * disposition reflects its full history — base dispositions
     * survive promotion, later changes upgrade them.
     */
-  def snapshot(s: SparkSession, lakeDir: String): DataFrame = {
+  def snapshot(s: SparkSession, lakeDir: String): DataFrame =
+    snapshotAt(s, lakeDir, Long.MaxValue)
+
+  /** Time-travel read: the snapshot as of batch `asOfBatch` — batches
+    * with a higher id are invisible, exactly the Delta/Iceberg
+    * version-read semantics over this lake's batch log. `batch` is
+    * the partition column of the changes dir, so the as-of filter is
+    * STATIC partition pruning: a travel read scans only the batch
+    * dirs it can see, never the full log. Valid over the un-promoted
+    * window ([[promoteBatches]] folds history into base — after a
+    * promote, earlier versions are gone, the usual lakehouse
+    * vacuum/retention tradeoff).
+    */
+  def snapshotAt(s: SparkSession, lakeDir: String,
+      asOfBatch: Long): DataFrame = {
     val base = s.read.parquet(s"$lakeDir/base")
       .select(col("key"), col("value"), col("disposition"),
         lit(-1L).as("batch"))
@@ -92,6 +106,7 @@ object Cdc {
     val all =
       if (fs.exists(p))
         base.unionByName(s.read.parquet(p.toString)
+          .filter(col("batch").cast("long") <= asOfBatch)
           .select(col("key"), col("value"),
             lit(null).cast("string").as("disposition"),
             col("batch").cast("long").as("batch")))

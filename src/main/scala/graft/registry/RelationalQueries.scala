@@ -63,6 +63,12 @@ object RelationalQueries {
     // one-shot merge's oracle exactly
     "q_cdc_apply_served" -> ((s: SparkSession, d: String) =>
       Cdc.snapshot(s, s"${TextQueries.indexRoot(d)}/cdc")),
+    // Delta-style time travel: the snapshot as of batch 0 — the later
+    // batch is invisible via static partition pruning on the batch
+    // log; oracle = the merge recomputed over only the changes at or
+    // before the lake's ts-midpoint split
+    "q_cdc_travel_served" -> ((s: SparkSession, d: String) =>
+      Cdc.snapshotAt(s, s"${TextQueries.indexRoot(d)}/cdc", 0L)),
     // rolling-baseline outliers: each value vs the mean/std of its
     // series' preceding 20 observations (self excluded); the flag
     // derives from the emitted 4dp baselines, so it is engine-exact
@@ -395,6 +401,32 @@ object RelationalQueries {
     // the grown lake must serve the one-shot merge exactly (batches
     // are time-ordered, so batch precedence ≡ LWW)
     "q_cdc_apply_served" -> cdcApplySql,
+    // the as-of-batch-0 snapshot: the SAME merge with the changelog
+    // truncated at the lake's integer ns-midpoint split (epoch_ns
+    // handles both physical ts schemas; // and Long./ agree on
+    // positives), so the time-travel read has a full recompute oracle
+    "q_cdc_travel_served" ->
+      """WITH ch AS (
+        |  SELECT user_id AS key, value AS new_value,
+        |    epoch_ns(ts) AS tns, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |mid AS (
+        |  SELECT min(tns) // 2 + max(tns) // 2 AS m FROM ch),
+        |latest AS (
+        |  SELECT key, new_value FROM (
+        |    SELECT key, new_value,
+        |      row_number() OVER (PARTITION BY key
+        |        ORDER BY tns DESC, event_id DESC) AS rn
+        |    FROM ch CROSS JOIN mid WHERE tns <= m)
+        |  WHERE rn = 1),
+        |base AS (SELECT c_custkey AS key, c_acctbal FROM customer)
+        |SELECT coalesce(b.key, l.key) AS key,
+        |  round(CASE WHEN l.key IS NOT NULL THEN l.new_value
+        |        ELSE b.c_acctbal END, 4) AS acctbal,
+        |  CASE WHEN b.key IS NULL THEN 'inserted'
+        |       WHEN l.key IS NULL THEN 'kept'
+        |       ELSE 'updated' END AS disposition
+        |FROM base b FULL OUTER JOIN latest l ON b.key = l.key""".stripMargin,
     "q_anomaly" ->
       """SELECT event_type, event_id, value, base_mean, base_std,
         |  n_base, (abs(value - base_mean) > base_std * 2.0) AS is_outlier

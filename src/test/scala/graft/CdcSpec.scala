@@ -66,6 +66,29 @@ class CdcSpec extends SparkSuite {
       (3L, 30.0, "updated"), (9L, 91.0, "inserted")))
   }
 
+  test("time travel: as-of batch 0 hides the later batch; as-of the " +
+      "head equals the current snapshot; the as-of scan prunes " +
+      "batch dirs statically") {
+    val lake = plantLake()
+    val at0 = Cdc.snapshotAt(spark, lake, 0L).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    // batch 1's key-1 overwrite and key-3 update are invisible
+    assert(at0 === Seq(
+      (1L, 10.0, "updated"), (2L, 200.0, "kept"),
+      (3L, 300.0, "kept"), (9L, 90.0, "inserted")))
+    assert(Cdc.snapshotAt(spark, lake, 1L).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSeq === expected)
+    // the as-of filter rides the batch PARTITION column: the scan
+    // carries it as a PartitionFilter (directory pruning), not a
+    // post-scan data filter
+    val plan = Cdc.snapshotAt(spark, lake, 0L).queryExecution
+      .executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters: [") && l.contains("batch"))
+    assert(scanLine.isDefined, plan)
+  }
+
   test("streaming maintainer grows the lake exactly-once and the " +
       "snapshot equals the one-shot merge") {
     val lake = tmpDir("cdc_stream_lake")
