@@ -53,6 +53,7 @@ object SparkEntry {
     */
   def needsPrepare(name: String): Boolean =
     name.endsWith("_served") || name == "q_stream_hourly" ||
+      name == "q_stream_sessions" ||
       name == "q_bm25_index_stats" || name == "q_ppl_model_stats"
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -83,6 +84,22 @@ object SparkEntry {
           hour(col("hour_start")).as("hr"),
           r4(col("avg_value")).as("avg_value"),
           col("max_value"), col("min_value"), col("n_obs"))
+    }),
+    // second streaming row: native SESSION WINDOWS (gap-merged state)
+    // run by prepare as a checkpointed AvailableNow stream; this reads
+    // the snapshot, derives the per-user session ordinal from the
+    // session START (a window over the session-sized snapshot, not
+    // the corpus), and must hash-match the BATCH q_sessionize oracle
+    "q_stream_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val snap = s.read.parquet(
+        s"${graft.registry.TextQueries.indexRoot(d)}/stream_sessions")
+      snap.select(col("user_id"),
+          (row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("session_start"))) - 1).cast("int")
+            .as("session_idx"),
+          col("n_events"), col("first_event_id"),
+          r4(col("session_value")).as("session_value"))
     }),
     "q_daily_rollup" -> ((s, d) => {
       Hierarchy.daily(Tables.events(s, d))
@@ -189,7 +206,11 @@ object SparkEntry {
   private def hierarchyOracle: Map[String, String] = hierarchyOracleBase +
     // the streaming snapshot must answer the batch oracle exactly —
     // same rows, same rounding — or the gate fails
-    ("q_stream_hourly" -> hierarchyOracleBase("q_hourly_agg"))
+    ("q_stream_hourly" -> hierarchyOracleBase("q_hourly_agg")) +
+      // the session-window snapshot must answer the batch sessionize
+      // oracle — same sessions, same per-user ordinals
+      ("q_stream_sessions" ->
+        graft.registry.RelationalQueries.oracle("q_sessionize"))
 
   private lazy val hierarchyOracleBase: Map[String, String] = Map(
     "q_hourly_agg" ->

@@ -136,7 +136,7 @@ object Sketch {
        |SELECT exact_f2,
        |  CAST(($sq) / ${amsCoef.size} AS DOUBLE) AS ams_est,
        |  round(abs(CAST(($sq) / ${amsCoef.size} AS DOUBLE) - exact_f2)
-       |    / exact_f2 + 1e-9, 4) AS rel_err
+       |    / exact_f2, 4) AS rel_err
        |FROM z CROSS JOIN f2""".stripMargin
   }
 

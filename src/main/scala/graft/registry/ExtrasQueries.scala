@@ -155,7 +155,7 @@ object ExtrasQueries {
         |   AS dof,
         | round(sum((obs - CAST(rs AS DOUBLE) * cs / n)
         |   * (obs - CAST(rs AS DOUBLE) * cs / n)
-        |   / (CAST(rs AS DOUBLE) * cs / n)) + 1e-9, 4) AS chi2
+        |   / (CAST(rs AS DOUBLE) * cs / n)), 4) AS chi2
         |FROM grid""".stripMargin,
     // one conditional count per rule; the JSON rule reuses the
     // engine-parity extraction q_json_extract established
@@ -212,16 +212,16 @@ object ExtrasQueries {
         |    (max(date) - min(date) + 1)) AS INT) AS split_d
         |  FROM ev),
         |model AS (
-        |  SELECT event_type, hr, round(avg(value) + 1e-9, 4)
+        |  SELECT event_type, hr, round(avg(value), 4)
         |    AS forecast
         |  FROM ev CROSS JOIN span WHERE date < split_d GROUP BY 1, 2),
         |actual AS (
-        |  SELECT event_type, date, hr, round(avg(value) + 1e-9, 4)
+        |  SELECT event_type, date, hr, round(avg(value), 4)
         |    AS actual
         |  FROM ev CROSS JOIN span WHERE date >= split_d
         |  GROUP BY 1, 2, 3)
         |SELECT a.event_type, count(*) AS n_test_cells,
-        | round(avg(abs(m.forecast - a.actual)) + 1e-9, 4) AS mae
+        | round(avg(abs(m.forecast - a.actual)), 4) AS mae
         |FROM actual a JOIN model m
         |  ON a.event_type = m.event_type AND a.hr = m.hr
         |GROUP BY a.event_type""".stripMargin,

@@ -527,6 +527,11 @@ object TextQueries {
     // match the batch q_hourly_agg oracle
     graft.streaming.Streams.hourlyEventsSnapshot(s, d,
       s"$root/stream_hourly", s"$root/stream_hourly_ckpt")
+    // second streaming row: native SESSION WINDOWS, snapshotted;
+    // q_stream_sessions reads it and must match the batch
+    // q_sessionize oracle
+    graft.streaming.Streams.sessionEventsSnapshot(s, d,
+      s"$root/stream_sessions", s"$root/stream_sessions_ckpt")
   }
 
   /** q_ann_brute_agg produces identical results to q_ann_brute (the

@@ -471,6 +471,58 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** The second driver-gate streaming row (`q_stream_sessions`):
+    * Spark's native SESSION WINDOWS (`session_window`, gap-merged
+    * state — the stateful window family tumbling windows can't
+    * express) over the events table as a checkpointed AvailableNow
+    * stream, snapshotted and required to hash-match the BATCH
+    * `q_sessionize` oracle. Boundary note: session windows start a
+    * new session at gap ≥ 30 min while the batch lag-formulation
+    * splits at gap > 30 min — distinguishable only by an exactly-
+    * 1800.000000s gap, which microsecond event data never produces
+    * (and the cross-engine hash would catch if it did). Same
+    * Complete-mode parity-harness shape as [[hourlyEventsSnapshot]];
+    * an unbounded deployment flips to watermark + append and pays
+    * state only for open sessions.
+    */
+  def sessionEventsSnapshot(s: SparkSession, d: String, outDir: String,
+      checkpoint: String, gapMinutes: Int = 30): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs =
+      new Path(outDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(outDir), true)
+    fs.delete(new Path(checkpoint), true)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsFile = s"$d/events.parquet"
+    val stage = new Path(s"${outDir}__stage")
+    fs.delete(stage, true)
+    fs.mkdirs(stage)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(eventsFile), fs,
+      new Path(stage, "events.parquet"), false,
+      s.sparkContext.hadoopConfiguration)
+    val ev = graft.Tables.normalizeEvents(
+      s.readStream.schema(s.read.parquet(eventsFile).schema)
+        .parquet(stage.toString))
+    val agg = ev
+      .groupBy(col("user_id"),
+        session_window(col("ts_event"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"),
+        sum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("first_event_id"), col("session_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Tumbling-window hourly aggregate with late-data tolerance — the
     * streaming twin of Warehouse.hourlyAggregates (same metric mix).
     */

@@ -36,6 +36,34 @@ class StreamsSpec extends SparkSuite {
     assert(snapshot() === batch) // fresh-checkpoint re-run: same rows
   }
 
+  test("sessionEventsSnapshot: native session windows land exactly " +
+    "the batch sessionize rows, and re-runs overwrite cleanly") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.expressions.Window
+    val out = tmpDir("stream_sessions_out")
+    val ckpt = tmpDir("stream_sessions_ckpt")
+    def snapshot(): Set[String] = {
+      Streams.sessionEventsSnapshot(spark, sf(), out, ckpt)
+      spark.read.parquet(out)
+        .select(col("user_id"),
+          (row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("session_start"))) - 1).cast("int")
+            .as("session_idx"),
+          col("n_events"), col("first_event_id"),
+          graft.functions.Fns.r4(col("session_value"))
+            .as("session_value"))
+        .collect().map(_.toString).toSet
+    }
+    val batch = Relational.sessionize(spark, sf())
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("first_event_id"), col("session_value"))
+      .collect().map(_.toString).toSet
+    val first = snapshot()
+    assert(first === batch)
+    assert(first.nonEmpty)
+    assert(snapshot() === batch)
+  }
+
   test("curationMaintainer: one document stream advances quarantine, " +
     "near-dup, ANN, BM25, int8 and LM-count lakes exactly-once with " +
     "shared batch ids") {
