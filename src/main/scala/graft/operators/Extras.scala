@@ -540,6 +540,41 @@ object Extras {
         col("chi2"))
   }
 
+  /** Equi-depth histogram — the CBO column statistic next to
+    * [[profile]]'s NDV and [[keyDiscovery]]'s constraints: exact
+    * decile boundaries (4 dp through the shared rounding contract, so
+    * both engines bin against IDENTICAL thresholds — the winsorize
+    * trick; the data's 2-decimal prices make the comparisons
+    * themselves exact) and per-bin row counts, all ten bins counted
+    * in ONE conditional-sum aggregate against the broadcast bounds —
+    * at billions of rows swap the exact percentile for
+    * approx_percentile exactly as q_percentiles/_tol twins do. Bin i
+    * covers (b_{i−1}, b_i], bin 1 closed below.
+    */
+  def histogram(s: SparkSession, d: String, bins: Int = 10): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val qs = (0 to bins).map(i => i.toDouble / bins)
+    val bounds = li.agg(
+      r4(percentile(col("v"), lit(qs.head))).as("b0"),
+      qs.tail.zipWithIndex.map { case (q, i) =>
+        r4(percentile(col("v"), lit(q))).as(s"b${i + 1}")
+      }: _*)
+    val counted = li.crossJoin(broadcast(bounds))
+    val aggs = (1 to bins).map { i =>
+      val in =
+        if (i == 1) col("v") >= col("b0") && col("v") <= col("b1")
+        else col("v") > col(s"b${i - 1}") && col("v") <= col(s"b$i")
+      sum(when(in, 1L).otherwise(0L)).as(s"n$i")
+    }
+    val wide = counted.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(bounds))
+    val stackArgs = (1 to bins).map { i =>
+      s"$i, b${i - 1}, b$i, n$i"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack($bins, $stackArgs) AS (bin_idx, lo, hi, n_rows)")
+  }
+
   /** Candidate-key and functional-dependency discovery — the
     * Metanome-class profiling pass a warehouse runs before trusting
     * declared constraints: a column set is a KEY iff its distinct

@@ -84,6 +84,37 @@ object Sampling {
         sum(col("n_tokens")).cast("long").as("n_tokens"))
   }
 
+  /** Temperature-smoothed source sampling weights — the multilingual/
+    * multi-source rebalancing rule (XLM-R / mT5 practice): qₛ ∝ pₛ^α
+    * with α < 1 upweights tail sources without letting any dominate.
+    * One group-sized aggregate (sources are few); emitted per source:
+    * the raw share, the smoothed sampling weight, the expected docs
+    * per epoch at corpus size, and the up/down-sampling factor — the
+    * table a shard writer consumes directly. pow() can differ between
+    * libm implementations by an ulp, so every derived double passes
+    * the 4 dp contract (the q_source_drift log() precedent).
+    */
+  def temperatureMix(s: SparkSession, d: String,
+      alpha: Double = 0.3): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val n = counts.agg(sum(col("n_docs")).as("n_total"))
+    val sm = counts.crossJoin(broadcast(n))
+      .select(col("source"), col("n_docs"), col("n_total"),
+        (col("n_docs").cast("double") / col("n_total")).as("p"),
+        pow(col("n_docs").cast("double") / col("n_total"), lit(alpha))
+          .as("pa"))
+    val z = sm.agg(sum(col("pa")).as("z"))
+    sm.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        graft.functions.Fns.r4(col("p")).as("raw_share"),
+        graft.functions.Fns.r4(col("pa") / col("z")).as("q_share"),
+        graft.functions.Fns.r4(col("pa") / col("z") * col("n_total"))
+          .as("expected_docs"),
+        graft.functions.Fns.r4(col("pa") / col("z") / col("p"))
+          .as("resample_factor"))
+  }
+
   /** Typed reservoir-sample Aggregator: uniform k-sample of the
     * DISTINCT values per group in a single pass with O(k) state — the
     * Dataset-API custom-aggregate surface (`Aggregator[IN, BUF, OUT]`).

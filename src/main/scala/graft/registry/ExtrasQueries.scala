@@ -59,6 +59,10 @@ object ExtrasQueries {
       graft.operators.Timeseries.forecastBacktest(s, d)),
     // one-scan column profiler (Deequ-style data-quality pass)
     "q_profile" -> (Extras.profile _),
+    // equi-depth histogram: exact decile bounds (4 dp contract), all
+    // bins counted in one conditional-sum aggregate
+    "q_histogram" -> ((s: SparkSession, d: String) =>
+      Extras.histogram(s, d)),
     // per-brand Pareto frontier: bucketed local prune then global —
     // never the quadratic NOT EXISTS the SQL definition suggests
     "q_skyline" -> (Extras.skyline _),
@@ -90,6 +94,26 @@ object ExtrasQueries {
     // from the Scala coefficient tables so the engines cannot drift
     "q_cms" -> Sketch.cmsOracleSql(),
     "q_join_size_ams" -> Sketch.amsOracleSql,
+    // same rounded decile bounds, same (lo, hi] bin predicates —
+    // generated so both engines bin against identical thresholds
+    "q_histogram" -> {
+      val bDefs = (0 to 10).map(i =>
+        s"round(quantile_cont(l_extendedprice, ${i / 10.0}), 4) AS b$i")
+        .mkString(", ")
+      val sums = (1 to 10).map { i =>
+        val in = if (i == 1)
+          "l_extendedprice >= b0 AND l_extendedprice <= b1"
+        else s"l_extendedprice > b${i - 1} AND l_extendedprice <= b$i"
+        s"CAST(sum(CASE WHEN $in THEN 1 ELSE 0 END) AS BIGINT) AS n$i"
+      }.mkString(", ")
+      val rows = (1 to 10).map(i =>
+        s"SELECT $i AS bin_idx, b${i - 1} AS lo, b$i AS hi, " +
+          s"n$i AS n_rows FROM w CROSS JOIN b")
+        .mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT $bDefs FROM lineitem),
+         |w AS (SELECT $sums FROM lineitem CROSS JOIN b)
+         |$rows""".stripMargin
+    },
     // full profiling recompute: one row per column, same metrics;
     // stddev is the sample form in both engines, 4 dp
     "q_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount",

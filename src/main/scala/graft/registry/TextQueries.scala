@@ -176,6 +176,10 @@ object TextQueries {
     "q_stratified_sample" -> (Sampling.stratifiedDocSample _),
     "q_token_mixture" -> ((s: SparkSession, d: String) =>
       Sampling.tokenMixture(s, d)),
+    // temperature-smoothed source weights (q ∝ p^0.3) — the
+    // multilingual rebalancing rule, emitted as a shard-writer table
+    "q_temperature_mix" -> ((s: SparkSession, d: String) =>
+      Sampling.temperatureMix(s, d)),
     "q_weighted_sample" -> ((s: SparkSession, d: String) =>
       Sampling.weightedDocSample(s, d)),
     "q_reservoir" -> ((s: SparkSession, d: String) =>
@@ -1651,6 +1655,23 @@ object TextQueries {
     // exact recomputation of the budget-cut admission set: same
     // portable multiplicative-hash order, same strictly-before-budget
     // admission rule (Sampling.tokenMixture scaladoc)
+    // same smoothing chain; pow ulp spread collapsed by the 4 dp
+    // contract on every derived double
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |n AS (SELECT sum(n_docs) AS n_total FROM c),
+        |sm AS (
+        |  SELECT source, n_docs, n_total,
+        |    CAST(n_docs AS DOUBLE) / n_total AS p,
+        |    pow(CAST(n_docs AS DOUBLE) / n_total, 0.3) AS pa
+        |  FROM c CROSS JOIN n),
+        |z AS (SELECT sum(pa) AS zz FROM sm)
+        |SELECT source, n_docs, round(p, 4) AS raw_share,
+        | round(pa / zz, 4) AS q_share,
+        | round(pa / zz * n_total, 4) AS expected_docs,
+        | round(pa / zz / p, 4) AS resample_factor
+        |FROM sm CROSS JOIN z""".stripMargin,
     "q_token_mixture" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -97,7 +97,11 @@ class DeterminismSpec extends SparkSuite {
     // data-derived split day + slot means through the 4 dp contract
     "q_forecast",
     // multi-distinct equalities are exact longs under any layout
-    "q_key_discovery")
+    "q_key_discovery",
+    // pow-derived shares through the 4 dp contract
+    "q_temperature_mix",
+    // rounded decile bounds then exact conditional counts
+    "q_histogram")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

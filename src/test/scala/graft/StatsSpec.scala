@@ -154,6 +154,47 @@ class StatsSpec extends SparkSuite {
       ("key:part.p_partkey", 2L, 2L, true)))
   }
 
+  test("temperature mixing: hand-computed two-source smoothing — tail " +
+      "source upweighted, head downweighted, shares sum to one") {
+    def r4d(x: Double) = math.rint((x + 1e-9) * 1e4) / 1e4
+    val dir = tmpDir("tempmix")
+    val rows = (1 to 80).map(i => (i.toLong, "t", "en", "big")) ++
+      (81 to 100).map(i => (i.toLong, "t", "en", "small"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", lit(1L))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Sampling.temperatureMix(spark, dir)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val pa = Seq(0.8, 0.2).map(p => math.pow(p, 0.3))
+    val z = pa.sum
+    assert(got.toSeq === Seq(
+      ("big", 80L, 0.8, r4d(pa(0) / z), r4d(pa(0) / z * 100),
+        r4d(pa(0) / z / 0.8)),
+      ("small", 20L, 0.2, r4d(pa(1) / z), r4d(pa(1) / z * 100),
+        r4d(pa(1) / z / 0.2))))
+    // the smoothing direction: tail boosted above its raw share
+    assert(got(1)._4 > 0.2 && got(0)._4 < 0.8)
+  }
+
+  test("equi-depth histogram: uniform 1..100 fixture yields ten bins " +
+      "of exactly ten rows with interpolated decile bounds") {
+    val dir = tmpDir("histo")
+    (1 to 100).map(i => i.toDouble).toDF("l_extendedprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val got = Extras.histogram(spark, dir).orderBy("bin_idx").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(got.map(_._4).toSeq === Seq.fill(10)(10L))
+    assert(got.head._2 === 1.0)
+    assert(got.last._3 === 100.0)
+    // interpolated decile: q=0.1 over 1..100 → 1 + 99·0.1 = 10.9
+    assert(got.head._3 === 10.9)
+  }
+
   test("hard negatives: same-label vectors never surface even when " +
       "most similar; ranking is by cosine among other-label only") {
     val dir = tmpDir("hardneg")
