@@ -53,7 +53,7 @@ object SparkEntry {
     */
   def needsPrepare(name: String): Boolean =
     name.endsWith("_served") || name == "q_stream_hourly" ||
-      name == "q_stream_sessions" ||
+      name == "q_stream_sessions" || name == "q_stream_join" ||
       name == "q_bm25_index_stats" || name == "q_ppl_model_stats"
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -100,6 +100,15 @@ object SparkEntry {
             .as("session_idx"),
           col("n_events"), col("first_event_id"),
           r4(col("session_value")).as("session_value"))
+    }),
+    // third streaming row: the STREAM-STREAM interval join's snapshot
+    // (purchases x same-user clicks in the preceding hour) must
+    // hash-match the batch interval join
+    "q_stream_join" -> ((s, d) => {
+      s.read.parquet(
+          s"${graft.registry.TextQueries.indexRoot(d)}/stream_join")
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          col("value"))
     }),
     "q_daily_rollup" -> ((s, d) => {
       Hierarchy.daily(Tables.events(s, d))
@@ -210,7 +219,20 @@ object SparkEntry {
       // the session-window snapshot must answer the batch sessionize
       // oracle — same sessions, same per-user ordinals
       ("q_stream_sessions" ->
-        graft.registry.RelationalQueries.oracle("q_sessionize"))
+        graft.registry.RelationalQueries.oracle("q_sessionize")) +
+      // the stream-stream join snapshot vs the batch interval join;
+      // comparisons truncate to MICROSECONDS (ns-schema-proof — the
+      // stream side's ts_event is micros in either physical schema)
+      ("q_stream_join" ->
+        """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+          | p.user_id, p.value
+          |FROM events p JOIN events c
+          | ON p.event_type = 'purchase' AND c.event_type = 'click'
+          | AND p.user_id = c.user_id
+          | AND (epoch_ns(c.ts) // 1000)
+          |   >= (epoch_ns(p.ts) // 1000) - 3600000000
+          | AND (epoch_ns(c.ts) // 1000)
+          |   <= (epoch_ns(p.ts) // 1000)""".stripMargin)
 
   private lazy val hierarchyOracleBase: Map[String, String] = Map(
     "q_hourly_agg" ->

@@ -536,6 +536,10 @@ object TextQueries {
     // q_sessionize oracle
     graft.streaming.Streams.sessionEventsSnapshot(s, d,
       s"$root/stream_sessions", s"$root/stream_sessions_ckpt")
+    // third streaming row: the stream-stream interval join,
+    // snapshotted; q_stream_join must match the batch interval join
+    graft.streaming.Streams.attributionSnapshot(s, d,
+      s"$root/stream_join", s"$root/stream_join_ckpt")
   }
 
   /** q_ann_brute_agg produces identical results to q_ann_brute (the

@@ -649,6 +649,47 @@ object Streams {
         .as("user_id"), col("value"))
   }
 
+  /** The third driver-gate streaming row (`q_stream_join`): the
+    * STREAM-STREAM interval join ([[purchaseAttribution]]: purchases
+    * joined to the same user's clicks in the preceding hour, both
+    * sides watermarked so join state is bounded) run as a
+    * checkpointed AvailableNow stream and snapshotted; the rows must
+    * hash-match a batch interval-join oracle. Inner stream-stream
+    * joins emit matches eagerly (append mode; the watermark bounds
+    * STATE, not emission), so a finite source yields the complete
+    * join. The snapshot appends per micro-batch (a join emits rows
+    * incrementally — Complete mode is not defined for it); the
+    * fresh-checkpoint re-run contract is delete-and-rebuild.
+    */
+  def attributionSnapshot(s: SparkSession, d: String, outDir: String,
+      checkpoint: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs =
+      new Path(outDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(outDir), true)
+    fs.delete(new Path(checkpoint), true)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsFile = s"$d/events.parquet"
+    val stage = new Path(s"${outDir}__stage")
+    fs.delete(stage, true)
+    fs.mkdirs(stage)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(eventsFile), fs,
+      new Path(stage, "events.parquet"), false,
+      s.sparkContext.hadoopConfiguration)
+    val ev = graft.Tables.normalizeEvents(
+      s.readStream.schema(s.read.parquet(eventsFile).schema)
+        .parquet(stage.toString))
+    val q = purchaseAttribution(ev).writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Events-table stream twin of Hierarchy.hourly for the testdata:
     * hour-windowed value aggregates with watermark.
     */

@@ -64,6 +64,40 @@ class StreamsSpec extends SparkSuite {
     assert(snapshot() === batch)
   }
 
+  test("attributionSnapshot: the stream-stream interval join lands " +
+    "exactly the batch interval join, and re-runs rebuild cleanly") {
+    val out = tmpDir("stream_join_out")
+    val ckpt = tmpDir("stream_join_ckpt")
+    def snapshot(): Set[String] = {
+      Streams.attributionSnapshot(spark, sf(), out, ckpt)
+      spark.read.parquet(out)
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          col("value"))
+        .collect().map(_.toString).toSet
+    }
+    val ev = Tables.events(spark, sf())
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("p_ts"), col("value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("c_ts"))
+    // batch equivalent on the exact ns longs, truncated to micros
+    // like the stream side's ts_event
+    val batch = p.join(c, Seq("user_id"))
+      .withColumn("c_us", expr("c_ts div 1000"))
+      .withColumn("p_us", expr("p_ts div 1000"))
+      .filter(col("c_us") >= col("p_us") - 3600000000L)
+      .filter(col("c_us") <= col("p_us"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("value"))
+      .collect().map(_.toString).toSet
+    val first = snapshot()
+    assert(first === batch)
+    assert(first.nonEmpty)
+    assert(snapshot() === batch)
+  }
+
   test("curationMaintainer: one document stream advances quarantine, " +
     "near-dup, ANN, BM25, int8 and LM-count lakes exactly-once with " +
     "shared batch ids") {
