@@ -524,4 +524,45 @@ object TextOps {
         r4(col("n_shared").cast("double") /
           (col("na") + col("nb") - col("n_shared"))).as("jaccard"))
   }
+
+  /** PMI collocation mining — the corpus-linguistics pass that finds
+    * word pairs co-occurring far above chance: PMI(a,b) =
+    * ln((c_ab/M)/((c_a/N)(c_b/N))) over adjacent-token bigrams with a
+    * min-count support floor (rare pairs have unboundedly inflated
+    * PMI). Counts are two corpus aggregates (bigram-keyed and
+    * vocab-keyed — TYPE-sized shuffles, the q_perplexity shape); the
+    * vocab table joins back twice. The top-k ranks by the ROUNDED
+    * score (the BM25 convention: ln() may differ between libm
+    * implementations by an ulp, and ranking on raw doubles would let
+    * that flip an order the hash compare then sees), ties by the pair
+    * text.
+    */
+  def collocations(s: SparkSession, d: String, minCount: Int = 5,
+      k: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val n = uni.agg(sum(col("cw")).as("n"))
+    val bi = toks
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cab"))
+    val m = bi.agg(sum(col("cab")).as("m"))
+    bi.filter(col("cab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("ca"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("cb"))),
+        Seq("w2"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+      .select(col("w1"), col("w2"), col("cab"),
+        r4(log((col("cab").cast("double") / col("m")) /
+          ((col("ca").cast("double") / col("n")) *
+            (col("cb").cast("double") / col("n"))))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -180,6 +180,10 @@ object TextQueries {
     // multilingual rebalancing rule, emitted as a shard-writer table
     "q_temperature_mix" -> ((s: SparkSession, d: String) =>
       Sampling.temperatureMix(s, d)),
+    // PMI collocations: top-k above-chance adjacent word pairs,
+    // ranked by the rounded score (the BM25 ulp convention)
+    "q_collocations" -> ((s: SparkSession, d: String) =>
+      TextOps.collocations(s, d)),
     "q_weighted_sample" -> ((s: SparkSession, d: String) =>
       Sampling.weightedDocSample(s, d)),
     "q_reservoir" -> ((s: SparkSession, d: String) =>
@@ -1659,6 +1663,32 @@ object TextQueries {
     // exact recomputation of the budget-cut admission set: same
     // portable multiplicative-hash order, same strictly-before-budget
     // admission rule (Sampling.tokenMixture scaladoc)
+    // same counts, same ln-ratio, same rounded-score ranking
+    "q_collocations" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '')
+        |    AS t
+        |  FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM t),
+        |uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY 1),
+        |nn AS (SELECT sum(cw) AS n FROM uc),
+        |bi0 AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+        |  FROM t WHERE len(t) >= 2),
+        |bc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cab
+        |  FROM bi0 GROUP BY 1, 2),
+        |mm AS (SELECT sum(cab) AS m FROM bc)
+        |SELECT w1, w2, cab,
+        | round(ln((CAST(cab AS DOUBLE) / m)
+        |   / ((CAST(ca AS DOUBLE) / n) * (CAST(cb AS DOUBLE) / n))), 4)
+        |   AS pmi
+        |FROM bc
+        | JOIN (SELECT w AS w1, cw AS ca FROM uc) a USING (w1)
+        | JOIN (SELECT w AS w2, cw AS cb FROM uc) b USING (w2)
+        | CROSS JOIN nn CROSS JOIN mm
+        |WHERE cab >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     // same smoothing chain; pow ulp spread collapsed by the 4 dp
     // contract on every derived double
     "q_temperature_mix" ->

@@ -101,7 +101,9 @@ class DeterminismSpec extends SparkSuite {
     // pow-derived shares through the 4 dp contract
     "q_temperature_mix",
     // rounded decile bounds then exact conditional counts
-    "q_histogram")
+    "q_histogram",
+    // ln-ratio scores ranked ROUNDED — the cross-engine ulp guard
+    "q_collocations")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

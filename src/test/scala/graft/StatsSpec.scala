@@ -195,6 +195,28 @@ class StatsSpec extends SparkSuite {
     assert(got.head._3 === 10.9)
   }
 
+  test("PMI collocations: hand-computed planted pair; support floor " +
+      "suppresses rare pairs") {
+    def r4d(x: Double) = math.rint((x + 1e-9) * 1e4) / 1e4
+    val dir = tmpDir("colloc")
+    // five "p q" docs plant the pair (cab=5, at the floor); ten "r"
+    // singletons dilute the unigram mass; one "s t" stays below the
+    // floor. N=22 tokens, M=6 bigrams.
+    // PMI(p,q) = ln((5/6)/((5/22)(5/22)))
+    val rows = (1 to 5).map(i => (i.toLong, "p q")) ++
+      (6 to 15).map(i => (i.toLong, "r")) ++ Seq((16L, "s t"))
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.collocations(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val expected = r4d(math.log((5.0 / 6) / ((5.0 / 22) * (5.0 / 22))))
+    assert(got.toSeq === Seq(("p", "q", 5L, expected)))
+  }
+
   test("hard negatives: same-label vectors never surface even when " +
       "most similar; ranking is by cosine among other-label only") {
     val dir = tmpDir("hardneg")
