@@ -30,4 +30,19 @@ class EntrySpec extends SparkSuite {
     }
     assert(empties.isEmpty, s"empty results: $empties")
   }
+
+  test("no query plans a CartesianProduct — the SCALE.md audit as a " +
+      "standing regression gate") {
+    SparkEntry.prepare(spark, sf())
+    // physical plan only — nothing executes; one-row scalar
+    // broadcasts plan as BroadcastNestedLoopJoin, never
+    // CartesianProduct, so the allowlist is EMPTY by design
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          fn(spark, sf()).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
 }
