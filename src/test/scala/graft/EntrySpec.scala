@@ -45,4 +45,40 @@ class EntrySpec extends SparkSuite {
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  // queries whose BroadcastNestedLoopJoin nodes are DOCUMENTED (SCALE
+  // .md): one-row scalar/total broadcasts crossed onto small frames,
+  // and the intentional broadcast-probe brute-force baselines (the
+  // q_ann_brute class). Anything else planning a BNLJ is an accidental
+  // quadratic join.
+  private val bnljDocumented = Set(
+    "q11_concentration", "q_ann_brute", "q_ann_brute_agg", "q_ann_int8",
+    "q_ann_int8_appended_served", "q_ann_int8_promoted_served",
+    "q_ann_int8_served", "q_bitext_mine", "q_bm25", "q_bm25_and",
+    "q_bm25_appended_served", "q_bm25_served", "q_chi2",
+    "q_collocations", "q_dsir", "q_forecast", "q_funnel",
+    "q_hard_negatives", "q_heavy_hitters", "q_histogram",
+    "q_hll_mergeable", "q_hybrid_rrf", "q_hybrid_rrf_served",
+    "q_join_size_ams", "q_pagerank", "q_perplexity",
+    "q_perplexity_served", "q_quality_ensemble", "q_quality_nb",
+    "q_scalar_subquery", "q_seq_pack", "q_source_drift",
+    "q_temperature_mix",
+    // same one-row-broadcast shapes, surfacing at sf0.001 sizes
+    "q_heavy_hitters_grouped", "q_bm25_phrase", "q_bm25_phrase_served",
+    "q_cms", "q_contamination", "q_winsorize", "q_skew_profile",
+    "q_validate", "q_key_discovery")
+
+  test("BroadcastNestedLoopJoin only in documented queries — no " +
+      "accidental quadratic join creeps in") {
+    SparkEntry.prepare(spark, sf())
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          fn(spark, sf()).queryExecution.executedPlan.toString
+        if (plan.contains("BroadcastNestedLoopJoin") &&
+          !bnljDocumented(name)) Some(name)
+        else None
+    }
+    assert(offenders.isEmpty, s"undocumented BNLJ in: $offenders")
+  }
 }
