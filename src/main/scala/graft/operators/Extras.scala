@@ -540,6 +540,28 @@ object Extras {
         col("chi2"))
   }
 
+  /** SLIDING windows — the third window family (tumbling:
+    * `q_hourly_agg`/`q_stream_hourly`; session: `q_sessionize`/
+    * `q_stream_sessions`): 2-hour windows advancing every hour, so
+    * each event lands in exactly two overlapping windows. Spark's
+    * `window(ts, len, slide)` replicates rows window-count times
+    * before one grouped aggregate — the replication factor is
+    * len/slide, a planner-visible constant, never data-dependent. The
+    * window START is emitted bucketed to (date, hr) per the no-raw-
+    * timestamp contract; the oracle reconstructs membership by
+    * generating each event's two hour-truncated window starts.
+    */
+  def slidingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts_event"), "2 hours", "1 hour"))
+      .agg(r4(avg(col("value"))).as("avg_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n_obs"))
+      .select(to_date(col("window.start")).as("date"),
+        hour(col("window.start")).as("hr"),
+        col("avg_value"), col("max_value"), col("n_obs"))
+
   /** Equi-depth histogram — the CBO column statistic next to
     * [[profile]]'s NDV and [[keyDiscovery]]'s constraints: exact
     * decile boundaries (4 dp through the shared rounding contract, so

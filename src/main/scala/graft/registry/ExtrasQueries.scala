@@ -63,6 +63,9 @@ object ExtrasQueries {
     // bins counted in one conditional-sum aggregate
     "q_histogram" -> ((s: SparkSession, d: String) =>
       Extras.histogram(s, d)),
+    // SLIDING windows (2 h window, 1 h slide): the third window
+    // family — each event lands in exactly two windows
+    "q_sliding" -> (Extras.slidingWindows _),
     // per-brand Pareto frontier: bucketed local prune then global —
     // never the quadratic NOT EXISTS the SQL definition suggests
     "q_skyline" -> (Extras.skyline _),
@@ -94,6 +97,20 @@ object ExtrasQueries {
     // from the Scala coefficient tables so the engines cannot drift
     "q_cms" -> Sketch.cmsOracleSql(),
     "q_join_size_ams" -> Sketch.amsOracleSql,
+    // membership reconstructed: each event's two hour-truncated
+    // window starts, grouped — identical to the replicate-then-group
+    // plan Spark's window() builds
+    "q_sliding" ->
+      """SELECT CAST(ws AS DATE) AS date,
+        | CAST(extract(hour FROM ws) AS INT) AS hr,
+        | round(avg(value), 4) AS avg_value,
+        | max(value) AS max_value, count(*) AS n_obs
+        |FROM (
+        |  SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS ws,
+        |    value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o)
+        |  WHERE value IS NOT NULL)
+        |GROUP BY 1, 2""".stripMargin,
     // same rounded decile bounds, same (lo, hi] bin predicates —
     // generated so both engines bin against identical thresholds
     "q_histogram" -> {

@@ -103,7 +103,9 @@ class DeterminismSpec extends SparkSuite {
     // rounded decile bounds then exact conditional counts
     "q_histogram",
     // ln-ratio scores ranked ROUNDED — the cross-engine ulp guard
-    "q_collocations")
+    "q_collocations",
+    // replicate-then-group sliding windows: rounded avgs per window
+    "q_sliding")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -217,6 +217,26 @@ class StatsSpec extends SparkSuite {
     assert(got.toSeq === Seq(("p", "q", 5L, expected)))
   }
 
+  test("sliding windows: each event lands in exactly its two " +
+      "overlapping windows") {
+    val dir = tmpDir("sliding")
+    Seq((1L, "2024-05-01 10:30:00", 6.0),
+      (2L, "2024-05-01 11:30:00", 10.0))
+      .toDF("event_id", "tss", "value")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("click"))
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = Extras.slidingWindows(spark, dir).orderBy("hr")
+      .collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq((9, 6.0, 6.0, 1L), (10, 8.0, 10.0, 2L),
+      (11, 10.0, 10.0, 1L)))
+  }
+
   test("hard negatives: same-label vectors never surface even when " +
       "most similar; ranking is by cosine among other-label only") {
     val dir = tmpDir("hardneg")
