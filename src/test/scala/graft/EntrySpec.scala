@@ -19,7 +19,7 @@ class EntrySpec extends SparkSuite {
   // testdata; q16's NOT-IN prunes all 10 suppliers at sf0.001
   private val mayBeEmpty = Set("q_anti_join", "q_minhash_pairs",
     "q_ngram_jaccard", "q_simhash_pairs", "q_embedding_neardups",
-    "q16_supplier_cnt")
+    "q_containment", "q16_supplier_cnt")
 
   test("every query runs and returns rows at sf0.001") {
     SparkEntry.prepare(spark, sf()) // *_served queries read lake indexes
