@@ -540,6 +540,23 @@ object Extras {
         col("chi2"))
   }
 
+  /** Spark 4 VARIANT path over the JSON props column — the
+    * semi-structured-at-scale story `get_json_object` string paths
+    * (q_json_extract) cannot tell: `parse_json` converts each
+    * document ONCE to the binary variant encoding, and every
+    * subsequent `variant_get` is a typed binary traversal, not a
+    * re-parse — at 100 TB the difference between parsing JSON text
+    * per extraction and per ROW. Result contract matches
+    * q_json_extract's so the engines' two JSON paths cross-check each
+    * other through the same oracle shape.
+    */
+  def variantExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(parse_json(col("props")).as("v"), col("value"))
+      .select(variant_get(col("v"), "$.k", "int").as("k"), col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), r4(avg(col("value"))).as("avg_value"))
+
   /** SLIDING windows — the third window family (tumbling:
     * `q_hourly_agg`/`q_stream_hourly`; session: `q_sessionize`/
     * `q_stream_sessions`): 2-hour windows advancing every hour, so

@@ -66,6 +66,9 @@ object ExtrasQueries {
     // SLIDING windows (2 h window, 1 h slide): the third window
     // family — each event lands in exactly two windows
     "q_sliding" -> (Extras.slidingWindows _),
+    // Spark 4 VARIANT: parse once to binary, typed variant_get
+    // extraction — the scale path for semi-structured columns
+    "q_variant" -> (Extras.variantExtract _),
     // per-brand Pareto frontier: bucketed local prune then global —
     // never the quadratic NOT EXISTS the SQL definition suggests
     "q_skyline" -> (Extras.skyline _),
@@ -97,6 +100,12 @@ object ExtrasQueries {
     // from the Scala coefficient tables so the engines cannot drift
     "q_cms" -> Sketch.cmsOracleSql(),
     "q_join_size_ams" -> Sketch.amsOracleSql,
+    // the variant path must land exactly where the string path does —
+    // same extraction, same aggregate as q_json_extract's oracle
+    "q_variant" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        | count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
     // membership reconstructed: each event's two hour-truncated
     // window starts, grouped — identical to the replicate-then-group
     // plan Spark's window() builds

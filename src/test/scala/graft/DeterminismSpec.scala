@@ -105,7 +105,9 @@ class DeterminismSpec extends SparkSuite {
     // ln-ratio scores ranked ROUNDED — the cross-engine ulp guard
     "q_collocations",
     // replicate-then-group sliding windows: rounded avgs per window
-    "q_sliding")
+    "q_sliding",
+    // variant binary path: typed extraction + rounded group avgs
+    "q_variant")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

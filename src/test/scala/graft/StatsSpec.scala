@@ -237,6 +237,29 @@ class StatsSpec extends SparkSuite {
       (11, 10.0, 10.0, 1L)))
   }
 
+  test("variant path: typed extraction matches the string path; a " +
+      "missing key groups under null") {
+    val dir = tmpDir("variant")
+    Seq((1L, """{"k": 7}""", 10.0), (2L, """{"k": 7}""", 30.0),
+      (3L, """{"other": 1}""", 50.0))
+      .toDF("event_id", "props", "value")
+      .withColumn("ts", expr("timestamp'2024-01-01 00:00:00'"))
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("click"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = Extras.variantExtract(spark, dir).orderBy("k").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((None, 1L, 50.0), (Some(7), 2L, 20.0)))
+    // cross-path parity on real data: variant ≡ get_json_object
+    val v = Extras.variantExtract(spark, sf()).collect()
+      .map(_.toString).toSet
+    val s2 = graft.operators.Relational.jsonExtract(spark, sf())
+      .collect().map(_.toString).toSet
+    assert(v === s2)
+  }
+
   test("hard negatives: same-label vectors never surface even when " +
       "most similar; ranking is by cosine among other-label only") {
     val dir = tmpDir("hardneg")
