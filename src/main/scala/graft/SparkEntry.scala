@@ -54,6 +54,7 @@ object SparkEntry {
   def needsPrepare(name: String): Boolean =
     name.endsWith("_served") || name == "q_stream_hourly" ||
       name == "q_stream_sessions" || name == "q_stream_join" ||
+      name == "q_stream_sliding" ||
       name == "q_bm25_index_stats" || name == "q_ppl_model_stats"
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -100,6 +101,16 @@ object SparkEntry {
             .as("session_idx"),
           col("n_events"), col("first_event_id"),
           r4(col("session_value")).as("session_value"))
+    }),
+    // fourth streaming row: the sliding-window snapshot bucketed to
+    // (date, hr) must hash-match the BATCH q_sliding oracle
+    "q_stream_sliding" -> ((s, d) => {
+      s.read.parquet(
+          s"${graft.registry.TextQueries.indexRoot(d)}/stream_sliding")
+        .select(to_date(col("window_start")).as("date"),
+          hour(col("window_start")).as("hr"),
+          r4(col("avg_value")).as("avg_value"),
+          col("max_value"), col("n_obs"))
     }),
     // third streaming row: the STREAM-STREAM interval join's snapshot
     // (purchases x same-user clicks in the preceding hour) must
@@ -232,7 +243,10 @@ object SparkEntry {
           | AND (epoch_ns(c.ts) // 1000)
           |   >= (epoch_ns(p.ts) // 1000) - 3600000000
           | AND (epoch_ns(c.ts) // 1000)
-          |   <= (epoch_ns(p.ts) // 1000)""".stripMargin)
+          |   <= (epoch_ns(p.ts) // 1000)""".stripMargin) +
+      // the sliding-window snapshot answers the batch oracle
+      ("q_stream_sliding" ->
+        graft.registry.ExtrasQueries.oracle("q_sliding"))
 
   private lazy val hierarchyOracleBase: Map[String, String] = Map(
     "q_hourly_agg" ->

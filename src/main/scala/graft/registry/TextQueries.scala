@@ -544,6 +544,10 @@ object TextQueries {
     // snapshotted; q_stream_join must match the batch interval join
     graft.streaming.Streams.attributionSnapshot(s, d,
       s"$root/stream_join", s"$root/stream_join_ckpt")
+    // fourth streaming row: SLIDING windows, snapshotted;
+    // q_stream_sliding must match the batch q_sliding oracle
+    graft.streaming.Streams.slidingEventsSnapshot(s, d,
+      s"$root/stream_sliding", s"$root/stream_sliding_ckpt")
   }
 
   /** q_ann_brute_agg produces identical results to q_ann_brute (the

@@ -649,6 +649,50 @@ object Streams {
         .as("user_id"), col("value"))
   }
 
+  /** The fourth driver-gate streaming row (`q_stream_sliding`):
+    * SLIDING windows (2 h / 1 h — each event in exactly two windows)
+    * as a checkpointed AvailableNow stream, snapshotted to
+    * hash-match the BATCH `q_sliding` oracle — closing the streaming
+    * × window-family matrix (tumbling, session, sliding, join all
+    * driver-gated). Same Complete-mode parity-harness shape as
+    * [[hourlyEventsSnapshot]].
+    */
+  def slidingEventsSnapshot(s: SparkSession, d: String, outDir: String,
+      checkpoint: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs =
+      new Path(outDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(outDir), true)
+    fs.delete(new Path(checkpoint), true)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsFile = s"$d/events.parquet"
+    val stage = new Path(s"${outDir}__stage")
+    fs.delete(stage, true)
+    fs.mkdirs(stage)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(eventsFile), fs,
+      new Path(stage, "events.parquet"), false,
+      s.sparkContext.hadoopConfiguration)
+    val ev = graft.Tables.normalizeEvents(
+      s.readStream.schema(s.read.parquet(eventsFile).schema)
+        .parquet(stage.toString))
+    val agg = ev.filter(col("value").isNotNull)
+      .groupBy(window(col("ts_event"), "2 hours", "1 hour"))
+      .agg(avg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n_obs"))
+      .select(col("window.start").as("window_start"), col("avg_value"),
+        col("max_value"), col("n_obs"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** The third driver-gate streaming row (`q_stream_join`): the
     * STREAM-STREAM interval join ([[purchaseAttribution]]: purchases
     * joined to the same user's clicks in the preceding hour, both

@@ -64,6 +64,27 @@ class StreamsSpec extends SparkSuite {
     assert(snapshot() === batch)
   }
 
+  test("slidingEventsSnapshot: streamed sliding windows land exactly " +
+    "the batch sliding rows, and re-runs overwrite cleanly") {
+    val out = tmpDir("stream_sliding_out")
+    val ckpt = tmpDir("stream_sliding_ckpt")
+    def snapshot(): Set[String] = {
+      Streams.slidingEventsSnapshot(spark, sf(), out, ckpt)
+      spark.read.parquet(out)
+        .select(to_date(col("window_start")).as("date"),
+          hour(col("window_start")).as("hr"),
+          graft.functions.Fns.r4(col("avg_value")).as("avg_value"),
+          col("max_value"), col("n_obs"))
+        .collect().map(_.toString).toSet
+    }
+    val batch = graft.operators.Extras.slidingWindows(spark, sf())
+      .collect().map(_.toString).toSet
+    val first = snapshot()
+    assert(first === batch)
+    assert(first.nonEmpty)
+    assert(snapshot() === batch)
+  }
+
   test("attributionSnapshot: the stream-stream interval join lands " +
     "exactly the batch interval join, and re-runs rebuild cleanly") {
     val out = tmpDir("stream_join_out")
