@@ -64,6 +64,76 @@ object Similarity {
         col("rk"))
   }
 
+  /** Filtered vector search, exact tier: each query retrieves its
+    * top-k among corpus vectors carrying the SAME `label` — the
+    * per-query metadata predicate every production vector store has
+    * to answer ("search within my tenant/collection/language"), in
+    * its pre-filtering form: the predicate is part of the join
+    * condition, so non-qualifying pairs are never scored, never
+    * ranked, and can never displace a qualifying vector (the
+    * correctness trap of post-filtering a fixed-size candidate list).
+    * Exactness makes this the recall oracle for [[filteredIvfTopK]].
+    * Scale shape is [[bruteForceTopK]]'s: the query set broadcasts,
+    * the corpus streams through once and its embeddings never enter
+    * an exchange.
+    */
+  def filteredBruteTopK(s: SparkSession, d: String,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    emb.join(broadcast(queries), col("label") === col("q_label") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        fusedCosine(col("q"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), r4(col("sim")).as("sim"),
+        col("rk"))
+  }
+
+  /** Filtered vector search, index tier: [[ivfTopK]]'s geometry with
+    * the metadata predicate COMPILED INTO the partition key — corpus
+    * vectors are assigned to `(label, cell)` composites and the
+    * scoring join keys on both, so a query only ever scans its own
+    * label's slice of each probed cell. This is the IVF answer to the
+    * filtered-ANN dilemma: post-filtering a top-k candidate list
+    * starves under selective predicates (all k survivors can fail the
+    * filter), while pre-filter-then-brute-force re-scans the whole
+    * qualifying set; the composite key keeps the probe list geometric
+    * (nProbe cells) AND makes selectivity SHRINK the scan, since each
+    * (label, cell) partition holds only qualifying rows. At 100 TB
+    * the assigned table is written once partitioned by the composite;
+    * the per-query work is nProbe partition lookups regardless of how
+    * many labels exist. Same candidate-uniqueness argument as
+    * [[ivfTopK]]: Voronoi assignment × distinct probe cells ⇒ each
+    * qualifying pair scored at most once, no dedup needed.
+    */
+  def filteredIvfTopK(s: SparkSession, d: String, nCells: Int = 0,
+      nQueries: Int = 5, k: Int = 10, nProbe: Int = 0,
+      sampleSize: Int = 2048): DataFrame = {
+    import graft.functions.NearestCentroids.nearestCells
+    val emb = Tables.embeddings(s, d)
+    val cells = if (nCells > 0) nCells else cellsFor(emb.count())
+    val probes = if (nProbe > 0) nProbe else probesFor(cells)
+    val centroidMatrix: Array[Array[Float]] =
+      fitCentroids(emb, cells, sampleSize)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      col("label"),
+      element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
+        .as("cell"))
+    val queryProbes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("embedding").as("q"))
+      .select(col("query_id"), col("label"), col("q"),
+        explode(nearestCells(col("q"), centroidMatrix, probes))
+          .as("cell"))
+    scoreCandidates(assigned, queryProbes, Seq("label", "cell"), k)
+  }
+
   /** Hard-negative mining for contrastive retrieval training: per
     * probe vector, the top-k most-SIMILAR vectors of a DIFFERENT
     * label (label standing in for the positive-pair relation) — high

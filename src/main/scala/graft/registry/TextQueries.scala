@@ -147,6 +147,12 @@ object TextQueries {
       Similarity.bruteForceTopK(s, d)),
     "q_ann_brute_agg" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopKAgg(s, d)),
+    // filtered (metadata-predicate) vector search: exact pre-filter
+    // tier (full oracle) + the composite-(label,cell)-key IVF tier
+    "q_ann_filtered" -> ((s: SparkSession, d: String) =>
+      Similarity.filteredBruteTopK(s, d)),
+    "q_ann_filtered_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.filteredIvfTopK(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.annTopK(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) =>
@@ -1307,6 +1313,16 @@ object TextQueries {
       s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
          | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
          |${annIvfGolden}) AS t(q, v, s, r)""".stripMargin,
+    // GOLDEN oracle: the filtered-IVF composite-key tier, pinned at
+    // sf0.01 with the same determinism argument as q_ann_ivf (see
+    // annFilteredIvfGolden's re-pin note). Its EXACT counterpart
+    // q_ann_filtered answers a full recompute oracle; the spec pins
+    // exhaustive-probe equality between the two tiers, and every row
+    // here carries the query's own label by construction.
+    "q_ann_filtered_ivf" ->
+      s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+         | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
+         |${annFilteredIvfGolden}) AS t(q, v, s, r)""".stripMargin,
     // GOLDEN oracle: the sharded scale path is as deterministic as the
     // single index (hash shard assignment, per-shard stratified sample
     // and k-means fit, cross-shard window merge) — pinned at sf0.01
@@ -1939,6 +1955,31 @@ object TextQueries {
         |            ORDER BY sim DESC, vec_id) AS rk
         |  FROM pairs)
         |WHERE rk <= 10""".stripMargin,
+    // filtered search, exact tier: the brute recompute with the
+    // per-query label predicate inside the pair-generation join —
+    // DuckDB recomputes the full pre-filtered ranking, so a
+    // post-filter bug (qualifying vector displaced by a filtered-out
+    // one) or a predicate dropped from the join would hash-mismatch
+    "q_ann_filtered" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, label AS q_label, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id,
+        |   list_sum(list_transform(e.embedding,
+        |     (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(q.qv,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e JOIN q
+        |    ON e.label = q.q_label AND e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, round(sim, 4) AS sim, CAST(rk AS INT) AS rk
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim DESC, vec_id) AS rk
+        |  FROM pairs)
+        |WHERE rk <= 10""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qv
@@ -2005,6 +2046,30 @@ object TextQueries {
       |  (4,257,0.2724,7),(4,280,0.2798,5),(4,346,0.2316,10),
       |  (4,408,0.3228,3),(4,470,0.2525,9),(4,482,0.3139,4),
       |  (4,496,0.3412,2),(4,89,0.266,8)""".stripMargin
+
+  // Re-pin after a testdata regen: `runMain graft.GoldenDump
+  // q_ann_filtered_ivf` (same determinism argument as annIvfGolden:
+  // hash-ordered sample, deterministic fit, derived geometry,
+  // fused-cosine doubles, vec_id ties; the label predicate adds no
+  // nondeterminism — it only narrows the candidate join).
+  private val annFilteredIvfGolden: String =
+    """(0,16,0.0938,5),(0,206,0.0681,7),(0,271,0.1871,3),
+      |  (0,316,0.0341,8),(0,351,0.1864,4),(0,36,0.2387,1),
+      |  (0,414,0.0326,9),(0,48,0.0893,6),(0,60,0.0323,10),
+      |  (0,99,0.2041,2),(1,195,0.3227,1),(1,220,0.2898,3),
+      |  (1,282,0.0873,9),(1,393,0.2129,4),(1,396,0.1371,7),
+      |  (1,423,0.1882,5),(1,44,0.1028,8),(1,485,0.1387,6),
+      |  (1,497,0.072,10),(1,64,0.3164,2),(2,127,0.168,4),
+      |  (2,19,0.1926,3),(2,25,0.0993,10),(2,266,0.1638,6),
+      |  (2,279,0.1448,9),(2,340,0.1632,7),(2,371,0.1662,5),
+      |  (2,430,0.1553,8),(2,459,0.2234,1),(2,82,0.1935,2),
+      |  (3,11,0.1807,6),(3,111,0.1291,7),(3,207,0.2917,1),
+      |  (3,338,0.0799,10),(3,346,0.1081,9),(3,349,0.2486,3),
+      |  (3,363,0.2686,2),(3,382,0.1125,8),(3,428,0.2137,4),
+      |  (3,499,0.2107,5),(4,129,0.1631,5),(4,139,0.1963,2),
+      |  (4,170,0.0927,10),(4,249,0.2796,1),(4,317,0.1922,3),
+      |  (4,35,0.1039,9),(4,391,0.156,6),(4,418,0.15,7),
+      |  (4,474,0.1096,8),(4,81,0.17,4)""".stripMargin
 
   private val annIvfGolden: String =
     """(0,190,0.2818,7),(0,334,0.3627,2),(0,365,0.37,1),

@@ -230,6 +230,40 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(dups === Set((0L, 1L)))
   }
 
+  test("filtered search is PRE-filtering: a wrong-label near-identical " +
+    "decoy never appears and never displaces qualifying vectors") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(32)(rnd.nextFloat() * 2 - 1)
+    val q = vec()
+    val decoy = q.clone(); decoy(0) = decoy(0) + 0.01f // cos≈1, label 1
+    val sameA = q.map(_ * 0.5f).zipWithIndex.map { case (x, i) =>
+      if (i < 16) x else -x } // moderate-sim, label 0
+    val rows = Seq((0L, q, 0), (1L, decoy, 1), (2L, sameA, 0)) ++
+      (3L until 20L).map(i => (i, vec(), (i % 2).toInt))
+    val dir = tmpDir("annfilter")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.filteredBruteTopK(spark, dir, nQueries = 1, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // only label-0 vectors (even ids ≥ 2 here) may appear; the decoy —
+    // the GLOBAL nearest neighbor — must not
+    assert(got.nonEmpty)
+    assert(!got.map(_._2).contains(1L))
+    assert(got.forall { case (_, v) => v % 2 === 0 && v >= 2 })
+  }
+
+  test("filteredIvfTopK with exhaustive probing equals " +
+    "filteredBruteTopK row-for-row (composite key loses nothing)") {
+    val ivf = Similarity.filteredIvfTopK(spark, sf(), nCells = 8,
+      nProbe = 8, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val brute = Similarity.filteredBruteTopK(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(ivf === brute)
+  }
+
   test("semDedup dominance policy: lower-id survivor, scale-invariant " +
     "drops, threshold gates — exact on a single-cell corpus") {
     val rnd = new scala.util.Random(5)
