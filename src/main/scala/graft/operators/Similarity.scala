@@ -134,6 +134,56 @@ object Similarity {
     scoreCandidates(assigned, queryProbes, Seq("label", "cell"), k)
   }
 
+  /** Late-interaction (maxsim) retrieval: queries and documents are
+    * SETS of vectors — ColBERT's scoring model, the multi-vector tier
+    * between single-vector ANN and full cross-attention re-ranking.
+    * `score(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d)`: every query vector
+    * finds its best match inside each candidate document
+    * independently, so a document matching ALL the query's aspects
+    * beats one matching a single aspect strongly — the behavior
+    * single-vector pooling averages away. Vector sets are derived
+    * deterministically from the embeddings table (`vec_id div
+    * vecsPerDoc`), the same derived-view trick as q_semdedup, so the
+    * oracle can rebuild them exactly.
+    *
+    * Scale shape: the query vectors broadcast (nQueryDocs ×
+    * vecsPerDoc rows); the corpus streams through ONE broadcast join
+    * scoring each (query vector, corpus vector) pair exactly once,
+    * embeddings never enter an exchange. The maxsim reduction is two
+    * narrow partial-aggregate shuffles — max per (query vector,
+    * doc), then a decimal sum per (query, doc) — followed by the
+    * top-k window on (query, score) rows only. Per-pair maxes are
+    * bit-exact doubles (sequential fused dot), and the per-query sum
+    * of ≤vecsPerDoc maxes accumulates in DECIMAL over 4-dp-rounded
+    * terms, so ranking and score are engine- and order-independent.
+    * At 100 TB the corpus side is IVF/LSH-prunable per query vector
+    * (probe the cells of each q, union candidates) — the scoring and
+    * reduction here are unchanged by that substitution.
+    */
+  def maxSimTopK(s: SparkSession, d: String, vecsPerDoc: Int = 4,
+      nQueryDocs: Int = 3, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val vecs = emb.select(expr(s"vec_id div $vecsPerDoc").as("doc"),
+      col("vec_id"), col("embedding"))
+    val queries = vecs.filter(col("doc") < nQueryDocs)
+      .select(col("doc").as("query_id"), col("vec_id").as("q_vec"),
+        col("embedding").as("q"))
+    val perQvec = vecs
+      .join(broadcast(queries), col("doc") =!= col("query_id"))
+      .select(col("query_id"), col("q_vec"), col("doc"),
+        fusedCosine(col("q"), col("embedding")).as("sim"))
+      .groupBy(col("query_id"), col("q_vec"), col("doc"))
+      .agg(max(col("sim")).as("mx"))
+    val scored = perQvec.groupBy(col("query_id"), col("doc"))
+      .agg(sum(r4(col("mx")).cast("decimal(18,6)")).as("sdec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sdec").desc, col("doc"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        col("sdec").cast("double").as("score"), col("rk"))
+  }
+
   /** Hard-negative mining for contrastive retrieval training: per
     * probe vector, the top-k most-SIMILAR vectors of a DIFFERENT
     * label (label standing in for the positive-pair relation) — high

@@ -153,6 +153,9 @@ object TextQueries {
       Similarity.filteredBruteTopK(s, d)),
     "q_ann_filtered_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.filteredIvfTopK(s, d)),
+    // late-interaction multi-vector retrieval (ColBERT maxsim)
+    "q_maxsim" -> ((s: SparkSession, d: String) =>
+      Similarity.maxSimTopK(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.annTopK(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) =>
@@ -1954,6 +1957,40 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |            ORDER BY sim DESC, vec_id) AS rk
         |  FROM pairs)
+        |WHERE rk <= 10""".stripMargin,
+    // late-interaction retrieval: DuckDB rebuilds the same derived
+    // vector sets (vec_id // 4), recomputes every (query vector,
+    // corpus vector) cosine, the per-(q_vec, doc) max, and the
+    // DECIMAL sum of 4-dp maxes — the full maxsim ranking is
+    // cross-engine, no golden
+    "q_maxsim" ->
+      """WITH v AS (
+        |  SELECT vec_id // 4 AS doc, vec_id, embedding FROM embeddings),
+        |q AS (
+        |  SELECT doc AS query_id, vec_id AS q_vec, embedding AS qv
+        |  FROM v WHERE doc < 3),
+        |pairs AS (
+        |  SELECT q.query_id, q.q_vec, v.doc,
+        |   list_sum(list_transform(v.embedding,
+        |     (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(v.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(q.qv,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM v JOIN q ON v.doc <> q.query_id),
+        |mx AS (
+        |  SELECT query_id, q_vec, doc, max(sim) AS mx
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT query_id, doc,
+        |    sum(CAST(round(mx, 4) AS DECIMAL(18,6))) AS sdec
+        |  FROM mx GROUP BY 1, 2)
+        |SELECT query_id, doc AS doc_id, CAST(sdec AS DOUBLE) AS score,
+        |  CAST(rk AS INT) AS rk
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sdec DESC, doc) AS rk
+        |  FROM sc)
         |WHERE rk <= 10""".stripMargin,
     // filtered search, exact tier: the brute recompute with the
     // per-query label predicate inside the pair-generation join —

@@ -264,6 +264,31 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(ivf === brute)
   }
 
+  test("maxsim ranks the all-aspects document above a stronger " +
+    "single-aspect match (the behavior pooling averages away)") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(32)(rnd.nextFloat() * 2 - 1)
+    // query doc 0 = vectors 0..1 (vecsPerDoc=2): two distinct aspects
+    val a1 = vec(); val a2 = vec()
+    // doc 1 (vecs 2..3) matches BOTH aspects moderately (cos≈1 after
+    // small perturbation); doc 2 (vecs 4..5) matches aspect 1 exactly
+    // (scaled copy ⇒ cos=1) but aspect 2 not at all (orthogonal-ish)
+    def near(v: Array[Float]) = {
+      val c = v.clone(); c(0) = c(0) + 0.05f; c }
+    val rows = Seq(
+      (0L, a1), (1L, a2),
+      (2L, near(a1)), (3L, near(a2)),
+      (4L, a1.map(_ * 2.0f)), (5L, vec()))
+    val dir = tmpDir("maxsim")
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.maxSimTopK(spark, dir, vecsPerDoc = 2,
+      nQueryDocs = 1, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // doc 1 scores ≈ 2.0 (both maxes ≈ 1); doc 2 ≈ 1 + small
+    assert(got.toSeq === Seq((0L, 1L, 1), (0L, 2L, 2)))
+  }
+
   test("semDedup dominance policy: lower-id survivor, scale-invariant " +
     "drops, threshold gates — exact on a single-cell corpus") {
     val rnd = new scala.util.Random(5)

@@ -63,6 +63,11 @@ class EntrySpec extends SparkSuite {
     "q_perplexity_served", "q_quality_ensemble", "q_quality_nb",
     "q_scalar_subquery", "q_seq_pack", "q_source_drift",
     "q_temperature_mix",
+    // broadcast-probe scoring over the whole corpus by design: the
+    // maxsim query set crosses the corpus on doc<>query_id, the
+    // q_ann_brute class (the filtered twins hash-join instead — their
+    // label predicate gives Catalyst an equi key)
+    "q_maxsim",
     // same one-row-broadcast shapes, surfacing at sf0.001 sizes
     "q_heavy_hitters_grouped", "q_bm25_phrase", "q_bm25_phrase_served",
     "q_cms", "q_contamination", "q_winsorize", "q_skew_profile",
