@@ -77,4 +77,21 @@ class SketchAccuracySpec extends SparkSuite {
       shardedRecall, 0.75)
   }
 
+  test("filtered-IVF recall vs the filtered exact tier: floor + " +
+    "round-over-round band") {
+    import graft.operators.Similarity
+    val dir = sf("sf0.01")
+    val brute = Similarity.filteredBruteTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.filteredIvfTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"filtered recall@10 over 5 queries = $recall%.2f")
+    // the qualifying set per (label, cell) is ~10× sparser than the
+    // unfiltered cells, so geometric pruning bites harder — floor set
+    // below the unfiltered tier's, ratchet discipline identical
+    AccuracyLedger.assertAtLeast("ann_filtered_ivf_recall_at_10",
+      recall, 0.6)
+  }
+
 }
