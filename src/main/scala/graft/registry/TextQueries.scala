@@ -2090,23 +2090,23 @@ object TextQueries {
   // fused-cosine doubles, vec_id ties; the label predicate adds no
   // nondeterminism — it only narrows the candidate join).
   private val annFilteredIvfGolden: String =
-    """(0,16,0.0938,5),(0,206,0.0681,7),(0,271,0.1871,3),
-      |  (0,316,0.0341,8),(0,351,0.1864,4),(0,36,0.2387,1),
-      |  (0,414,0.0326,9),(0,48,0.0893,6),(0,60,0.0323,10),
-      |  (0,99,0.2041,2),(1,195,0.3227,1),(1,220,0.2898,3),
-      |  (1,282,0.0873,9),(1,393,0.2129,4),(1,396,0.1371,7),
-      |  (1,423,0.1882,5),(1,44,0.1028,8),(1,485,0.1387,6),
-      |  (1,497,0.072,10),(1,64,0.3164,2),(2,127,0.168,4),
-      |  (2,19,0.1926,3),(2,25,0.0993,10),(2,266,0.1638,6),
-      |  (2,279,0.1448,9),(2,340,0.1632,7),(2,371,0.1662,5),
-      |  (2,430,0.1553,8),(2,459,0.2234,1),(2,82,0.1935,2),
-      |  (3,11,0.1807,6),(3,111,0.1291,7),(3,207,0.2917,1),
-      |  (3,338,0.0799,10),(3,346,0.1081,9),(3,349,0.2486,3),
-      |  (3,363,0.2686,2),(3,382,0.1125,8),(3,428,0.2137,4),
-      |  (3,499,0.2107,5),(4,129,0.1631,5),(4,139,0.1963,2),
-      |  (4,170,0.0927,10),(4,249,0.2796,1),(4,317,0.1922,3),
-      |  (4,35,0.1039,9),(4,391,0.156,6),(4,418,0.15,7),
-      |  (4,474,0.1096,8),(4,81,0.17,4)""".stripMargin
+    """(0,16,0.0938,8),(0,271,0.1871,4),(0,320,0.2879,1),
+      |  (0,325,0.1355,6),(0,351,0.1864,5),(0,36,0.2387,2),
+      |  (0,39,0.0833,10),(0,419,0.0982,7),(0,48,0.0893,9),
+      |  (0,99,0.2041,3),(1,165,0.2439,4),(1,195,0.3227,1),
+      |  (1,220,0.2898,3),(1,393,0.2129,6),(1,396,0.1371,10),
+      |  (1,423,0.1882,7),(1,43,0.1716,8),(1,485,0.1387,9),
+      |  (1,64,0.3164,2),(1,80,0.2337,5),(2,127,0.168,6),
+      |  (2,19,0.1926,5),(2,197,0.2331,1),(2,266,0.1638,8),
+      |  (2,307,0.196,3),(2,340,0.1632,9),(2,371,0.1662,7),
+      |  (2,430,0.1553,10),(2,459,0.2234,2),(2,82,0.1935,4),
+      |  (3,11,0.1807,8),(3,111,0.1291,9),(3,149,0.3299,1),
+      |  (3,207,0.2917,2),(3,236,0.115,10),(3,283,0.2042,7),
+      |  (3,349,0.2486,4),(3,363,0.2686,3),(3,428,0.2137,5),
+      |  (3,499,0.2107,6),(4,129,0.1631,6),(4,138,0.1634,5),
+      |  (4,139,0.1963,2),(4,225,0.1192,9),(4,249,0.2796,1),
+      |  (4,317,0.1922,3),(4,391,0.156,7),(4,418,0.15,8),
+      |  (4,474,0.1096,10),(4,81,0.17,4)""".stripMargin
 
   private val annIvfGolden: String =
     """(0,190,0.2818,7),(0,334,0.3627,2),(0,365,0.37,1),
