@@ -184,6 +184,55 @@ object Similarity {
         col("sdec").cast("double").as("score"), col("rk"))
   }
 
+  /** The scale path [[maxSimTopK]]'s scaladoc promises: IVF candidate
+    * pruning per QUERY VECTOR with the maxsim reduction unchanged.
+    * Corpus vectors are cell-assigned once; each query vector probes
+    * its own nearest cells, and only (query vector, corpus vector)
+    * pairs meeting in a probed cell are scored — the scoring join
+    * drops from |corpus|×|Q| to the probed fraction, and everything
+    * downstream (per-(q_vec, doc) max, decimal score sum, top-k
+    * window) is byte-identical code. Approximation surface: a doc
+    * vector outside every probed cell of some q contributes no max
+    * term for that q (treated as 0 via the sum over present terms),
+    * so scores are LOWER bounds — with exhaustive probing
+    * (nProbe = cells) the candidate set is total and the result
+    * equals [[maxSimTopK]] row-for-row (spec-pinned); recall at the
+    * default probe width is ratcheted in the accuracy ledger.
+    */
+  def maxSimTopKPruned(s: SparkSession, d: String, vecsPerDoc: Int = 4,
+      nQueryDocs: Int = 3, k: Int = 10, nCells: Int = 0,
+      nProbe: Int = 0, sampleSize: Int = 2048): DataFrame = {
+    import graft.functions.NearestCentroids.nearestCells
+    val emb = Tables.embeddings(s, d)
+    val cells = if (nCells > 0) nCells else cellsFor(emb.count())
+    val probes = if (nProbe > 0) nProbe else filteredProbesFor(cells)
+    val centroidMatrix: Array[Array[Float]] =
+      fitCentroids(emb, cells, sampleSize)
+    val vecs = emb.select(expr(s"vec_id div $vecsPerDoc").as("doc"),
+      col("vec_id"), col("embedding"),
+      element_at(nearestCells(col("embedding"), centroidMatrix, 1), 1)
+        .as("cell"))
+    val queryProbes = vecs.filter(col("doc") < nQueryDocs)
+      .select(col("doc").as("query_id"), col("vec_id").as("q_vec"),
+        col("embedding").as("q"))
+      .select(col("query_id"), col("q_vec"), col("q"),
+        explode(nearestCells(col("q"), centroidMatrix, probes))
+          .as("cell"))
+    val perQvec = vecs
+      .join(broadcast(queryProbes), Seq("cell"))
+      .filter(col("doc") =!= col("query_id"))
+      .groupBy(col("query_id"), col("q_vec"), col("doc"))
+      .agg(max(fusedCosine(col("q"), col("embedding"))).as("mx"))
+    val scored = perQvec.groupBy(col("query_id"), col("doc"))
+      .agg(sum(r4(col("mx")).cast("decimal(18,6)")).as("sdec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sdec").desc, col("doc"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        col("sdec").cast("double").as("score"), col("rk"))
+  }
+
   /** Hard-negative mining for contrastive retrieval training: per
     * probe vector, the top-k most-SIMILAR vectors of a DIFFERENT
     * label (label standing in for the positive-pair relation) — high

@@ -289,6 +289,18 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got.toSeq === Seq((0L, 1L, 1), (0L, 2L, 2)))
   }
 
+  test("maxSimTopKPruned with exhaustive probing equals maxSimTopK " +
+    "row-for-row (pruning changes the candidate set, never the math)") {
+    val full = Similarity.maxSimTopK(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val pruned = Similarity.maxSimTopKPruned(spark, sf(), nCells = 8,
+      nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(pruned === full)
+  }
+
   test("semDedup dominance policy: lower-id survivor, scale-invariant " +
     "drops, threshold gates — exact on a single-cell corpus") {
     val rnd = new scala.util.Random(5)

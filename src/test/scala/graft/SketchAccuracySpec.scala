@@ -94,4 +94,21 @@ class SketchAccuracySpec extends SparkSuite {
       recall, 0.6)
   }
 
+  test("pruned maxsim recall vs the exact multi-vector ranking: " +
+    "floor + round-over-round band") {
+    import graft.operators.Similarity
+    val dir = sf("sf0.01")
+    val exact = Similarity.maxSimTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Similarity.maxSimTopKPruned(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pruned).size.toDouble / exact.size
+    info(f"pruned maxsim recall@10 over 3 queries = $recall%.2f")
+    // multi-vector recall compounds per-vector misses (a doc needs
+    // EVERY relevant vector probed to score fully), so the floor
+    // sits below the single-vector tiers'
+    AccuracyLedger.assertAtLeast("maxsim_pruned_recall_at_10",
+      recall, 0.5)
+  }
+
 }
