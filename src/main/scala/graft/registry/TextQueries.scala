@@ -156,6 +156,14 @@ object TextQueries {
     // late-interaction multi-vector retrieval (ColBERT maxsim)
     "q_maxsim" -> ((s: SparkSession, d: String) =>
       Similarity.maxSimTopK(s, d)),
+    // the pruned candidate-join ARCHITECTURE under the gate: at
+    // exhaustive probing (nProbe = nCells) the co-cell candidate set
+    // is total, so the result is row-identical to q_maxsim for ANY
+    // corpus — the entry shares its full oracle and survives testdata
+    // regens; the default-probe approximation quality is pinned
+    // separately (SketchAccuracySpec recall ratchet, ledger 1.0)
+    "q_maxsim_pruned" -> ((s: SparkSession, d: String) =>
+      Similarity.maxSimTopKPruned(s, d, nCells = 16, nProbe = 16)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.annTopK(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) =>
@@ -570,6 +578,10 @@ object TextQueries {
       // the golden-backed ones inherit the sf0.01-only caveat
       // the grown count model scores EXACTLY as the inline train
       // (additive counts) — a full oracle, not a golden
+      // exhaustive-probe pruning is row-identical to the exact maxsim
+      // for any corpus (total candidate set, same reduction) — the
+      // shared oracle is a full recompute, not a golden
+      ("q_maxsim_pruned" -> baseOracle("q_maxsim")) +
       ("q_perplexity_served" -> baseOracle("q_perplexity")) +
       // frozen-merge replay == the inline greedy train encode (same
       // merges, same fold) — shares the golden and its re-pin caveat
