@@ -703,6 +703,39 @@ object Dedup {
       .select(col("node").as("doc_id"), col("cluster_id"))
   }
 
+  /** Per-document shingle NOVELTY — the "how much of this content is
+    * first seen here" curation metric: the fraction of a document's
+    * distinct word-3-gram shingles whose first corpus occurrence
+    * (minimum doc_id over every doc containing the shingle) is the
+    * document itself. Fresh content scores 1.0; a near-duplicate of an
+    * earlier document scores near 0; templated corpora drift down as
+    * shared spans accumulate. Anchoring "first" to the doc_id order
+    * makes the score deterministic and append-friendly: a later batch
+    * can only lower the novelty of later documents.
+    *
+    * Scale shape: shingles shuffle once as 8-byte xxhash64 keys (never
+    * the gram text — [[TextOps.boilerplate]]'s trick), the first-seen
+    * min is a two-phase partial aggregate on that high-cardinality
+    * key, and the re-join carries (hash, first_doc) only; the per-doc
+    * reduce is counts. A 64-bit collision could only mark a novel
+    * gram as already-seen — q_novelty's oracle recomputes on raw gram
+    * STRINGS, so a collision surfaces as a driver-gate mismatch
+    * instead of hiding.
+    */
+  def novelty(s: SparkSession, d: String): DataFrame = {
+    val grams = shingled(s, d)
+      .select(col("doc_id"), explode(col("shh")).as("g"))
+    val firstSeen = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 4)
+          .as("novelty_frac"))
+  }
+
   /** Duplicate clusters over the corpus: minhash near-dup pairs →
     * connected components → one row per cluster with its canonical id
     * (the min member, so `cluster_id` doubles as the keep-id), member

@@ -84,6 +84,53 @@ object Shard {
           .otherwise("test").as("split"))
   }
 
+  /** Near-dup-aware train/val/test split — the leakage-safe form of
+    * [[stratifiedSplit]]: a per-doc split can put two near-duplicate
+    * documents on opposite sides of the train/eval boundary, leaking
+    * eval content into training. Here the split unit is the GROUP —
+    * the connected component of the verified near-dup pair graph
+    * ([[Dedup.minhashPairs]] at its 0.7 default, collapsed by
+    * [[Dedup.clusterPairs]]' min-id labeling; docs in no pair are
+    * their own group) — so every member of a near-dup component lands
+    * on the same side, by construction.
+    *
+    * Assignment hashes the group REPRESENTATIVE (the component-min
+    * doc id) with the same Knuth permutation as [[trainShards]] and
+    * cuts the 32-bit hash RANGE at exact integer boundaries
+    * (`⌊2³²·p/100⌋`), not a rank: group count ≈ doc count, so the
+    * corpus-wide rank window [[stratifiedSplit]] affords per-stratum
+    * would be a global sort here. Range cuts are embarrassingly
+    * parallel, give expected (not exact) fractions, and stay
+    * engine-exact in integer arithmetic — the whole assignment is
+    * DuckDB-recomputable from the parquet text (exhaustive Jaccard +
+    * recursive-CTE components + the same hash constants).
+    *
+    * Scale shape: pair generation and clustering are the existing
+    * banded/star-contraction paths (never all-pairs); the only added
+    * work is one broadcast-sized left join of (doc_id → component
+    * label) onto the corpus and a closed-form hash per row.
+    */
+  def leakageSafeSplit(s: SparkSession, d: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct <= 100")
+    val trainBound = M32 * trainPct / 100 // ⌊2³²·p/100⌋, exact in Long
+    val valBound = M32 * (trainPct + valPct) / 100
+    val labels = Dedup.clusterPairs(
+      Dedup.minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("cluster_id", "rep_of_clustered")
+    Tables.parallelized(Tables.documents(s, d))
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_of_clustered"), col("doc_id")).as("rep_id"))
+      .withColumn("h", (col("rep_id") * Knuth) % M32)
+      .select(col("doc_id"), col("rep_id"),
+        when(col("h") < trainBound, "train")
+          .when(col("h") < valBound, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Materialize the shards: one dir per shard, rows in (h, doc_id)
     * order — the file order IS the training order, so the loader just
     * streams. One shuffle (keyed on shard), one partition-local sort.

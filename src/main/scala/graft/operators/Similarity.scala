@@ -833,9 +833,9 @@ object Similarity {
     * the minimal serve plan (one partition-pruned scan, no union
     * node). The frozen model (centroids, codebooks) is untouched —
     * promotion moves rows, never geometry, so the served ranking is
-    * bit-identical before and after (`q_ann_ivf_promoted_served`
-    * shares `q_ann_ivf`'s golden through the driver gate; the PQ side
-    * is spec-pinned). This is the rare corpus-sized rewrite;
+    * bit-identical before and after (`q_ann_ivf_promoted_served` and
+    * `q_ann_ivfpq_promoted_served` share their one-shot twins' goldens
+    * through the driver gate). This is the rare corpus-sized rewrite;
     * [[ivfAppendBatch]] + [[compactIvfAppends]] remain the
     * per-arrival path.
     *

@@ -118,6 +118,15 @@ object TextQueries {
     // deterministic hash order — leak-free under re-runs
     "q_data_splits" -> ((s: SparkSession, d: String) =>
       Shard.stratifiedSplit(s, d)),
+    // near-dup-aware split: the split unit is the connected COMPONENT
+    // of the verified near-dup graph, so no near-dup pair straddles
+    // the train/eval boundary (the leakage q_data_splits permits)
+    "q_leakage_splits" -> ((s: SparkSession, d: String) =>
+      Shard.leakageSafeSplit(s, d)),
+    // per-doc shingle novelty: fraction of a doc's distinct 3-gram
+    // shingles first seen in THIS doc (min-doc_id anchored)
+    "q_novelty" -> ((s: SparkSession, d: String) =>
+      Dedup.novelty(s, d)),
     // BM25 index fsck: the GROWN index's sum-folded termstats bucketed
     // by integer binary length of df, answered against a pure corpus
     // recompute — a double-counted or lost append batch fails the hash
@@ -343,6 +352,14 @@ object TextQueries {
       Similarity.ivfPqTopKFromIndex(s, s"${indexRoot(d)}/ivfpq_refit",
         annProbeVectors(s, d), refine = 100,
         refineFrom = Some(graft.Tables.embeddings(s, d)))),
+    // compressed-tier promotion close-out (the last lifecycle
+    // asymmetry): batch code dirs folded into the base codes table,
+    // frozen model untouched — promotion moves rows, never geometry,
+    // so the minimal one-scan serve answers q_ann_ivfpq's golden
+    "q_ann_ivfpq_promoted_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqTopKFromIndex(s, s"${indexRoot(d)}/ivfpq_promoted",
+        annProbeVectors(s, d), refine = 100,
+        refineFrom = Some(graft.Tables.embeddings(s, d)))),
     "q_incremental_dedup_served" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalMinhashPairsFromIndex(
         s.read.parquet(s"${indexRoot(d)}/minhash_buckets"),
@@ -486,6 +503,19 @@ object TextQueries {
         .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 4),
       batchId = 1L)
     Similarity.refitIvfPqIndex(s, refitPq, graft.Tables.embeddings(s, d))
+    // compressed-tier promotion close-out: the same 80/20 grown index,
+    // batches then folded into the base codes table (geometry frozen
+    // throughout) — back to the one-scan serve plan, same golden
+    val promotedPq = s"$root/ivfpq_promoted"
+    Similarity.ivfPqWriteIndex(s, d, promotedPq,
+      assignOnly = Some(org.apache.spark.sql.functions
+        .col("vec_id") % 5 =!= 4))
+    Similarity.ivfPqAppendBatch(s, promotedPq,
+      graft.Tables.embeddings(s, d)
+        .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 4),
+      batchId = 1L)
+    Similarity.promoteBatches(s, promotedPq, table = "codes",
+      partitionCol = "cell")
     Dedup.minhashBuckets(incrSplitSide(s, d, newSide = false))
       .write.mode("overwrite").parquet(s"$root/minhash_buckets")
     Search.buildIndex(s, d, s"$root/bm25")
@@ -607,6 +637,10 @@ object TextQueries {
       // the PQ refit's deterministic fits over the full raw store
       // reproduce the one-shot model ⇒ same golden
       ("q_ann_ivfpq_refit_served" -> baseOracle("q_ann_ivfpq")) +
+      // promotion moves code rows, never the frozen model ⇒ the folded
+      // index is row-identical to the grown one and serves the same
+      // golden (closes the promote leg for the last ANN family)
+      ("q_ann_ivfpq_promoted_served" -> baseOracle("q_ann_ivfpq")) +
       ("q_ann_ivfpq_sharded_served" -> baseOracle("q_ann_ivfpq_sharded")) +
       // the BM25 serve path reads back exactly the frames the inline
       // twin computes (one shared scorer), so one oracle covers both;
@@ -1275,6 +1309,50 @@ object TextQueries {
          |FROM (SELECT node, min(lab) AS cluster_id FROM reach
          |      GROUP BY node)
          |GROUP BY cluster_id""".stripMargin,
+    // full recompute: exhaustive-jaccard pairs at the 0.7 minhash
+    // threshold → recursive-CTE components (q_dup_clusters' oracle) →
+    // the same Knuth hash-range cut on the component-min rep. Equality
+    // pins pair recall, the transitive grouping, AND the split
+    // assignment in one row set — regen-proof, no goldens.
+    "q_leakage_splits" ->
+      s"""${shingleCte.replace("WITH toks", "WITH RECURSIVE toks")},
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |     / len(list_distinct(a.sh || b.sh)) >= 0.7),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r
+         |    ON r.node = e.dst),
+         |lab AS (SELECT node, min(lab) AS rep FROM reach GROUP BY node),
+         |r AS (
+         |  SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep_id,
+         |    (coalesce(l.rep, d.doc_id) * 2654435761) % 4294967296 AS h
+         |  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id)
+         |SELECT doc_id, rep_id,
+         |  CASE WHEN h < (4294967296 * 80) // 100 THEN 'train'
+         |       WHEN h < (4294967296 * 90) // 100 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM r""".stripMargin,
+    // full recompute on raw gram STRINGS (the Spark side shuffles
+    // 8-byte hashes) — a 64-bit collision or a first-seen tie-break
+    // drift fails the hash here
+    "q_novelty" ->
+      s"""$shingleCte, g AS (
+         |  SELECT doc_id, unnest(sh) AS gram FROM sh),
+         |fs AS (SELECT gram, min(doc_id) AS first_doc FROM g
+         |       GROUP BY gram)
+         |SELECT g.doc_id, count(*) AS n_shingles,
+         |  count(*) FILTER (WHERE fs.first_doc = g.doc_id) AS n_novel,
+         |  round(count(*) FILTER (WHERE fs.first_doc = g.doc_id)
+         |    * 1.0 / count(*), 4) AS novelty_frac
+         |FROM g JOIN fs ON g.gram = fs.gram
+         |GROUP BY g.doc_id""".stripMargin,
     // exhaustive cosine at the near-dup threshold (empty on the driver
     // data — the oracle still catches false positives and threshold
     // drift)

@@ -47,6 +47,28 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(exact === Set((1L, 2L)))
   }
 
+  test("novelty scores: copy of an earlier doc 0.0, fresh doc 1.0, " +
+      "half-overlap hand-computed") {
+    // doc1 "a b c d e" → shingles {abc,bcd,cde}; doc2 identical copy;
+    // doc3 disjoint; doc4 "a b c d x y z" → {abc,bcd,cdx,dxy,xyz}:
+    // abc,bcd first seen in doc1 → 3/5 novel
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s"),
+      (4L, "a b c d x y z"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = tmpDir("novelty")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.novelty(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 3L, 1.0)))
+    assert(got(2L) === ((3L, 0L, 0.0)))
+    assert(got(3L) === ((2L, 2L, 1.0)))
+    assert(got(4L) === ((5L, 3L, 0.6)))
+  }
+
   test("incremental minhash: finds new-vs-index and new-vs-new pairs, " +
     "never re-pairs the index with itself") {
     import spark.implicits._

@@ -53,6 +53,42 @@ class ShardSpec extends SparkSuite {
       sizes.mkString(","))
   }
 
+  test("leakage-safe split keeps every near-dup component on one side " +
+      "and matches the closed-form hash-range cut") {
+    val d = tmpDir("leakage_docs")
+    val trio = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val duo = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = (Seq(0L, 1L, 2L).map(i => (i, trio)) ++
+      Seq(10L, 11L).map(i => (i, duo)) ++
+      (20L to 29L).map(i => (i, (1 to 40).map(j => s"u${i}x$j")
+        .mkString(" "))))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+    val got = Shard.leakageSafeSplit(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length === 15) // one row per doc, no dup assignment
+    val byDoc = got.map(t => t._1 -> t).toMap
+    // component-min representatives: the trio collapses on 0, the duo
+    // on 10, singletons label themselves
+    Seq(0L, 1L, 2L).foreach(i => assert(byDoc(i)._2 === 0L, s"doc $i"))
+    Seq(10L, 11L).foreach(i => assert(byDoc(i)._2 === 10L, s"doc $i"))
+    (20L to 29L).foreach(i => assert(byDoc(i)._2 === i, s"doc $i"))
+    // no component straddles a boundary
+    assert(got.groupBy(_._2).values.forall(_.map(_._3).distinct.size == 1))
+    // assignment is the closed-form Knuth hash-range cut of the rep
+    got.foreach { case (id, rep, split) =>
+      val h = (rep * 2654435761L) % 4294967296L
+      val want =
+        if (h < 4294967296L * 80 / 100) "train"
+        else if (h < 4294967296L * 90 / 100) "val"
+        else "test"
+      assert(split === want, s"doc $id rep $rep")
+    }
+  }
+
   test("stratified split cuts every stratum at exact integer " +
       "fractions and is re-run deterministic (sf0.001)") {
     val d = "/root/testdata/sf0.001"
