@@ -36,6 +36,65 @@ object Sampling {
     df.filter(
       pmod(xxhash64(col(keyCol)), lit(1000000L)) < (fraction * 1000000).toLong)
 
+  /** Diversity coreset over the embedding corpus: greedy farthest-point
+    * (Gonzalez k-center) selection — start from the minimum vec_id,
+    * then `k−1` times pick the vector farthest (max over candidates of
+    * the min cosine distance to every selected center). The classic
+    * 2-approximation for k-center cover, and the standard way to pull a
+    * small maximally-diverse seed set (eval probes, annotation budgets,
+    * centroid inits) out of a corpus. Output: one row per round
+    * (`rnd`, `vec_id`, `mind` — the selected vector's distance to the
+    * previously-selected set; the seed row carries NULL, and the last
+    * row's `mind` is the k-center cover radius of the unselected rest).
+    *
+    * Determinism contract: distances are `round(1 − fusedCosine, 6)`
+    * and the per-round argmax orders by (mind DESC, vec_id ASC) — the
+    * round-then-rank convention every retrieval oracle here uses, so an
+    * external engine replays the greedy trajectory exactly.
+    *
+    * Scale shape: each round is ONE narrow corpus pass — the running
+    * min-distance column folds the new center in via `least(...)`
+    * against a LITERAL center vector (no join, no exchange beyond the
+    * 1-row TakeOrdered argmax), and `localCheckpoint` cuts the lineage
+    * so round r's plan does not replay rounds 1..r−1. Driver state is
+    * k center vectors — the same bounded-collect class as the k-means
+    * centroid fits. Never all-pairs: k passes of n cosines, not n².
+    */
+  def coreset(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import graft.functions.FusedCosineSimilarity.fusedCosine
+    import s.implicits._
+    val e = Tables.parallelized(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"))
+    val seed = e.orderBy(col("vec_id")).limit(1)
+      .collect()(0)
+    val seedId = seed.getLong(0)
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Float] =
+      r.getSeq[Float](1)
+    var picks = Vector((0, seedId, Option.empty[Double]))
+    var center = vecOf(seed)
+    // candidates carry a running min distance to the selected set
+    var state = e.filter(col("vec_id") =!= seedId)
+      .withColumn("mind",
+        round(lit(1.0) - fusedCosine(col("embedding"),
+          typedLit(center)), 6))
+      .localCheckpoint(false)
+    (1 until k).foreach { r =>
+      val pick = state
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("embedding"), col("mind"))
+        .collect()(0)
+      picks :+= ((r, pick.getLong(0), Some(pick.getDouble(2))))
+      center = vecOf(pick)
+      state = state.filter(col("vec_id") =!= pick.getLong(0))
+        .withColumn("mind",
+          least(col("mind"), round(lit(1.0) -
+            fusedCosine(col("embedding"), typedLit(center)), 6)))
+        .localCheckpoint(false)
+    }
+    picks.map(p => (p._1, p._2, p._3))
+      .toDF("rnd", "vec_id", "mind")
+  }
+
   /** Deterministic stratified sample over documents: an exact modulo
     * rule per stratum so the sample is reproducible AND SQL-expressible
     * (oracle-able), with per-stratum counts to audit the rate.

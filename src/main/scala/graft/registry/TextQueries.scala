@@ -127,6 +127,10 @@ object TextQueries {
     // shingles first seen in THIS doc (min-doc_id anchored)
     "q_novelty" -> ((s: SparkSession, d: String) =>
       Dedup.novelty(s, d)),
+    // greedy farthest-point (Gonzalez k-center) diversity coreset over
+    // the embeddings — k=8 one-pass rounds, round-then-argmax contract
+    "q_coreset" -> ((s: SparkSession, d: String) =>
+      Sampling.coreset(s, d)),
     // BM25 index fsck: the GROWN index's sum-folded termstats bucketed
     // by integer binary length of df, answered against a pure corpus
     // recompute — a double-counted or lost append batch fails the hash
@@ -773,6 +777,46 @@ object TextQueries {
     * accumulation order as Similarity.cosine / FusedCosineSimilarity,
     * so values are bit-identical.
     */
+  /** q_coreset's full-recompute oracle: the greedy farthest-point loop
+    * unrolled into k−1 chained CTE rounds. Each round picks the
+    * candidate with the maximum running min-distance (6-dp rounded,
+    * ties by vec_id — the Spark side's exact contract) and folds the
+    * new center into every survivor's `mind` via least(). The seed is
+    * min(vec_id), so the whole trajectory is derived from the parquet
+    * floats — no golden to rot.
+    */
+  private def coresetOracle: String = {
+    val k = 8
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |seed AS (SELECT min(vec_id) AS sid FROM e),
+       |d0 AS (SELECT e.vec_id, e.embedding,
+       |  round(1 - ${cosineSql("e.embedding", "s.se")}, 6) AS mind
+       |  FROM e CROSS JOIN (SELECT embedding AS se FROM e
+       |    JOIN seed ON vec_id = sid) s
+       |  WHERE e.vec_id <> (SELECT sid FROM seed))""".stripMargin
+    val picks = scala.collection.mutable.Buffer(
+      "SELECT CAST(0 AS INT) AS rnd, (SELECT sid FROM seed) AS vec_id, " +
+        "CAST(NULL AS DOUBLE) AS mind")
+    var prev = "d0"
+    (1 until k).foreach { r =>
+      sb ++= s""",
+         |p$r AS (SELECT vec_id, mind FROM $prev
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |d$r AS (SELECT d.vec_id, d.embedding,
+         |  least(d.mind,
+         |    round(1 - ${cosineSql("d.embedding", "s.embedding")}, 6))
+         |    AS mind
+         |  FROM $prev d CROSS JOIN (SELECT e.embedding FROM e
+         |    JOIN p$r ON e.vec_id = p$r.vec_id) s
+         |  WHERE d.vec_id <> (SELECT vec_id FROM p$r))""".stripMargin
+      picks += s"SELECT CAST($r AS INT) AS rnd, vec_id, mind FROM p$r"
+      prev = s"d$r"
+    }
+    sb ++= "\n" + picks.mkString(" UNION ALL ")
+    sb.toString
+  }
+
   private def cosineSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
@@ -1353,6 +1397,12 @@ object TextQueries {
          |    * 1.0 / count(*), 4) AS novelty_frac
          |FROM g JOIN fs ON g.gram = fs.gram
          |GROUP BY g.doc_id""".stripMargin,
+    // full recompute: the greedy farthest-point trajectory replayed as
+    // k−1 chained CTE rounds (argmax of the running min distance,
+    // (mind DESC, vec_id) order on 6-dp-rounded values) from the same
+    // min-vec_id seed — selection order, ids, AND distances pinned;
+    // regen-proof, valid at every sf
+    "q_coreset" -> coresetOracle,
     // exhaustive cosine at the near-dup threshold (empty on the driver
     // data — the oracle still catches false positives and threshold
     // drift)

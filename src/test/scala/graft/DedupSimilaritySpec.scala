@@ -252,6 +252,25 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(dups === Set((0L, 1L)))
   }
 
+  test("farthest-point coreset replays the hand-computed greedy " +
+      "trajectory: orthogonal picks first, tie by vec_id, dup-direction " +
+      "vector last with distance 0") {
+    // vec 0 = e1 (the min-id seed), vec 1 = 2·e1 (same direction:
+    // distance 0 to the seed), vecs 2/3 = e2/e3 (orthogonal: distance
+    // 1, tied — vec_id breaks the tie toward 2)
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f), 0), (1L, Array(2f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f), 0), (3L, Array(0f, 0f, 1f), 0))
+    val dir = tmpDir("coreset")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Sampling.coreset(spark, dir, k = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got === Seq((0, 0L, None), (1, 2L, Some(1.0)),
+      (2, 3L, Some(1.0)), (3, 1L, Some(0.0))))
+  }
+
   test("filtered search is PRE-filtering: a wrong-label near-identical " +
     "decoy never appears and never displaces qualifying vectors") {
     val rnd = new scala.util.Random(7)
