@@ -725,8 +725,16 @@ object Dedup {
   def novelty(s: SparkSession, d: String): DataFrame = {
     val grams = shingled(s, d)
       .select(col("doc_id"), explode(col("shh")).as("g"))
-    val firstSeen = grams.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("first_doc"))
+    noveltyScores(grams,
+      grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc")))
+  }
+
+  /** The per-doc novelty reduce over a (doc_id, g) gram frame and a
+    * (g, first_doc) first-seen frame — shared by the inline corpus
+    * pass and the persisted-index serve path.
+    */
+  private def noveltyScores(grams: DataFrame,
+      firstSeen: DataFrame): DataFrame =
     grams.join(firstSeen, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
@@ -734,6 +742,103 @@ object Dedup {
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         round(col("n_novel").cast("double") / col("n_shingles"), 4)
           .as("novelty_frac"))
+
+  private def gramFirstSeen(docs: DataFrame): DataFrame =
+    shingleStage(docs)
+      .select(col("doc_id"), explode(col("shh")).as("g"))
+      .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+
+  /** Persist the novelty first-seen index: one (g, first_doc) row per
+    * distinct shingle hash — the state [[novelty]] derives per run,
+    * made incremental. min(first_doc) is additively MERGEABLE (min of
+    * mins over any doc partition is the global min), so the index
+    * grows batch-at-a-time with no frozen-model caveat anywhere: a
+    * grown index serves the one-shot full-corpus answer EXACTLY.
+    * `buildOnly` restricts which docs are indexed (the fixture's 80/20
+    * rule); shingle text never leaves the executors — the index stores
+    * 16-byte (hash, id) rows.
+    */
+  def noveltyWriteIndex(s: SparkSession, d: String, indexDir: String,
+      buildOnly: Option[Column] = None): Unit = {
+    val docs = Tables.parallelized(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    gramFirstSeen(buildOnly.map(docs.filter).getOrElse(docs))
+      .write.mode("overwrite").parquet(s"$indexDir/firstseen")
+  }
+
+  /** Append a batch of new docs to the novelty index as a
+    * `batch=<id>` dir — per-batch work scales with the batch, and the
+    * keyed dynamic-partition overwrite makes retries exactly-once
+    * (the maintainer contract every index family here shares).
+    */
+  def noveltyAppendBatch(s: SparkSession, indexDir: String,
+      newDocs: DataFrame, batchId: Long): Unit =
+    gramFirstSeen(Tables.parallelized(
+      newDocs.select(col("doc_id"), col("text"))))
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$indexDir/firstseen_batches")
+
+  /** Serve per-doc novelty of `docs` from the persisted index (base ∪
+    * batches, min-folded per gram). When the index covers the scored
+    * docs, the result is row-identical to the inline [[novelty]] —
+    * min over disjoint partials IS the global min — which is what
+    * lets `q_novelty_served` answer the same full-recompute oracle.
+    * Only the probing docs re-shingle; the corpus never does.
+    */
+  def noveltyFromIndex(s: SparkSession, indexDir: String,
+      docs: DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = s.read.parquet(s"$indexDir/firstseen")
+    val bPath = new Path(s"$indexDir/firstseen_batches")
+    val fs = bPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val union =
+      if (fs.exists(bPath))
+        base.unionByName(
+          s.read.parquet(bPath.toString).drop("batch"))
+      else base
+    val firstSeen = union.groupBy(col("g"))
+      .agg(min(col("first_doc")).as("first_doc"))
+    noveltyScores(
+      shingleStage(Tables.parallelized(
+        docs.select(col("doc_id"), col("text"))))
+        .select(col("doc_id"), explode(col("shh")).as("g")),
+      firstSeen)
+  }
+
+  /** Fold committed novelty append batches back into the base index —
+    * [[Similarity.promoteBatches]]' staged-publish pattern with the
+    * one twist this index needs: the merge MIN-FOLDS rows sharing a
+    * gram hash (base and batches can both know a gram) instead of
+    * concatenating. Crash-idempotent: the merged table lands in a
+    * side dir, a ready marker publishes it, the swap and batch-dir
+    * retirement follow; a re-run that sees the marker skips the merge,
+    * and a completed promotion re-runs as a no-op.
+    */
+  def promoteNoveltyBatches(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def path(p: String) = new Path(s"$indexDir/$p")
+    val fs =
+      new Path(indexDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val batches = path("firstseen_batches")
+    val ready = path("__promote_firstseen_ready")
+    val tmp = path("__promote_firstseen_tmp")
+    if (!fs.exists(batches) && !fs.exists(ready)) return
+    if (!fs.exists(ready)) {
+      s.read.parquet(path("firstseen").toString)
+        .unionByName(s.read.parquet(batches.toString).drop("batch"))
+        .groupBy(col("g")).agg(min(col("first_doc")).as("first_doc"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.create(ready, true).close()
+    }
+    if (fs.exists(tmp)) {
+      fs.delete(path("firstseen"), true)
+      fs.rename(tmp, path("firstseen"))
+    }
+    fs.delete(batches, true)
+    fs.delete(ready, false)
   }
 
   /** Duplicate clusters over the corpus: minhash near-dup pairs →

@@ -369,6 +369,12 @@ object TextQueries {
         s.read.parquet(s"${indexRoot(d)}/minhash_buckets"),
         incrSplitSide(s, d, newSide = false),
         incrSplitSide(s, d, newSide = true))),
+    // novelty served from the GROWN first-seen index (80% built + 20%
+    // appended): the min-fold over base ∪ batches is the global min,
+    // so the serve answers the inline q_novelty oracle row-for-row
+    "q_novelty_served" -> ((s: SparkSession, d: String) =>
+      Dedup.noveltyFromIndex(s, s"${indexRoot(d)}/novelty",
+        graft.Tables.documents(s, d))),
     // the int8 scalar-quantized WARM tier: closed-form quantizer, so
     // (unlike the PQ goldens) BOTH the stored codes and the served
     // ranking carry full cross-engine oracles — the codes audit pins
@@ -522,6 +528,18 @@ object TextQueries {
       partitionCol = "cell")
     Dedup.minhashBuckets(incrSplitSide(s, d, newSide = false))
       .write.mode("overwrite").parquet(s"$root/minhash_buckets")
+    // novelty first-seen index, the standard 80/20 grow-in-place
+    // fixture: min-per-gram is mergeable (no frozen model), so the
+    // grown index serves the inline answer exactly and
+    // q_novelty_served shares q_novelty's full-recompute oracle
+    val novIdx = s"$root/novelty"
+    Dedup.noveltyWriteIndex(s, d, novIdx,
+      buildOnly = Some(org.apache.spark.sql.functions
+        .col("doc_id") % 5 =!= 4))
+    Dedup.noveltyAppendBatch(s, novIdx,
+      graft.Tables.documents(s, d)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 4),
+      batchId = 1L)
     Search.buildIndex(s, d, s"$root/bm25")
     val bm25App = s"$root/bm25_appended"
     Search.buildIndex(s, d, bm25App,
@@ -634,6 +652,9 @@ object TextQueries {
       ("q_ann_ivf_refit_served" -> baseOracle("q_ann_ivf")) +
       ("q_ann_ivf_sharded_served" -> baseOracle("q_ann_ivf_sharded")) +
       ("q_incremental_dedup_served" -> baseOracle("q_incremental_dedup")) +
+      // the grown first-seen index min-folds to the global min, so the
+      // served novelty answers the inline full-recompute oracle
+      ("q_novelty_served" -> baseOracle("q_novelty")) +
       ("q_ann_ivfpq_served" -> baseOracle("q_ann_ivfpq")) +
       // compressed append-parity: frozen centroids+codebooks ⇒ the
       // grown codes table is row-identical to the one-shot encode

@@ -252,6 +252,46 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(dups === Set((0L, 1L)))
   }
 
+  test("novelty index lifecycle: grown serve == inline, promote folds " +
+      "min-per-gram and re-runs as a no-op") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s"),
+      (4L, "a b c d x y z"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = tmpDir("novelty_idx")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val inline = Dedup.novelty(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val idx = s"$dir/novelty"
+    // 80/20-style split: docs 1,2 indexed at build, 3,4 arrive as a
+    // batch — doc 4 shares grams with doc 1, so the min-fold across
+    // base and batch is exercised, not just disjoint concat
+    Dedup.noveltyWriteIndex(spark, dir, idx,
+      buildOnly = Some(col("doc_id") <= 2))
+    Dedup.noveltyAppendBatch(spark, idx,
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") > 2), batchId = 1L)
+    def served() = Dedup.noveltyFromIndex(spark, idx,
+      spark.read.parquet(s"$dir/documents.parquet")).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(served() === inline) // grown index == one-shot recompute
+    // retry idempotency: re-landing the same batch changes nothing
+    Dedup.noveltyAppendBatch(spark, idx,
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") > 2), batchId = 1L)
+    assert(served() === inline)
+    Dedup.promoteNoveltyBatches(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$idx/firstseen_batches")))
+    assert(served() === inline) // promoted: one-scan plan, same rows
+    Dedup.promoteNoveltyBatches(spark, idx) // completed: no-op
+    assert(served() === inline)
+  }
+
   test("farthest-point coreset replays the hand-computed greedy " +
       "trajectory: orthogonal picks first, tie by vec_id, dup-direction " +
       "vector last with distance 0") {
