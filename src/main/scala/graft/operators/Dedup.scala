@@ -722,31 +722,55 @@ object Dedup {
     * STRINGS, so a collision surfaces as a driver-gate mismatch
     * instead of hiding.
     */
-  def novelty(s: SparkSession, d: String): DataFrame = {
+  def novelty(s: SparkSession, d: String,
+      hotDocs: Int = 1024): DataFrame = {
     val grams = shingled(s, d)
       .select(col("doc_id"), explode(col("shh")).as("g"))
     noveltyScores(grams,
-      grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc")))
+      grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"),
+        count(lit(1)).as("df")), hotDocs)
   }
 
   /** The per-doc novelty reduce over a (doc_id, g) gram frame and a
-    * (g, first_doc) first-seen frame — shared by the inline corpus
-    * pass and the persisted-index serve path.
+    * (g, first_doc, df) first-seen frame — shared by the inline
+    * corpus pass and the persisted-index serve path.
+    *
+    * Skew guard ([[TextOps.boilerplate]]'s hot/cold split): a gram
+    * shared by a million documents is ONE join key with a million
+    * occurrence rows, so the occurrence↔first-seen join splits on
+    * `hotDocs` — grams in ≥ `hotDocs` docs are few (at most
+    * total-occurrences/hotDocs) and ride a BROADCAST probe, their
+    * occurrences never shuffling; the cold remainder keeps the
+    * shuffle join with per-key width bounded by `hotDocs`. The split
+    * is disjoint, so the union equals the unsplit join exactly
+    * (spec-pinned on a planted hot-gram corpus).
     */
-  private def noveltyScores(grams: DataFrame,
-      firstSeen: DataFrame): DataFrame =
-    grams.join(firstSeen, Seq("g"))
+  private def noveltyScores(grams: DataFrame, firstSeen: DataFrame,
+      hotDocs: Int): DataFrame = {
+    val cold = firstSeen.filter(col("df") < hotDocs)
+      .select(col("g"), col("first_doc"))
+    val hot = firstSeen.filter(col("df") >= hotDocs)
+      .select(col("g"), col("first_doc"))
+    grams.join(cold, Seq("g"))
+      .unionByName(grams.join(broadcast(hot), Seq("g")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         round(col("n_novel").cast("double") / col("n_shingles"), 4)
           .as("novelty_frac"))
+  }
 
+  /** (g, first_doc, df) over a (doc_id, text) frame. BOTH stats are
+    * mergeable across disjoint doc batches — first_doc by min, df by
+    * SUM (shingles are per-doc distinct, so df is a doc count) — which
+    * is what keeps the persisted index's grow/promote path exact.
+    */
   private def gramFirstSeen(docs: DataFrame): DataFrame =
     shingleStage(docs)
       .select(col("doc_id"), explode(col("shh")).as("g"))
-      .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"),
+        count(lit(1)).as("df"))
 
   /** Persist the novelty first-seen index: one (g, first_doc) row per
     * distinct shingle hash — the state [[novelty]] derives per run,
@@ -756,7 +780,8 @@ object Dedup {
     * grown index serves the one-shot full-corpus answer EXACTLY.
     * `buildOnly` restricts which docs are indexed (the fixture's 80/20
     * rule); shingle text never leaves the executors — the index stores
-    * 16-byte (hash, id) rows.
+    * (hash, first_doc, df) rows, df summing across batches so the
+    * serve path's hot/cold skew split works from the index alone.
     */
   def noveltyWriteIndex(s: SparkSession, d: String, indexDir: String,
       buildOnly: Option[Column] = None): Unit = {
@@ -789,7 +814,7 @@ object Dedup {
     * Only the probing docs re-shingle; the corpus never does.
     */
   def noveltyFromIndex(s: SparkSession, indexDir: String,
-      docs: DataFrame): DataFrame = {
+      docs: DataFrame, hotDocs: Int = 1024): DataFrame = {
     import org.apache.hadoop.fs.Path
     val base = s.read.parquet(s"$indexDir/firstseen")
     val bPath = new Path(s"$indexDir/firstseen_batches")
@@ -800,12 +825,13 @@ object Dedup {
           s.read.parquet(bPath.toString).drop("batch"))
       else base
     val firstSeen = union.groupBy(col("g"))
-      .agg(min(col("first_doc")).as("first_doc"))
+      .agg(min(col("first_doc")).as("first_doc"),
+        sum(col("df")).as("df"))
     noveltyScores(
       shingleStage(Tables.parallelized(
         docs.select(col("doc_id"), col("text"))))
         .select(col("doc_id"), explode(col("shh")).as("g")),
-      firstSeen)
+      firstSeen, hotDocs)
   }
 
   /** Fold committed novelty append batches back into the base index —
@@ -829,7 +855,8 @@ object Dedup {
     if (!fs.exists(ready)) {
       s.read.parquet(path("firstseen").toString)
         .unionByName(s.read.parquet(batches.toString).drop("batch"))
-        .groupBy(col("g")).agg(min(col("first_doc")).as("first_doc"))
+        .groupBy(col("g")).agg(min(col("first_doc")).as("first_doc"),
+          sum(col("df")).as("df"))
         .write.mode("overwrite").parquet(tmp.toString)
       fs.create(ready, true).close()
     }

@@ -67,6 +67,12 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got(2L) === ((3L, 0L, 0.0)))
     assert(got(3L) === ((2L, 2L, 1.0)))
     assert(got(4L) === ((5L, 3L, 0.6)))
+    // skew guard: hotDocs = 2 pushes the shared grams (abc, bcd — in
+    // 3 docs each) onto the broadcast leg; the split must be invisible
+    val split = Dedup.novelty(spark, dir, hotDocs = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(split === got)
   }
 
   test("incremental minhash: finds new-vs-index and new-vs-new pairs, " +
