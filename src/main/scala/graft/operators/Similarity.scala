@@ -305,6 +305,45 @@ object Similarity {
       .filter(col("margin") > minMargin)
   }
 
+  /** Binary nDCG@k per query: how close `approx`'s ranking sits to
+    * the `truth` membership set. Gain 1 for every approx row whose
+    * (query_id, vec_id) appears anywhere in truth, discounted by
+    * log2(rank+1); normalized by the ideal DCG of k straight hits and
+    * rounded to 6 dp (membership is an exact id join and the IDCG
+    * constant is injected identically into the SQL oracle, so the
+    * metric is engine-exact). `approx` needs (query_id, vec_id, rk);
+    * `truth` needs (query_id, vec_id).
+    */
+  def ndcgAt(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val idcg = idcgAt(k)
+    approx.select(col("query_id"), col("vec_id"), col("rk"))
+      .join(truth.select(col("query_id"), col("vec_id"),
+        lit(true).as("hit")), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        round(sum(when(col("hit"),
+          lit(1.0) / log2(col("rk") + lit(1)))
+          .otherwise(lit(0.0))) / idcg, 6).as("ndcg"))
+  }
+
+  /** Ideal DCG of `k` straight hits — the normalizer, shared verbatim
+    * with the SQL oracle so both engines divide by the same double. */
+  def idcgAt(k: Int): Double =
+    (1 to k).map(p => 1.0 / (math.log(p + 1.0) / math.log(2.0))).sum
+
+  /** Retrieval-quality evaluation as a first-class driver row: the IVF
+    * tier's served ranking scored against the exhaustive brute-force
+    * ground truth. The accuracy ledger ratchets recall offline; this
+    * puts rank-aware quality (position-discounted, not just set
+    * overlap) under the driver gate, where an IVF geometry or probe
+    * regression shows up as a metric drop instead of hiding in a
+    * golden mismatch two rows away. Cost: the two rankings the suite
+    * already computes plus a k·nQueries-row join — corpus work is
+    * whatever the tiers themselves cost.
+    */
+  def retrievalNdcg(s: SparkSession, d: String, k: Int = 10): DataFrame =
+    ndcgAt(ivfTopK(s, d), bruteForceTopK(s, d), k)
+
   /** Brute-force top-k via the bounded TopK aggregator instead of a
     * ranking window: the window form shuffles and sorts every
     * (query, candidate) pair; this form partial-aggregates per

@@ -181,6 +181,11 @@ object TextQueries {
       Similarity.annTopK(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopK(s, d)),
+    // retrieval EVAL under the gate: binary nDCG@10 of the IVF tier
+    // against the exhaustive brute ground truth — rank-aware quality,
+    // not just set recall (which the accuracy ledger ratchets offline)
+    "q_retrieval_ndcg" -> ((s: SparkSession, d: String) =>
+      Similarity.retrievalNdcg(s, d)),
     // nShards forced to 2 so the sharded machinery (stratified sample,
     // per-shard fit, dispatch, cross-shard merge) runs at driver scale
     // — shardsFor would pick 1 below 65k vectors
@@ -667,6 +672,23 @@ object TextQueries {
       // golden (closes the promote leg for the last ANN family)
       ("q_ann_ivfpq_promoted_served" -> baseOracle("q_ann_ivfpq")) +
       ("q_ann_ivfpq_sharded_served" -> baseOracle("q_ann_ivfpq_sharded")) +
+      // nDCG@10 of the IVF ranking (the pinned annIvfGolden — re-pins
+      // automatically with q_ann_ivf's) against the FULL brute-force
+      // recompute; the IDCG normalizer is the same Scala double
+      // injected verbatim, so the 6-dp metric is engine-exact
+      ("q_retrieval_ndcg" ->
+        s"""WITH brute AS (${baseOracle("q_ann_brute")}),
+           |ivf AS (SELECT CAST(q AS BIGINT) AS query_id,
+           |  CAST(v AS BIGINT) AS vec_id, CAST(r AS INT) AS rk
+           |  FROM (VALUES
+           |${annIvfGolden}) AS t(q, v, s, r))
+           |SELECT i.query_id, count(b.vec_id) AS n_hits,
+           |  round(sum(CASE WHEN b.vec_id IS NOT NULL
+           |      THEN 1.0 / log2(i.rk + 1) ELSE 0 END)
+           |    / ${Similarity.idcgAt(10)}, 6) AS ndcg
+           |FROM ivf i LEFT JOIN brute b
+           |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+           |GROUP BY i.query_id""".stripMargin) +
       // the BM25 serve path reads back exactly the frames the inline
       // twin computes (one shared scorer), so one oracle covers both;
       // the grown index is an exact sum-fold of disjoint-doc partials,

@@ -258,6 +258,23 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(dups === Set((0L, 1L)))
   }
 
+  test("ndcg@k: perfect ranking scores 1.0; a miss at rank 2 " +
+      "hand-computes to 0.613147") {
+    val truth = Seq((0L, 10L), (0L, 11L)).toDF("query_id", "vec_id")
+    val perfect = Seq((0L, 10L, 1), (0L, 11L, 2))
+      .toDF("query_id", "vec_id", "rk")
+    val got1 = Similarity.ndcgAt(perfect, truth, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got1 === Seq((0L, 2L, 1.0)))
+    // hit at rank 1, miss at rank 2: dcg = 1/log2(2) = 1,
+    // idcg = 1 + 1/log2(3) = 1.6309297536 → ndcg 0.613147
+    val part = Seq((0L, 10L, 1), (0L, 99L, 2))
+      .toDF("query_id", "vec_id", "rk")
+    val got2 = Similarity.ndcgAt(part, truth, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got2 === Seq((0L, 1L, 0.613147)))
+  }
+
   test("novelty index lifecycle: grown serve == inline, promote folds " +
       "min-per-gram and re-runs as a no-op") {
     val docs = Seq(

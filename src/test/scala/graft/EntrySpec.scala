@@ -68,6 +68,9 @@ class EntrySpec extends SparkSuite {
     // q_ann_brute class (the filtered twins hash-join instead — their
     // label predicate gives Catalyst an equi key)
     "q_maxsim",
+    // composes the brute ground-truth leg, inheriting its documented
+    // broadcast-probe cross
+    "q_retrieval_ndcg",
     // same one-row-broadcast shapes, surfacing at sf0.001 sizes
     "q_heavy_hitters_grouped", "q_bm25_phrase", "q_bm25_phrase_served",
     "q_cms", "q_contamination", "q_winsorize", "q_skew_profile",
