@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Fns.r4
+import graft.functions.FusedCosineSimilarity.fusedCosine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,12 +10,14 @@ import org.apache.spark.sql.functions._
   * redaction and benchmark-contamination scanning — the safety passes a
   * pipeline runs between dedup and training.
   *
-  * Scale discipline: both operators are pure column expressions over
-  * one corpus pass. PII scanning never leaves the scan (regexp
-  * predicates fold into the per-source aggregate); contamination
-  * broadcasts the bounded probe n-gram set, so the corpus is never
-  * shuffled — the only exchange carries (doc_id, gram) rows for
-  * MATCHED grams, a contamination-rate-bounded set, not the corpus.
+  * Scale discipline: every operator here is one corpus pass. PII
+  * scanning never leaves the scan (regexp predicates fold into the
+  * per-source aggregate); contamination broadcasts the bounded probe
+  * n-gram set, so the corpus is never shuffled — the only exchange
+  * carries (doc_id, gram) rows for MATCHED grams, a
+  * contamination-rate-bounded set, not the corpus; semantic
+  * decontamination broadcasts the bounded eval vectors and shuffles
+  * only per-partition partial-max rows.
   *
   * Reference scope note: the reference pipeline (weather ETL) has no
   * scrubbing tier; these belong to the LLM-data extension mandated by
@@ -121,5 +125,59 @@ object Scrub {
       .join(broadcast(probeGrams), Seq("g"))
       .groupBy(col("doc_id"), col("source"))
       .agg(countDistinct(col("g")).as("n_matched"))
+  }
+
+  /** Semantic (embedding-space) benchmark decontamination — the
+    * near-dup counterpart of [[contamination]]'s exact n-gram scan:
+    * paraphrased or lightly-edited eval leakage that shares no 13-gram
+    * still lands next to its source in embedding space, so each eval
+    * probe is scored against its EXACT nearest train vector (max
+    * cosine) and flagged when that clears `tau`. Exact by construction
+    * — every train vector is scored, no index-recall caveat — which is
+    * what a decontamination audit needs: a probe this scan misses
+    * silently poisons an eval number.
+    *
+    * Scale shape is [[contamination]]'s, transposed to vectors: the
+    * eval side is small (benchmark suites are MBs) and BROADCASTS; the
+    * 100 TB train corpus streams through ONCE with a per-partition
+    * partial max per probe (aggregate state = one (sim, id) struct per
+    * eval row), so train embeddings never enter an exchange — the only
+    * shuffle carries nProbes × nPartitions partial-max rows. The
+    * argmax is deterministic cross-engine: sims compare after the
+    * suite-wide 4-dp round (the unrounded doubles are already
+    * bit-identical — sequential accumulation, Similarity's contract)
+    * and ties break on the SMALLEST train id via max(struct(sim, -id)).
+    *
+    * `evalProbes` needs (eval_id, q); `train` needs (vec_id, embedding).
+    */
+  def semanticContamination(evalProbes: DataFrame, train: DataFrame,
+      tau: Double): DataFrame =
+    train.join(broadcast(evalProbes))
+      .select(col("eval_id"), col("vec_id"),
+        r4(fusedCosine(col("q"), col("embedding"))).as("sim_r"))
+      .groupBy(col("eval_id"))
+      .agg(max(struct(col("sim_r").as("s"), (-col("vec_id")).as("nid")))
+        .as("b"))
+      .select(col("eval_id"), (-col("b.nid")).as("train_id"),
+        col("b.s").as("max_sim"),
+        (col("b.s") >= lit(tau)).as("contaminated"))
+
+  /** Driver registry form over `embeddings`: the held-out slice
+    * (vec_id ≡ 7 mod 10) stands in for the benchmark and exercises the
+    * near-miss (FALSE) band, and every train vector with vec_id ≡ 3
+    * mod 100 is ALSO planted as an eval probe under an offset id — the
+    * canonical verbatim-leak case, guaranteeing deterministic
+    * max_sim = 1.0 TRUE flags at every scale and testdata regen.
+    */
+  def semanticContaminationQuery(s: SparkSession, d: String,
+      tau: Double = 0.8): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val held = e.filter(pmod(col("vec_id"), lit(10)) === 7)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("q"))
+    val planted = e.filter(pmod(col("vec_id"), lit(100)) === 3)
+      .select((col("vec_id") + lit(1000000L)).as("eval_id"),
+        col("embedding").as("q"))
+    val train = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    semanticContamination(held.union(planted), train, tau)
   }
 }

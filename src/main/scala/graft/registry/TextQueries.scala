@@ -251,6 +251,11 @@ object TextQueries {
     // operator default stays at the published-practice 13
     "q_contamination" -> ((s: SparkSession, d: String) =>
       Scrub.contamination(s, d, nProbes = 3, ngramSize = 4)),
+    // embedding-space decontamination: exact nearest-train cosine per
+    // eval probe (held-out slice = near-miss FALSE band; planted
+    // verbatim leaks = deterministic 1.0 TRUE flags at any sf)
+    "q_semantic_decontam" -> ((s: SparkSession, d: String) =>
+      Scrub.semanticContaminationQuery(s, d)),
     // SemDeDup-style cluster-then-prune semantic dedup over the
     // deterministic perturbed view (corpus + exact-float32 scaled and
     // negated siblings): prunes nonzero ids at verify scale and the
@@ -2069,6 +2074,31 @@ object TextQueries {
         |FROM g c JOIN probe p ON c.g = p.g
         |WHERE c.doc_id >= 3
         |GROUP BY 1, 2""".stripMargin,
+    // semantic decontamination: full cross-engine recompute — every
+    // probe×train cosine re-derived in SQL (sequential double sums,
+    // bit-identical to the fused expression), argmax re-ranked on the
+    // same 4-dp round and min-train-id tie; the planted mod-100 leaks
+    // pin the TRUE band, the held-out slice the near-miss FALSE band
+    "q_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |probes AS (
+         |  SELECT vec_id AS eval_id, embedding AS q FROM e
+         |  WHERE vec_id % 10 = 7
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS eval_id, embedding AS q FROM e
+         |  WHERE vec_id % 100 = 3),
+         |train AS (
+         |  SELECT vec_id, embedding FROM e WHERE vec_id % 10 <> 7),
+         |scored AS (
+         |  SELECT p.eval_id, t.vec_id,
+         |    round(${cosineSql("p.q", "t.embedding")} + 1e-9, 4) AS sim_r
+         |  FROM probes p CROSS JOIN train t),
+         |best AS (SELECT eval_id, vec_id, sim_r, row_number() OVER (
+         |    PARTITION BY eval_id ORDER BY sim_r DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT eval_id, vec_id AS train_id, sim_r AS max_sim,
+         |  sim_r >= 0.8 AS contaminated
+         |FROM best WHERE rn = 1""".stripMargin,
     // recomputes, from the synthesis parameters, the header fields a
     // correct WAV decode must recover (Multimodal.wavDecodeStats docs)
     "q_wav_decode" ->

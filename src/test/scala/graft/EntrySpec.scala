@@ -71,6 +71,10 @@ class EntrySpec extends SparkSuite {
     // composes the brute ground-truth leg, inheriting its documented
     // broadcast-probe cross
     "q_retrieval_ndcg",
+    // decontamination broadcast-probe sweep: eval vectors cross the
+    // train corpus by design (the q_ann_brute scale shape — bounded
+    // probe side broadcasts, corpus streams through once)
+    "q_semantic_decontam",
     // same one-row-broadcast shapes, surfacing at sf0.001 sizes
     "q_heavy_hitters_grouped", "q_bm25_phrase", "q_bm25_phrase_served",
     "q_cms", "q_contamination", "q_winsorize", "q_skew_profile",

@@ -195,4 +195,51 @@ class ScrubSpec extends SparkSuite {
     assert(rows.nonEmpty) // 4-gram overlap exists at sf0.01 by measurement
     assert(rows.forall(_.getLong(2) >= 1))
   }
+
+  test("semanticContamination: verbatim leak flags at 1.0, boundary " +
+      "cosine flags at tau, far probe stays clean, ties pick min id") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f, 0f))) // exact dup of 1 — the tie case
+      .toDF("vec_id", "embedding")
+    val probes = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),    // verbatim leak
+      (101L, Array(0.8f, 0.6f, 0f, 0f)), // cos vs t1 exactly 0.8 = tau
+      (102L, Array(0f, 0f, 1f, 0f)))    // orthogonal to everything
+      .toDF("eval_id", "q")
+    val got = Scrub.semanticContamination(probes, train, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      // 1.0 tie between train 1 and 3 — smallest id wins
+      (100L, 1L, 1.0, true),
+      // >= is inclusive: exactly tau flags
+      (101L, 1L, 0.8, true),
+      // max cosine 0.0 — tie across all three, min id reported
+      (102L, 1L, 0.0, false)))
+  }
+
+  test("q_semantic_decontam registry form: planted mod-100 leaks flag " +
+      "at max_sim 1.0, held-out slice present and below threshold") {
+    val rows = SparkEntry.queries("q_semantic_decontam")(
+        spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    val planted = rows.filter(_._1 >= 1000000L)
+    assert(planted.nonEmpty)
+    // every planted probe IS a train vector: nearest = itself at 1.0
+    planted.foreach { case (evalId, trainId, sim, flag) =>
+      assert(trainId === evalId - 1000000L)
+      assert(sim === 1.0)
+      assert(flag)
+    }
+    val held = rows.filter(_._1 < 1000000L)
+    assert(held.nonEmpty)
+    assert(held.forall(r => r._1 % 10 == 7))
+    // measured property of the synthetic corpus: no held-out probe has
+    // a near-dup in train (max pairwise cosine ≈ 0.5) — the FALSE band
+    assert(held.forall(!_._4))
+  }
 }
