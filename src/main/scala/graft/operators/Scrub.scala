@@ -180,4 +180,50 @@ object Scrub {
     val train = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
     semanticContamination(held.union(planted), train, tau)
   }
+
+  /** Per-document transpose of [[semanticContamination]] — the GATE
+    * form a curation pipeline runs at ingest: flags every corpus doc
+    * whose embedding sits within `tau` of ANY eval probe. The probe
+    * set collapses to ONE collected row (benchmark suites are
+    * MB-scale) and broadcasts, so the gate is a pure narrow
+    * projection over the corpus — `array_max` over the fused cosines,
+    * no aggregate, ZERO shuffle, stream-safe under any output mode
+    * (the [[graft.streaming.Streams.scrubbedDocuments]] contract).
+    * The max applies BEFORE the 4-dp round: the unrounded doubles are
+    * engine-identical (sequential accumulation, Similarity's
+    * contract), so the rounded max is too. `docs` keeps its columns
+    * and gains (max_eval_sim, semantic_hit); an empty probe set
+    * passes everything (max_eval_sim = −1).
+    *
+    * `evalProbes` needs (q); `docs` needs (embedding) at minimum.
+    */
+  def semanticGate(docs: DataFrame, evalProbes: DataFrame,
+      tau: Double): DataFrame =
+    docs.crossJoin(broadcast(
+        evalProbes.agg(collect_list(col("q")).as("eval_qs"))))
+      .withColumn("max_eval_sim",
+        r4(coalesce(
+          array_max(transform(col("eval_qs"),
+            q => fusedCosine(q, col("embedding")))),
+          lit(-1.0))))
+      .withColumn("semantic_hit", col("max_eval_sim") >= lit(tau))
+      .drop("eval_qs")
+
+  /** Driver registry form: [[semanticContaminationQuery]]'s probe
+    * views, transposed — one row per TRAIN vector with its max probe
+    * cosine. The planted mod-100 leak probes ARE train vectors, so on
+    * a corpus with no organic near-dups exactly those flag TRUE
+    * (self-cosine 1.0) at every scale and testdata regen.
+    */
+  def semanticGateQuery(s: SparkSession, d: String,
+      tau: Double = 0.8): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val held = e.filter(pmod(col("vec_id"), lit(10)) === 7)
+      .select(col("embedding").as("q"))
+    val planted = e.filter(pmod(col("vec_id"), lit(100)) === 3)
+      .select(col("embedding").as("q"))
+    val train = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    semanticGate(train, held.union(planted), tau)
+      .select(col("vec_id"), col("max_eval_sim"), col("semantic_hit"))
+  }
 }

@@ -60,9 +60,13 @@ object FuseCosineRule extends Rule[LogicalPlan] {
   private object ComposedCosine {
     def unapply(e: Expression): Option[(Expression, Expression)] =
       e match {
+        // Divide's third member is a NumericEvalContext (its evalMode
+        // holds the ANSI/TRY/LEGACY tag) — comparing the CONTEXT to an
+        // EvalMode value would be always-true, silently fusing ANSI
+        // divides and swallowing their divide-by-zero errors as nulls
         case Divide(dot,
-            Multiply(SqrtOfSelfDot(n1), SqrtOfSelfDot(n2), _), evalMode)
-            if evalMode != EvalMode.ANSI =>
+            Multiply(SqrtOfSelfDot(n1), SqrtOfSelfDot(n2), _), ctx)
+            if ctx.evalMode != EvalMode.ANSI =>
           matchDot(dot).collect {
             case (a, b)
                 if (a.semanticEquals(n1) && b.semanticEquals(n2)) ||

@@ -256,6 +256,10 @@ object TextQueries {
     // verbatim leaks = deterministic 1.0 TRUE flags at any sf)
     "q_semantic_decontam" -> ((s: SparkSession, d: String) =>
       Scrub.semanticContaminationQuery(s, d)),
+    // the per-doc transpose — the ingest GATE form: zero-shuffle
+    // narrow projection, probes collapse to one broadcast row
+    "q_semantic_gate" -> ((s: SparkSession, d: String) =>
+      Scrub.semanticGateQuery(s, d)),
     // SemDeDup-style cluster-then-prune semantic dedup over the
     // deterministic perturbed view (corpus + exact-float32 scaled and
     // negated siblings): prunes nonzero ids at verify scale and the
@@ -2099,6 +2103,25 @@ object TextQueries {
          |SELECT eval_id, vec_id AS train_id, sim_r AS max_sim,
          |  sim_r >= 0.8 AS contaminated
          |FROM best WHERE rn = 1""".stripMargin,
+    // the gate transpose: per-TRAIN-vector max probe cosine — max
+    // over the bit-identical unrounded doubles, THEN the shared 4-dp
+    // round, matching semanticGate's r4(array_max(...)) order
+    "q_semantic_gate" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |probes AS (
+         |  SELECT embedding AS q FROM e WHERE vec_id % 10 = 7
+         |  UNION ALL
+         |  SELECT embedding FROM e WHERE vec_id % 100 = 3),
+         |train AS (
+         |  SELECT vec_id, embedding FROM e WHERE vec_id % 10 <> 7),
+         |scored AS (
+         |  SELECT t.vec_id,
+         |    round(max(${cosineSql("p.q", "t.embedding")}) + 1e-9, 4)
+         |      AS max_eval_sim
+         |  FROM train t CROSS JOIN probes p GROUP BY t.vec_id)
+         |SELECT vec_id, max_eval_sim,
+         |  max_eval_sim >= 0.8 AS semantic_hit
+         |FROM scored""".stripMargin,
     // recomputes, from the synthesis parameters, the header fields a
     // correct WAV decode must recover (Multimodal.wavDecodeStats docs)
     "q_wav_decode" ->

@@ -286,7 +286,11 @@ object Streams {
     *
     *  1. the scrub gate ([[scrubbedDocuments]]): PII redacted
     *     in-place; contaminated docs are QUARANTINED to
-    *     `lakeDir/quarantine/batch=<id>` (auditable, never indexed);
+    *     `lakeDir/quarantine/batch=<id>` (auditable, never indexed) —
+    *     and when `semanticProbes` is set, the embedding-space gate
+    *     ([[graft.operators.Scrub.semanticGate]], a zero-shuffle
+    *     narrow projection) quarantines PARAPHRASE leakage the n-gram
+    *     probe set cannot see, under the same batch discipline;
     *  2. the near-dup lake (pairs/documents/buckets, the
     *     [[nearDupMaintainer]] body);
     *  3. the ANN index (frozen-geometry
@@ -312,22 +316,36 @@ object Streams {
       checkpoint: String, threshold: Double = 0.7,
       trigger: Trigger = Trigger.AvailableNow(),
       int8IndexDir: Option[String] = None,
-      pplModelDir: Option[String] = None): StreamingQuery =
+      pplModelDir: Option[String] = None,
+      semanticProbes: Option[DataFrame] = None,
+      semanticTau: Double = 0.8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val scrubbed = scrubbedDocuments(batch, probeGrams).persist()
+          // the semantic gate first (it reads the raw embedding and is
+          // a pure projection); its flags ride along through the text
+          // scrub so one persist covers both gates
+          val gated = semanticProbes match {
+            case Some(p) =>
+              graft.operators.Scrub.semanticGate(batch, p, semanticTau)
+            case None => batch
+              .withColumn("max_eval_sim", lit(-1.0))
+              .withColumn("semantic_hit", lit(false))
+          }
+          val scrubbed = scrubbedDocuments(gated, probeGrams).persist()
+          val rejected = col("contaminated") || col("semantic_hit")
           try {
-            scrubbed.filter(col("contaminated"))
+            scrubbed.filter(rejected)
               .select(col("doc_id"), col("text"), col("clean_text"),
-                col("pii_found"))
+                col("pii_found"), col("contaminated"),
+                col("semantic_hit"), col("max_eval_sim"))
               .write.mode("overwrite")
               .parquet(s"$lakeDir/quarantine/batch=$batchId")
             // admitted docs: redacted text, original embedding
-            val admitted = scrubbed.filter(!col("contaminated"))
+            val admitted = scrubbed.filter(!rejected)
               .select(col("doc_id"), col("clean_text").as("text"),
                 col("embedding"))
               .persist()

@@ -31,6 +31,18 @@ class PlansLayoutSpec extends SparkSuite {
         (Similarity.dot(col("embedding"), col("embedding")) / 2).as("x"))
       assert(!notCosine.queryExecution.optimizedPlan.toString
         .contains("fused_cosine"))
+      // an ANSI divide (plain `/` under Spark 4's default mode) keeps
+      // its divide-by-zero ERROR semantics — the fused kernel returns
+      // null there, so fusing it would swallow errors. Guards the
+      // NumericEvalContext.evalMode check: comparing the context
+      // itself to an EvalMode was always-true and fused this shape.
+      val ansiComposed = emb.select(
+        (Similarity.dot(col("embedding"), col("embedding")) /
+          (Similarity.norm(col("embedding")) *
+            Similarity.norm(col("embedding")))).as("c"))
+      assert(!ansiComposed.queryExecution.optimizedPlan.toString
+        .contains("fused_cosine"),
+        "ANSI divide must not be rewritten to the null-returning kernel")
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == FuseCosineRule)

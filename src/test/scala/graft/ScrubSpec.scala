@@ -221,6 +221,42 @@ class ScrubSpec extends SparkSuite {
       (102L, 1L, 0.0, false)))
   }
 
+  test("semanticGate: transpose flags the leaked train doc, passes the " +
+      "far doc, and an empty probe set passes everything") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.8f, 0.6f, 0f, 0f)), // cos vs probe exactly 0.8
+      (3L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val probes = Seq(Tuple1(Array(1f, 0f, 0f, 0f))).toDF("q")
+    val got = Scrub.semanticGate(docs, probes, tau = 0.8)
+      .select(col("vec_id"), col("max_eval_sim"), col("semantic_hit"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, 1.0, true), (2L, 0.8, true),
+      (3L, 0.0, false)))
+    // empty probe set: the gate is open — max_eval_sim sentinels at -1
+    val empty = probes.filter(lit(false))
+    val open = Scrub.semanticGate(docs, empty, tau = 0.8)
+      .select(col("vec_id"), col("max_eval_sim"), col("semantic_hit"))
+      .collect().map(r => (r.getDouble(1), r.getBoolean(2)))
+    assert(open.forall(_ === ((-1.0, false))))
+  }
+
+  test("q_semantic_gate registry form: exactly the planted mod-100 " +
+      "train vectors flag TRUE on the organic corpus") {
+    val rows = SparkEntry.queries("q_semantic_gate")(
+        spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 % 10 != 7)) // train side only
+    val hits = rows.filter(_._3).map(_._1).toSet
+    assert(hits === rows.map(_._1).filter(_ % 100 == 3).toSet)
+    // the planted leaks hit on their own probe at self-cosine 1.0
+    assert(rows.filter(_._3).forall(_._2 === 1.0))
+  }
+
   test("q_semantic_decontam registry form: planted mod-100 leaks flag " +
       "at max_sim 1.0, held-out slice present and below threshold") {
     val rows = SparkEntry.queries("q_semantic_decontam")(

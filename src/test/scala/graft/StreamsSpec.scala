@@ -261,6 +261,75 @@ class StreamsSpec extends SparkSuite {
     assert(servePpl(ppl) === servePpl(pplRef))
   }
 
+  test("curationMaintainer semantic leg: a paraphrase leak the n-gram " +
+    "probe cannot see is quarantined by embedding, exactly-once") {
+    import graft.operators.Similarity
+    val d = sf()
+    val lake = tmpDir("sem_lake")
+    val ann = tmpDir("sem_ann")
+    val bm25 = tmpDir("sem_bm25")
+    val stage = tmpDir("sem_stage")
+    val ckpt = tmpDir("sem_ckpt")
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val streamed = docs
+      .join(Tables.embeddings(spark, d)
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .filter(col("doc_id") % 5 === 4)
+    // the probe is doc 9's own embedding — its "paraphrase" in the
+    // leakage story; the n-gram grams list is a never-matching dummy,
+    // so ONLY the semantic gate can catch it
+    val probes = Tables.embeddings(spark, d)
+      .filter(col("vec_id") === 9).select(col("embedding").as("q"))
+    graft.operators.Search.buildIndex(spark, d, bm25,
+      docFilter = Some(col("doc_id") % 5 =!= 4))
+    Similarity.ivfWriteIndex(spark, d, ann,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
+    def stageBatch(name: String, part: org.apache.spark.sql.DataFrame):
+        Unit = {
+      val tmp = tmpDir(s"sem_stage_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    stageBatch("a", streamed.filter(col("doc_id") % 2 === 0))
+    stageBatch("b", streamed.filter(col("doc_id") % 2 =!= 0))
+    def stream() = spark.readStream.schema(streamed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = Streams.curationMaintainer(stream(), Seq("zzz never a gram"),
+      lake, ann, bm25, ckpt, semanticProbes = Some(probes))
+    q.awaitTermination(300000)
+    // quarantine holds exactly the semantic hit, attributed correctly
+    val quar = spark.read.parquet(s"$lake/quarantine")
+      .select(col("doc_id"), col("contaminated"), col("semantic_hit"),
+        col("max_eval_sim"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getBoolean(2), r.getDouble(3)))
+    assert(quar.toSeq === Seq((9L, false, true, 1.0)))
+    val streamedIds =
+      streamed.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(s"$lake/documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet ===
+      streamedIds - 9L)
+    // the ANN index grew WITHOUT the leak: serve parity with a
+    // one-shot assignment over everything-but-the-leak
+    val annRef = tmpDir("sem_ann_ref")
+    Similarity.ivfWriteIndex(spark, d, annRef,
+      assignOnly = Some(col("vec_id") =!= 9))
+    val queries = Tables.embeddings(spark, d).filter(col("vec_id") < 5)
+    def serveAnn(dir: String): Seq[String] =
+      Similarity.ivfTopKFromIndex(spark, dir, queries)
+        .collect().map(_.toString).sorted.toSeq
+    assert(serveAnn(ann) === serveAnn(annRef))
+    // restart with no new files: quarantine and lakes unchanged
+    val q2 = Streams.curationMaintainer(stream(), Seq("zzz never a gram"),
+      lake, ann, bm25, ckpt, semanticProbes = Some(probes))
+    q2.awaitTermination(300000)
+    assert(spark.read.parquet(s"$lake/quarantine").count() === 1L)
+    assert(serveAnn(ann) === serveAnn(annRef))
+  }
+
   test("streaming BM25 index maintainer: micro-batched document " +
     "arrivals grow the index to the one-shot build's exact ranking, " +
     "exactly-once across restarts") {
