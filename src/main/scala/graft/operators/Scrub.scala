@@ -187,7 +187,9 @@ object Scrub {
     * set collapses to ONE collected row (benchmark suites are
     * MB-scale) and broadcasts, so the gate is a pure narrow
     * projection over the corpus — `array_max` over the fused cosines,
-    * no aggregate, ZERO shuffle, stream-safe under any output mode
+    * no corpus aggregate; the only exchange collapses the probe set
+    * to its one broadcast row, so zero CORPUS rows ever shuffle.
+    * Stream-safe under any output mode
     * (the [[graft.streaming.Streams.scrubbedDocuments]] contract).
     * The max applies BEFORE the 4-dp round: the unrounded doubles are
     * engine-identical (sequential accumulation, Similarity's
