@@ -107,7 +107,13 @@ class DeterminismSpec extends SparkSuite {
     // replicate-then-group sliding windows: rounded avgs per window
     "q_sliding",
     // variant binary path: typed extraction + rounded group avgs
-    "q_variant")
+    "q_variant",
+    // decontamination wave: the per-probe argmax (max(struct) partial
+    // merges must settle the same (sim, id) under any layout), the
+    // gate's array_max projection (narrow, but the 4 dp contract is
+    // what the oracle hashes), and the nDCG metric (membership-join
+    // hit sums through the shared-IDCG division)
+    "q_semantic_decontam", "q_semantic_gate", "q_retrieval_ndcg")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
