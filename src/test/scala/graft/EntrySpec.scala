@@ -95,4 +95,36 @@ class EntrySpec extends SparkSuite {
     }
     assert(offenders.isEmpty, s"undocumented BNLJ in: $offenders")
   }
+
+  test("per-query shuffle counts match tools/plan_budget.json — " +
+      "exchange creep is a gated regression, not an audit footnote") {
+    SparkEntry.prepare(spark, sf())
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/plan_budget.json")), "UTF-8")
+    val budget = raw.split("\n").flatMap { line =>
+      val m = """\s*"([^"]+)":\s*(\d+),?\s*""".r
+      line match {
+        case m(k, v) => Some(k -> v.toInt)
+        case _ => None
+      }
+    }.toMap
+    val qNames = SparkEntry.queries.keySet
+    assert((qNames -- budget.keySet).isEmpty,
+      s"queries missing a pinned budget (regenerate: sbt 'runMain " +
+        s"graft.PlanBudget'): ${qNames -- budget.keySet}")
+    assert((budget.keySet -- qNames).isEmpty,
+      s"stale budget entries: ${budget.keySet -- qNames}")
+    // exact match both directions: a plan that gained an exchange is a
+    // regression; one that lost an exchange means the pinned audit (and
+    // SCALE.md's narrative) is stale — regenerate both, on purpose
+    val drift = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val got = graft.PlanAudit.shuffleCount(fn(spark, sf()))
+        if (got != budget(name)) Some(s"$name: ${budget(name)} -> $got")
+        else None
+    }
+    assert(drift.isEmpty,
+      s"shuffle-count drift vs tools/plan_budget.json (regenerate " +
+        s"via sbt 'runMain graft.PlanBudget' if intentional): $drift")
+  }
 }
