@@ -43,6 +43,48 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         r4(avg(norm(col("embedding")))).as("avg_norm"))
 
+  /** Embedding-space corpus hygiene: vectors whose L2 distance to the
+    * corpus centroid clears the interpolated `p` quantile — the cheap
+    * "corrupt or out-of-distribution embedding" scrub a vector lake
+    * runs before indexing (a zeroed, clipped, or wrong-scale vector
+    * lands in the far tail of the distance distribution, whatever its
+    * direction — which is why this complements, not duplicates, the
+    * cosine-based dedup/ANN family).
+    *
+    * Construction is JOB-FREE and the corpus never shuffles: the
+    * centroid is ONE 64-value rounded aggregate row broadcast back
+    * onto a narrow per-row distance pass (per-dim means round at 4 dp
+    * — the cross-engine contract for order-sensitive float avgs, the
+    * q_embedding_gram precedent), and the threshold is a second
+    * one-row broadcast: the exact interpolated percentile of the
+    * ROUNDED distances (swap `approx_percentile` at billion-row scale
+    * exactly as the q_percentiles twins document). The per-row
+    * distance folds left over dims — the same sequential-double order
+    * the SQL oracle replays, so given identical rounded means the
+    * distances are bit-identical before their own 4-dp round.
+    */
+  def embeddingOutliers(s: SparkSession, d: String, dim: Int = 64,
+      p: Double = 0.99): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val meanRow = emb.agg(
+      r4(avg(element_at(col("embedding"), 1).cast("double"))).as("m0"),
+      (1 until dim).map(j =>
+        r4(avg(element_at(col("embedding"), j + 1).cast("double")))
+          .as(s"m$j")): _*)
+    val dist = sqrt((0 until dim).map { j =>
+      val diff = element_at(col("embedding"), j + 1).cast("double") -
+        col(s"m$j")
+      diff * diff
+    }.reduce(_ + _))
+    val dists = emb.crossJoin(broadcast(meanRow))
+      .select(col("vec_id"), r4(dist).as("dist"))
+    val thrRow = dists.agg(r4(percentile(col("dist"), lit(p))).as("thr"))
+    dists.crossJoin(broadcast(thrRow))
+      .filter(col("dist") > col("thr"))
+      .select(col("vec_id"), col("dist"), col("thr"))
+  }
+
   /** Brute-force cosine top-k: the query set is small (it is broadcast);
     * the corpus streams through once, each task keeps its own top-k via
     * the ranking window after a broadcast nested-loop join. Exact

@@ -148,6 +148,10 @@ object TextQueries {
     "q_incremental_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalDedupQuery(s, d)),
     "q_embedding_stats" -> (Similarity.labelStats _),
+    // centroid-distance tail scrub: corrupt/out-of-distribution
+    // embedding detection — job-free, zero corpus shuffle
+    "q_embedding_outliers" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingOutliers(s, d)),
     // margin-based bitext mining: mutual top-1 cross-side neighbors
     // with a ratio margin — exhaustive driver form, fully oracled
     "q_bitext_mine" -> ((s: SparkSession, d: String) =>
@@ -976,6 +980,26 @@ object TextQueries {
         |  WHERE ii.i <= jj.j)
         |SELECT i, j, round(avg(xi * xj) - avg(xi) * avg(xj), 4) AS c
         |FROM pr GROUP BY i, j""".stripMargin,
+    // centroid-distance tail scrub: per-dim rounded means, the same
+    // left-fold distance sum, the interpolated p99 on the rounded
+    // distances, and the strict > cut — all re-derived in SQL
+    "q_embedding_outliers" ->
+      """WITH x AS (SELECT vec_id, embedding FROM embeddings),
+        |m AS (SELECT j, round(avg(CAST(embedding[j] AS DOUBLE))
+        |        + 1e-9, 4) AS mu
+        |      FROM x, (SELECT unnest(range(1, 65)) AS j) jj
+        |      GROUP BY j),
+        |ml AS (SELECT list(mu ORDER BY j) AS mus FROM m),
+        |d AS (SELECT vec_id,
+        |    round(sqrt(list_reduce(list_transform(range(1, 65),
+        |        j -> (CAST(embedding[j] AS DOUBLE) - mus[j]) *
+        |             (CAST(embedding[j] AS DOUBLE) - mus[j])),
+        |      (a, b) -> a + b)) + 1e-9, 4) AS dist
+        |  FROM x CROSS JOIN ml),
+        |t AS (SELECT round(quantile_cont(dist, 0.99) + 1e-9, 4) AS thr
+        |      FROM d)
+        |SELECT vec_id, dist, thr FROM d CROSS JOIN t
+        |WHERE dist > thr""".stripMargin,
     // PCA explained variance: deterministic Jacobi fit on the exact
     // covariance — GOLDEN pinned at sf0.01 (the spectrum is
     // data-dependent; the machinery is pinned cross-engine by

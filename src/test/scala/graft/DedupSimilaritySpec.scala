@@ -258,6 +258,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(dups === Set((0L, 1L)))
   }
 
+  test("embeddingOutliers: hand-computed centroid, distances, and " +
+      "interpolated threshold flag exactly the planted far vector") {
+    // nine vectors at (1,0,0,0) and one at (1,0,10,0): centroid is
+    // exactly (1,0,1,0), so dists are nine 1.0s and one 9.0; the p90
+    // interpolated threshold is 1 + 0.1*(9-1) = 1.8 — only the far
+    // vector clears it
+    val rows = (0L until 9L).map(i => (i, Array(1f, 0f, 0f, 0f), 0)) :+
+      ((9L, Array(1f, 0f, 10f, 0f), 0))
+    val dir = tmpDir("emboutl")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embeddingOutliers(spark, dir, dim = 4, p = 0.9)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((9L, 9.0, 1.8)))
+  }
+
   test("ndcg@k: perfect ranking scores 1.0; a miss at rank 2 " +
       "hand-computes to 0.613147") {
     val truth = Seq((0L, 10L), (0L, 11L)).toDF("query_id", "vec_id")

@@ -113,7 +113,11 @@ class DeterminismSpec extends SparkSuite {
     // gate's array_max projection (narrow, but the 4 dp contract is
     // what the oracle hashes), and the nDCG metric (membership-join
     // hit sums through the shared-IDCG division)
-    "q_semantic_decontam", "q_semantic_gate", "q_retrieval_ndcg")
+    "q_semantic_decontam", "q_semantic_gate", "q_retrieval_ndcg",
+    // centroid scrub: rounded per-dim avgs, then an interpolated
+    // percentile over the rounded distances — both through the 4 dp
+    // contract under any partial-merge order
+    "q_embedding_outliers")
 
   test("rounded aggregates are identical across shuffle widths") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -76,8 +76,9 @@ class EntrySpec extends SparkSuite {
     // probe side broadcasts, corpus streams through once)
     "q_semantic_decontam",
     // same one-row-broadcast shapes, surfacing at sf0.001 sizes
-    // (q_semantic_gate's probe set collapses to one collected row)
-    "q_semantic_gate",
+    // (q_semantic_gate's probe set collapses to one collected row;
+    // q_embedding_outliers broadcasts its centroid and threshold rows)
+    "q_semantic_gate", "q_embedding_outliers",
     "q_heavy_hitters_grouped", "q_bm25_phrase", "q_bm25_phrase_served",
     "q_cms", "q_contamination", "q_winsorize", "q_skew_profile",
     "q_validate", "q_key_discovery")
