@@ -10,13 +10,23 @@ object PlanAudit {
   private val shufflePat = java.util.regex.Pattern.compile(
     "Exchange (hashpartitioning|rangepartitioning)")
 
-  /** Number of per-key shuffle exchanges in the physical plan (the
-    * SCALE.md "shuffles" class; one-row `Exchange SinglePartition`
-    * collapses are excluded — they carry scalars, not data). Counted
-    * on the pre-execution plan string, so nothing runs.
+  /** Number of per-key (hash/range-partitioned) shuffle exchanges in
+    * the physical plan. STRICTER than SCALE.md's "shuffles" column:
+    * gen_scale.py's formatted-mode pattern also catches one-row
+    * `Exchange SinglePartition` collapses, which are excluded here —
+    * they carry scalars, not data, so the gate pins only the class
+    * that moves rows (the two artifacts can legitimately disagree on
+    * aggregate-collapse-only queries like q_embedding_outliers: budget
+    * 0, SCALE table 3). Counted on the pre-execution plan string, so
+    * nothing runs.
     */
-  def shuffleCount(df: DataFrame): Int = {
-    val m = shufflePat.matcher(df.queryExecution.executedPlan.toString)
+  def shuffleCount(df: DataFrame): Int =
+    shuffleCountIn(df.queryExecution.executedPlan.toString)
+
+  /** Same count over an already-rendered plan string — lets callers
+    * that check several plan properties share one rendering pass. */
+  def shuffleCountIn(plan: String): Int = {
+    val m = shufflePat.matcher(plan)
     var n = 0
     while (m.find()) n += 1
     n

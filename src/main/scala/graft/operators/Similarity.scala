@@ -358,7 +358,11 @@ object Similarity {
     */
   def ndcgAt(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     val idcg = idcgAt(k)
-    approx.select(col("query_id"), col("vec_id"), col("rk"))
+    // truncate to the metric's own cutoff: an approx frame ranked
+    // deeper than k must not sum gains past the normalizer (that
+    // would let ndcg exceed 1 on a perfect deeper ranking)
+    approx.filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rk"))
       .join(truth.select(col("query_id"), col("vec_id"),
         lit(true).as("hit")), Seq("query_id", "vec_id"), "left")
       .groupBy(col("query_id"))
@@ -384,7 +388,7 @@ object Similarity {
     * whatever the tiers themselves cost.
     */
   def retrievalNdcg(s: SparkSession, d: String, k: Int = 10): DataFrame =
-    ndcgAt(ivfTopK(s, d), bruteForceTopK(s, d), k)
+    ndcgAt(ivfTopK(s, d, k = k), bruteForceTopK(s, d, k = k), k)
 
   /** Brute-force top-k via the bounded TopK aggregator instead of a
     * ranking window: the window form shuffles and sorts every

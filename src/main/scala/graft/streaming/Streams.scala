@@ -290,7 +290,11 @@ object Streams {
     *     and when `semanticProbes` is set, the embedding-space gate
     *     ([[graft.operators.Scrub.semanticGate]], a zero-shuffle
     *     narrow projection) quarantines PARAPHRASE leakage the n-gram
-    *     probe set cannot see, under the same batch discipline;
+    *     probe set cannot see, under the same batch discipline. Note:
+    *     the quarantine rows carry attribution columns (contaminated,
+    *     semantic_hit, max_eval_sim) since late r13 — reading a lake
+    *     whose older batch dirs predate them needs `mergeSchema`, or
+    *     start a fresh lake dir on upgrade;
     *  2. the near-dup lake (pairs/documents/buckets, the
     *     [[nearDupMaintainer]] body);
     *  3. the ANN index (frozen-geometry

@@ -289,6 +289,15 @@ class DedupSimilaritySpec extends SparkSuite {
     val got2 = Similarity.ndcgAt(part, truth, 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got2 === Seq((0L, 1L, 0.613147)))
+    // rankings deeper than k truncate to the metric's cutoff — a
+    // perfect 3-deep ranking at k=2 scores exactly 1.0, never above
+    val deep = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("query_id", "vec_id", "rk")
+    val deepTruth = Seq((0L, 10L), (0L, 11L), (0L, 12L))
+      .toDF("query_id", "vec_id")
+    val got3 = Similarity.ndcgAt(deep, deepTruth, 2).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got3 === Seq((2L, 1.0)))
   }
 
   test("novelty index lifecycle: grown serve == inline, promote folds " +

@@ -31,20 +31,10 @@ class EntrySpec extends SparkSuite {
     assert(empties.isEmpty, s"empty results: $empties")
   }
 
-  test("no query plans a CartesianProduct — the SCALE.md audit as a " +
-      "standing regression gate") {
-    SparkEntry.prepare(spark, sf())
-    // physical plan only — nothing executes; one-row scalar
-    // broadcasts plan as BroadcastNestedLoopJoin, never
-    // CartesianProduct, so the allowlist is EMPTY by design
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan =
-          fn(spark, sf()).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
-    }
-    assert(offenders.isEmpty, s"cartesian products in: $offenders")
-  }
+  // The three plan gates (cartesian, BNLJ allowlist, shuffle budget)
+  // run in ONE pass below: several query constructors execute real
+  // driver jobs (IVF counts, centroid/codebook fits), so each extra
+  // all-queries sweep costs minutes of suite time.
 
   // queries whose BroadcastNestedLoopJoin nodes are DOCUMENTED (SCALE
   // .md): one-row scalar/total broadcasts crossed onto small frames,
@@ -83,22 +73,9 @@ class EntrySpec extends SparkSuite {
     "q_cms", "q_contamination", "q_winsorize", "q_skew_profile",
     "q_validate", "q_key_discovery")
 
-  test("BroadcastNestedLoopJoin only in documented queries — no " +
-      "accidental quadratic join creeps in") {
-    SparkEntry.prepare(spark, sf())
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan =
-          fn(spark, sf()).queryExecution.executedPlan.toString
-        if (plan.contains("BroadcastNestedLoopJoin") &&
-          !bnljDocumented(name)) Some(name)
-        else None
-    }
-    assert(offenders.isEmpty, s"undocumented BNLJ in: $offenders")
-  }
-
-  test("per-query shuffle counts match tools/plan_budget.json — " +
-      "exchange creep is a gated regression, not an audit footnote") {
+  test("plan gates in one pass: no CartesianProduct anywhere, BNLJ " +
+      "only in documented queries, and per-query shuffle counts " +
+      "exactly match tools/plan_budget.json") {
     SparkEntry.prepare(spark, sf())
     val raw = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("tools/plan_budget.json")), "UTF-8")
@@ -115,15 +92,25 @@ class EntrySpec extends SparkSuite {
         s"graft.PlanBudget'): ${qNames -- budget.keySet}")
     assert((budget.keySet -- qNames).isEmpty,
       s"stale budget entries: ${budget.keySet -- qNames}")
-    // exact match both directions: a plan that gained an exchange is a
-    // regression; one that lost an exchange means the pinned audit (and
-    // SCALE.md's narrative) is stale — regenerate both, on purpose
-    val drift = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val got = graft.PlanAudit.shuffleCount(fn(spark, sf()))
-        if (got != budget(name)) Some(s"$name: ${budget(name)} -> $got")
-        else None
+    // physical plan only — nothing executes; one-row scalar broadcasts
+    // plan as BroadcastNestedLoopJoin, never CartesianProduct, so the
+    // cartesian allowlist is EMPTY by design
+    var cartesian = List.empty[String]
+    var bnlj = List.empty[String]
+    var drift = List.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf()).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) cartesian ::= name
+      if (plan.contains("BroadcastNestedLoopJoin") &&
+        !bnljDocumented(name)) bnlj ::= name
+      // exact match both directions: a plan that gained an exchange is
+      // a regression; one that lost an exchange means the pinned audit
+      // (and SCALE.md's narrative) is stale — regenerate on purpose
+      val got = graft.PlanAudit.shuffleCountIn(plan)
+      if (got != budget(name)) drift ::= s"$name: ${budget(name)} -> $got"
     }
+    assert(cartesian.isEmpty, s"cartesian products in: $cartesian")
+    assert(bnlj.isEmpty, s"undocumented BNLJ in: $bnlj")
     assert(drift.isEmpty,
       s"shuffle-count drift vs tools/plan_budget.json (regenerate " +
         s"via sbt 'runMain graft.PlanBudget' if intentional): $drift")
