@@ -45,6 +45,8 @@ object SparkEntry {
       s"${graft.registry.TextQueries.indexRoot(sfDir)}/zorder_lineitem")
     graft.operators.Cdc.prepareLake(spark, sfDir,
       s"${graft.registry.TextQueries.indexRoot(sfDir)}/cdc")
+    graft.operators.Graph.prepareEdges(spark, sfDir,
+      s"${graft.registry.TextQueries.indexRoot(sfDir)}/edges")
   }
 
   /** True when `name`'s query function reads a [[prepare]]-built lake
@@ -55,7 +57,11 @@ object SparkEntry {
     name.endsWith("_served") || name == "q_stream_hourly" ||
       name == "q_stream_sessions" || name == "q_stream_join" ||
       name == "q_stream_sliding" ||
-      name == "q_bm25_index_stats" || name == "q_ppl_model_stats"
+      name == "q_bm25_index_stats" || name == "q_ppl_model_stats" ||
+      // the graph family reads the edge lists prepare persisted
+      name == "q_pagerank" || name == "q_triangles" ||
+      name == "q_khop" || name == "q_cheapest_path" ||
+      name == "q_components"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

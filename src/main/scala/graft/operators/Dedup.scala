@@ -722,13 +722,41 @@ object Dedup {
     * STRINGS, so a collision surfaces as a driver-gate mismatch
     * instead of hiding.
     */
+  /** Per-doc DISTINCT shingle hashes, unsorted, MATERIALIZED — the
+    * novelty family's gram source. Two measured pathologies shape
+    * this (NoveltyProbe, sf0.1): (1) the higher-order shingle chain
+    * (transform/concat_ws/array_distinct/xxhash64) is interpreted,
+    * and exploding a COMPUTED array re-pays it per generator row —
+    * ~5 s vs 0.3 s exploding a materialized attribute — so the
+    * doc-sized array frame (rows = docs, not occurrences) checkpoints
+    * FIRST; (2) array_sort is 0.5 s the explode immediately discards
+    * (sorted order only matters to the PPJoin/containment consumers
+    * of [[shingleStage]]), so this path skips it.
+    */
+  private def hashedShingleArrays(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), x => xxhash64(x)).as("shh"))
+      .localCheckpoint()
+
   def novelty(s: SparkSession, d: String,
       hotDocs: Int = 1024): DataFrame = {
-    val grams = shingled(s, d)
+    // the exploded (doc_id, gram-hash) frame feeds the first-seen
+    // aggregate and the probe side of the score join; it re-derives
+    // cheaply (one explode) from the checkpointed array frame, so the
+    // tokenize→shingle→hash chain runs ONCE for the whole query (was
+    // 3 evaluations / 8.0 s at sf0.1)
+    val grams = hashedShingleArrays(Tables.parallelized(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))))
       .select(col("doc_id"), explode(col("shh")).as("g"))
+    // the first-seen aggregate is ALSO referenced twice (hot broadcast
+    // + cold join build side) — checkpoint it so the distinct-gram
+    // groupBy runs once, not per consumer
     noveltyScores(grams,
       grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"),
-        count(lit(1)).as("df")), hotDocs)
+        count(lit(1)).as("df")).localCheckpoint(), hotDocs)
   }
 
   /** The per-doc novelty reduce over a (doc_id, g) gram frame and a
@@ -736,28 +764,46 @@ object Dedup {
     * corpus pass and the persisted-index serve path.
     *
     * Skew guard ([[TextOps.boilerplate]]'s hot/cold split): a gram
-    * shared by a million documents is ONE join key with a million
-    * occurrence rows, so the occurrence↔first-seen join splits on
-    * `hotDocs` — grams in ≥ `hotDocs` docs are few (at most
-    * total-occurrences/hotDocs) and ride a BROADCAST probe, their
-    * occurrences never shuffling; the cold remainder keeps the
-    * shuffle join with per-key width bounded by `hotDocs`. The split
-    * is disjoint, so the union equals the unsplit join exactly
-    * (spec-pinned on a planted hot-gram corpus).
+    * shared by a million documents is ONE first-seen row but a
+    * million probe-side occurrences on one shuffle key, so the probe
+    * join splits on `hotDocs` — grams in ≥ `hotDocs` docs are few (at
+    * most total-occurrences/hotDocs) and resolve against a BROADCAST
+    * map FIRST, so their occurrence rows are filtered out before the
+    * cold shuffle join — the skewed keys never reach a shuffle
+    * partition. The sides are df-disjoint and both legs LEFT, so the
+    * union equals the unsplit left join exactly (spec-pinned on a
+    * planted hot-gram corpus); a gram in NEITHER side — possible only
+    * when serving docs a persisted index hasn't absorbed — counts as
+    * first seen in the probing doc.
     */
   private def noveltyScores(grams: DataFrame, firstSeen: DataFrame,
       hotDocs: Int): DataFrame = {
     val cold = firstSeen.filter(col("df") < hotDocs)
-      .select(col("g"), col("first_doc"))
+      .select(col("g"), col("first_doc").as("fd_cold"))
     val hot = firstSeen.filter(col("df") >= hotDocs)
-      .select(col("g"), col("first_doc"))
-    grams.join(cold, Seq("g"))
-      .unionByName(grams.join(broadcast(hot), Seq("g")))
+      .select(col("g"), col("first_doc").as("fd_hot"))
+    // broadcast-LEFT probe resolves hot grams first, so only the
+    // unresolved (cold) occurrences enter the shuffle join — the
+    // million-row hot keys never hit a shuffle partition. Both legs
+    // are LEFT: a gram ABSENT from the first-seen table (possible
+    // only when serving docs a persisted index hasn't absorbed)
+    // coalesces to first-seen-HERE instead of silently dropping from
+    // both counts. `probed` is referenced twice — callers checkpoint
+    // the gram frame, so the fork re-reads materialized blocks
+    val probed = grams.join(broadcast(hot), Seq("g"), "left")
+    val hotDone = probed.filter(col("fd_hot").isNotNull)
+      .select(col("doc_id"), col("fd_hot").as("first_doc"))
+    val coldDone = probed.filter(col("fd_hot").isNull)
+      .join(cold, Seq("g"), "left")
+      .select(col("doc_id"),
+        coalesce(col("fd_cold"), col("doc_id")).as("first_doc"))
+    hotDone.unionByName(coldDone)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_shingles"), 4)
+        graft.functions.Fns.r4(
+          col("n_novel").cast("double") / col("n_shingles"))
           .as("novelty_frac"))
   }
 
@@ -767,7 +813,7 @@ object Dedup {
     * is what keeps the persisted index's grow/promote path exact.
     */
   private def gramFirstSeen(docs: DataFrame): DataFrame =
-    shingleStage(docs)
+    hashedShingleArrays(docs)
       .select(col("doc_id"), explode(col("shh")).as("g"))
       .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"),
         count(lit(1)).as("df"))
@@ -824,11 +870,15 @@ object Dedup {
         base.unionByName(
           s.read.parquet(bPath.toString).drop("batch"))
       else base
+    // checkpointed for the same two-consumer reason novelty() notes
     val firstSeen = union.groupBy(col("g"))
       .agg(min(col("first_doc")).as("first_doc"),
         sum(col("df")).as("df"))
+      .localCheckpoint()
+    // same materialize-arrays-then-explode shape as novelty() — the
+    // probe frame forks into noveltyScores' hot/cold legs
     noveltyScores(
-      shingleStage(Tables.parallelized(
+      hashedShingleArrays(Tables.parallelized(
         docs.select(col("doc_id"), col("text"))))
         .select(col("doc_id"), explode(col("shh")).as("g")),
       firstSeen, hotDocs)

@@ -266,6 +266,29 @@ object Extras {
         (abs(col("ap") - col("p90_price"))
           <= col("p90_price") * 0.02).as("p90_ok"))
 
+  /** The driver-gate form of [[approxPercentiles]]: the same exact-vs-
+    * sketch tolerance contract as [[approxPercentileTolerance]] but on
+    * the other group key (`l_linestatus`) and other (column, quantile)
+    * pairs, so each key demonstrates a raw t-digest without duplicating
+    * rows. Raw approx_percentile values are engine-specific, so the
+    * oracle surface is exact interpolated quantiles + bound booleans.
+    */
+  def approxPercentilesByStatus(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        r4(percentile(col("l_extendedprice"), lit(0.5)))
+          .as("median_price"),
+        r4(percentile(col("l_quantity"), lit(0.95))).as("p95_qty"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("ap"),
+        approx_percentile(col("l_quantity"), lit(0.95), lit(1000))
+          .as("aq"))
+      .select(col("l_linestatus"), col("median_price"), col("p95_qty"),
+        (abs(col("ap") - col("median_price"))
+          <= col("median_price") * 0.02).as("median_ok"),
+        (abs(col("aq") - col("p95_qty")) <= lit(1.0)).as("p95_ok"))
+
   /** Pivot: event counts and mean values per user, one column per
     * event type (explicit value list keeps the schema static — the only
     * scalable form; discovery pivots scan twice).

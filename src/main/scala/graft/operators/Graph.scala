@@ -271,14 +271,36 @@ object Graph {
     lab
   }
 
-  def pageRank(s: SparkSession, d: String, iters: Int = 5): DataFrame = {
-    val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+  def pageRank(s: SparkSession, d: String, iters: Int = 5): DataFrame =
+    pageRankEdges(bipartiteEdges(s, d), iters)
+
+  /** The distinct customer→supplier bipartite edge list from
+    * orders⋈lineitem — [[pageRank]]'s link structure.
+    */
+  def bipartiteEdges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
       .distinct()
-    pageRankEdges(edges, iters)
+
+  /** Persist the graph-lake edge lists the five graph queries share —
+    * the `*_served` index pattern applied to graphs: the basket
+    * self-join ([[Relational.coPurchase]]) is the corpus-sized cost
+    * every co-purchase algorithm pays, so prepare pays it ONCE and
+    * the algorithms read (p1, p2, n_orders) parquet. Stored at the
+    * minimum support any reader uses (2); stricter filters push down
+    * to the scan. The bipartite customer→supplier list rides along
+    * for PageRank. Content is still driver-verified end-to-end: each
+    * graph oracle recomputes from the base tables, and q_copurchase
+    * keeps the inline build under its own oracle.
+    */
+  def prepareEdges(s: SparkSession, d: String, dir: String): Unit = {
+    Relational.coPurchase(s, d, minSupport = 2)
+      .write.mode("overwrite").parquet(s"$dir/copurchase")
+    bipartiteEdges(s, d)
+      .write.mode("overwrite").parquet(s"$dir/bipartite")
   }
 
   /** The iteration over an arbitrary distinct (src, dst) edge list.

@@ -329,6 +329,32 @@ object Relational {
           <= col("n_orders_exact") * 0.05).as("orders_ok"))
   }
 
+  /** The driver-gate form of [[approxDistinctCounts]]: same exact-vs-
+    * sketch tolerance contract as [[approxDistinctTolerance]] but over
+    * the OTHER tiny group key (`l_linestatus`), so the registry keeps
+    * one raw-HLL demonstration per key without duplicating rows. Raw
+    * HLL estimates are engine-specific (no DuckDB recompute), so the
+    * oracle-checkable surface is exact counts + in-tolerance booleans.
+    */
+  def approxDistinctByStatus(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    // split exact/approx aggregations for the same shuffle-size reason
+    // documented on approxDistinctTolerance
+    val exact = li.groupBy(col("l_linestatus")).agg(
+      countDistinct(col("l_partkey")).as("n_parts_exact"),
+      countDistinct(col("l_suppkey")).as("n_supps_exact"))
+    val approx = li.groupBy(col("l_linestatus")).agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+      approx_count_distinct(col("l_suppkey"), 0.01).as("as_"))
+    exact.join(broadcast(approx), Seq("l_linestatus"))
+      .select(col("l_linestatus"),
+        col("n_parts_exact"), col("n_supps_exact"),
+        (abs(col("ap") - col("n_parts_exact"))
+          <= col("n_parts_exact") * 0.05).as("parts_ok"),
+        (abs(col("as_") - col("n_supps_exact"))
+          <= col("n_supps_exact") * 0.05).as("supps_ok"))
+  }
+
   private def custkeysByStatus(s: SparkSession, d: String, st: String) =
     Tables.orders(s, d).filter(col("o_orderstatus") === st)
       .select(col("o_custkey")).distinct()

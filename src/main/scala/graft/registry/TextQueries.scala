@@ -11,8 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * recomputation is impossible — but each is still deterministic, so
   * each carries either a GOLDEN oracle (values pinned at the driver's
   * verify scale: simhash pairs, LSH + IVF rankings, confusion matrix,
-  * cluster sample) or an oracle-backed companion; only the raw
-  * per-doc hash dumps (q_fingerprint, q_lang_id) stay rows-only.
+  * cluster sample) or an oracle-backed companion; since r14 no row is
+  * rows-only — q_fingerprint registers the class-anchored per-doc
+  * form (classes are text-recomputable even though hashes aren't) and
+  * q_lang_id carries a full SQL fit+score recompute.
   *
   * The near-dup PAIR operators do get full oracles even though their
   * candidate generation is hash-based: the emitted (pair, metric) rows
@@ -35,7 +37,10 @@ object TextQueries {
     // (V+1)-slot Lidstone space — closed-form, fully oracle-able
     "q_source_drift" -> ((s: SparkSession, d: String) =>
       TextOps.sourceDrift(s, d)),
-    "q_fingerprint" -> (TextOps.fingerprints _),
+    // per-doc class-anchored form: raw xxhash64/simhash values are
+    // engine-specific, but the equivalence classes they induce are
+    // recomputable from the normalized text — full per-doc oracle
+    "q_fingerprint" -> (TextOps.fingerprintMembers _),
     "q_fingerprint_classes" -> (TextOps.fingerprintClasses _),
     "q_lang_id" -> (TextOps.langId _),
     "q_lang_id_confusion" -> (TextOps.langIdConfusion _),
@@ -968,7 +973,10 @@ object TextQueries {
         |SELECT l, r, CAST(sum(freq) AS BIGINT) AS n
         |FROM pairs GROUP BY l, r""".stripMargin,
     // embedding covariance, upper triangle: full recompute — avg of
-    // products minus product of avgs over every (i ≤ j) column pair
+    // products minus product of avgs over every (i ≤ j) column pair.
+    // `+ 0.0` launders DuckDB's -0.0 (its round() keeps the sign of
+    // tiny negatives; Spark's BigDecimal round never emits -0.0, and
+    // the driver hashes the raw value, so the signs must agree)
     "q_embedding_gram" ->
       """WITH pr AS (
         |  SELECT ii.i, jj.j,
@@ -978,7 +986,8 @@ object TextQueries {
         |    (SELECT unnest(range(1, 65)) AS i) ii,
         |    (SELECT unnest(range(1, 65)) AS j) jj
         |  WHERE ii.i <= jj.j)
-        |SELECT i, j, round(avg(xi * xj) - avg(xi) * avg(xj), 4) AS c
+        |SELECT i, j,
+        |  round(avg(xi * xj) - avg(xi) * avg(xj), 4) + 0.0 AS c
         |FROM pr GROUP BY i, j""".stripMargin,
     // centroid-distance tail scrub: per-dim rounded means, the same
     // left-fold distance sum, the interpolated p99 on the rounded
@@ -1820,6 +1829,55 @@ object TextQueries {
         |  ('fr','en',8),('fr','es',16),('fr','fr',16),('fr','zh',19),
         |  ('zh','de',9),('zh','en',10),('zh','es',10),('zh','fr',22),
         |  ('zh','zh',24)) AS t(lang, predicted, n)""".stripMargin,
+    // per-doc fingerprint classes: the Spark side windows over the
+    // xxhash64 fingerprint, the oracle over the normalized text itself
+    // (identical partitions absent 64-bit collisions) — a broken
+    // normalization or degenerate hash flips individual rows
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER w AS fp_class,
+        |  count(*) OVER w AS n_copies
+        |FROM (SELECT doc_id,
+        |    regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |WINDOW w AS (PARTITION BY norm)""".stripMargin,
+    // full fit+score recompute of the trigram language-ID heuristic:
+    // top-50 trigrams per lang from the doc_id%10 training split
+    // (ties: count desc, gram asc — Spark's row_number order), then
+    // per-doc distinct-gram overlap, argmax tie-breaking on the
+    // lexicographically LAST lang (Spark's array_max over structs).
+    // DuckDB range(a,b) is exclusive like sequence(1, len-2) inclusive;
+    // lt[i:i+2] slices characters, matching substr(i, 3)
+    "q_lang_id" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, lower(text) AS lt FROM documents),
+        |tg AS (
+        |  SELECT lang, unnest(list_transform(
+        |      range(1, len(lt) - 1), i -> lt[i:i+2])) AS gram
+        |  FROM docs WHERE doc_id % 10 = 0 AND len(lt) >= 3),
+        |prof AS (
+        |  SELECT lang AS p_lang, gram FROM (
+        |    SELECT lang, gram, row_number() OVER (PARTITION BY lang
+        |        ORDER BY count(*) DESC, gram) AS rk
+        |    FROM tg GROUP BY lang, gram)
+        |  WHERE rk <= 50),
+        |dg AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(lt) >= 3
+        |      THEN list_transform(range(1, len(lt) - 1), i -> lt[i:i+2])
+        |      ELSE [] END)) AS gram
+        |  FROM docs),
+        |ov AS (
+        |  SELECT dg.doc_id, p.p_lang, count(*) AS score
+        |  FROM dg JOIN prof p USING (gram) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT d.doc_id, d.lang, l.p_lang, coalesce(ov.score, 0) AS score
+        |  FROM docs d
+        |  CROSS JOIN (SELECT DISTINCT p_lang FROM prof) l
+        |  LEFT JOIN ov ON ov.doc_id = d.doc_id AND ov.p_lang = l.p_lang)
+        |SELECT doc_id, lang, p_lang AS predicted FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, p_lang DESC) AS rk FROM sc)
+        |WHERE rk = 1""".stripMargin,
     // fingerprint classes == normalized-text classes (xxhash64 is
     // collision-free at verify scale), so the class-size histogram is
     // recomputable from the raw text alone

@@ -499,10 +499,13 @@ object Streams {
     * express) over the events table as a checkpointed AvailableNow
     * stream, snapshotted and required to hash-match the BATCH
     * `q_sessionize` oracle. Boundary note: session windows start a
-    * new session at gap ≥ 30 min while the batch lag-formulation
-    * splits at gap > 30 min — distinguishable only by an exactly-
-    * 1800.000000s gap, which microsecond event data never produces
-    * (and the cross-engine hash would catch if it did). Same
+    * new session at gap ≥ the configured gap while the batch
+    * lag-formulation splits at gap > 30 min, so the stream gap is
+    * `30 minutes 1 microsecond` — at Spark's microsecond timestamp
+    * resolution "gap < 30min + 1µs" ⟺ "gap ≤ 30min" ⟺ the batch
+    * `NOT (gap > 30min)`, aligning the two semantics EXACTLY even if
+    * a testdata regen emits minute-aligned events with exact
+    * 1800.000000s gaps. Same
     * Complete-mode parity-harness shape as [[hourlyEventsSnapshot]];
     * an unbounded deployment flips to watermark + append and pays
     * state only for open sessions.
@@ -527,7 +530,8 @@ object Streams {
         .parquet(stage.toString))
     val agg = ev
       .groupBy(col("user_id"),
-        session_window(col("ts_event"), s"$gapMinutes minutes"))
+        session_window(col("ts_event"),
+          s"$gapMinutes minutes 1 microsecond"))
       .agg(count(lit(1)).as("n_events"),
         min(col("event_id")).as("first_event_id"),
         sum(col("value")).as("session_value"))

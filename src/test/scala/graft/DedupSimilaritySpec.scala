@@ -340,6 +340,29 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(served() === inline)
   }
 
+  test("novelty served on docs the index never absorbed: unseen grams " +
+      "count as first-seen-here, partially-covered docs score the " +
+      "uncovered remainder as novel") {
+    val docs = Seq((1L, "a b c d e"), (2L, "p q r s"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = tmpDir("novelty_unseen")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val idx = s"$dir/novelty"
+    Dedup.noveltyWriteIndex(spark, dir, idx) // index knows docs 1, 2
+    // probe docs NOT in the index: 10 is fully novel (every gram
+    // unseen — previously vanished from the output entirely); 11
+    // half-overlaps doc 1 ({abc,bcd} seen, {cdx,dxy,xyz} unseen)
+    val probes = Seq((10L, "m n o p q"), (11L, "a b c d x y z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyFromIndex(spark, idx, probes).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(10L) === ((3L, 3L, 1.0)))
+    assert(got(11L) === ((5L, 3L, 0.6)))
+  }
+
   test("farthest-point coreset replays the hand-computed greedy " +
       "trajectory: orthogonal picks first, tie by vec_id, dup-direction " +
       "vector last with distance 0") {

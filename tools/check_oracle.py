@@ -5,13 +5,61 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Reads each <out>/<name> parquet (Spark result), runs the matching SQL from
 <out>/oracle_sql.json in DuckDB over the sfDir parquet tables, sorts
 columns by name and rows by all columns, and diffs values.
+
+STRICT mode (default on; set GRAFT_ORACLE_LAX=1 to disable) additionally
+fails on anything the driver's value-HASH compare would catch that a
+pandas `==` compare silently forgives — the r13 lesson, where three rows
+were driver-red but locally green:
+  * float bit differences, incl. -0.0 vs +0.0 (DuckDB round() keeps the
+    sign of tiny negatives; Spark's BigDecimal round never emits -0.0);
+  * dtype-family mismatches, e.g. DuckDB sum(BIGINT) -> HUGEINT which
+    pandas widens to float64 while Spark emits int64 (500 vs 500.0).
+Pinned local version note: duckdb 1.0.0 here; the driver's version is
+unknown, so oracles must avoid version-sensitive constructs (HUGEINT
+sums uncast, sign-of-zero emission, implicit decimal round types).
 """
 import json
+import math
+import struct
 import sys
 
 import duckdb
 import pandas as pd
 import os
+
+STRICT = os.environ.get("GRAFT_ORACLE_LAX", "") != "1"
+
+
+def _family(dtype) -> str:
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("bool"):
+        return "bool"
+    return "object"
+
+
+def strict_diffs(g: pd.DataFrame, w: pd.DataFrame) -> list:
+    """Bit-level float compare + dtype-family check (driver-hash parity)."""
+    out = []
+    for c in g.columns:
+        fg, fw = _family(g[c].dtype), _family(w[c].dtype)
+        if fg != fw:
+            out.append(f"{c}: dtype family {g[c].dtype} vs {w[c].dtype}")
+            continue
+        if fg == "float":
+            a = g[c].astype("float64").to_numpy()
+            b = w[c].astype("float64").to_numpy()
+            for i in range(len(a)):
+                x, y = a[i], b[i]
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                if struct.pack("<d", x) != struct.pack("<d", y):
+                    out.append(f"{c}[{i}]: bits {x!r} vs {y!r}")
+                    break
+    return out
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -57,6 +105,8 @@ def main(sf_dir: str, out_dir: str) -> int:
                     i = int((~eq).idxmax())
                     diffs.append(f"{c}[{i}]: {a[i]!r} != {b[i]!r} "
                                  f"(dtypes {a.dtype}/{b.dtype})")
+            if not diffs and STRICT:
+                diffs = ["strict " + d for d in strict_diffs(g, w)]
             if diffs:
                 print(f"FAIL {name}: " + "; ".join(diffs[:3]))
                 n_bad += 1
