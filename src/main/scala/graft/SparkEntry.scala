@@ -364,16 +364,20 @@ object SparkEntry {
         | count(*) AS n_obs
         |FROM events WHERE value IS NOT NULL
         |GROUP BY ROLLUP (1, 2, 3, 4)""".stripMargin,
+    // "+ 0.0" on the signed conversions launders DuckDB's -0.0 when a
+    // value lands within 5e-5 below zero (Spark's BigDecimal round
+    // never signs zero; the driver hashes raw values)
     "q_conversions" ->
       """SELECT event_id,
         | round(CASE WHEN value > 100 THEN value - 273.15 ELSE value END, 4)
-        |   AS kelvin_to_c,
+        |   + 0.0 AS kelvin_to_c,
         | round(CASE WHEN value / 100 < 1 THEN (value / 100) * 1000
-        |       ELSE value / 100 END, 4) AS meters_to_mm,
-        | round((value - 32) * 5 / 9, 4) AS f_to_c,
-        | round(value * 9 / 5 + 32, 4) AS c_to_f,
+        |       ELSE value / 100 END, 4) + 0.0 AS meters_to_mm,
+        | round((value - 32) * 5 / 9, 4) + 0.0 AS f_to_c,
+        | round(value * 9 / 5 + 32, 4) + 0.0 AS c_to_f,
         | round(CASE WHEN value IS NOT NULL AND value > 0
-        |        THEN least(value, 100.0) ELSE value END, 4) AS capped
+        |        THEN least(value, 100.0) ELSE value END, 4) + 0.0
+        |   AS capped
         |FROM events""".stripMargin,
     "q_display_envelope" ->
       """SELECT CAST(round(temp_f_raw) AS BIGINT) AS temp_f,

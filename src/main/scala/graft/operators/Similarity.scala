@@ -332,9 +332,12 @@ object Similarity {
       .orderBy(col("sim").desc, col("b_id"))
     val wb = Window.partitionBy(col("b_id"))
       .orderBy(col("sim").desc, col("a_id"))
-    val ranked = pairs
+    // lazily materialized once: avgA, avgB and the mutual-best filter
+    // all read `ranked` — without the cut each consumer re-runs the
+    // a×b cosine cross and both ranking windows
+    val ranked = Dedup.lazyCheckpoint(pairs
       .withColumn("rka", row_number().over(wa))
-      .withColumn("rkb", row_number().over(wb))
+      .withColumn("rkb", row_number().over(wb)))
     val avgA = ranked.filter(col("rka") <= k).groupBy("a_id")
       .agg(avg(col("sim")).as("knn_a"))
     val avgB = ranked.filter(col("rkb") <= k).groupBy("b_id")

@@ -192,8 +192,15 @@ object TextOps {
     */
   def sourceDrift(s: SparkSession, d: String,
       alpha: Double = 0.5): DataFrame = {
-    val occ = Tables.parallelized(Tables.documents(s, d))
-      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    // materialize the doc-sized token-array frame BEFORE exploding:
+    // the interpreted filter(split()) chain would otherwise re-run per
+    // generator row (Dedup.hashedShingleArrays' measured pathology),
+    // and `occ` feeds THREE aggregates below (lazy + audit-transparent,
+    // the Dedup.lazyCheckpoint convention)
+    val occ = Dedup.lazyCheckpoint(
+      Tables.parallelized(Tables.documents(s, d))
+        .select(col("source"), tokens(col("text")).as("toks")))
+      .select(col("source"), explode(col("toks")).as("w"))
     val corpus = occ.groupBy("w")
       .agg(count(lit(1)).cast("double").as("c"))
     val tot = corpus.agg(sum(col("c")).as("n"),
@@ -526,9 +533,13 @@ object TextOps {
     * as a broadcast.
     */
   def vocabOverlap(s: SparkSession, d: String): DataFrame = {
-    val st = Tables.parallelized(Tables.documents(s, d))
-      .select(col("source"), explode(tokens(col("text"))).as("token"))
-      .distinct()
+    // the distinct (source, token) frame feeds three consumers (sizes
+    // + both self-join sides) — lazily materialized once so the token
+    // explode and distinct shuffle don't re-run per consumer
+    val st = Dedup.lazyCheckpoint(
+      Tables.parallelized(Tables.documents(s, d))
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .distinct())
     val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = st.as("a")
       .join(st.as("b"), col("a.token") === col("b.token") &&

@@ -429,7 +429,11 @@ object TextQueries {
     "q_hybrid_rrf" -> ((s: SparkSession, d: String) => Hybrid.rrf(s, d)),
     "q_hybrid_rrf_served" -> ((s: SparkSession, d: String) =>
       Hybrid.rrfFromIndexes(s, d, s"${indexRoot(d)}/bm25",
-        s"${indexRoot(d)}/int8"))
+        s"${indexRoot(d)}/int8")),
+    // the cascade's last stage: cross-encoder-STYLE pairwise rerank of
+    // the RRF shortlist (0.6·cosine + 0.4·term-jaccard, deterministic
+    // stand-in for a model call — full oracle recomputes the cascade)
+    "q_rerank" -> ((s: SparkSession, d: String) => Hybrid.rerank(s, d))
   )
 
   /** The 5 probe vectors every ANN registry query uses
@@ -730,6 +734,7 @@ object TextQueries {
       // because its int8 dense leg re-ranks to the exact brute ranking
       ("q_hybrid_rrf" -> hybridRrfOracle) +
       ("q_hybrid_rrf_served" -> hybridRrfOracle) +
+      ("q_rerank" -> rerankOracle) +
       // full recompute of every stored int8 code from the raw floats:
       // closed-form half-up quantizer (floor(x/s + 0.5) — explicit,
       // because engine round() tie semantics differ), clamped ±127
@@ -755,8 +760,9 @@ object TextQueries {
   /** q_hybrid_rrf(_served): the q_bm25 CTEs verbatim (sparse leg) +
     * the q_ann_brute cosine ranking over probes 1–3 (dense leg), RRF
     * fused. Round-then-rank at 6 dp mirrors Hybrid.fuse exactly.
+    * Split so q_rerank's oracle composes the same cascade.
     */
-  private val hybridRrfOracle: String =
+  private val hybridCtes: String =
     """WITH toks AS (
       |  SELECT doc_id,
       |   list_filter(string_split(text, ' '), t -> t <> '') AS ts
@@ -810,11 +816,58 @@ object TextQueries {
       |fused AS (
       |  SELECT query_id, doc_id,
       |    round(sum(1.0 / (60 + rank)) + 1e-12, 6) AS rrf
-      |  FROM legs GROUP BY query_id, doc_id)
+      |  FROM legs GROUP BY query_id, doc_id)""".stripMargin
+
+  private val hybridRrfOracle: String = hybridCtes +
+    """
       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf FROM (
       |  SELECT query_id, doc_id, rrf, row_number() OVER (
       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
       |  FROM fused) WHERE rank <= 10""".stripMargin
+
+  /** q_rerank: the full cascade recomputed — the hybrid CTEs, the
+    * RRF top-10 shortlist, then the cross-encoder-style pairwise
+    * score (0.6·cosine + 0.4·term-jaccard, round-then-rank at 6 dp)
+    * mirroring Hybrid.rerank exactly.
+    */
+  private val rerankOracle: String = hybridCtes +
+    """,
+      |cand AS (
+      |  SELECT query_id, doc_id, rrf FROM (
+      |    SELECT query_id, doc_id, rrf, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+      |    FROM fused) WHERE rank <= 10),
+      |dtt AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split(text, ' '),
+      |      t -> t <> '')) AS dts
+      |  FROM documents),
+      |qt AS (
+      |  SELECT query_id, list_sort(list(DISTINCT term)) AS qts
+      |  FROM queries GROUP BY query_id),
+      |feat AS (
+      |  SELECT c.query_id, c.doc_id, c.rrf,
+      |    round(0.6 * (
+      |        list_sum(list_transform(de.embedding,
+      |          (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+      |        / (sqrt(list_sum(list_transform(de.embedding,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           * sqrt(list_sum(list_transform(q.qv,
+      |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+      |      + 0.4 * (CAST(len(list_intersect(d.dts, qt.qts)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(d.dts, qt.qts)))),
+      |      6) AS rerank_score
+      |  FROM cand c
+      |  JOIN dtt d USING (doc_id)
+      |  JOIN embeddings de ON de.vec_id = c.doc_id
+      |  JOIN qq q ON q.query_id = c.query_id
+      |  JOIN qt ON qt.query_id = c.query_id)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+      |  rerank_score, rrf
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rerank_score DESC, doc_id) AS rank
+      |  FROM feat) WHERE rank <= 10""".stripMargin
 
   /** Word-3-gram shingle sets per document, as a DuckDB CTE — mirrors
     * Dedup.shinglesFromTokens (whitespace tokens, empties dropped,
@@ -941,7 +994,8 @@ object TextQueries {
     // JL sign random projection: full recompute — the sign matrix is a
     // closed-form integer hash of (i, j), so DuckDB regenerates it
     // exactly; 4 dp on the fixed-length dot products is the shared
-    // sum-of-doubles contract
+    // sum-of-doubles contract; "+ 0.0" launders DuckDB's -0.0 on
+    // near-zero projections (Spark's BigDecimal round never signs zero)
     "q_rand_proj" ->
       """SELECT vec_id, j AS dim,
         |  round(list_sum(list_transform(embedding,
@@ -949,7 +1003,7 @@ object TextQueries {
         |      (CASE WHEN ((i * 2654435761 + j * 1013904223)
         |          % 4294967296) // 65536 % 2 = 0
         |        THEN 1.0 ELSE -1.0 END)))
-        |    / sqrt(8.0), 4) AS v
+        |    / sqrt(8.0), 4) + 0.0 AS v
         |FROM embeddings, (SELECT unnest(range(1, 9)) AS j)""".stripMargin,
     // BPE iteration-0: weighted character-pair counts (word-final char
     // tagged '</w>') recomputed from the raw corpus — pins the
@@ -1267,7 +1321,7 @@ object TextQueries {
         |  FROM cr, tot),
         |pd AS (
         |  SELECT bi.doc_id,
-        |    round(1e-9 + sum(w.lw) / count(*), 4) AS llw
+        |    round(1e-9 + sum(w.lw) / count(*), 4) + 0.0 AS llw
         |  FROM bi JOIN w ON bi.w1 = w.w1 AND bi.w2 = w.w2
         |  GROUP BY bi.doc_id),
         |scored AS (

@@ -71,7 +71,14 @@ class EntrySpec extends SparkSuite {
     "q_semantic_gate", "q_embedding_outliers",
     "q_heavy_hitters_grouped", "q_bm25_phrase", "q_bm25_phrase_served",
     "q_cms", "q_contamination", "q_winsorize", "q_skew_profile",
-    "q_validate", "q_key_discovery")
+    "q_validate", "q_key_discovery",
+    // r14: one-row-per-side crossJoins of the four per-column
+    // single-distinct aggregates (the split that removed the
+    // multi-distinct Expand blowup)
+    "q_profile",
+    // composes the hybrid cascade, inheriting its dense leg's
+    // documented broadcast-probe cross (the q_hybrid_rrf note)
+    "q_rerank")
 
   test("plan gates in one pass: no CartesianProduct anywhere, BNLJ " +
       "only in documented queries, and per-query shuffle counts " +

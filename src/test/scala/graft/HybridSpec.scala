@@ -54,6 +54,25 @@ class HybridSpec extends SparkSuite {
       (1L, 4, 5L, r6(1.0 / 64))))
   }
 
+  test("cross-encoder-style rerank reorders the shortlist by " +
+      "0.6*cosine + 0.4*term-jaccard, zero-feature docs tie by doc_id") {
+    val d = plant()
+    val got = Hybrid.rerank(spark, d, queries = Seq(1 -> "cat"))
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def score(cos: Double, jac: Double) =
+      math.rint((1e-9 + 0.6 * cos + 0.4 * jac) * 1e6) / 1e6
+    // doc2 "cat" [0.9,0.1]: jac("cat" vs {cat}) = 1, cos = .9/sqrt(.82)
+    // doc3 "cat cat cat": jac 1, cos = .8/sqrt(.68) — rrf had doc2 and
+    // doc3 TIED; the richer score separates them. doc4/doc5 share no
+    // term and are orthogonal: score 0.0, tie broken by doc_id.
+    assert(got.toSeq === Seq(
+      (1, 2L, score(0.9 / math.sqrt(0.82), 1.0)),
+      (2, 3L, score(0.8 / math.sqrt(0.68), 1.0)),
+      (3, 4L, 0.0),
+      (4, 5L, 0.0)))
+  }
+
   test("served hybrid (bm25 + int8 indexes) equals inline on sf0.001") {
     val d = "/root/testdata/sf0.001"
     val root = tmpDir("hybrid_idx")
