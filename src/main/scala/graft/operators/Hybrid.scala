@@ -111,9 +111,35 @@ object Hybrid {
     * partitions the shortlist only.
     */
   def rerank(s: SparkSession, d: String, k: Int = 10, kCand: Int = 10,
-      queries: Seq[(Int, String)] = Search.defaultQueries): DataFrame = {
+      queries: Seq[(Int, String)] = Search.defaultQueries): DataFrame =
+    rerankShortlist(s, d,
+      rrf(s, d, k = kCand, kLeg = kCand, queries = queries), k, queries)
+
+  /** Served cascade: the same rerank stage over [[rrfFromIndexes]]'s
+    * shortlist — retrieve from the PERSISTED indexes (BM25 postings +
+    * int8 codes tier), fuse, rerank. Because the served RRF answers
+    * the same oracle as the inline form (exact-recall int8 re-rank),
+    * the whole served cascade shares [[rerank]]'s full oracle. This is
+    * the production shape: the r14 inline `q_rerank` rebuilt both
+    * retrieval legs from the raw corpus per call (~2.6 s isolated);
+    * here the per-query cost is the shortlist features only.
+    */
+  def rerankFromIndexes(s: SparkSession, d: String, bm25Dir: String,
+      int8Dir: String, k: Int = 10, kCand: Int = 10,
+      queries: Seq[(Int, String)] = Search.defaultQueries): DataFrame =
+    rerankShortlist(s, d,
+      rrfFromIndexes(s, d, bm25Dir, int8Dir, k = kCand, kLeg = kCand,
+        queries = queries), k, queries)
+
+  /** The cascade's scoring stage, shared by the inline and served
+    * forms: pairwise-score a (query_id, doc_id, rrf) shortlist and
+    * re-rank (round-then-rank at 6 dp, ties by doc_id).
+    */
+  private def rerankShortlist(s: SparkSession, d: String,
+      shortlist: DataFrame, k: Int,
+      queries: Seq[(Int, String)]): DataFrame = {
     import s.implicits._
-    val cands = rrf(s, d, k = kCand, kLeg = kCand, queries = queries)
+    val cands = shortlist
       .select(col("query_id"), col("doc_id"), col("rrf"))
     val qTerms = queries.groupBy(_._1).toSeq
       .map { case (qid, ts) => (qid.toLong, ts.map(_._2).distinct.sorted) }

@@ -84,4 +84,16 @@ class HybridSpec extends SparkSuite {
     assert(served.sortBy(_.toString) === inline.sortBy(_.toString))
     assert(inline.nonEmpty)
   }
+
+  test("served rerank cascade equals the inline cascade on sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val root = tmpDir("rerank_idx")
+    Search.buildIndex(spark, d, s"$root/bm25")
+    ScalarQuant.sqWriteIndex(spark, d, s"$root/int8")
+    val inline = Hybrid.rerank(spark, d).collect().map(_.toSeq).toSeq
+    val served = Hybrid.rerankFromIndexes(spark, d, s"$root/bm25",
+      s"$root/int8").collect().map(_.toSeq).toSeq
+    assert(served.sortBy(_.toString) === inline.sortBy(_.toString))
+    assert(inline.nonEmpty)
+  }
 }
