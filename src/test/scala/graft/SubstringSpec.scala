@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Substring
+
+/** Exact-substring dedup on planted spans: exact maximal-span
+  * positions/lengths, the two-disjoint-spans case, the sub-threshold
+  * miss, and the deterministic hot-gram cap splitting a span.
+  */
+class SubstringSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def plant(rows: Seq[(Long, String)]): String = {
+    val dir = tmpDir("substr")
+    rows.map { case (id, text) =>
+      (id, text, "en", "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def toks(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("a planted 10-token span is found once, maximal, at the right " +
+      "0-based offsets; a 7-token overlap is below minLen=8") {
+    val span = toks("s", 10)
+    val short = toks("x", 7)
+    val d = plant(Seq(
+      // span starts at token 3 in doc 1, token 0 in doc 2
+      1L -> (toks("a", 3) + " " + span + " " + toks("b", 4)),
+      2L -> (span + " " + toks("c", 6)),
+      // docs 3/4 share only 7 tokens — structurally invisible
+      3L -> (short + " " + toks("d", 5)),
+      4L -> (short + " " + toks("e", 5))))
+    val got = Substring.substringDups(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((1L, 2L, 3L, 0L, 10L)))
+  }
+
+  test("a pair sharing two disjoint spans yields two maximal rows") {
+    val s1 = toks("p", 8)
+    val s2 = toks("q", 9)
+    val d = plant(Seq(
+      1L -> (s1 + " " + toks("f", 10) + " " + s2),
+      2L -> (s2 + " " + toks("g", 10) + " " + s1)))
+    val got = Substring.substringDups(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, 2L, 0L, 19L, 8L),   // s1: doc1 pos 0, doc2 pos 9+10
+      (1L, 2L, 18L, 0L, 9L)))  // s2: doc1 pos 8+10, doc2 pos 0
+  }
+
+  test("the dfCap hot-gram guard drops over-frequent windows " +
+      "deterministically, splitting the span around them") {
+    // the shared 24-token span's MIDDLE 8-gram (positions 8..15) is
+    // planted in four extra docs, pushing that window's corpus
+    // frequency over dfCap=5 while the flanks stay rare
+    val flank1 = toks("u", 8)
+    val hot = toks("h", 8)
+    val flank2 = toks("v", 8)
+    val full = s"$flank1 $hot $flank2"
+    val extras = (10L to 13L).map(i => i -> (hot + " " + toks(s"z$i", 8)))
+    val d = plant(Seq(1L -> full, 2L -> full) ++ extras)
+    val uncapped = Substring.substringDups(spark, d, dfCap = 64)
+      .filter("doc_a = 1 AND doc_b = 2").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(uncapped === Set((0L, 0L, 24L)))
+    // cap 5: every 8-gram window touching `hot` in full (starts 1..15)
+    // appears only in docs 1/2 (freq 2) EXCEPT the pure-hot window at
+    // start 8 (freq 6) — dropping it splits one 24-span into two 15s
+    val capped = Substring.substringDups(spark, d, dfCap = 5)
+      .filter("doc_a = 1 AND doc_b = 2").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(capped === Set((0L, 0L, 15L), (9L, 9L, 15L)))
+  }
+}
