@@ -262,7 +262,13 @@ object Extras {
         approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000))
           .as("ap"))
       .select(col("l_returnflag"), col("median_qty"), col("p90_price"),
-        (abs(col("aq") - col("median_qty")) <= lit(1.0)).as("median_ok"),
+        // rank-based error scales with n: an absolute ±1 bound flips at
+        // an unpinned SF where a dense integer region shifts the
+        // estimate — greatest(1, 2% relative) holds at any scale (r15,
+        // ADVICE) while staying exact-friendly on small-int columns
+        (abs(col("aq") - col("median_qty"))
+          <= greatest(lit(1.0), col("median_qty") * 0.02))
+          .as("median_ok"),
         (abs(col("ap") - col("p90_price"))
           <= col("p90_price") * 0.02).as("p90_ok"))
 
@@ -287,7 +293,9 @@ object Extras {
       .select(col("l_linestatus"), col("median_price"), col("p95_qty"),
         (abs(col("ap") - col("median_price"))
           <= col("median_price") * 0.02).as("median_ok"),
-        (abs(col("aq") - col("p95_qty")) <= lit(1.0)).as("p95_ok"))
+        // same scale-proof bound as the _tol twin (r15, ADVICE)
+        (abs(col("aq") - col("p95_qty"))
+          <= greatest(lit(1.0), col("p95_qty") * 0.02)).as("p95_ok"))
 
   /** Pivot: event counts and mean values per user, one column per
     * event type (explicit value list keeps the schema static — the only

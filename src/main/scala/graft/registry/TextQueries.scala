@@ -2,7 +2,7 @@ package graft.registry
 
 import graft.operators.{Bpe, Classify, Curate, Dedup, Hybrid,
   Multimodal, Perplexity, Reduce, Sampling, ScalarQuant, Scrub, Search,
-  Shard, Similarity, TextOps, Video}
+  Shard, Similarity, Substring, TextOps, Video}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
@@ -150,6 +150,11 @@ object TextQueries {
     // (quotation / subset duplication) Jaccard structurally misses
     "q_containment" -> ((s: SparkSession, d: String) =>
       Dedup.ngramContainmentPairs(s, d)),
+    // exact-substring dedup (Lee et al. suffix-array class, r15):
+    // maximal verbatim ≥8-token spans with positions — the modality
+    // the gram-SET family (jaccard/containment) structurally misses
+    "q_substring_dups" -> ((s: SparkSession, d: String) =>
+      Substring.substringDups(s, d)),
     "q_incremental_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalDedupQuery(s, d)),
     "q_embedding_stats" -> (Similarity.labelStats _),
@@ -433,7 +438,13 @@ object TextQueries {
     // the cascade's last stage: cross-encoder-STYLE pairwise rerank of
     // the RRF shortlist (0.6·cosine + 0.4·term-jaccard, deterministic
     // stand-in for a model call — full oracle recomputes the cascade)
-    "q_rerank" -> ((s: SparkSession, d: String) => Hybrid.rerank(s, d))
+    "q_rerank" -> ((s: SparkSession, d: String) => Hybrid.rerank(s, d)),
+    // served cascade (r15): same rerank stage over the index-served
+    // RRF shortlist — shares q_rerank's full oracle because the served
+    // RRF is oracle-identical to the inline form (exact-recall int8)
+    "q_rerank_served" -> ((s: SparkSession, d: String) =>
+      Hybrid.rerankFromIndexes(s, d, s"${indexRoot(d)}/bm25",
+        s"${indexRoot(d)}/int8"))
   )
 
   /** The 5 probe vectors every ANN registry query uses
@@ -735,6 +746,7 @@ object TextQueries {
       ("q_hybrid_rrf" -> hybridRrfOracle) +
       ("q_hybrid_rrf_served" -> hybridRrfOracle) +
       ("q_rerank" -> rerankOracle) +
+      ("q_rerank_served" -> rerankOracle) +
       // full recompute of every stored int8 code from the raw floats:
       // closed-form half-up quantizer (floor(x/s + 0.5) — explicit,
       // because engine round() tie semantics differ), clamped ±127
@@ -856,7 +868,7 @@ object TextQueries {
       |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
       |      + 0.4 * (CAST(len(list_intersect(d.dts, qt.qts)) AS DOUBLE)
       |          / len(list_distinct(list_concat(d.dts, qt.qts)))),
-      |      6) AS rerank_score
+      |      6) + 0.0 AS rerank_score
       |  FROM cand c
       |  JOIN dtt d USING (doc_id)
       |  JOIN embeddings de ON de.vec_id = c.doc_id
@@ -997,7 +1009,7 @@ object TextQueries {
     // sum-of-doubles contract; "+ 0.0" launders DuckDB's -0.0 on
     // near-zero projections (Spark's BigDecimal round never signs zero)
     "q_rand_proj" ->
-      """SELECT vec_id, j AS dim,
+      """SELECT vec_id, CAST(j AS INT) AS dim,
         |  round(list_sum(list_transform(embedding,
         |    (x, i) -> CAST(x AS DOUBLE) *
         |      (CASE WHEN ((i * 2654435761 + j * 1013904223)
@@ -1040,7 +1052,7 @@ object TextQueries {
         |    (SELECT unnest(range(1, 65)) AS i) ii,
         |    (SELECT unnest(range(1, 65)) AS j) jj
         |  WHERE ii.i <= jj.j)
-        |SELECT i, j,
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
         |  round(avg(xi * xj) - avg(xi) * avg(xj), 4) + 0.0 AS c
         |FROM pr GROUP BY i, j""".stripMargin,
     // centroid-distance tail scrub: per-dim rounded means, the same
@@ -1444,6 +1456,9 @@ object TextQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |   / least(len(a.sh), len(b.sh)) >= 0.6""".stripMargin,
+    // full recompute of the span construction, pairing on the gram
+    // STRING (Spark pairs on xxhash64) — the gate polices collisions
+    "q_substring_dups" -> Substring.oracleSql(),
     // exhaustive jaccard at the minhash threshold: equality asserts the
     // banded-LSH candidate stage has recall 1.0 on this data
     "q_minhash_pairs" ->

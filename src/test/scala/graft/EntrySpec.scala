@@ -77,8 +77,9 @@ class EntrySpec extends SparkSuite {
     // multi-distinct Expand blowup)
     "q_profile",
     // composes the hybrid cascade, inheriting its dense leg's
-    // documented broadcast-probe cross (the q_hybrid_rrf note)
-    "q_rerank")
+    // documented broadcast-probe cross (the q_hybrid_rrf note); the
+    // served twin inherits q_hybrid_rrf_served's instead (r15)
+    "q_rerank", "q_rerank_served")
 
   test("plan gates in one pass: no CartesianProduct anywhere, BNLJ " +
       "only in documented queries, and per-query shuffle counts " +

@@ -41,14 +41,25 @@ def _family(dtype) -> str:
     return "object"
 
 
-def strict_diffs(g: pd.DataFrame, w: pd.DataFrame) -> list:
-    """Bit-level float compare + dtype-family check (driver-hash parity)."""
+def strict_diffs(g: pd.DataFrame, w: pd.DataFrame, name: str = "?") -> list:
+    """Bit-level float compare + dtype-family check (driver-hash parity).
+
+    Integer WIDTH mismatches (int32 vs int64 — e.g. a missing
+    CAST(... AS INT)) are warned, not failed: the r14 driver gate was
+    green on the current widths so a hard local fail would be a false
+    alarm vs the driver, but the warning keeps a width drift visible
+    in case the driver's value-hash ever distinguishes physical types
+    (r15, ADVICE).
+    """
     out = []
     for c in g.columns:
         fg, fw = _family(g[c].dtype), _family(w[c].dtype)
         if fg != fw:
             out.append(f"{c}: dtype family {g[c].dtype} vs {w[c].dtype}")
             continue
+        if fg == "int" and str(g[c].dtype) != str(w[c].dtype):
+            print(f"  WARN int width [{name}]: {c} "
+                  f"{g[c].dtype} vs {w[c].dtype}")
         if fg == "float":
             a = g[c].astype("float64").to_numpy()
             b = w[c].astype("float64").to_numpy()
@@ -106,7 +117,7 @@ def main(sf_dir: str, out_dir: str) -> int:
                     diffs.append(f"{c}[{i}]: {a[i]!r} != {b[i]!r} "
                                  f"(dtypes {a.dtype}/{b.dtype})")
             if not diffs and STRICT:
-                diffs = ["strict " + d for d in strict_diffs(g, w)]
+                diffs = ["strict " + d for d in strict_diffs(g, w, name)]
             if diffs:
                 print(f"FAIL {name}: " + "; ".join(diffs[:3]))
                 n_bad += 1
