@@ -144,9 +144,19 @@ object Hybrid {
     val qTerms = queries.groupBy(_._1).toSeq
       .map { case (qid, ts) => (qid.toLong, ts.map(_._2).distinct.sorted) }
       .toDF("query_id", "qts")
-    val docToks = Tables.parallelized(Tables.documents(s, d)
+    // tokenize AFTER the shortlist join, not before: Catalyst does not
+    // reorder an expensive projection below a join on its own, so a
+    // corpus-wide tokens/array_distinct projection would run on every
+    // document only for the join to discard 98% of it (r15 — measured
+    // 0.9 s of q_rerank_served's isolated cost). The shortlist
+    // broadcasts into the corpus scan, the joined k·queries rows carry
+    // the token arrays, and that feature frame (consumed once) then
+    // broadcasts onto the embedding stream — documents and embeddings
+    // each scanned exactly once, the shortlist cascade computed once.
+    val feat = Tables.parallelized(Tables.documents(s, d)
         .select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
+      .join(broadcast(cands), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("rrf"),
         array_distinct(graft.operators.TextOps.tokens(col("text")))
           .as("dts"))
     val dEmb = Tables.embeddings(s, d)
@@ -165,8 +175,7 @@ object Hybrid {
       lit(0.4) * overlap, 6)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rerank_score").desc, col("doc_id"))
-    docToks.join(broadcast(cands), Seq("doc_id"))
-      .join(dEmb, Seq("doc_id"))
+    dEmb.join(broadcast(feat), Seq("doc_id"))
       .join(broadcast(qTerms), Seq("query_id"))
       .join(broadcast(qEmb), Seq("query_id"))
       .select(col("query_id"), col("doc_id"), col("rrf"),

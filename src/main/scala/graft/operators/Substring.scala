@@ -119,4 +119,83 @@ object Substring {
        |  CAST(min(pb) AS BIGINT) AS b_pos,
        |  CAST($minLen + count(*) - 1 AS BIGINT) AS span_len
        |FROM runs GROUP BY doc_a, doc_b, diag, grp""".stripMargin
+
+  /** The curation half of Lee et al.: CUT the duplicated spans,
+    * keeping one occurrence corpus-wide. Every span occurrence in the
+    * pair's LARGER doc_id is removed (within a duplicate cluster all
+    * pairs exist, so only the smallest doc's copy survives —
+    * deterministic, order-free); a doc's cut ranges union before
+    * removal. Output one row per document: (doc_id, n_cut,
+    * clean_text), clean_text = surviving tokens joined by single
+    * spaces (the canonical whitespace form both engines rebuild
+    * identically), '' when everything was cut, the full token join
+    * when nothing was.
+    *
+    * Scale shape: the span frame is pair-bounded (tiny); the cut
+    * positions explode to at most the duplicated token mass. The
+    * corpus pays one (doc_id, pos, token) explode, one keyed
+    * anti-join against the cut set, and one per-doc ordered
+    * reassembly (collect_list of a DOCUMENT's tokens — bounded by
+    * definition of a document). No all-pairs, no text in join keys.
+    */
+  def substringScrub(s: SparkSession, d: String, minLen: Int = 8,
+      dfCap: Int = 64): DataFrame = {
+    val docs = Tables.parallelized(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val toksDf = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("t"))
+    val cuts = substringDups(s, d, minLen, dfCap)
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("b_pos"),
+          col("b_pos") + col("span_len") - 1)).as("pos"))
+      .distinct()
+    val tp = toksDf.select(col("doc_id"), posexplode(col("t")))
+      .toDF("doc_id", "pos", "tok")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("tok"))
+    val kept = tp.join(cuts, Seq("doc_id", "pos"), "left_anti")
+    val agg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"),
+          col("tok")))), x => x.getField("tok"))).as("clean_text"))
+    toksDf
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_toks"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** [[substringScrub]] recomputed end-to-end in DuckDB — span
+    * construction, cut-position union, ordered reassembly.
+    */
+  def scrubOracleSql(minLen: Int = 8, dfCap: Int = 64): String = {
+    val spanCtes = oracleSql(minLen, dfCap)
+      .replaceFirst("(?s)\\nSELECT doc_a.*$", "")
+    s"""$spanCtes,
+       |spans AS (
+       |  SELECT doc_b AS doc_id, min(pb) AS b0,
+       |    $minLen + count(*) - 1 AS sl
+       |  FROM runs GROUP BY doc_a, doc_b, diag, grp),
+       |cuts AS (
+       |  SELECT DISTINCT doc_id, b0 + u.i AS p
+       |  FROM spans, unnest(range(0, sl)) AS u(i)),
+       |tp AS (
+       |  SELECT doc_id, i AS pos, t[i+1] AS tok
+       |  FROM toks, unnest(range(0, len(t))) AS u(i)),
+       |keep AS (
+       |  SELECT tp.doc_id, tp.pos, tp.tok
+       |  FROM tp LEFT JOIN cuts c
+       |    ON tp.doc_id = c.doc_id AND tp.pos = c.p
+       |  WHERE c.p IS NULL),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM keep GROUP BY doc_id)
+       |SELECT toks.doc_id,
+       |  CAST(len(t) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
+       |  coalesce(clean_text, '') AS clean_text
+       |FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id""".stripMargin
+  }
 }

@@ -155,6 +155,10 @@ object TextQueries {
     // the gram-SET family (jaccard/containment) structurally misses
     "q_substring_dups" -> ((s: SparkSession, d: String) =>
       Substring.substringDups(s, d)),
+    // the curation half: cut every duplicated span occurrence except
+    // the smallest-doc_id copy, rebuild the surviving token stream
+    "q_substring_scrub" -> ((s: SparkSession, d: String) =>
+      Substring.substringScrub(s, d)),
     "q_incremental_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalDedupQuery(s, d)),
     "q_embedding_stats" -> (Similarity.labelStats _),
@@ -1459,6 +1463,7 @@ object TextQueries {
     // full recompute of the span construction, pairing on the gram
     // STRING (Spark pairs on xxhash64) — the gate polices collisions
     "q_substring_dups" -> Substring.oracleSql(),
+    "q_substring_scrub" -> Substring.scrubOracleSql(),
     // exhaustive jaccard at the minhash threshold: equality asserts the
     // banded-LSH candidate stage has recall 1.0 on this data
     "q_minhash_pairs" ->

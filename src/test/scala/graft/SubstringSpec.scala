@@ -76,4 +76,29 @@ class SubstringSpec extends SparkSuite {
       .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(capped === Set((0L, 0L, 15L), (9L, 9L, 15L)))
   }
+
+  test("scrub keeps exactly one copy per duplicate cluster: the " +
+      "smallest doc_id's; cut ranges union; untouched docs round-trip") {
+    val span = toks("s", 9)
+    val other = toks("q", 8)
+    val d = plant(Seq(
+      // 1/2/3 share `span` (all three pairs exist): only doc 1 keeps it
+      1L -> (span + " " + toks("a", 4)),
+      2L -> (toks("b", 2) + " " + span),
+      3L -> span, // becomes empty after the cut
+      // 4/5 share `other`; 5 also shares `span`'s tail? no — distinct
+      4L -> (other + " " + toks("c", 4)),
+      5L -> (toks("e", 4) + " " + other),
+      6L -> toks("f", 12))) // untouched
+    val got = Substring.substringScrub(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 0L, span + " " + toks("a", 4)),
+      (2L, 9L, toks("b", 2)),
+      (3L, 9L, ""),
+      (4L, 0L, other + " " + toks("c", 4)),
+      (5L, 8L, toks("e", 4)),
+      (6L, 0L, toks("f", 12))))
+  }
 }
