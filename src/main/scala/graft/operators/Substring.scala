@@ -49,8 +49,20 @@ object Substring {
     */
   def substringDups(s: SparkSession, d: String, minLen: Int = 8,
       dfCap: Int = 64): DataFrame = {
-    val docs = Tables.parallelized(
-      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val kept = keptPositions(
+      Tables.parallelized(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))),
+      minLen, dfCap)
+    spansOf(matchesOf(kept, kept), minLen)
+  }
+
+  /** (h, doc_id, pos) gram-position tuples for `docs` — one per token
+    * position, h = xxhash64 of the `minLen`-token window starting
+    * there. The doc-sized gram-array frame materializes once before
+    * the explode (the r14 NoveltyProbe rule).
+    */
+  private[operators] def positionsOf(docs: DataFrame,
+      minLen: Int): DataFrame = {
     val toks = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       // sequence(1, size-minLen+1) must not run on short docs (it
@@ -62,20 +74,37 @@ object Substring {
       transform(sequence(lit(1), size(col("t")) - (minLen - 1)),
         i => xxhash64(concat_ws("\u0001", slice(col("t"), i, lit(minLen)))))
         .as("g")))
-    val positions = gramArrs
+    gramArrs
       .select(col("doc_id"), posexplode(col("g")))
       .toDF("doc_id", "pos", "h")
+      .select(col("h"), col("doc_id"), col("pos"))
+  }
+
+  /** Positions with over-frequent grams dropped, materialized once
+    * (the pair join consumes them twice). */
+  private def keptPositions(docs: DataFrame, minLen: Int,
+      dfCap: Int): DataFrame = {
+    val positions = positionsOf(docs, minLen)
     val freq = positions.groupBy(col("h")).agg(count(lit(1)).as("n"))
-    // two consumers below (both sides of the pair self-join): cut the
-    // explode+frequency subtree off both
-    val kept = Dedup.lazyCheckpoint(
+    Dedup.lazyCheckpoint(
       positions.join(freq.filter(col("n") <= dfCap), Seq("h"))
         .select(col("h"), col("doc_id"), col("pos")))
-    val m = kept.as("a").join(kept.as("b"),
+  }
+
+  /** Position pairs sharing a gram, canonical orientation from the id
+    * order (`left` supplies the smaller doc — pass the same frame
+    * twice for all-pairs, or (all, probe) for pairs whose LARGER
+    * member is in the probe side).
+    */
+  private def matchesOf(left: DataFrame, right: DataFrame): DataFrame =
+    left.as("a").join(right.as("b"),
         col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
+
+  /** Diagonal run-length collapse: maximal spans from gram matches. */
+  private def spansOf(m: DataFrame, minLen: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
     m.withColumn("diag", col("pa") - col("pb"))
@@ -86,6 +115,75 @@ object Substring {
         (lit(minLen) + count(lit(1)) - 1).cast("bigint").as("span_len"))
       .select(col("doc_a"), col("doc_b"), col("a_pos"), col("b_pos"),
         col("span_len"))
+  }
+
+  /** Incremental form: spans for pairs whose LARGER doc_id is in the
+    * newest fifth (the suite's standard 80/20 split — new docs take
+    * the top ids, so "larger member is new" ⇔ "pair involves a new
+    * doc", the [[Dedup.incrementalDedupQuery]] convention). Positions
+    * and the dfCap frequency are computed ONCE over the whole corpus
+    * (the probe side is a filter above the shared materialized
+    * frame), and the frequency is GLOBAL — identical to what the
+    * from-index path reconstructs, so both forms share one oracle.
+    */
+  def incrementalSpans(s: SparkSession, d: String, minLen: Int = 8,
+      dfCap: Int = 64): DataFrame = {
+    val docs = Tables.parallelized(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    docs.createOrReplaceTempView("graft_substr_docs")
+    val splitId =
+      "(select (max(doc_id) * 4) div 5 from graft_substr_docs)"
+    val kept = keptPositions(docs, minLen, dfCap)
+    spansOf(
+      matchesOf(kept, kept.filter(expr(s"doc_id >= $splitId"))),
+      minLen)
+  }
+
+  /** Persist the gram-position index the served incremental form
+    * probes: `dir/positions` = (h, doc_id, pos) for `docs`,
+    * `dir/freq` = (h, n) occurrence counts over those positions
+    * (mergeable — the batch's counts add).
+    */
+  def writePositionIndex(s: SparkSession, docs: DataFrame,
+      dir: String, minLen: Int = 8): Unit = {
+    positionsOf(Tables.parallelized(
+        docs.select(col("doc_id"), col("text"))), minLen)
+      .write.mode("overwrite").parquet(s"$dir/positions")
+    s.read.parquet(s"$dir/positions")
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/freq")
+  }
+
+  /** Probe a NEW batch against the persisted position index: only the
+    * batch is re-grammed (per-batch gram work scales with the batch);
+    * the global dfCap frequency is reconstructed as index counts +
+    * batch counts (counts are mergeable), so the output is exactly
+    * [[incrementalSpans]]'s — one shared oracle. Batch ids sit above
+    * every index id (the ingest fixture), giving the canonical
+    * larger-is-new orientation.
+    */
+  def incrementalSpansFromIndex(s: SparkSession, indexDir: String,
+      newDocs: DataFrame, minLen: Int = 8,
+      dfCap: Int = 64): DataFrame = {
+    val batchPos = Dedup.lazyCheckpoint(
+      positionsOf(Tables.parallelized(newDocs), minLen))
+    val totFreq = s.read.parquet(s"$indexDir/freq")
+      .unionByName(batchPos.groupBy(col("h"))
+        .agg(count(lit(1)).as("n")))
+      .groupBy(col("h")).agg(sum(col("n")).as("n"))
+      .filter(col("n") <= dfCap)
+      .select(col("h"))
+    val all = s.read.parquet(s"$indexDir/positions")
+      .withColumn("is_new", lit(false))
+      .unionByName(batchPos.withColumn("is_new", lit(true)))
+    val kept = Dedup.lazyCheckpoint(all.join(totFreq, Seq("h"))
+      .select(col("h"), col("doc_id"), col("pos"), col("is_new")))
+    spansOf(
+      matchesOf(
+        kept.select(col("h"), col("doc_id"), col("pos")),
+        kept.filter(col("is_new"))
+          .select(col("h"), col("doc_id"), col("pos"))),
+      minLen)
   }
 
   /** The same construction as chained DuckDB CTEs — pairs on the gram
@@ -119,6 +217,19 @@ object Substring {
        |  CAST(min(pb) AS BIGINT) AS b_pos,
        |  CAST($minLen + count(*) - 1 AS BIGINT) AS span_len
        |FROM runs GROUP BY doc_a, doc_b, diag, grp""".stripMargin
+
+  /** [[incrementalSpans]] / [[incrementalSpansFromIndex]]'s shared
+    * oracle: the full construction restricted to pairs whose larger
+    * member is in the newest fifth (split rule verbatim from
+    * q_incremental_dedup's oracle).
+    */
+  def incrOracleSql(minLen: Int = 8, dfCap: Int = 64): String =
+    oracleSql(minLen, dfCap).replace(
+      "ON a.g = b.g AND a.doc_id < b.doc_id),",
+      """ON a.g = b.g AND a.doc_id < b.doc_id
+        |  CROSS JOIN (SELECT (max(doc_id) * 4) // 5 AS split_id
+        |              FROM documents) mx
+        |  WHERE b.doc_id >= mx.split_id),""".stripMargin)
 
   /** The curation half of Lee et al.: CUT the duplicated spans,
     * keeping one occurrence corpus-wide. Every span occurrence in the

@@ -159,6 +159,15 @@ object TextQueries {
     // the smallest-doc_id copy, rebuild the surviving token stream
     "q_substring_scrub" -> ((s: SparkSession, d: String) =>
       Substring.substringScrub(s, d)),
+    // incremental ingest forms: spans for pairs involving a new doc —
+    // inline (one shared position subtree, probe = filter above it)
+    // and served (batch re-grammed only, probed against the persisted
+    // position index with mergeable dfCap counts); one shared oracle
+    "q_substring_dups_incr" -> ((s: SparkSession, d: String) =>
+      Substring.incrementalSpans(s, d)),
+    "q_substring_dups_served" -> ((s: SparkSession, d: String) =>
+      Substring.incrementalSpansFromIndex(s, s"${indexRoot(d)}/substr",
+        incrSplitSide(s, d, newSide = true))),
     "q_incremental_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalDedupQuery(s, d)),
     "q_embedding_stats" -> (Similarity.labelStats _),
@@ -570,6 +579,10 @@ object TextQueries {
       partitionCol = "cell")
     Dedup.minhashBuckets(incrSplitSide(s, d, newSide = false))
       .write.mode("overwrite").parquet(s"$root/minhash_buckets")
+    // gram-position index for the served exact-substring probe (r15):
+    // old 80% positions + mergeable frequency counts
+    Substring.writePositionIndex(s,
+      incrSplitSide(s, d, newSide = false), s"$root/substr")
     // novelty first-seen index, the standard 80/20 grow-in-place
     // fixture: min-per-gram is mergeable (no frozen model), so the
     // grown index serves the inline answer exactly and
@@ -1464,6 +1477,11 @@ object TextQueries {
     // STRING (Spark pairs on xxhash64) — the gate polices collisions
     "q_substring_dups" -> Substring.oracleSql(),
     "q_substring_scrub" -> Substring.scrubOracleSql(),
+    // the incremental pair shares one restricted-recompute oracle:
+    // the from-index form reconstructs the identical global dfCap
+    // frequency (index counts + batch counts), so served ≡ inline
+    "q_substring_dups_incr" -> Substring.incrOracleSql(),
+    "q_substring_dups_served" -> Substring.incrOracleSql(),
     // exhaustive jaccard at the minhash threshold: equality asserts the
     // banded-LSH candidate stage has recall 1.0 on this data
     "q_minhash_pairs" ->

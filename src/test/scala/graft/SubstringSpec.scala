@@ -77,6 +77,32 @@ class SubstringSpec extends SparkSuite {
     assert(capped === Set((0L, 0L, 15L), (9L, 9L, 15L)))
   }
 
+  test("incremental spans report only pairs whose larger member is " +
+      "in the newest fifth; served-from-index equals inline") {
+    val d = "/root/testdata/sf0.001"
+    val inline = Substring.incrementalSpans(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val full = Substring.substringDups(spark, d)
+      .collect().map(_.toSeq).toSeq
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val split = docs.agg(expr("(max(doc_id) * 4) div 5"))
+      .head().getLong(0)
+    // inline ≡ the full pair set restricted by the split rule
+    assert(inline.sortBy(_.toString) ===
+      full.filter(r => r(1).asInstanceOf[Long] >= split)
+        .sortBy(_.toString))
+    assert(inline.nonEmpty)
+    val root = tmpDir("substr_idx")
+    Substring.writePositionIndex(spark,
+      docs.filter(col("doc_id") < split), root)
+    val served = Substring.incrementalSpansFromIndex(spark, root,
+      docs.filter(col("doc_id") >= split))
+      .collect().map(_.toSeq).toSeq
+    assert(served.sortBy(_.toString) === inline.sortBy(_.toString))
+  }
+
   test("scrub keeps exactly one copy per duplicate cluster: the " +
       "smallest doc_id's; cut ranges union; untouched docs round-trip") {
     val span = toks("s", 9)
