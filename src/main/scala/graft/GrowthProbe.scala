@@ -248,6 +248,46 @@ object GrowthProbe {
       assert(ec <= bound,
         s"embedding candidates $ec exceed designed bound $bound at n=$n")
     }
+    // ---- exact-substring incremental path (r15): same fixture ----
+    // Claim under test (Substring.incrementalSpansFromIndex): only the
+    // batch is re-grammed, and the probe pair set is index-size-
+    // INVARIANT here because every batch doc's exact twin (ids 0..499
+    // exist in every index with identical text) contributes one
+    // full-doc span while random 8-gram collisions are nil on this
+    // vocabulary. The index side DOES contribute a linearly-growing
+    // posting scan+shuffle to the probe join (reported, not hidden) —
+    // the 100 TB mitigation is h-partitioned index layout so the probe
+    // co-partitions, the same story as the BM25 postings tier.
+    val subRows = Seq(5000L, 12500L, 25000L).map { n =>
+      val dir = s"/tmp/graft_growth/n$n"
+      val idxDocs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val (_, tBuild) = timed {
+        graft.operators.Substring.writePositionIndex(spark, idxDocs,
+          s"$dir/substr")
+      }
+      val (spans, tServe) = timed {
+        graft.operators.Substring.incrementalSpansFromIndex(spark,
+          s"$dir/substr", batch).count()
+      }
+      println(f"substring index=$n%6d batch=500 spans=$spans%5d " +
+        f"build=$tBuild%5.1fs serve=$tServe%5.1fs")
+      (n, spans, tBuild, tServe)
+    }
+    assert(subRows.map(_._2).distinct.size == 1,
+      s"substring span count varies with index size: $subRows")
+    val subJson = subRows.map { case (n, p, tb, ts) =>
+      f"""  {"index_n": $n, "batch_n": 500, "spans": $p, """ +
+        f""""sec_index_build": $tb%.2f, "sec_batch_serve": $ts%.2f}"""
+    }.mkString(" \"substring_incremental\": [\n", ",\n", "\n ]\n")
+    // splice the substring section into the written JSON (kept as a
+    // separate rewrite so the earlier sections' schema is untouched)
+    val p = java.nio.file.Paths.get("tools/growth_probe.json")
+    val body = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(p,
+      body.replaceFirst("\\n\\}\\n$", ",\n" + subJson + "}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println("growth probe OK (tools/growth_probe.json written)")
     spark.stop()
   }
