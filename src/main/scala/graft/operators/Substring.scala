@@ -154,26 +154,94 @@ object Substring {
       .write.mode("overwrite").parquet(s"$dir/freq")
   }
 
+  /** Append a batch to the position index without rewriting the base:
+    * positions and per-gram counts land in `*_batches/batch=N` side
+    * dirs (counts are mergeable, so serve-time frequency is exact).
+    */
+  def appendPositionsBatch(s: SparkSession, indexDir: String,
+      newDocs: DataFrame, batchId: Long, minLen: Int = 8): Unit = {
+    val pos = positionsOf(Tables.parallelized(
+      newDocs.select(col("doc_id"), col("text"))), minLen)
+    pos.write.mode("overwrite")
+      .parquet(s"$indexDir/positions_batches/batch=$batchId")
+    s.read.parquet(s"$indexDir/positions_batches/batch=$batchId")
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/freq_batches/batch=$batchId")
+  }
+
+  /** Union a base table with its `<table>_batches/batch=*` side dirs
+    * (absent side dirs → base alone — the [[Search]] convention). */
+  private def withBatches(s: SparkSession, indexDir: String,
+      table: String): DataFrame = {
+    val base = s.read.parquet(s"$indexDir/$table")
+    val root =
+      new org.apache.hadoop.fs.Path(s"$indexDir/${table}_batches")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) base
+    else base.unionByName(
+      s.read.option("basePath", root.toString)
+        .parquet(root.toString).drop("batch"))
+  }
+
+  /** Fold accumulated append batches back into the base tables at
+    * admin cadence (the index returns to its minimal one-dir serve
+    * plan). Crash-safe via the staged-tmp + ready-marker dance: every
+    * step is idempotent, so a re-run after any interruption completes
+    * the promotion instead of corrupting the index.
+    */
+  def promotePositionBatches(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = s.sparkContext.hadoopConfiguration
+    def path(p: String) = new Path(s"$indexDir/$p")
+    val fs = new Path(indexDir).getFileSystem(conf)
+    val ready = path("__promote_ready")
+    if (!fs.exists(path("positions_batches")) && !fs.exists(ready))
+      return
+    if (!fs.exists(ready)) {
+      withBatches(s, indexDir, "positions")
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/__promote_tmp/positions")
+      withBatches(s, indexDir, "freq")
+        .groupBy(col("h")).agg(sum(col("n")).as("n"))
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/__promote_tmp/freq")
+      fs.create(ready, true).close()
+    }
+    Seq("positions", "freq").foreach { t =>
+      val tmp = path(s"__promote_tmp/$t")
+      if (fs.exists(tmp)) {
+        fs.delete(path(t), true)
+        fs.rename(tmp, path(t))
+      }
+    }
+    Seq("positions", "freq").foreach(t =>
+      fs.delete(path(s"${t}_batches"), true))
+    fs.delete(path("__promote_tmp"), true)
+    fs.delete(ready, false)
+  }
+
   /** Probe a NEW batch against the persisted position index: only the
     * batch is re-grammed (per-batch gram work scales with the batch);
     * the global dfCap frequency is reconstructed as index counts +
     * batch counts (counts are mergeable), so the output is exactly
-    * [[incrementalSpans]]'s — one shared oracle. Batch ids sit above
-    * every index id (the ingest fixture), giving the canonical
-    * larger-is-new orientation.
+    * [[incrementalSpans]]'s — one shared oracle, whether the index is
+    * one-shot, grown with append batches, or promoted back to base.
+    * Batch ids sit above every index id (the ingest fixture), giving
+    * the canonical larger-is-new orientation.
     */
   def incrementalSpansFromIndex(s: SparkSession, indexDir: String,
       newDocs: DataFrame, minLen: Int = 8,
       dfCap: Int = 64): DataFrame = {
     val batchPos = Dedup.lazyCheckpoint(
       positionsOf(Tables.parallelized(newDocs), minLen))
-    val totFreq = s.read.parquet(s"$indexDir/freq")
+    val totFreq = withBatches(s, indexDir, "freq")
       .unionByName(batchPos.groupBy(col("h"))
         .agg(count(lit(1)).as("n")))
       .groupBy(col("h")).agg(sum(col("n")).as("n"))
       .filter(col("n") <= dfCap)
       .select(col("h"))
-    val all = s.read.parquet(s"$indexDir/positions")
+    val all = withBatches(s, indexDir, "positions")
       .withColumn("is_new", lit(false))
       .unionByName(batchPos.withColumn("is_new", lit(true)))
     val kept = Dedup.lazyCheckpoint(all.join(totFreq, Seq("h"))

@@ -168,6 +168,17 @@ object TextQueries {
     "q_substring_dups_served" -> ((s: SparkSession, d: String) =>
       Substring.incrementalSpansFromIndex(s, s"${indexRoot(d)}/substr",
         incrSplitSide(s, d, newSide = true))),
+    // lifecycle twins: grown (base + append batch) and promoted
+    // (batches folded back) indexes serve the identical answer —
+    // per-gram counts merge exactly, so one oracle covers all three
+    "q_substring_dups_appended_served" -> ((s: SparkSession, d: String) =>
+      Substring.incrementalSpansFromIndex(s,
+        s"${indexRoot(d)}/substr_appended",
+        incrSplitSide(s, d, newSide = true))),
+    "q_substring_dups_promoted_served" -> ((s: SparkSession, d: String) =>
+      Substring.incrementalSpansFromIndex(s,
+        s"${indexRoot(d)}/substr_promoted",
+        incrSplitSide(s, d, newSide = true))),
     "q_incremental_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalDedupQuery(s, d)),
     "q_embedding_stats" -> (Similarity.labelStats _),
@@ -583,6 +594,21 @@ object TextQueries {
     // old 80% positions + mergeable frequency counts
     Substring.writePositionIndex(s,
       incrSplitSide(s, d, newSide = false), s"$root/substr")
+    // substring lifecycle twins: the same old-80% index grown as
+    // base(4/5 of it) + one append batch, and the promoted fold-back —
+    // counts merge exactly, so all three serve the identical answer
+    Seq("substr_appended" -> false, "substr_promoted" -> true).foreach {
+      case (name, promote) =>
+        val dir = s"$root/$name"
+        val oldSide = incrSplitSide(s, d, newSide = false)
+        Substring.writePositionIndex(s,
+          oldSide.filter(org.apache.spark.sql.functions
+            .col("doc_id") % 5 =!= 3), dir)
+        Substring.appendPositionsBatch(s, dir,
+          oldSide.filter(org.apache.spark.sql.functions
+            .col("doc_id") % 5 === 3), batchId = 1L)
+        if (promote) Substring.promotePositionBatches(s, dir)
+    }
     // novelty first-seen index, the standard 80/20 grow-in-place
     // fixture: min-per-gram is mergeable (no frozen model), so the
     // grown index serves the inline answer exactly and
@@ -1482,6 +1508,8 @@ object TextQueries {
     // frequency (index counts + batch counts), so served ≡ inline
     "q_substring_dups_incr" -> Substring.incrOracleSql(),
     "q_substring_dups_served" -> Substring.incrOracleSql(),
+    "q_substring_dups_appended_served" -> Substring.incrOracleSql(),
+    "q_substring_dups_promoted_served" -> Substring.incrOracleSql(),
     // exhaustive jaccard at the minhash threshold: equality asserts the
     // banded-LSH candidate stage has recall 1.0 on this data
     "q_minhash_pairs" ->

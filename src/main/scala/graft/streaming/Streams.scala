@@ -322,7 +322,8 @@ object Streams {
       int8IndexDir: Option[String] = None,
       pplModelDir: Option[String] = None,
       semanticProbes: Option[DataFrame] = None,
-      semanticTau: Double = 0.8): StreamingQuery =
+      semanticTau: Double = 0.8,
+      substrIndexDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
@@ -380,6 +381,13 @@ object Streams {
                   admitted.sparkSession, dir,
                   admitted.select(col("doc_id"), col("text")), batchId,
                   reference = lit(true)))
+              // exact-substring leg (r15): gram positions + mergeable
+              // counts for the admitted REDACTED text land as the same
+              // batch id; overwrite-per-batch makes replay idempotent
+              substrIndexDir.foreach(dir =>
+                graft.operators.Substring.appendPositionsBatch(
+                  admitted.sparkSession, dir,
+                  admitted.select(col("doc_id"), col("text")), batchId))
             } finally admitted.unpersist()
           } finally scrubbed.unpersist()
         }

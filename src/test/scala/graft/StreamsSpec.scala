@@ -120,8 +120,8 @@ class StreamsSpec extends SparkSuite {
   }
 
   test("curationMaintainer: one document stream advances quarantine, " +
-    "near-dup, ANN, BM25, int8 and LM-count lakes exactly-once with " +
-    "shared batch ids") {
+    "near-dup, ANN, BM25, int8, LM-count and substring lakes " +
+    "exactly-once with shared batch ids") {
     import graft.operators.{Scrub, Search, Similarity}
     val d = sf()
     val lake = tmpDir("cur_lake")
@@ -129,6 +129,7 @@ class StreamsSpec extends SparkSuite {
     val bm25 = tmpDir("cur_bm25")
     val int8 = tmpDir("cur_int8")
     val ppl = tmpDir("cur_ppl")
+    val substr = tmpDir("cur_substr")
     val stage = tmpDir("cur_stage")
     val ckpt = tmpDir("cur_ckpt")
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
@@ -153,6 +154,8 @@ class StreamsSpec extends SparkSuite {
       assignOnly = Some(col("vec_id") % 5 =!= 4))
     graft.operators.ScalarQuant.sqWriteIndex(spark, d, int8,
       assignOnly = Some(col("vec_id") % 5 =!= 4))
+    graft.operators.Substring.writePositionIndex(spark,
+      docs.filter(col("doc_id") % 5 =!= 4), substr)
     def stageBatch(name: String, part: org.apache.spark.sql.DataFrame):
         Unit = {
       val tmp = tmpDir(s"cur_stage_$name")
@@ -167,7 +170,8 @@ class StreamsSpec extends SparkSuite {
     def stream() = spark.readStream.schema(streamed.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val q = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,
-      bm25, ckpt, int8IndexDir = Some(int8), pplModelDir = Some(ppl))
+      bm25, ckpt, int8IndexDir = Some(int8), pplModelDir = Some(ppl),
+      substrIndexDir = Some(substr))
     q.awaitTermination(300000)
     // quarantine holds exactly the contaminated docs; the near-dup
     // lake holds exactly the admitted ones, in both batch dirs
@@ -189,6 +193,8 @@ class StreamsSpec extends SparkSuite {
     assert(batchDirs(s"$int8/codes_batches") ===
       Seq("batch=0", "batch=1"))
     assert(batchDirs(s"$ppl/bigrams_batches") ===
+      Seq("batch=0", "batch=1"))
+    assert(batchDirs(s"$substr/positions_batches") ===
       Seq("batch=0", "batch=1"))
     // ANN leg: the grown index serves the one-shot build over
     // everything-but-quarantined (frozen geometry, pure assignment)
@@ -248,6 +254,21 @@ class StreamsSpec extends SparkSuite {
       graft.operators.Perplexity.scoreWithModel(spark, d, dir)
         .collect().map(_.toString).sorted.toSeq
     assert(servePpl(ppl) === servePpl(pplRef))
+    // substring leg: the grown position index serves exactly the
+    // one-shot build over raw base docs + admitted REDACTED docs
+    // (counts merge exactly; indexed text is the gated text)
+    val substrRef = tmpDir("cur_substr_ref")
+    graft.operators.Substring.writePositionIndex(spark,
+      docs.filter(col("doc_id") % 5 =!= 4)
+        .unionByName(streamed
+          .filter(!col("doc_id").isin(quarIds.toSeq: _*))
+          .select(col("doc_id"), Scrub.redactPii(col("text")).as("text"))),
+      substrRef)
+    def serveSubstr(dir: String): Seq[String] =
+      graft.operators.Substring.incrementalSpansFromIndex(spark, dir,
+        docs).collect().map(_.toString).sorted.toSeq
+    assert(serveSubstr(substr) === serveSubstr(substrRef))
+    assert(serveSubstr(substr).nonEmpty)
     // restart on the same checkpoint with no new files: every lake
     // unchanged — the composed pipeline is exactly-once as a whole
     val q2 = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,

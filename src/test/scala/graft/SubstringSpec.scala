@@ -103,6 +103,41 @@ class SubstringSpec extends SparkSuite {
     assert(served.sortBy(_.toString) === inline.sortBy(_.toString))
   }
 
+  test("index lifecycle: grown (base + append batch) and promoted " +
+      "indexes serve exactly the one-shot answer; batch dirs fold away") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val split = docs.agg(expr("(max(doc_id) * 4) div 5"))
+      .head().getLong(0)
+    val old = docs.filter(col("doc_id") < split)
+    val probe = docs.filter(col("doc_id") >= split)
+    val oneShot = tmpDir("substr_one")
+    Substring.writePositionIndex(spark, old, oneShot)
+    val expected = Substring
+      .incrementalSpansFromIndex(spark, oneShot, probe)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(expected.nonEmpty)
+    val grown = tmpDir("substr_grown")
+    Substring.writePositionIndex(spark,
+      old.filter(col("doc_id") % 5 =!= 3), grown)
+    Substring.appendPositionsBatch(spark, grown,
+      old.filter(col("doc_id") % 5 === 3), batchId = 1L)
+    val served = Substring
+      .incrementalSpansFromIndex(spark, grown, probe)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(served === expected)
+    Substring.promotePositionBatches(spark, grown)
+    // idempotent re-run must be a no-op, not a corruption
+    Substring.promotePositionBatches(spark, grown)
+    assert(!new java.io.File(s"$grown/positions_batches").exists)
+    val promoted = Substring
+      .incrementalSpansFromIndex(spark, grown, probe)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(promoted === expected)
+  }
+
   test("scrub keeps exactly one copy per duplicate cluster: the " +
       "smallest doc_id's; cut ranges union; untouched docs round-trip") {
     val span = toks("s", 9)
