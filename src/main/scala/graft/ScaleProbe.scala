@@ -29,6 +29,7 @@ object ScaleProbe {
     if (args.headOption.contains("skew")) { skewProbe(); return }
     if (args.headOption.contains("int8")) { int8Probe(); return }
     if (args.headOption.contains("zorder")) { zorderProbe(); return }
+    if (args.headOption.contains("substr")) { substrProbe(); return }
     val reps = args.headOption.map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -109,6 +110,62 @@ object ScaleProbe {
     * partkeys); Morton order keeps groups coherent in both keys, so
     * the ¼×¼ rectangle maps to ~1/16 of groups plus boundary.
     */
+  /** Exact-substring scale probe at constant duplicate DENSITY:
+    * documents replicated 32× (160k docs) with every token salted by
+    * its replica id, so cross-replica gram matches are impossible and
+    * the true span set scales exactly 32× — the honest "same data
+    * distribution, 32× the rows" cost measurement (the all-duplicates
+    * stress case is GrowthProbe's incremental section; boundedness
+    * under dfCap is its pigeonhole guarantee). Records positions,
+    * spans and wall time vs the 1× baseline.
+    */
+  private def substrProbe(): Unit = {
+    import graft.operators.Substring
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reps = 32
+    val corpus = "/tmp/graft_substr_scale"
+    def time(name: String)(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $r rows, $s%.2f s"); (r, s)
+    }
+    if (!new java.io.File(s"$corpus/documents.parquet").exists()) {
+      val toks = graft.operators.TextOps.tokens(col("text"))
+      Tables.documents(spark, "/root/testdata/sf0.1")
+        .withColumn("__rep", explode(lit((0 until reps).toArray)))
+        .select((col("doc_id") * reps + col("__rep")).as("doc_id"),
+          concat_ws(" ", transform(toks,
+            t => concat(t, lit("_"), col("__rep")))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    }
+    // warm the codegen/JIT path so the 1× number is the steady state
+    // (a cold first run measured 6.3 s vs the 1.5 s bench-ledger row —
+    // the ratio must not flatter itself with session startup)
+    Substring.substringDups(spark, "/root/testdata/sf0.001").count()
+    val (s1, t1) =
+      time("substring spans 1x (5k docs)") {
+        Substring.substringDups(spark, "/root/testdata/sf0.1").count()
+      }
+    val (s32, t32) =
+      time(s"substring spans ${reps}x (160k docs)") {
+        Substring.substringDups(spark, corpus).count()
+      }
+    // constant density ⇒ the span set scales exactly with the corpus;
+    // a mismatch means replica salting leaked cross-replica matches
+    assert(s32 == s1 * reps, s"span set not $reps x: $s1 -> $s32")
+    println(f"substr scale: spans $s1%d -> $s32%d (exactly ${reps}x), " +
+      f"wall $t1%.2f -> $t32%.2f s (${t32 / t1}%.1fx cost for " +
+      f"${reps}x data on fixed local[32])")
+  }
+
   private def zorderProbe(): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
