@@ -285,9 +285,13 @@ object GrowthProbe {
     val p = java.nio.file.Paths.get("tools/growth_probe.json")
     val body = new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)
+    val spliced = body.replaceFirst("\\n\\}\\n$", ",\n" + subJson + "}\n")
+    // a drift in the earlier writer's trailing format must not silently
+    // drop the substring section from the artifact (r15 ADVICE)
+    require(spliced != body,
+      "growth_probe.json splice anchor (trailing \"\\n}\\n\") not found")
     java.nio.file.Files.write(p,
-      body.replaceFirst("\\n\\}\\n$", ",\n" + subJson + "}\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      spliced.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println("growth probe OK (tools/growth_probe.json written)")
     spark.stop()
   }

@@ -157,17 +157,34 @@ object Substring {
   /** Append a batch to the position index without rewriting the base:
     * positions and per-gram counts land in `*_batches/batch=N` side
     * dirs (counts are mergeable, so serve-time frequency is exact).
+    *
+    * Crash safety (r15 ADVICE): both tables stage under a dot-prefixed
+    * tmp dir (invisible to [[withBatches]]' partition discovery), then
+    * rename into place freq FIRST. A crash between the renames leaves
+    * freq visible with positions absent — the CONSERVATIVE direction
+    * (reconstructed frequency can only over-count, so spans are
+    * dropped, never invented), and a re-run with the same batchId
+    * overwrites both halves and heals it.
     */
   def appendPositionsBatch(s: SparkSession, indexDir: String,
       newDocs: DataFrame, batchId: Long, minLen: Int = 8): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = s"$indexDir/.batch_tmp_$batchId"
     val pos = positionsOf(Tables.parallelized(
       newDocs.select(col("doc_id"), col("text"))), minLen)
-    pos.write.mode("overwrite")
-      .parquet(s"$indexDir/positions_batches/batch=$batchId")
-    s.read.parquet(s"$indexDir/positions_batches/batch=$batchId")
+    pos.write.mode("overwrite").parquet(s"$tmp/positions")
+    s.read.parquet(s"$tmp/positions")
       .groupBy(col("h")).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite")
-      .parquet(s"$indexDir/freq_batches/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$tmp/freq")
+    val fs = new Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("freq", "positions").foreach { t =>
+      val dst = new Path(s"$indexDir/${t}_batches/batch=$batchId")
+      fs.mkdirs(dst.getParent)
+      fs.delete(dst, true)
+      fs.rename(new Path(s"$tmp/$t"), dst)
+    }
+    fs.delete(new Path(tmp), true)
   }
 
   /** Union a base table with its `<table>_batches/batch=*` side dirs
@@ -291,13 +308,21 @@ object Substring {
     * member is in the newest fifth (split rule verbatim from
     * q_incremental_dedup's oracle).
     */
-  def incrOracleSql(minLen: Int = 8, dfCap: Int = 64): String =
-    oracleSql(minLen, dfCap).replace(
+  def incrOracleSql(minLen: Int = 8, dfCap: Int = 64): String = {
+    val base = oracleSql(minLen, dfCap)
+    val out = base.replace(
       "ON a.g = b.g AND a.doc_id < b.doc_id),",
       """ON a.g = b.g AND a.doc_id < b.doc_id
         |  CROSS JOIN (SELECT (max(doc_id) * 4) // 5 AS split_id
         |              FROM documents) mx
         |  WHERE b.doc_id >= mx.split_id),""".stripMargin)
+    // a wording edit to oracleSql must not silently no-op the splice
+    // and leave the incremental queries gated against the
+    // UNRESTRICTED oracle (r15 ADVICE)
+    require(out != base,
+      "incrOracleSql: split-predicate splice found no anchor in oracleSql")
+    out
+  }
 
   /** The curation half of Lee et al.: CUT the duplicated spans,
     * keeping one occurrence corpus-wide. Every span occurrence in the
@@ -321,9 +346,20 @@ object Substring {
       dfCap: Int = 64): DataFrame = {
     val docs = Tables.parallelized(
       Tables.documents(s, d).select(col("doc_id"), col("text")))
+    scrubFromSpans(docs, substringDups(s, d, minLen, dfCap))
+  }
+
+  /** [[substringScrub]]'s cut + reassembly half, span source abstracted
+    * so the served form ([[substringScrubFromIndex]]) can feed spans
+    * reconstructed from the persisted position index: every span
+    * occurrence in the pair's larger doc is cut, ranges union, the
+    * surviving token stream reassembles in order.
+    */
+  private def scrubFromSpans(docs: DataFrame,
+      spans: DataFrame): DataFrame = {
     val toksDf = docs.select(col("doc_id"),
       TextOps.tokens(col("text")).as("t"))
-    val cuts = substringDups(s, d, minLen, dfCap)
+    val cuts = spans
       .select(col("doc_b").as("doc_id"),
         explode(sequence(col("b_pos"),
           col("b_pos") + col("span_len") - 1)).as("pos"))
@@ -346,12 +382,47 @@ object Substring {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** The curation cut SERVED from a persisted position index (r15
+    * VERDICT #1 — the q_rerank production-shape convention): spans are
+    * reconstructed from the index's (h, doc_id, pos) tuples and
+    * mergeable per-gram counts — the corpus is NOT re-grammed; the
+    * only corpus pass left is the cut + reassembly, which any scrub
+    * must pay to emit clean text. The index may be base-only, grown
+    * with append batches, or promoted: counts merge exactly, so all
+    * three reconstruct the identical global dfCap filter and the
+    * output equals [[substringScrub]] bit-for-bit — one shared oracle.
+    *
+    * `docs` must be the corpus the index covers (the scrub emits one
+    * row per doc and positions are index-resident).
+    */
+  def substringScrubFromIndex(s: SparkSession, indexDir: String,
+      docs: DataFrame, minLen: Int = 8, dfCap: Int = 64): DataFrame = {
+    val keptH = withBatches(s, indexDir, "freq")
+      .groupBy(col("h")).agg(sum(col("n")).as("n"))
+      .filter(col("n") <= dfCap)
+      .select(col("h"))
+    // NOT lazyCheckpointed (unlike the inline path, where `kept` caps
+    // a tokenize+hash+aggregate subtree): here the subtree is a parquet
+    // scan + one small join, and the self-join's double consumption
+    // collapses to a ReusedExchange — cheaper than materializing
+    // corpus-sized positions into the block manager
+    val kept = withBatches(s, indexDir, "positions").join(keptH, Seq("h"))
+      .select(col("h"), col("doc_id"), col("pos"))
+    scrubFromSpans(
+      Tables.parallelized(docs.select(col("doc_id"), col("text"))),
+      spansOf(matchesOf(kept, kept), minLen))
+  }
+
   /** [[substringScrub]] recomputed end-to-end in DuckDB — span
     * construction, cut-position union, ordered reassembly.
     */
   def scrubOracleSql(minLen: Int = 8, dfCap: Int = 64): String = {
-    val spanCtes = oracleSql(minLen, dfCap)
-      .replaceFirst("(?s)\\nSELECT doc_a.*$", "")
+    val base = oracleSql(minLen, dfCap)
+    val spanCtes = base.replaceFirst("(?s)\\nSELECT doc_a.*$", "")
+    // same splice guard as incrOracleSql (r15 ADVICE): the final-SELECT
+    // strip must actually strip, or the CTE chain below is malformed
+    require(spanCtes != base,
+      "scrubOracleSql: final-SELECT strip found no anchor in oracleSql")
     s"""$spanCtes,
        |spans AS (
        |  SELECT doc_b AS doc_id, min(pb) AS b0,

@@ -159,6 +159,14 @@ object TextQueries {
     // the smallest-doc_id copy, rebuild the surviving token stream
     "q_substring_scrub" -> ((s: SparkSession, d: String) =>
       Substring.substringScrub(s, d)),
+    // the production shape of the cut (r16): spans reconstructed from
+    // the persisted position index (built as base + one append batch —
+    // counts merge exactly), corpus never re-grammed; shares the
+    // inline scrub's full reassembly oracle
+    "q_substring_scrub_served" -> ((s: SparkSession, d: String) =>
+      Substring.substringScrubFromIndex(s,
+        s"${indexRoot(d)}/substr_full",
+        graft.Tables.documents(s, d).select("doc_id", "text"))),
     // incremental ingest forms: spans for pairs involving a new doc —
     // inline (one shared position subtree, probe = filter above it)
     // and served (batch re-grammed only, probed against the persisted
@@ -594,6 +602,20 @@ object TextQueries {
     // old 80% positions + mergeable frequency counts
     Substring.writePositionIndex(s,
       incrSplitSide(s, d, newSide = false), s"$root/substr")
+    // FULL-corpus position index for the served curation cut (r16):
+    // built the lifecycle-real way — 80% base + one append batch
+    // (counts merge exactly, so the served scrub equals the inline
+    // recompute and shares its oracle)
+    locally {
+      val dir = s"$root/substr_full"
+      val all = graft.Tables.documents(s, d).select("doc_id", "text")
+      Substring.writePositionIndex(s,
+        all.filter(org.apache.spark.sql.functions
+          .col("doc_id") % 5 =!= 4), dir)
+      Substring.appendPositionsBatch(s, dir,
+        all.filter(org.apache.spark.sql.functions
+          .col("doc_id") % 5 === 4), batchId = 1L)
+    }
     // substring lifecycle twins: the same old-80% index grown as
     // base(4/5 of it) + one append batch, and the promoted fold-back —
     // counts merge exactly, so all three serve the identical answer
@@ -1503,6 +1525,7 @@ object TextQueries {
     // STRING (Spark pairs on xxhash64) — the gate polices collisions
     "q_substring_dups" -> Substring.oracleSql(),
     "q_substring_scrub" -> Substring.scrubOracleSql(),
+    "q_substring_scrub_served" -> Substring.scrubOracleSql(),
     // the incremental pair shares one restricted-recompute oracle:
     // the from-index form reconstructs the identical global dfCap
     // frequency (index counts + batch counts), so served ≡ inline

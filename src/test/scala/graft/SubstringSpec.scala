@@ -138,6 +138,35 @@ class SubstringSpec extends SparkSuite {
     assert(promoted === expected)
   }
 
+  test("served scrub from a full-corpus index (base + append batch) " +
+      "equals the inline scrub; a torn append heals on re-run") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "text")
+    val inline = Substring.substringScrub(spark, d)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // the fixture must exercise real cuts, not vacuous equality
+    assert(inline.exists(_(1).asInstanceOf[Long] > 0L))
+    val idx = tmpDir("substr_scrub_idx")
+    def append(): Unit = Substring.appendPositionsBatch(spark, idx,
+      docs.filter(col("doc_id") % 5 === 4), batchId = 1L)
+    Substring.writePositionIndex(spark,
+      docs.filter(col("doc_id") % 5 =!= 4), idx)
+    append()
+    def serve() = Substring.substringScrubFromIndex(spark, idx, docs)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(serve() === inline)
+    // torn write: positions batch missing, freq batch visible — the
+    // conservative crash window appendPositionsBatch's rename order
+    // leaves. Re-running the same append overwrites both halves.
+    val hPath = new org.apache.hadoop.fs.Path(
+      s"$idx/positions_batches/batch=1")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    append()
+    assert(serve() === inline)
+  }
+
   test("scrub keeps exactly one copy per duplicate cluster: the " +
       "smallest doc_id's; cut ranges union; untouched docs round-trip") {
     val span = toks("s", 9)

@@ -29,6 +29,11 @@ import os
 
 STRICT = os.environ.get("GRAFT_ORACLE_LAX", "") != "1"
 
+# int-width WARNs (int32 vs int64) accumulated by strict_diffs so the
+# final summary line surfaces drift without scanning per-query output
+# (r15 ADVICE)
+N_WARN = 0
+
 
 def _family(dtype) -> str:
     s = str(dtype)
@@ -58,6 +63,8 @@ def strict_diffs(g: pd.DataFrame, w: pd.DataFrame, name: str = "?") -> list:
             out.append(f"{c}: dtype family {g[c].dtype} vs {w[c].dtype}")
             continue
         if fg == "int" and str(g[c].dtype) != str(w[c].dtype):
+            global N_WARN
+            N_WARN += 1
             print(f"  WARN int width [{name}]: {c} "
                   f"{g[c].dtype} vs {w[c].dtype}")
         if fg == "float":
@@ -126,6 +133,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {e}")
             n_bad += 1
+    print(f"[summary] {len(oracle) - n_bad}/{len(oracle)} ok, "
+          f"{n_bad} bad, {N_WARN} int-width warnings")
     return n_bad
 
 
