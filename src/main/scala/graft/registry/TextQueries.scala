@@ -167,6 +167,11 @@ object TextQueries {
       Substring.substringScrubFromIndex(s,
         s"${indexRoot(d)}/substr_full",
         graft.Tables.documents(s, d).select("doc_id", "text"))),
+    // tokenizer-aware variant (r16): windows over the corpus-trained
+    // BPE symbol stream (how dedup actually runs post-tokenizer);
+    // oracle re-trains the merge table AND re-encodes in DuckDB
+    "q_substring_dups_bpe" -> ((s: SparkSession, d: String) =>
+      Substring.substringDupsBpe(s, d)),
     // incremental ingest forms: spans for pairs involving a new doc —
     // inline (one shared position subtree, probe = filter above it)
     // and served (batch re-grammed only, probed against the persisted
@@ -1529,6 +1534,7 @@ object TextQueries {
     // the incremental pair shares one restricted-recompute oracle:
     // the from-index form reconstructs the identical global dfCap
     // frequency (index counts + batch counts), so served ≡ inline
+    "q_substring_dups_bpe" -> Substring.bpeOracleSql(),
     "q_substring_dups_incr" -> Substring.incrOracleSql(),
     "q_substring_dups_served" -> Substring.incrOracleSql(),
     "q_substring_dups_appended_served" -> Substring.incrOracleSql(),

@@ -138,6 +138,29 @@ class SubstringSpec extends SparkSuite {
     assert(promoted === expected)
   }
 
+  test("BPE-symbol windows see verbatim overlap whitespace windows " +
+      "structurally miss: a 5-shared-word prefix (26 symbols) is a " +
+      "span post-tokenizer, invisible at minLen=8 whitespace tokens") {
+    // nMerges = 0 keeps the planted case readable: symbols are then
+    // exactly characters with the word-final </w> tag, so the shared
+    // 5-word prefix 'alpha bravo charlie delta echo' = 26 symbols
+    val d = plant(Seq(
+      1L -> "alpha bravo charlie delta echo xray one two",
+      2L -> "alpha bravo charlie delta echo yankee three"))
+    assert(Substring.substringDups(spark, d).count() === 0L)
+    val got = Substring.substringDupsBpe(spark, d, nMerges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((1L, 2L, 0L, 0L, 26L)))
+    // with merges the span is still found, positions in SYMBOL units
+    // of the merged stream (the merge table is corpus-trained, so the
+    // span shrinks to however many merged symbols cover the prefix)
+    val merged = Substring.substringDupsBpe(spark, d, minLen = 8)
+      .filter("doc_a = 1 AND doc_b = 2").collect()
+    assert(merged.nonEmpty)
+    assert(merged.forall(_.getLong(2) === 0L)) // prefix starts at 0
+  }
+
   test("served scrub from a full-corpus index (base + append batch) " +
       "equals the inline scrub; a torn append heals on re-run") {
     val d = "/root/testdata/sf0.001"
