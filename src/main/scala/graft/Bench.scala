@@ -66,13 +66,9 @@ object Bench {
     * query left behind (count, MB) so the ledger carries the evidence
     * per query instead of a one-off adjudication. */
   private def dropLeftoverBlocks(spark: SparkSession): (Int, Double) = {
-    val sc = spark.sparkContext
-    val infos = sc.getRDDStorageInfo
-    val leftMb = infos.map(i => (i.memSize + i.diskSize) / 1e6).sum
-    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    spark.catalog.clearCache()
-    System.gc()
-    (infos.length, leftMb)
+    val left = LeakGate.leftBlocks(spark)
+    LeakGate.sweep(spark)
+    left
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -164,6 +164,31 @@ object ScaleProbe {
     println(f"substr scale: spans $s1%d -> $s32%d (exactly ${reps}x), " +
       f"wall $t1%.2f -> $t32%.2f s (${t32 / t1}%.1fx cost for " +
       f"${reps}x data on fixed local[32])")
+    // the curation cut at the same 32× (r15 VERDICT #3): on top of the
+    // span pipeline it adds the (doc, pos, token) explode, the keyed
+    // anti-join against the cut set, and the per-doc ordered
+    // reassembly — the one token-carrying exchange in the family.
+    // Summing BOTH n_cut and the reassembled text length keeps column
+    // pruning from skipping the collect_list leg; the cut-token mass
+    // is the invariant (within-replica duplicate structure is
+    // identical, so the cut set replicates exactly)
+    def scrubMass(dir: String): Long = {
+      val r = Substring.substringScrub(spark, dir)
+        .agg(sum(col("n_cut")), sum(length(col("clean_text")))).head()
+      r.getLong(1) // forces reassembly; return value is the cut mass
+      r.getLong(0)
+    }
+    val (c1, ct1) = time("substring scrub 1x cut-token mass") {
+      scrubMass("/root/testdata/sf0.1")
+    }
+    val (c32, ct32) = time(s"substring scrub ${reps}x cut-token mass") {
+      scrubMass(corpus)
+    }
+    assert(c32 == c1 * reps,
+      s"cut-token mass not $reps x: $c1 -> $c32")
+    println(f"substr scrub scale: cut tokens $c1%d -> $c32%d (exactly " +
+      f"${reps}x), wall $ct1%.2f -> $ct32%.2f s (${ct32 / ct1}%.1fx " +
+      f"cost for ${reps}x data on fixed local[32])")
   }
 
   private def zorderProbe(): Unit = {

@@ -123,4 +123,48 @@ class EntrySpec extends SparkSuite {
       s"shuffle-count drift vs tools/plan_budget.json (regenerate " +
         s"via sbt 'runMain graft.PlanBudget' if intentional): $drift")
   }
+
+  test("block-manager leak gate: every committed bench-ledger left_mb " +
+      "sits under its pinned ceiling, and a deliberate leak is caught " +
+      "by the same measurement + gate path") {
+    // ledger gate (r15 VERDICT #4): Bench ledgers what each query
+    // leaves behind; this pins ceilings so the crowding class cannot
+    // return silently when a future lazyCheckpoint consumer forgets
+    // its cut — the next bench re-pin fails the suite instead
+    val num = """\s*"([^"]+)":\s*([0-9.]+),?\s*""".r
+    val budgetLines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/leak_budget.json")), "UTF-8")
+      .split("\n").toSeq
+    val pinned = budgetLines.collect {
+      case num(k, v) => k -> v.toDouble }.toMap
+    val defaultMb = pinned.getOrElse("default_mb",
+      fail("tools/leak_budget.json missing default_mb"))
+    val overrides = pinned - "default_mb"
+    val staleOverrides = overrides.keySet -- SparkEntry.queries.keySet
+    assert(staleOverrides.isEmpty,
+      s"leak_budget overrides for unregistered queries: $staleOverrides")
+    val ledgerRow =
+      """\s*"([^"]+)":\s*\{.*"left_mb":\s*([0-9.]+)\}.*""".r
+    val ledger = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/bench_latest.json")), "UTF-8")
+      .split("\n").collect {
+        case ledgerRow(k, v) => k -> v.toDouble }.toMap
+    assert(ledger.nonEmpty, "no left_mb rows parsed from bench_latest")
+    val bad = LeakGate.violations(ledger, defaultMb, overrides)
+    assert(bad.isEmpty, s"ledgered block-manager leaks: $bad")
+    // mechanism fixture: leak deliberately, assert the measurement
+    // sees it, the gate fires on it, and the sweep clears it
+    LeakGate.sweep(spark)
+    import spark.implicits._
+    val leaky = spark.range(500000).map(i => (i, i * 2))
+      .toDF("a", "b").localCheckpoint(true)
+    leaky.count()
+    val (n, mb) = LeakGate.leftBlocks(spark)
+    assert(n > 0 && mb > 0.0, "deliberate leak invisible to leftBlocks")
+    assert(LeakGate.violations(
+      Map("q_leaky" -> (defaultMb + mb)), defaultMb, overrides).nonEmpty)
+    LeakGate.sweep(spark)
+    val (n2, mb2) = LeakGate.leftBlocks(spark)
+    assert(n2 == 0 && mb2 == 0.0, s"sweep left $n2 RDDs / $mb2 MB")
+  }
 }
