@@ -297,6 +297,11 @@ object TextQueries {
     "q_curate" -> ((s: SparkSession, d: String) =>
       Curate.curate(s, d)),
     "q_pii_scan" -> (Scrub.piiScan _),
+    // the per-source curation audit (r16): exact/near/substring dedup
+    // mass, PII, contamination and repetition in ONE gate-checked row
+    // per source — every component is the matching operator itself
+    "q_curation_report" -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.report(s, d)),
     // ngramSize=4 so the scan produces rows on the driver's 25-word-
     // vocab corpus (no two synthetic docs share a 13-gram); the
     // operator default stays at the published-practice 13
@@ -955,6 +960,84 @@ object TextQueries {
     * Dedup.shinglesFromTokens (whitespace tokens, empties dropped,
     * short docs collapse to one whole-text shingle, distinct).
     */
+  /** q_contamination's full recompute, shared verbatim with
+    * q_curation_report's contaminated_docs component (nested as a
+    * subquery there — post-hoc text surgery is banned, r15 ADVICE). */
+  private val contaminationOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |   list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |   unnest(list_transform(range(1, len(t) - 2),
+      |     i -> array_to_string(t[i:i+3], ' '))) AS g
+      |  FROM toks),
+      |probe AS (SELECT DISTINCT g FROM g WHERE doc_id < 3)
+      |SELECT c.doc_id, c.source, count(DISTINCT c.g) AS n_matched
+      |FROM g c JOIN probe p ON c.g = p.g
+      |WHERE c.doc_id >= 3
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q_curation_report recomputed END-TO-END: every component is the
+    * matching query's own oracle construction — the exact-dup keep
+    * rule over raw text, the exhaustive blocked Jaccard (the form
+    * q_ngram_jaccard's oracle proves the LSH recalls exactly), the
+    * full substring-scrub reassembly and the contamination recompute
+    * nested as subqueries, the PII regexes and bigram-repetition
+    * signal inline — re-aggregated per source.
+    */
+  private def curationReportOracle: String = {
+    val email = graft.operators.Scrub.EmailRe
+    val phone = graft.operators.Scrub.PhoneRe
+    val ipv4 = graft.operators.Scrub.Ipv4Re
+    s"""$shingleCte,
+       |jac AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM sh a JOIN sh b
+       |    ON a.lang = b.lang AND a.source = b.source
+       |    AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |     / len(list_distinct(a.sh || b.sh)) >= 0.5),
+       |d0 AS (
+       |  SELECT d.doc_id, d.source, len(t.t) AS ws,
+       |    CASE WHEN d.doc_id <> min(d.doc_id) OVER (PARTITION BY d.text)
+       |      THEN 1 ELSE 0 END AS exact_dup,
+       |    CASE WHEN regexp_matches(d.text, '$email')
+       |      OR regexp_matches(d.text, '$phone')
+       |      OR regexp_matches(d.text, '$ipv4')
+       |      THEN 1 ELSE 0 END AS pii
+       |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+       |rep0 AS (
+       |  SELECT doc_id, list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1]) AS bigrams
+       |  FROM toks),
+       |rep AS (
+       |  SELECT doc_id, CASE WHEN len(bigrams) > 0 AND
+       |      1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams)
+       |        > 0.2
+       |    THEN 1 ELSE 0 END AS repetitive
+       |  FROM rep0),
+       |sc AS (SELECT doc_id, n_cut FROM (
+       |${graft.operators.Substring.scrubOracleSql()})),
+       |ct AS (SELECT doc_id FROM (
+       |$contaminationOracle))
+       |SELECT d0.source, count(*) AS n_docs,
+       | CAST(sum(d0.ws) AS BIGINT) AS ws_tokens,
+       | CAST(sum(d0.exact_dup) AS BIGINT) AS exact_dup_docs,
+       | CAST(count(jac.doc_id) AS BIGINT) AS near_dup_docs,
+       | CAST(sum(sc.n_cut) AS BIGINT) AS substr_cut_tokens,
+       | CAST(sum(d0.pii) AS BIGINT) AS pii_docs,
+       | CAST(count(ct.doc_id) AS BIGINT) AS contaminated_docs,
+       | CAST(sum(rep.repetitive) AS BIGINT) AS repetitive_docs
+       |FROM d0
+       |LEFT JOIN rep ON d0.doc_id = rep.doc_id
+       |LEFT JOIN jac ON d0.doc_id = jac.doc_id
+       |LEFT JOIN sc ON d0.doc_id = sc.doc_id
+       |LEFT JOIN ct ON d0.doc_id = ct.doc_id
+       |GROUP BY d0.source""".stripMargin
+  }
+
   private val shingleCte =
     """WITH toks AS (
       |  SELECT doc_id, lang, source,
@@ -2294,21 +2377,9 @@ object TextQueries {
          |FROM documents GROUP BY source""".stripMargin,
     // full recomputation of the 4-gram probe overlap — contiguous
     // n-grams, probe docs 0-2, per-doc distinct matched-gram counts
-    "q_contamination" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source,
-        |   list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, source,
-        |   unnest(list_transform(range(1, len(t) - 2),
-        |     i -> array_to_string(t[i:i+3], ' '))) AS g
-        |  FROM toks),
-        |probe AS (SELECT DISTINCT g FROM g WHERE doc_id < 3)
-        |SELECT c.doc_id, c.source, count(DISTINCT c.g) AS n_matched
-        |FROM g c JOIN probe p ON c.g = p.g
-        |WHERE c.doc_id >= 3
-        |GROUP BY 1, 2""".stripMargin,
+    // (shared with q_curation_report's contaminated_docs component)
+    "q_contamination" -> contaminationOracle,
+    "q_curation_report" -> curationReportOracle,
     // semantic decontamination: full cross-engine recompute — every
     // probe×train cosine re-derived in SQL (sequential double sums,
     // bit-identical to the fused expression), argmax re-ranked on the
