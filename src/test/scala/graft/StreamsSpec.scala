@@ -258,17 +258,26 @@ class StreamsSpec extends SparkSuite {
     // one-shot build over raw base docs + admitted REDACTED docs
     // (counts merge exactly; indexed text is the gated text)
     val substrRef = tmpDir("cur_substr_ref")
-    graft.operators.Substring.writePositionIndex(spark,
-      docs.filter(col("doc_id") % 5 =!= 4)
-        .unionByName(streamed
-          .filter(!col("doc_id").isin(quarIds.toSeq: _*))
-          .select(col("doc_id"), Scrub.redactPii(col("text")).as("text"))),
+    val substrCovered = docs.filter(col("doc_id") % 5 =!= 4)
+      .unionByName(streamed
+        .filter(!col("doc_id").isin(quarIds.toSeq: _*))
+        .select(col("doc_id"), Scrub.redactPii(col("text")).as("text")))
+    graft.operators.Substring.writePositionIndex(spark, substrCovered,
       substrRef)
     def serveSubstr(dir: String): Seq[String] =
       graft.operators.Substring.incrementalSpansFromIndex(spark, dir,
         docs).collect().map(_.toString).sorted.toSeq
     assert(serveSubstr(substr) === serveSubstr(substrRef))
     assert(serveSubstr(substr).nonEmpty)
+    // the r16 curation CUT served from the STREAMED index equals the
+    // cut served from the one-shot reference build — the production
+    // scrub shape composes with the maintainer's batch-grown index
+    // unchanged (positions union, counts merge)
+    def scrubServe(dir: String): Seq[String] =
+      graft.operators.Substring.substringScrubFromIndex(spark, dir,
+        substrCovered).collect().map(_.toString).sorted.toSeq
+    assert(scrubServe(substr) === scrubServe(substrRef))
+    assert(scrubServe(substr).nonEmpty)
     // restart on the same checkpoint with no new files: every lake
     // unchanged — the composed pipeline is exactly-once as a whole
     val q2 = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,
