@@ -128,9 +128,16 @@ object Bpe {
   }
 
   /** The learned merge table as a DataFrame (driver contract shape). */
-  def merges(s: SparkSession, d: String, nMerges: Int = 16): DataFrame = {
-    val rows = learn(s, d, nMerges)._1
-      .map { case (rk, l, r, n) => Row(rk, l, r, n) }
+  def merges(s: SparkSession, d: String, nMerges: Int = 16): DataFrame =
+    mergesFrame(s, learn(s, d, nMerges)._1)
+
+  /** An already-learned merge sequence as the contract-shaped frame —
+    * the persist seam for callers that hold [[learn]]'s result and
+    * must not pay a second training run.
+    */
+  def mergesFrame(s: SparkSession,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val rows = merges.map { case (rk, l, r, n) => Row(rk, l, r, n) }
     s.createDataFrame(s.sparkContext.parallelize(rows, 1),
       StructType(Seq(
         StructField("rank", IntegerType, nullable = false),
@@ -181,15 +188,31 @@ object Bpe {
       : DataFrame = {
     val tokens = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
-    var vocab = tokens.select(col("word")).distinct()
+    tokens.join(
+      encodeVocabUnder(tokens, merges)
+        .select(col("word"), size(col("syms")).as("n_syms")),
+      Seq("word"))
+  }
+
+  /** Encode a frame's distinct `word`s under a FROZEN merge sequence —
+    * the OOV half of the tokenizer runtime, exposed for index
+    * maintainers that persist the encoded vocabulary but must handle
+    * words the training corpus never saw (redacted stream text, new
+    * sources): characters + the merges replayed in rank order as
+    * narrow folds, lineage checkpointed on [[learn]]'s cadence.
+    * Returns (word, syms) — by construction exactly what [[learn]]
+    * would have emitted had the word been in the training corpus.
+    */
+  def encodeVocabUnder(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    var vocab = words.select(col("word")).distinct()
       .select(col("word"), charSyms(col("word")).as("syms"))
       .localCheckpoint()
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       vocab = vocab.withColumn("syms", mergeFold(col("syms"), l, r))
       if ((i + 1) % 4 == 0) vocab = vocab.localCheckpoint()
     }
-    tokens.join(vocab.select(col("word"), size(col("syms")).as("n_syms")),
-      Seq("word"))
+    vocab
   }
 
   /** [[encodeStats]] recomputed from a PERSISTED frozen model — with

@@ -179,17 +179,31 @@ object Substring {
     */
   def appendPositionsBatch(s: SparkSession, indexDir: String,
       newDocs: DataFrame, batchId: Long, minLen: Int = 8): Unit = {
-    import org.apache.hadoop.fs.Path
     val tmp = s"$indexDir/.batch_tmp_$batchId"
-    val pos = positionsOf(Tables.parallelized(
-      newDocs.select(col("doc_id"), col("text"))), minLen)
-    pos.write.mode("overwrite").parquet(s"$tmp/positions")
+    positionsOf(Tables.parallelized(
+        newDocs.select(col("doc_id"), col("text"))), minLen)
+      .write.mode("overwrite").parquet(s"$tmp/positions")
+    sealBatch(s, indexDir, tmp, batchId, extra = Nil)
+  }
+
+  /** Finish a staged batch: derive the mergeable per-gram counts from
+    * the staged positions, then rename every staged table into its
+    * `*_batches/batch=N` slot — freq FIRST (the r15 ADVICE order: a
+    * crash leaves counts visible without positions, the conservative
+    * direction), `extra` tables (the BPE index's `streams`) LAST (a
+    * torn append can hide batch docs from the served scrub's
+    * reassembly, never mis-cut them). Re-running the same batchId
+    * overwrites every slot and heals any tear.
+    */
+  private def sealBatch(s: SparkSession, indexDir: String, tmp: String,
+      batchId: Long, extra: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
     s.read.parquet(s"$tmp/positions")
       .groupBy(col("h")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$tmp/freq")
     val fs = new Path(indexDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq("freq", "positions").foreach { t =>
+    (Seq("freq", "positions") ++ extra).foreach { t =>
       val dst = new Path(s"$indexDir/${t}_batches/batch=$batchId")
       fs.mkdirs(dst.getParent)
       fs.delete(dst, true)
@@ -226,6 +240,10 @@ object Substring {
     val ready = path("__promote_ready")
     if (!fs.exists(path("positions_batches")) && !fs.exists(ready))
       return
+    // the BPE index carries a third union-folded table (the encoded
+    // symbol streams); plain union suffices — only freq needs a merge
+    val tables = Seq("positions", "freq") ++
+      (if (fs.exists(path("streams"))) Seq("streams") else Nil)
     if (!fs.exists(ready)) {
       withBatches(s, indexDir, "positions")
         .write.mode("overwrite")
@@ -234,16 +252,20 @@ object Substring {
         .groupBy(col("h")).agg(sum(col("n")).as("n"))
         .write.mode("overwrite")
         .parquet(s"$indexDir/__promote_tmp/freq")
+      if (tables.contains("streams"))
+        withBatches(s, indexDir, "streams")
+          .write.mode("overwrite")
+          .parquet(s"$indexDir/__promote_tmp/streams")
       fs.create(ready, true).close()
     }
-    Seq("positions", "freq").foreach { t =>
+    tables.foreach { t =>
       val tmp = path(s"__promote_tmp/$t")
       if (fs.exists(tmp)) {
         fs.delete(path(t), true)
         fs.rename(tmp, path(t))
       }
     }
-    Seq("positions", "freq").foreach(t =>
+    tables.foreach(t =>
       fs.delete(path(s"${t}_batches"), true))
     fs.delete(path("__promote_tmp"), true)
     fs.delete(ready, false)
@@ -381,11 +403,21 @@ object Substring {
     * the corpus.
     */
   private def bpeSymbolStream(s: SparkSession, d: String,
-      nMerges: Int): DataFrame = {
-    val vocab = Bpe.learn(s, d, nMerges)._2
-      .select(col("word"), col("syms"))
-    val dw = Tables.parallelized(
-        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      nMerges: Int): DataFrame =
+    symbolStreams(
+      Tables.parallelized(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))),
+      Bpe.learn(s, d, nMerges)._2.select(col("word"), col("syms")))
+
+  /** Encode `docs` under an explicit (word, syms) vocabulary — the
+    * seam the frozen-tokenizer index lifecycle shares with the inline
+    * form ([[writeBpeIndex]] persists the vocabulary;
+    * [[bpeAppendBatch]] encodes new batches under it without
+    * retraining, exactly like a production tokenizer runtime).
+    */
+  private def symbolStreams(docs: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val dw = docs
       .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
       .toDF("doc_id", "wpos", "word")
     dw.join(vocab, Seq("word"))
@@ -394,6 +426,129 @@ object Substring {
         array_sort(collect_list(struct(col("wpos"), col("syms")))),
         x => x.getField("syms"))).as("t"))
   }
+
+  /** Persist the BPE-symbol position index ([[substringDupsBpeFromIndex]]
+    * / [[substringScrubBpeFromIndex]]'s serve source): `dir/vocab` =
+    * the corpus-trained (word, syms) encoded vocabulary — the FROZEN
+    * tokenizer, fit once on the full corpus exactly like the LSH
+    * plane-set convention — `dir/streams` = each indexed document's
+    * encoded symbol stream (the tokenized corpus a training pipeline
+    * persists anyway — what the served scrub reassembles from),
+    * `dir/positions`/`dir/freq` = the standard gram-position tuples
+    * and mergeable counts over those streams; `dir/merges` = the
+    * merge sequence in rank order (what the runtime OOV path
+    * replays). `buildOnly` restricts which documents are INDEXED (the
+    * 80/20 lifecycle fixture) and `indexDocs` replaces the indexed
+    * frame outright (the streaming maintainer's reference builds);
+    * the vocabulary always trains on the full corpus at `d`, so
+    * batches appended later encode identically and served output
+    * equals the inline recompute bit-for-bit.
+    */
+  def writeBpeIndex(s: SparkSession, d: String, dir: String,
+      minLen: Int = 16, nMerges: Int = 16,
+      buildOnly: Option[Column] = None,
+      indexDocs: Option[DataFrame] = None): Unit = {
+    val (mergeSeq, state) = Bpe.learn(s, d, nMerges)
+    state.select(col("word"), col("syms"))
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+    Bpe.mergesFrame(s, mergeSeq).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    val all = Tables.parallelized(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val docs = indexDocs
+      .map(df => Tables.parallelized(
+        df.select(col("doc_id"), col("text"))))
+      .getOrElse(buildOnly.map(all.filter).getOrElse(all))
+    encodedStreams(s, dir, docs)
+      .write.mode("overwrite").parquet(s"$dir/streams")
+    positionsFromArrays(s.read.parquet(s"$dir/streams"), minLen)
+      .write.mode("overwrite").parquet(s"$dir/positions")
+    s.read.parquet(s"$dir/positions")
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/freq")
+  }
+
+  /** Encode `docs` under the index's frozen tokenizer — persisted
+    * vocabulary for seen words, and the FULL runtime OOV path for
+    * unseen ones (redacted stream text, new sources): the persisted
+    * merge sequence replays over their characters
+    * ([[Bpe.encodeVocabUnder]]), yielding exactly what training would
+    * have emitted had the word been in the corpus.
+    */
+  private def encodedStreams(s: SparkSession, indexDir: String,
+      docs: DataFrame): DataFrame = {
+    val vocab = s.read.parquet(s"$indexDir/vocab")
+      .select(col("word"), col("syms"))
+    val oov = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .join(vocab.select(col("word")), Seq("word"), "left_anti")
+    symbolStreams(docs, vocab.unionByName(
+      Bpe.encodeVocabUnder(oov, Bpe.readMerges(s, indexDir))))
+  }
+
+  /** Append a batch under the index's FROZEN tokenizer — no retrain,
+    * the production tokenizer-runtime shape ([[Bpe.encodeDocs]]'
+    * lifecycle note; OOV words replay the persisted merges): the
+    * batch encodes, grams, and lands as `streams`/`positions`/`freq`
+    * side batches via the same staged rename as
+    * [[appendPositionsBatch]] (freq first, streams last).
+    */
+  def bpeAppendBatch(s: SparkSession, indexDir: String,
+      newDocs: DataFrame, batchId: Long, minLen: Int = 16): Unit = {
+    val tmp = s"$indexDir/.batch_tmp_$batchId"
+    encodedStreams(s, indexDir,
+        Tables.parallelized(newDocs.select(col("doc_id"), col("text"))))
+      .write.mode("overwrite").parquet(s"$tmp/streams")
+    positionsFromArrays(s.read.parquet(s"$tmp/streams"), minLen)
+      .write.mode("overwrite").parquet(s"$tmp/positions")
+    sealBatch(s, indexDir, tmp, batchId, extra = Seq("streams"))
+  }
+
+  /** [[substringDupsBpe]] SERVED from the persisted index: the corpus
+    * is neither re-encoded nor re-grammed — spans reconstruct from the
+    * index's position tuples under the merged global dfCap counts, so
+    * the output equals the inline form's bit-for-bit (one shared
+    * [[bpeOracleSql]] oracle, whatever lifecycle state the index is
+    * in).
+    */
+  def substringDupsBpeFromIndex(s: SparkSession, indexDir: String,
+      minLen: Int = 16, dfCap: Int = 64): DataFrame =
+    spansFromIndex(s, indexDir, minLen, dfCap)
+
+  /** The curation cut on the BPE symbol stream — Lee et al. as
+    * actually run post-tokenizer: every duplicated symbol-span
+    * occurrence outside the smallest-doc_id copy is cut, ranges
+    * union, and the surviving SYMBOL stream reassembles (symbols
+    * concatenate; `</w>` markers become word boundaries, so a span
+    * cut mid-word honestly merges the flanking fragments — the same
+    * artifact token-id-level cutting produces in real pipelines).
+    * Output (doc_id, n_cut, clean_text); n_cut counts SYMBOLS.
+    */
+  def substringScrubBpe(s: SparkSession, d: String, minLen: Int = 16,
+      dfCap: Int = 64, nMerges: Int = 16): DataFrame = {
+    val streams = Dedup.lazyCheckpoint(bpeSymbolStream(s, d, nMerges))
+    val kept = keptFromPositions(
+      positionsFromArrays(streams, minLen), dfCap)
+    scrubFromToks(streams, spansOf(matchesOf(kept, kept), minLen),
+      bpeRebuild)
+  }
+
+  /** [[substringScrubBpe]] SERVED from the persisted index: spans from
+    * the position tuples, reassembly from the PERSISTED symbol streams
+    * — zero re-encode, zero re-gram; the only corpus-sized work left
+    * is the cut + reassembly any scrub must pay.
+    */
+  def substringScrubBpeFromIndex(s: SparkSession, indexDir: String,
+      minLen: Int = 16, dfCap: Int = 64): DataFrame =
+    scrubFromToks(withBatches(s, indexDir, "streams"),
+      spansFromIndex(s, indexDir, minLen, dfCap), bpeRebuild)
+
+  /** Surviving BPE symbols → clean text: concatenate, turn word-final
+    * `</w>` markers into spaces, drop the trailing one. Mirrored
+    * verbatim in [[bpeScrubOracleSql]]'s aggregate.
+    */
+  private def bpeRebuild(a: Column): Column =
+    rtrim(replace(concat_ws("", a), lit("</w>"), lit(" ")))
 
   /** [[substringDupsBpe]] recomputed END-TO-END in DuckDB — trainer
     * included: `nMerges` unrolled rounds of (frequency-weighted
@@ -498,9 +653,19 @@ object Substring {
     * surviving token stream reassembles in order.
     */
   private def scrubFromSpans(docs: DataFrame,
-      spans: DataFrame): DataFrame = {
-    val toksDf = docs.select(col("doc_id"),
-      TextOps.tokens(col("text")).as("t"))
+      spans: DataFrame): DataFrame =
+    scrubFromToks(
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t")),
+      spans, a => concat_ws(" ", a))
+
+  /** The cut + reassembly over an ALREADY-tokenized (doc_id, t) frame
+    * — the token-unit-agnostic seam the BPE scrub shares: `rebuild`
+    * renders the surviving ordered token array as clean text
+    * (whitespace tokens re-join with single spaces; BPE symbols
+    * concatenate and `</w>` markers become the word boundaries).
+    */
+  private def scrubFromToks(toksDf: DataFrame, spans: DataFrame,
+      rebuild: Column => Column): DataFrame = {
     val cuts = spans
       .select(col("doc_b").as("doc_id"),
         explode(sequence(col("b_pos"),
@@ -513,7 +678,7 @@ object Substring {
     val kept = tp.join(cuts, Seq("doc_id", "pos"), "left_anti")
     val agg = kept.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_kept"),
-      concat_ws(" ",
+      rebuild(
         transform(array_sort(collect_list(struct(col("pos"),
           col("tok")))), x => x.getField("tok"))).as("clean_text"))
     toksDf
@@ -538,7 +703,19 @@ object Substring {
     * row per doc and positions are index-resident).
     */
   def substringScrubFromIndex(s: SparkSession, indexDir: String,
-      docs: DataFrame, minLen: Int = 8, dfCap: Int = 64): DataFrame = {
+      docs: DataFrame, minLen: Int = 8, dfCap: Int = 64): DataFrame =
+    scrubFromSpans(
+      Tables.parallelized(docs.select(col("doc_id"), col("text"))),
+      spansFromIndex(s, indexDir, minLen, dfCap))
+
+  /** Full-corpus maximal spans reconstructed from a persisted position
+    * index (base tables + any append batches): counts merge exactly,
+    * so the global dfCap filter — and therefore the span set — equals
+    * the inline recompute's bit-for-bit, whatever lifecycle state the
+    * index is in.
+    */
+  private def spansFromIndex(s: SparkSession, indexDir: String,
+      minLen: Int, dfCap: Int): DataFrame = {
     val keptH = withBatches(s, indexDir, "freq")
       .groupBy(col("h")).agg(sum(col("n")).as("n"))
       .filter(col("n") <= dfCap)
@@ -550,21 +727,39 @@ object Substring {
     // corpus-sized positions into the block manager
     val kept = withBatches(s, indexDir, "positions").join(keptH, Seq("h"))
       .select(col("h"), col("doc_id"), col("pos"))
-    scrubFromSpans(
-      Tables.parallelized(docs.select(col("doc_id"), col("text"))),
-      spansOf(matchesOf(kept, kept), minLen))
+    spansOf(matchesOf(kept, kept), minLen)
   }
 
   /** [[substringScrub]] recomputed end-to-end in DuckDB — span
     * construction, cut-position union, ordered reassembly.
     */
-  def scrubOracleSql(minLen: Int = 8, dfCap: Int = 64): String = {
-    val base = oracleSql(minLen, dfCap)
-    val spanCtes = base.replaceFirst("(?s)\\nSELECT doc_a.*$", "")
+  def scrubOracleSql(minLen: Int = 8, dfCap: Int = 64): String =
+    scrubSqlFrom(oracleSql(minLen, dfCap), minLen,
+      "string_agg(tok, ' ' ORDER BY pos)")
+
+  /** [[substringScrubBpe]] / [[substringScrubBpeFromIndex]]'s shared
+    * oracle: [[bpeOracleSql]]'s span chain (trainer + re-encode
+    * included) with the cut/reassembly tail — the aggregate mirrors
+    * [[bpeRebuild]] (concatenate symbols, `</w>` → space, trim the
+    * trailing one).
+    */
+  def bpeScrubOracleSql(minLen: Int = 16, dfCap: Int = 64,
+      nMerges: Int = 16): String =
+    scrubSqlFrom(bpeOracleSql(minLen, dfCap, nMerges), minLen,
+      "rtrim(replace(string_agg(tok, '' ORDER BY pos), '</w>', ' '))")
+
+  /** Strip `spanSqlChain`'s final SELECT and append the cut +
+    * reassembly tail — the span CTE chain is token-unit-agnostic, so
+    * one tail serves both the whitespace and BPE scrubs; only the
+    * clean-text aggregate differs.
+    */
+  private def scrubSqlFrom(spanSqlChain: String, minLen: Int,
+      cleanAgg: String): String = {
+    val spanCtes = spanSqlChain.replaceFirst("(?s)\\nSELECT doc_a.*$", "")
     // same splice guard as incrOracleSql (r15 ADVICE): the final-SELECT
     // strip must actually strip, or the CTE chain below is malformed
-    require(spanCtes != base,
-      "scrubOracleSql: final-SELECT strip found no anchor in oracleSql")
+    require(spanCtes != spanSqlChain,
+      "scrubSqlFrom: final-SELECT strip found no anchor in the span SQL")
     s"""$spanCtes,
        |spans AS (
        |  SELECT doc_b AS doc_id, min(pb) AS b0,
@@ -583,7 +778,7 @@ object Substring {
        |  WHERE c.p IS NULL),
        |agg AS (
        |  SELECT doc_id, count(*) AS n_kept,
-       |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |    $cleanAgg AS clean_text
        |  FROM keep GROUP BY doc_id)
        |SELECT toks.doc_id,
        |  CAST(len(t) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,

@@ -172,6 +172,23 @@ object TextQueries {
     // oracle re-trains the merge table AND re-encodes in DuckDB
     "q_substring_dups_bpe" -> ((s: SparkSession, d: String) =>
       Substring.substringDupsBpe(s, d)),
+    // the BPE family's production lifecycle (r16): vocabulary frozen
+    // at index build, streams/positions/counts persisted (80% base +
+    // one frozen-vocab append batch) — served spans and the served
+    // cut re-encode NOTHING and share the inline forms' full
+    // trainer-included oracles
+    "q_substring_dups_bpe_served" -> ((s: SparkSession, d: String) =>
+      Substring.substringDupsBpeFromIndex(s,
+        s"${indexRoot(d)}/substr_bpe")),
+    // the curation half post-tokenizer: cut duplicated SYMBOL spans,
+    // reassemble the surviving stream (</w> markers → word
+    // boundaries; a mid-word cut honestly merges fragments, the same
+    // artifact token-id-level cutting produces in real pipelines)
+    "q_substring_scrub_bpe" -> ((s: SparkSession, d: String) =>
+      Substring.substringScrubBpe(s, d)),
+    "q_substring_scrub_bpe_served" -> ((s: SparkSession, d: String) =>
+      Substring.substringScrubBpeFromIndex(s,
+        s"${indexRoot(d)}/substr_bpe")),
     // incremental ingest forms: spans for pairs involving a new doc —
     // inline (one shared position subtree, probe = filter above it)
     // and served (batch re-grammed only, probed against the persisted
@@ -626,6 +643,18 @@ object TextQueries {
         all.filter(org.apache.spark.sql.functions
           .col("doc_id") % 5 === 4), batchId = 1L)
     }
+    // BPE-symbol position index (r16): vocabulary trained once on the
+    // full corpus and FROZEN (the LSH plane-set convention), 80% of
+    // the encoded streams indexed, the rest appended under the frozen
+    // vocab — counts merge exactly, so the served dups/scrub equal
+    // the inline recomputes and share their full retrain oracles
+    Substring.writeBpeIndex(s, d, s"$root/substr_bpe",
+      buildOnly = Some(org.apache.spark.sql.functions
+        .col("doc_id") % 5 =!= 4))
+    Substring.bpeAppendBatch(s, s"$root/substr_bpe",
+      graft.Tables.documents(s, d)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 4),
+      batchId = 1L)
     // substring lifecycle twins: the same old-80% index grown as
     // base(4/5 of it) + one append batch, and the promoted fold-back —
     // counts merge exactly, so all three serve the identical answer
@@ -1618,6 +1647,9 @@ object TextQueries {
     // the from-index form reconstructs the identical global dfCap
     // frequency (index counts + batch counts), so served ≡ inline
     "q_substring_dups_bpe" -> Substring.bpeOracleSql(),
+    "q_substring_dups_bpe_served" -> Substring.bpeOracleSql(),
+    "q_substring_scrub_bpe" -> Substring.bpeScrubOracleSql(),
+    "q_substring_scrub_bpe_served" -> Substring.bpeScrubOracleSql(),
     "q_substring_dups_incr" -> Substring.incrOracleSql(),
     "q_substring_dups_served" -> Substring.incrOracleSql(),
     "q_substring_dups_appended_served" -> Substring.incrOracleSql(),

@@ -303,7 +303,14 @@ object Streams {
     *     ([[graft.operators.Search.appendBatch]] — positional);
     *  5. optionally the int8 quantized tier
     *     ([[graft.operators.ScalarQuant.sqAppendBatch]]) — the warm
-    *     store the hybrid serve's dense leg reads.
+    *     store the hybrid serve's dense leg reads;
+    *  6. optionally the LM count model
+    *     ([[graft.operators.Perplexity.appendBatch]] — additive);
+    *  7. optionally the whitespace-token substring position index
+    *     ([[graft.operators.Substring.appendPositionsBatch]]);
+    *  8. optionally the BPE substring index
+    *     ([[graft.operators.Substring.bpeAppendBatch]] — frozen
+    *     tokenizer; OOV words replay the persisted merges).
     *
     * All the indexes advance under the SAME micro-batch id, and every
     * write is a `batch=<id>`-keyed overwrite — so a checkpoint replay
@@ -323,7 +330,8 @@ object Streams {
       pplModelDir: Option[String] = None,
       semanticProbes: Option[DataFrame] = None,
       semanticTau: Double = 0.8,
-      substrIndexDir: Option[String] = None): StreamingQuery =
+      substrIndexDir: Option[String] = None,
+      bpeIndexDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
@@ -386,6 +394,16 @@ object Streams {
               // batch id; overwrite-per-batch makes replay idempotent
               substrIndexDir.foreach(dir =>
                 graft.operators.Substring.appendPositionsBatch(
+                  admitted.sparkSession, dir,
+                  admitted.select(col("doc_id"), col("text")), batchId))
+              // BPE-substring leg (r16): the admitted redacted text
+              // encodes under the index's FROZEN tokenizer — persisted
+              // vocabulary plus the runtime OOV path (redaction tags
+              // and fresh-source words replay the persisted merges) —
+              // and lands streams/positions/counts under this batch
+              // id; overwrite-per-batch keeps replay idempotent
+              bpeIndexDir.foreach(dir =>
+                graft.operators.Substring.bpeAppendBatch(
                   admitted.sparkSession, dir,
                   admitted.select(col("doc_id"), col("text")), batchId))
             } finally admitted.unpersist()

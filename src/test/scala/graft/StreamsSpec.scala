@@ -120,8 +120,8 @@ class StreamsSpec extends SparkSuite {
   }
 
   test("curationMaintainer: one document stream advances quarantine, " +
-    "near-dup, ANN, BM25, int8, LM-count and substring lakes " +
-    "exactly-once with shared batch ids") {
+    "near-dup, ANN, BM25, int8, LM-count, substring and BPE-substring " +
+    "lakes exactly-once with shared batch ids") {
     import graft.operators.{Scrub, Search, Similarity}
     val d = sf()
     val lake = tmpDir("cur_lake")
@@ -130,6 +130,7 @@ class StreamsSpec extends SparkSuite {
     val int8 = tmpDir("cur_int8")
     val ppl = tmpDir("cur_ppl")
     val substr = tmpDir("cur_substr")
+    val bpe = tmpDir("cur_bpe")
     val stage = tmpDir("cur_stage")
     val ckpt = tmpDir("cur_ckpt")
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
@@ -156,6 +157,10 @@ class StreamsSpec extends SparkSuite {
       assignOnly = Some(col("vec_id") % 5 =!= 4))
     graft.operators.Substring.writePositionIndex(spark,
       docs.filter(col("doc_id") % 5 =!= 4), substr)
+    // BPE index: tokenizer frozen on the full raw corpus; 80% indexed
+    // (nMerges = 8 keeps the trainer cheap — both builds use it)
+    graft.operators.Substring.writeBpeIndex(spark, d, bpe, nMerges = 8,
+      buildOnly = Some(col("doc_id") % 5 =!= 4))
     def stageBatch(name: String, part: org.apache.spark.sql.DataFrame):
         Unit = {
       val tmp = tmpDir(s"cur_stage_$name")
@@ -171,7 +176,7 @@ class StreamsSpec extends SparkSuite {
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val q = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,
       bm25, ckpt, int8IndexDir = Some(int8), pplModelDir = Some(ppl),
-      substrIndexDir = Some(substr))
+      substrIndexDir = Some(substr), bpeIndexDir = Some(bpe))
     q.awaitTermination(300000)
     // quarantine holds exactly the contaminated docs; the near-dup
     // lake holds exactly the admitted ones, in both batch dirs
@@ -195,6 +200,10 @@ class StreamsSpec extends SparkSuite {
     assert(batchDirs(s"$ppl/bigrams_batches") ===
       Seq("batch=0", "batch=1"))
     assert(batchDirs(s"$substr/positions_batches") ===
+      Seq("batch=0", "batch=1"))
+    assert(batchDirs(s"$bpe/positions_batches") ===
+      Seq("batch=0", "batch=1"))
+    assert(batchDirs(s"$bpe/streams_batches") ===
       Seq("batch=0", "batch=1"))
     // ANN leg: the grown index serves the one-shot build over
     // everything-but-quarantined (frozen geometry, pure assignment)
@@ -278,6 +287,24 @@ class StreamsSpec extends SparkSuite {
         substrCovered).collect().map(_.toString).sorted.toSeq
     assert(scrubServe(substr) === scrubServe(substrRef))
     assert(scrubServe(substr).nonEmpty)
+    // BPE leg: the streamed index (frozen tokenizer, redacted batch
+    // text encoded via vocab + OOV merge replay) serves the SAME
+    // spans and the SAME curation cut as a one-shot build over raw
+    // base docs + admitted redacted docs — positions union, counts
+    // merge, streams union; redaction tags exercise the OOV path
+    val bpeRef = tmpDir("cur_bpe_ref")
+    graft.operators.Substring.writeBpeIndex(spark, d, bpeRef,
+      nMerges = 8, indexDocs = Some(substrCovered))
+    def bpeDupsServe(dir: String): Seq[String] =
+      graft.operators.Substring.substringDupsBpeFromIndex(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    def bpeScrubServe(dir: String): Seq[String] =
+      graft.operators.Substring.substringScrubBpeFromIndex(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    assert(bpeDupsServe(bpe) === bpeDupsServe(bpeRef))
+    assert(bpeDupsServe(bpe).nonEmpty)
+    assert(bpeScrubServe(bpe) === bpeScrubServe(bpeRef))
+    assert(bpeScrubServe(bpe).nonEmpty)
     // restart on the same checkpoint with no new files: every lake
     // unchanged — the composed pipeline is exactly-once as a whole
     val q2 = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,

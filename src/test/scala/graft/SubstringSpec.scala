@@ -161,6 +161,66 @@ class SubstringSpec extends SparkSuite {
     assert(merged.forall(_.getLong(2) === 0L)) // prefix starts at 0
   }
 
+  test("BPE scrub cuts the larger doc's symbol-span copy and rebuilds " +
+      "words from </w> markers; a mid-word cut merges the flanking " +
+      "fragments (the honest token-level-cut artifact)") {
+    // word-aligned span: the shared 5-word prefix (26 symbols at
+    // nMerges = 0) is cut from doc 2 only; reassembly restores the
+    // surviving words exactly
+    val d = plant(Seq(
+      1L -> "alpha bravo charlie delta echo xray one two",
+      2L -> "alpha bravo charlie delta echo yankee three"))
+    val got = Substring.substringScrubBpe(spark, d, nMerges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 0L, "alpha bravo charlie delta echo xray one two"),
+      (2L, 26L, "yankee three")))
+    // mid-word span: 'prealpha'/'nonalpha' share the 'alpha</w>' tail,
+    // so the maximal 29-symbol run starts INSIDE the first word and
+    // ends inside the last ('end1'/'end2' share 'e n d'); cutting it
+    // from doc 2 leaves the fragments n-o-n and '2</w>', which merge
+    // to "non2" — exactly what cutting token ids does in practice
+    val d2 = plant(Seq(
+      1L -> "prealpha bravo charlie delta echo end1",
+      2L -> "nonalpha bravo charlie delta echo end2"))
+    val got2 = Substring.substringScrubBpe(spark, d2, nMerges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got2 === Seq(
+      (1L, 0L, "prealpha bravo charlie delta echo end1"),
+      (2L, 29L, "non2")))
+  }
+
+  test("BPE index lifecycle: frozen-vocab append serves the inline " +
+      "dups AND scrub exactly; promote folds the streams batches too") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "text")
+    val dupsInline = Substring.substringDupsBpe(spark, d)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val scrubInline = Substring.substringScrubBpe(spark, d)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(dupsInline.nonEmpty)
+    assert(scrubInline.exists(_(1).asInstanceOf[Long] > 0L))
+    val idx = tmpDir("substr_bpe_idx")
+    Substring.writeBpeIndex(spark, d, idx,
+      buildOnly = Some(col("doc_id") % 5 =!= 4))
+    Substring.bpeAppendBatch(spark, idx,
+      docs.filter(col("doc_id") % 5 === 4), batchId = 1L)
+    def dupsServed() = Substring.substringDupsBpeFromIndex(spark, idx)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    def scrubServed() = Substring.substringScrubBpeFromIndex(spark, idx)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(dupsServed() === dupsInline)
+    assert(scrubServed() === scrubInline)
+    Substring.promotePositionBatches(spark, idx)
+    assert(!new java.io.File(s"$idx/positions_batches").exists)
+    assert(!new java.io.File(s"$idx/streams_batches").exists)
+    assert(dupsServed() === dupsInline)
+    assert(scrubServed() === scrubInline)
+  }
+
   test("served scrub from a full-corpus index (base + append batch) " +
       "equals the inline scrub; a torn append heals on re-run") {
     val d = "/root/testdata/sf0.001"
