@@ -282,9 +282,19 @@ object Substring {
     */
   def incrementalSpansFromIndex(s: SparkSession, indexDir: String,
       newDocs: DataFrame, minLen: Int = 8,
-      dfCap: Int = 64): DataFrame = {
-    val batchPos = Dedup.lazyCheckpoint(
-      positionsOf(Tables.parallelized(newDocs), minLen))
+      dfCap: Int = 64): DataFrame =
+    probeSpansFromIndex(s, indexDir,
+      positionsOf(Tables.parallelized(newDocs), minLen), minLen, dfCap)
+
+  /** The shared probe body: a NEW batch's (h, doc_id, pos) tuples
+    * against the persisted index under the merged global dfCap —
+    * token-unit-agnostic (the whitespace probe grams the batch text;
+    * the BPE probe encodes it under the index's frozen tokenizer
+    * first).
+    */
+  private def probeSpansFromIndex(s: SparkSession, indexDir: String,
+      rawBatchPos: DataFrame, minLen: Int, dfCap: Int): DataFrame = {
+    val batchPos = Dedup.lazyCheckpoint(rawBatchPos)
     val totFreq = withBatches(s, indexDir, "freq")
       .unionByName(batchPos.groupBy(col("h"))
         .agg(count(lit(1)).as("n")))
@@ -351,19 +361,31 @@ object Substring {
     * member is in the newest fifth (split rule verbatim from
     * q_incremental_dedup's oracle).
     */
-  def incrOracleSql(minLen: Int = 8, dfCap: Int = 64): String = {
-    val base = oracleSql(minLen, dfCap)
+  def incrOracleSql(minLen: Int = 8, dfCap: Int = 64): String =
+    incrSpliceSql(oracleSql(minLen, dfCap))
+
+  /** [[incrementalBpeSpans]] / [[incrementalBpeSpansFromIndex]]'s
+    * shared oracle: the full trainer-included BPE span construction
+    * restricted to pairs whose larger member is in the newest fifth —
+    * the same split splice as [[incrOracleSql]] ([[spanSql]]'s pair
+    * CTE is token-unit-agnostic, so the anchor is shared).
+    */
+  def bpeIncrOracleSql(minLen: Int = 16, dfCap: Int = 64,
+      nMerges: Int = 16): String =
+    incrSpliceSql(bpeOracleSql(minLen, dfCap, nMerges))
+
+  private def incrSpliceSql(base: String): String = {
     val out = base.replace(
       "ON a.g = b.g AND a.doc_id < b.doc_id),",
       """ON a.g = b.g AND a.doc_id < b.doc_id
         |  CROSS JOIN (SELECT (max(doc_id) * 4) // 5 AS split_id
         |              FROM documents) mx
         |  WHERE b.doc_id >= mx.split_id),""".stripMargin)
-    // a wording edit to oracleSql must not silently no-op the splice
-    // and leave the incremental queries gated against the
+    // a wording edit to the span SQL must not silently no-op the
+    // splice and leave the incremental queries gated against the
     // UNRESTRICTED oracle (r15 ADVICE)
     require(out != base,
-      "incrOracleSql: split-predicate splice found no anchor in oracleSql")
+      "incrSpliceSql: split-predicate splice found no anchor in span SQL")
     out
   }
 
@@ -482,8 +504,15 @@ object Substring {
     val oov = docs
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .join(vocab.select(col("word")), Seq("word"), "left_anti")
-    symbolStreams(docs, vocab.unionByName(
-      Bpe.encodeVocabUnder(oov, Bpe.readMerges(s, indexDir))))
+    // gate the merge replay on actual OOV presence: the common batch
+    // (no unseen words — the registry fixtures, any in-distribution
+    // feed) pays ONE word-type-sized anti-join probe instead of
+    // nMerges empty fold rounds and their eager lineage checkpoints
+    val full =
+      if (oov.isEmpty) vocab
+      else vocab.unionByName(
+        Bpe.encodeVocabUnder(oov, Bpe.readMerges(s, indexDir)))
+    symbolStreams(docs, full)
   }
 
   /** Append a batch under the index's FROZEN tokenizer — no retrain,
@@ -549,6 +578,44 @@ object Substring {
     */
   private def bpeRebuild(a: Column): Column =
     rtrim(replace(concat_ws("", a), lit("</w>"), lit(" ")))
+
+  /** Incremental ingest, post-tokenizer: spans for pairs whose LARGER
+    * member is in the newest fifth, over the corpus-trained symbol
+    * stream — [[incrementalSpans]]' convention with BPE symbol units
+    * (positions and the global dfCap computed once over the whole
+    * encoded corpus; the probe side is a filter above the shared
+    * materialized frame).
+    */
+  def incrementalBpeSpans(s: SparkSession, d: String, minLen: Int = 16,
+      dfCap: Int = 64, nMerges: Int = 16): DataFrame = {
+    Tables.parallelized(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .createOrReplaceTempView("graft_substr_bpe_docs")
+    val splitId =
+      "(select (max(doc_id) * 4) div 5 from graft_substr_bpe_docs)"
+    val kept = keptFromPositions(
+      positionsFromArrays(bpeSymbolStream(s, d, nMerges), minLen),
+      dfCap)
+    spansOf(
+      matchesOf(kept, kept.filter(expr(s"doc_id >= $splitId"))),
+      minLen)
+  }
+
+  /** [[incrementalBpeSpans]] SERVED from a persisted BPE index of the
+    * OLD docs: the batch encodes under the index's frozen tokenizer
+    * (vocabulary + OOV merge replay) and re-grams only itself; index
+    * counts + batch counts reconstruct the identical global dfCap, so
+    * the output equals the inline form's bit-for-bit — one shared
+    * [[bpeIncrOracleSql]] oracle.
+    */
+  def incrementalBpeSpansFromIndex(s: SparkSession, indexDir: String,
+      newDocs: DataFrame, minLen: Int = 16,
+      dfCap: Int = 64): DataFrame =
+    probeSpansFromIndex(s, indexDir,
+      positionsFromArrays(
+        encodedStreams(s, indexDir, Tables.parallelized(
+          newDocs.select(col("doc_id"), col("text")))), minLen),
+      minLen, dfCap)
 
   /** [[substringDupsBpe]] recomputed END-TO-END in DuckDB — trainer
     * included: `nMerges` unrolled rounds of (frequency-weighted

@@ -189,6 +189,16 @@ object TextQueries {
     "q_substring_scrub_bpe_served" -> ((s: SparkSession, d: String) =>
       Substring.substringScrubBpeFromIndex(s,
         s"${indexRoot(d)}/substr_bpe")),
+    // incremental ingest, post-tokenizer: inline (probe = filter above
+    // the shared encoded-corpus frame) and served (batch encoded under
+    // the frozen tokenizer, re-grams only itself, probed against the
+    // old-80% index with merged dfCap counts); one shared oracle
+    "q_substring_dups_bpe_incr" -> ((s: SparkSession, d: String) =>
+      Substring.incrementalBpeSpans(s, d)),
+    "q_substring_dups_bpe_incr_served" -> ((s: SparkSession, d: String) =>
+      Substring.incrementalBpeSpansFromIndex(s,
+        s"${indexRoot(d)}/substr_bpe_incr",
+        incrSplitSide(s, d, newSide = true))),
     // incremental ingest forms: spans for pairs involving a new doc —
     // inline (one shared position subtree, probe = filter above it)
     // and served (batch re-grammed only, probed against the persisted
@@ -655,6 +665,11 @@ object TextQueries {
       graft.Tables.documents(s, d)
         .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 4),
       batchId = 1L)
+    // BPE incremental-probe twin: the OLD 80% indexed under the same
+    // frozen full-corpus tokenizer; the newest fifth arrives only as
+    // the served query's probe batch
+    Substring.writeBpeIndex(s, d, s"$root/substr_bpe_incr",
+      indexDocs = Some(incrSplitSide(s, d, newSide = false)))
     // substring lifecycle twins: the same old-80% index grown as
     // base(4/5 of it) + one append batch, and the promoted fold-back —
     // counts merge exactly, so all three serve the identical answer
@@ -1650,6 +1665,8 @@ object TextQueries {
     "q_substring_dups_bpe_served" -> Substring.bpeOracleSql(),
     "q_substring_scrub_bpe" -> Substring.bpeScrubOracleSql(),
     "q_substring_scrub_bpe_served" -> Substring.bpeScrubOracleSql(),
+    "q_substring_dups_bpe_incr" -> Substring.bpeIncrOracleSql(),
+    "q_substring_dups_bpe_incr_served" -> Substring.bpeIncrOracleSql(),
     "q_substring_dups_incr" -> Substring.incrOracleSql(),
     "q_substring_dups_served" -> Substring.incrOracleSql(),
     "q_substring_dups_appended_served" -> Substring.incrOracleSql(),

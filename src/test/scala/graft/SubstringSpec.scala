@@ -192,6 +192,32 @@ class SubstringSpec extends SparkSuite {
       (2L, 29L, "non2")))
   }
 
+  test("BPE incremental spans: inline equals the full BPE pair set " +
+      "restricted by the split rule; served (batch encoded under the " +
+      "frozen tokenizer, re-grammed only itself) equals inline") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val split = docs.agg(expr("(max(doc_id) * 4) div 5"))
+      .head().getLong(0)
+    val full = Substring.substringDupsBpe(spark, d, nMerges = 8)
+      .collect().map(_.toSeq).toSeq
+    val inline = Substring.incrementalBpeSpans(spark, d, nMerges = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(inline.sortBy(_.toString) ===
+      full.filter(r => r(1).asInstanceOf[Long] >= split)
+        .sortBy(_.toString))
+    assert(inline.nonEmpty)
+    val root = tmpDir("substr_bpe_incr_idx")
+    Substring.writeBpeIndex(spark, d, root, nMerges = 8,
+      buildOnly = Some(col("doc_id") < split))
+    val served = Substring.incrementalBpeSpansFromIndex(spark, root,
+      docs.filter(col("doc_id") >= split))
+      .collect().map(_.toSeq).toSeq
+    assert(served.sortBy(_.toString) === inline.sortBy(_.toString))
+  }
+
   test("BPE index lifecycle: frozen-vocab append serves the inline " +
       "dups AND scrub exactly; promote folds the streams batches too") {
     val d = "/root/testdata/sf0.001"
