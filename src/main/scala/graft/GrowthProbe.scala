@@ -280,12 +280,54 @@ object GrowthProbe {
       f"""  {"index_n": $n, "batch_n": 500, "spans": $p, """ +
         f""""sec_index_build": $tb%.2f, "sec_batch_serve": $ts%.2f}"""
     }.mkString(" \"substring_incremental\": [\n", ",\n", "\n ]\n")
+    // ---- BPE-substring ingest path (r16): same fixture, frozen
+    // tokenizer. Claim under test (Substring.bpeAppendBatch): the
+    // batch re-encodes and re-grams ONLY itself under the persisted
+    // vocabulary + merge sequence, so append cost is batch-sized while
+    // the index build scales with the corpus; and the batch's span
+    // contribution is index-size-INVARIANT (every batch doc's exact
+    // text twin exists in every corpus — the incremental-minhash
+    // argument, replayed post-tokenizer). minLen = 56 symbols (~10
+    // words) keeps random window collisions nil on this 25-word
+    // vocabulary (25^10 >> corpus positions) while twin docs still
+    // share their full ~230-symbol stream.
+    val bpeRows = Seq(5000L, 12500L, 25000L).map { n =>
+      val dir = s"/tmp/graft_growth/n$n"
+      val idx = s"$dir/substr_bpe"
+      val (_, tBuild) = timed {
+        graft.operators.Substring.writeBpeIndex(spark, dir, idx,
+          minLen = 56, nMerges = 8)
+      }
+      // min-of-2: re-appending the same batchId is the documented
+      // idempotent heal path (every slot overwrites), so the second
+      // run doubles as a warm re-measure — the first append lands
+      // right after the corpus-sized build and inherits its JVM noise
+      val tAppend = Seq.fill(2)(timed {
+        graft.operators.Substring.bpeAppendBatch(spark, idx, batch,
+          batchId = 1L, minLen = 56)
+      }._2).min
+      val (spans, tServe) = timed {
+        graft.operators.Substring.substringDupsBpeFromIndex(spark, idx,
+          minLen = 56).filter(col("doc_b") >= 10000000L).count()
+      }
+      println(f"bpe index=$n%6d batch=500 spans=$spans%5d " +
+        f"build=$tBuild%5.1fs append=$tAppend%5.1fs serve=$tServe%5.1fs")
+      (n, spans, tBuild, tAppend, tServe)
+    }
+    assert(bpeRows.map(_._2).distinct.size == 1,
+      s"bpe batch span contribution varies with index size: $bpeRows")
+    val bpeJson = bpeRows.map { case (n, p, tb, ta, ts) =>
+      f"""  {"index_n": $n, "batch_n": 500, "spans": $p, """ +
+        f""""sec_index_build": $tb%.2f, "sec_batch_append": $ta%.2f, """ +
+        f""""sec_probe_serve": $ts%.2f}"""
+    }.mkString(" \"bpe_ingest\": [\n", ",\n", "\n ]\n")
     // splice the substring section into the written JSON (kept as a
     // separate rewrite so the earlier sections' schema is untouched)
     val p = java.nio.file.Paths.get("tools/growth_probe.json")
     val body = new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)
-    val spliced = body.replaceFirst("\\n\\}\\n$", ",\n" + subJson + "}\n")
+    val spliced = body.replaceFirst("\\n\\}\\n$",
+      ",\n" + subJson + ",\n" + bpeJson + "}\n")
     // a drift in the earlier writer's trailing format must not silently
     // drop the substring section from the artifact (r15 ADVICE)
     require(spliced != body,
