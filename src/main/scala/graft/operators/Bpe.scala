@@ -232,6 +232,127 @@ object Bpe {
         col("n_syms"),
         r4(col("n_chars").cast("double") / col("n_syms")).as("compression"))
 
+  /** The whole trainer replayed as chained DuckDB CTEs — `nMerges`
+    * unrolled rounds of (frequency-weighted adjacent-pair argmax,
+    * tie-broken (n DESC, l, r) exactly like [[learn]]) + the greedy
+    * left-to-right fold via the wrapped-symbol trick (see
+    * [[graft.operators.Substring.bpeOracleSql]]'s scaladoc for why
+    * plain `replace()` IS the greedy fold, and why the state CTEs
+    * carry MATERIALIZED). Returns the chain `wf, s0, …, s$nMerges, v`
+    * where `v` = (word, sy LIST) is the frozen encoded vocabulary —
+    * the shared head of every trainer-included oracle (the substring
+    * BPE family, the fertility report).
+    */
+  def trainSqlCtes(nMerges: Int): String = {
+    def symList(w: String) =
+      s"string_split(substr($w, 2, len($w) - 2), chr(2) || chr(1))"
+    val head =
+      """wf AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS word
+        |    FROM documents) GROUP BY word),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    array_to_string(list_transform(range(1, len(word) + 1),
+        |      i -> chr(1) || substr(word, i, 1) ||
+        |        CASE WHEN i = len(word) THEN '</w>' ELSE '' END ||
+        |        chr(2)), '') AS wrapped
+        |  FROM wf)""".stripMargin
+    val rounds = (1 to nMerges).map { k =>
+      s"""pc$k AS (
+         |  SELECT p.l AS l, p.r AS r, sum(freq) AS n FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(sy)),
+         |      i -> {'l': sy[i], 'r': sy[i+1]})) AS p
+         |    FROM (SELECT freq, ${symList("wrapped")} AS sy
+         |          FROM s${k - 1}))
+         |  GROUP BY p.l, p.r),
+         |b$k AS (SELECT l, r FROM pc$k ORDER BY n DESC, l, r LIMIT 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    replace(wrapped,
+         |      chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+         |      chr(1) || b.l || b.r || chr(2)) AS wrapped
+         |  FROM s${k - 1}, b$k b)""".stripMargin
+    }.mkString(",\n")
+    val v =
+      s"""v AS (SELECT word, ${symList("wrapped")} AS sy
+         |       FROM s$nMerges)""".stripMargin
+    Seq(head, rounds, v).filter(_.nonEmpty).mkString(",\n")
+  }
+
+  /** Tokenizer fertility report per (lang, source) — the
+    * tokens-per-word / chars-per-token table a pretraining team reads
+    * before fixing domain mixture weights (a tokenizer that fragments
+    * one language inflates its token budget): n_words, n_chars,
+    * n_syms, syms_per_word, chars_per_sym under the corpus-trained
+    * merge table. One token explode + one vocabulary-sized join + one
+    * group-sized aggregate; documents are never re-folded.
+    */
+  def fertility(s: SparkSession, d: String, nMerges: Int = 16)
+      : DataFrame = {
+    val encoded = learn(s, d, nMerges)._2
+    fertilityAgg(groupedTokens(s, d)
+      .join(encoded.select(col("word"), size(col("syms")).as("ns")),
+        Seq("word")))
+  }
+
+  /** [[fertility]] from the PERSISTED frozen model ([[writeModel]]'s
+    * merge table): the rank-order replay reproduces the training
+    * encode exactly, so with apply corpus == train corpus the report
+    * equals the inline one and shares its full trainer-included
+    * oracle — no goldens anywhere in the family row.
+    */
+  def fertilityFromModel(s: SparkSession, d: String,
+      modelDir: String): DataFrame = {
+    val tokens = groupedTokens(s, d)
+    fertilityAgg(tokens.join(
+      encodeVocabUnder(tokens, readMerges(s, modelDir))
+        .select(col("word"), size(col("syms")).as("ns")),
+      Seq("word")))
+  }
+
+  private def groupedTokens(s: SparkSession, d: String): DataFrame =
+    Tables.parallelized(Tables.documents(s, d))
+      .select(col("lang"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("word"))
+
+  private def fertilityAgg(joined: DataFrame): DataFrame =
+    joined
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("ns")).cast("long").as("n_syms"))
+      .select(col("lang"), col("source"), col("n_words"),
+        col("n_chars"), col("n_syms"),
+        r4(col("n_syms").cast("double") / col("n_words"))
+          .as("syms_per_word"),
+        r4(col("n_chars").cast("double") / col("n_syms"))
+          .as("chars_per_sym"))
+
+  /** [[fertility]] recomputed end-to-end in DuckDB — trainer included
+    * ([[trainSqlCtes]]), no pinned constants: a drift in either
+    * trainer or either greedy fold fails this gate too.
+    */
+  def fertilityOracleSql(nMerges: Int = 16): String =
+    s"""WITH ${trainSqlCtes(nMerges)},
+       |dw AS (
+       |  SELECT lang, source,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS word
+       |  FROM documents),
+       |j AS (
+       |  SELECT lang, source, len(word) AS nc, len(sy) AS ns
+       |  FROM dw JOIN v USING (word))
+       |SELECT lang, source,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(nc) AS BIGINT) AS n_chars,
+       |  CAST(sum(ns) AS BIGINT) AS n_syms,
+       |  round(sum(ns) * 1.0 / count(*) + 1e-9, 4) AS syms_per_word,
+       |  round(sum(nc) * 1.0 / sum(ns) + 1e-9, 4) AS chars_per_sym
+       |FROM j GROUP BY lang, source""".stripMargin
+
   /** Corpus-level encode statistics after `nMerges` learned merges:
     * one row (n_docs, n_tokens, n_chars, n_syms, compression 4 dp).
     * `n_chars` is raw token characters (marker excluded) — the

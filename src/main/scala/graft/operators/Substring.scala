@@ -641,41 +641,8 @@ object Substring {
     */
   def bpeOracleSql(minLen: Int = 16, dfCap: Int = 64,
       nMerges: Int = 16): String = {
-    def symList(w: String) =
-      s"string_split(substr($w, 2, len($w) - 2), chr(2) || chr(1))"
-    val head =
-      """wf AS (
-        |  SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(list_filter(string_split(text, ' '),
-        |      x -> x <> '')) AS word
-        |    FROM documents) GROUP BY word),
-        |s0 AS MATERIALIZED (
-        |  SELECT word, freq,
-        |    array_to_string(list_transform(range(1, len(word) + 1),
-        |      i -> chr(1) || substr(word, i, 1) ||
-        |        CASE WHEN i = len(word) THEN '</w>' ELSE '' END ||
-        |        chr(2)), '') AS wrapped
-        |  FROM wf)""".stripMargin
-    val rounds = (1 to nMerges).map { k =>
-      s"""pc$k AS (
-         |  SELECT p.l AS l, p.r AS r, sum(freq) AS n FROM (
-         |    SELECT freq, unnest(list_transform(range(1, len(sy)),
-         |      i -> {'l': sy[i], 'r': sy[i+1]})) AS p
-         |    FROM (SELECT freq, ${symList("wrapped")} AS sy
-         |          FROM s${k - 1}))
-         |  GROUP BY p.l, p.r),
-         |b$k AS (SELECT l, r FROM pc$k ORDER BY n DESC, l, r LIMIT 1),
-         |s$k AS MATERIALIZED (
-         |  SELECT word, freq,
-         |    replace(wrapped,
-         |      chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
-         |      chr(1) || b.l || b.r || chr(2)) AS wrapped
-         |  FROM s${k - 1}, b$k b)""".stripMargin
-    }.mkString(",\n")
     val encode =
-      s"""v AS (SELECT word, ${symList("wrapped")} AS sy
-         |       FROM s$nMerges),
-         |dtoks AS (
+      s"""dtoks AS (
          |  SELECT doc_id,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS t
          |  FROM documents),
@@ -685,7 +652,8 @@ object Substring {
          |toks AS MATERIALIZED (
          |  SELECT doc_id, flatten(list(sy ORDER BY wpos)) AS t
          |  FROM dw JOIN v USING (word) GROUP BY doc_id)""".stripMargin
-    spanSql(minLen, dfCap, Seq(head, rounds, encode).mkString(",\n"))
+    spanSql(minLen, dfCap,
+      Seq(Bpe.trainSqlCtes(nMerges), encode).mkString(",\n"))
   }
 
   /** The curation half of Lee et al.: CUT the duplicated spans,

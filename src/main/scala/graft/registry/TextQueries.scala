@@ -107,6 +107,17 @@ object TextQueries {
     // OOV-capable; with apply == train corpus it equals the inline row
     "q_bpe_encode_served" -> ((s: SparkSession, d: String) =>
       Bpe.encodeStatsFromModel(s, d, s"${indexRoot(d)}/bpe_model")),
+    // tokenizer fertility per (lang, source) — tokens-per-word /
+    // chars-per-token, the table that decides mixture token budgets;
+    // FULL trainer-included oracle (no goldens), unlike the
+    // corpus-level golden-pinned q_bpe_encode_stats
+    "q_bpe_fertility" -> ((s: SparkSession, d: String) =>
+      Bpe.fertility(s, d)),
+    // fertility from the persisted frozen model — the rank-order
+    // replay reproduces the training encode exactly, so the served
+    // report answers the SAME full trainer-included oracle
+    "q_bpe_fertility_served" -> ((s: SparkSession, d: String) =>
+      Bpe.fertilityFromModel(s, d, s"${indexRoot(d)}/bpe_model")),
     // vocabulary-overlap matrix across sources: distinct-set reduction
     // first, token-keyed pair join second — fully oracle-recomputable
     "q_vocab_overlap" -> ((s: SparkSession, d: String) =>
@@ -1302,6 +1313,12 @@ object TextQueries {
     // q_bpe_pair_counts and the loop semantics by BpeSpec's planted
     // corpora. Re-pin after a testdata regen:
     // `runMain graft.GoldenDump q_bpe_merges`
+    // tokenizer fertility: FULL recompute — DuckDB re-trains the merge
+    // table (Bpe.trainSqlCtes' unrolled MATERIALIZED rounds) and
+    // re-encodes every word, then aggregates per (lang, source); no
+    // pinned constants, regen-proof
+    "q_bpe_fertility" -> Bpe.fertilityOracleSql(),
+    "q_bpe_fertility_served" -> Bpe.fertilityOracleSql(),
     "q_bpe_merges" ->
       """SELECT CAST(rank AS INT) AS rank, left_s AS "left",
         |  right_s AS "right", CAST(n AS BIGINT) AS pair_count

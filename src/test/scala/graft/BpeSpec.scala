@@ -112,4 +112,27 @@ class BpeSpec extends SparkSuite {
     assert(compression === math.rint(
       (nChars.toDouble / nSyms + 1e-9) * 1e4) / 1e4)
   }
+
+  test("fertility: per-(lang, source) symbol economics under the " +
+      "corpus-trained merges — a merged-away word costs 1 symbol in " +
+      "its group while the unmerged group keeps char granularity") {
+    // corpus words: 'ab' ×3 (group en/a), 'abcd' ×2 (group de/b);
+    // round-1 argmax is (a, b</w>) n=3, so after ONE merge 'ab' is a
+    // single symbol while 'abcd' is untouched (its (a,b) pair has no
+    // word-final marker and loses the argmax)
+    val dir = tmpDir("bpe_fert")
+    Seq(
+      (1L, "ab ab ab", "en", "a", 8L),
+      (2L, "abcd abcd", "de", "b", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Bpe.fertility(spark, dir, nMerges = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("de", "b", 2L, 8L, 8L, 4.0, 1.0),
+      ("en", "a", 3L, 6L, 3L, 1.0, 2.0)))
+  }
 }
