@@ -1,8 +1,8 @@
 package graft.registry
 
-import graft.operators.{Bpe, Classify, Curate, Dedup, Hybrid,
-  Multimodal, Perplexity, Reduce, Sampling, ScalarQuant, Scrub, Search,
-  Shard, Similarity, Substring, TextOps, Video}
+import graft.operators.{BinaryQuant, Bpe, Classify, Curate, Dedup,
+  Hybrid, Multimodal, Perplexity, Reduce, Sampling, ScalarQuant, Scrub,
+  Search, Shard, Similarity, Substring, TextOps, Video}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the text / dedup / similarity families.
@@ -506,6 +506,27 @@ object TextQueries {
     "q_ann_int8_promoted_served" -> ((s: SparkSession, d: String) =>
       ScalarQuant.sqTopKFromIndex(s, s"${indexRoot(d)}/int8_promoted",
         annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
+    // the binary (1-bit sign) COLD tier below int8: packed-word bit
+    // vectors, XOR+popcount Hamming shortlist, exact re-rank. Like the
+    // int8 tier the quantizer is closed-form, so the bit audit carries
+    // a full cross-engine recompute and the topk rows answer
+    // q_ann_brute's oracle — equality-pinning shortlist recall 1.0 at
+    // the registry's refine width (288 of 500 at verify scale)
+    "q_bq_bits" -> ((s: SparkSession, d: String) =>
+      BinaryQuant.bitsAudit(s, s"${indexRoot(d)}/bq")),
+    "q_ann_bq" -> ((s: SparkSession, d: String) =>
+      BinaryQuant.bqTopK(s, d)),
+    "q_ann_bq_served" -> ((s: SparkSession, d: String) =>
+      BinaryQuant.bqTopKFromIndex(s, s"${indexRoot(d)}/bq",
+        annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
+    // bit-tier lifecycle: grown (base ∪ batch) and promoted (folded
+    // back to one scan) — no frozen geometry, both exact rebuilds
+    "q_ann_bq_appended_served" -> ((s: SparkSession, d: String) =>
+      BinaryQuant.bqTopKFromIndex(s, s"${indexRoot(d)}/bq_appended",
+        annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
+    "q_ann_bq_promoted_served" -> ((s: SparkSession, d: String) =>
+      BinaryQuant.bqTopKFromIndex(s, s"${indexRoot(d)}/bq_promoted",
+        annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
     // hybrid retrieval: BM25 + dense cosine fused by reciprocal-rank
     // fusion. The served twin composes the two PERSISTED indexes
     // (bm25 postings + the int8 codes tier); the int8 leg's exact
@@ -752,6 +773,22 @@ object TextQueries {
           batchId = 1L)
         if (promote) ScalarQuant.promoteBatches(s, dir)
     }
+    // binary bit-tier: full build for the serve twin + the same 80/20
+    // grown/promoted lifecycle fixtures — closed-form packing, so all
+    // three indexes are exact rebuilds of the one-shot table
+    BinaryQuant.bqWriteIndex(s, d, s"$root/bq")
+    Seq("bq_appended" -> false, "bq_promoted" -> true).foreach {
+      case (name, promote) =>
+        val dir = s"$root/$name"
+        BinaryQuant.bqWriteIndex(s, d, dir,
+          assignOnly = Some(org.apache.spark.sql.functions
+            .col("vec_id") % 5 =!= 4))
+        BinaryQuant.bqAppendBatch(s, dir,
+          graft.Tables.embeddings(s, d)
+            .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 4),
+          batchId = 1L)
+        if (promote) BinaryQuant.promoteBatches(s, dir)
+    }
     // frozen BPE tokenizer: trained once here, applied by
     // q_bpe_encode_served (and to anything else) without retraining
     Bpe.writeModel(s, d, s"$root/bpe_model")
@@ -869,6 +906,26 @@ object TextQueries {
       ("q_ann_int8_served" -> baseOracle("q_ann_brute")) +
       ("q_ann_int8_appended_served" -> baseOracle("q_ann_brute")) +
       ("q_ann_int8_promoted_served" -> baseOracle("q_ann_brute")) +
+      // the binary tier's ranking rows: Hamming shortlist + exact
+      // re-rank recovers the exact brute-force ranking at the
+      // registry's refine width (recall-1.0 pinned by answering the
+      // SAME full oracle), inline and across the whole lifecycle
+      ("q_ann_bq" -> baseOracle("q_ann_brute")) +
+      ("q_ann_bq_served" -> baseOracle("q_ann_brute")) +
+      ("q_ann_bq_appended_served" -> baseOracle("q_ann_brute")) +
+      ("q_ann_bq_promoted_served" -> baseOracle("q_ann_brute")) +
+      // full recompute of every stored sign bit from the raw floats:
+      // bit_i = (x_i >= 0), 1-based dim — pins the packing formula and
+      // the packed-BIGINT parquet round-trip cross-engine
+      ("q_bq_bits" ->
+        """SELECT vec_id, CAST(u.dim AS INT) AS dim, u.bit AS bit
+          |FROM (
+          |  SELECT vec_id,
+          |    unnest(list_transform(embedding,
+          |      (x, i) -> {'dim': i,
+          |        'bit': CAST(CASE WHEN CAST(x AS DOUBLE) >= 0
+          |          THEN 1 ELSE 0 END AS INT)})) AS u
+          |  FROM embeddings)""".stripMargin) +
       // hybrid RRF: both legs recomputed exhaustively (the BM25 CTEs
       // verbatim + the brute cosine ranking), fused 1/(60+rank),
       // rounded to 6 dp before the final rank — served twin included
