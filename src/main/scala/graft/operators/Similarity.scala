@@ -393,6 +393,52 @@ object Similarity {
   def retrievalNdcg(s: SparkSession, d: String, k: Int = 10): DataFrame =
     ndcgAt(ivfTopK(s, d, k = k), bruteForceTopK(s, d, k = k), k)
 
+  /** Matryoshka truncation-recall report: per (truncation dim, probe),
+    * how much of the full-dimension top-k survives when cosine is
+    * computed over only the first m dimensions — the evaluation a team
+    * runs before adopting MRL-style truncated embeddings as a cheaper
+    * serving tier (prefix truncation cuts ANN scan bytes by dim/m with
+    * no re-embedding). The last dims entry must be the full dimension;
+    * its rows are the recall-1.0 sanity anchor.
+    *
+    * Determinism contract: rankings use the round-then-rank convention
+    * (`round(sim + 1e-12, 6)`, ties by vec_id) — truncated-prefix
+    * cosines are coarser than full-dim ones, so ranking raw doubles
+    * would let a cross-engine ulp flip an order the driver's hash
+    * compare sees. Scale shape: one corpus × probes × |dims| pass
+    * (probes broadcast; |dims| is a constant fan-out on the scored
+    * pairs, not a re-scan), bounded per-group ranking state.
+    */
+  def truncationRecall(s: SparkSession, d: String,
+      dims: Seq[Int] = Seq(8, 16, 32, 64), nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val fullDim = dims.max
+    val simK = round(fusedCosine(
+      slice(col("q"), lit(1), col("trunc_dim")),
+      slice(col("embedding"), lit(1), col("trunc_dim"))) + lit(1e-12), 6)
+    val w = Window.partitionBy(col("trunc_dim"), col("query_id"))
+      .orderBy(col("simk").desc, col("vec_id"))
+    val top = emb
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        explode(typedLit(dims)).as("trunc_dim"), col("q"), col("embedding"))
+      .withColumn("simk", simK)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("trunc_dim").cast("int").as("trunc_dim"),
+        col("query_id"), col("vec_id"))
+    val full = top.filter(col("trunc_dim") === fullDim)
+      .select(col("query_id").as("fq"), col("vec_id").as("fv"))
+    top.join(broadcast(full), col("query_id") === col("fq") &&
+        col("vec_id") === col("fv"), "left")
+      .groupBy(col("trunc_dim"), col("query_id"))
+      .agg(count(col("fv")).as("n_hits"),
+        r4(count(col("fv")).cast("double") / lit(k)).as("recall"))
+  }
+
   /** Brute-force top-k via the bounded TopK aggregator instead of a
     * ranking window: the window form shuffles and sorts every
     * (query, candidate) pair; this form partial-aggregates per

@@ -275,6 +275,12 @@ object TextQueries {
     // not just set recall (which the accuracy ledger ratchets offline)
     "q_retrieval_ndcg" -> ((s: SparkSession, d: String) =>
       Similarity.retrievalNdcg(s, d)),
+    // Matryoshka truncation eval: per (prefix dim, probe), overlap of
+    // the truncated-cosine top-k with the full-dim top-k — the report
+    // read before adopting truncated embeddings as a cheaper serve
+    // tier. Full recompute oracle (round-then-rank at 6 dp both sides)
+    "q_matryoshka_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.truncationRecall(s, d)),
     // nShards forced to 2 so the sharded machinery (stratified sample,
     // per-shard fit, dispatch, cross-shard merge) runs at driver scale
     // — shardsFor would pick 1 below 65k vectors
@@ -914,6 +920,41 @@ object TextQueries {
       ("q_ann_bq_served" -> baseOracle("q_ann_brute")) +
       ("q_ann_bq_appended_served" -> baseOracle("q_ann_brute")) +
       ("q_ann_bq_promoted_served" -> baseOracle("q_ann_brute")) +
+      // Matryoshka truncation recall: full recompute — prefix-sliced
+      // cosine rankings at each dim, round-then-rank at 6 dp (the
+      // convention that keeps cross-engine ulps out of the rank order),
+      // overlap counted against the full-dim ranking from the same CTE
+      ("q_matryoshka_recall" ->
+        """WITH dims(m) AS (VALUES (8),(16),(32),(64)),
+          |q AS (
+          |  SELECT vec_id AS query_id, embedding AS qv
+          |  FROM embeddings WHERE vec_id < 5),
+          |pairs AS (
+          |  SELECT dims.m, q.query_id, e.vec_id,
+          |    round(
+          |      list_sum(list_transform(e.embedding[1:dims.m],
+          |        (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(e.embedding[1:dims.m],
+          |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          |         * sqrt(list_sum(list_transform(q.qv[1:dims.m],
+          |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          |      + 1e-12, 6) AS simk
+          |  FROM embeddings e CROSS JOIN q CROSS JOIN dims
+          |  WHERE e.vec_id <> q.query_id),
+          |topk AS (
+          |  SELECT m, query_id, vec_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY m, query_id
+          |              ORDER BY simk DESC, vec_id) AS rk
+          |    FROM pairs)
+          |  WHERE rk <= 10),
+          |fulltop AS (
+          |  SELECT query_id AS fq, vec_id AS fv FROM topk WHERE m = 64)
+          |SELECT t.m AS trunc_dim, t.query_id,
+          |  CAST(count(f.fv) AS BIGINT) AS n_hits,
+          |  round(count(f.fv) / 10.0, 4) AS recall
+          |FROM topk t LEFT JOIN fulltop f
+          |  ON f.fq = t.query_id AND f.fv = t.vec_id
+          |GROUP BY t.m, t.query_id""".stripMargin) +
       // full recompute of every stored sign bit from the raw floats:
       // bit_i = (x_i >= 0), 1-based dim — pins the packing formula and
       // the packed-BIGINT parquet round-trip cross-engine

@@ -1255,4 +1255,23 @@ class DedupSimilaritySpec extends SparkSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("matryoshka truncation recall: full-dim rows anchor at 1.0, " +
+      "truncated rows are valid fractions of k") {
+    val rows = operators.Similarity
+      .truncationRecall(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 4 * 5) // |dims| × probes
+    rows.foreach { r =>
+      val (m, hits, recall) = (r.getInt(0), r.getLong(2), r.getDouble(3))
+      assert(hits >= 0L && hits <= 10L)
+      assert(math.abs(recall - hits / 10.0) < 1e-9)
+      // the full-dimension ranking overlaps itself completely
+      if (m === 64) assert(hits === 10L)
+    }
+    // truncation must lose SOMETHING on real data at the smallest dim,
+    // or the report is vacuous (8 of 64 dims keeping every probe's
+    // exact top-10 would mean the metric can't detect rank damage)
+    val d8 = rows.filter(_.getInt(0) === 8).map(_.getLong(2)).sum
+    assert(d8 < 50L)
+  }
 }
