@@ -67,6 +67,23 @@ object Hybrid {
         Tables.embeddings(s, d), k = kLeg),
       k)
 
+  /** [[rrfFromIndexes]] with the binary bit tier ([[BinaryQuant]]) as
+    * the dense leg instead of the int8 codes: the Hamming shortlist's
+    * exact re-rank recovers the same exact dense ranking (at the
+    * registry refine width), so the fusion is oracle-identical to the
+    * inline form — the cheapest-storage serve shape of the cascade
+    * (bit table + postings; the raw store is touched only by the
+    * k·queries re-rank fetch).
+    */
+  def rrfFromIndexesBq(s: SparkSession, d: String, bm25Dir: String,
+      bqDir: String, k: Int = 10, kLeg: Int = 10,
+      queries: Seq[(Int, String)] = Search.defaultQueries): DataFrame =
+    fuse(
+      Search.bm25FromIndex(s, bm25Dir, queries, k = kLeg),
+      BinaryQuant.bqTopKFromIndex(s, bqDir, probes(s, d, queries),
+        Tables.embeddings(s, d), k = kLeg),
+      k)
+
   /** Exact dense top-`kLeg` for the hybrid probes: fused-cosine scores,
     * bounded map-side TopK per query ([[Similarity.bruteForceTopKAgg]]'s
     * exchange shape — ≤ kLeg rows per query per partition).

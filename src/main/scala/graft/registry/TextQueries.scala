@@ -542,6 +542,12 @@ object TextQueries {
     "q_hybrid_rrf_served" -> ((s: SparkSession, d: String) =>
       Hybrid.rrfFromIndexes(s, d, s"${indexRoot(d)}/bm25",
         s"${indexRoot(d)}/int8")),
+    // same fusion with the binary bit tier as the dense leg — the
+    // cheapest-storage serve shape; exact-recall re-rank keeps it on
+    // the same full oracle as the inline and int8-served forms
+    "q_hybrid_rrf_bq_served" -> ((s: SparkSession, d: String) =>
+      Hybrid.rrfFromIndexesBq(s, d, s"${indexRoot(d)}/bm25",
+        s"${indexRoot(d)}/bq")),
     // the cascade's last stage: cross-encoder-STYLE pairwise rerank of
     // the RRF shortlist (0.6·cosine + 0.4·term-jaccard, deterministic
     // stand-in for a model call — full oracle recomputes the cascade)
@@ -973,6 +979,9 @@ object TextQueries {
       // because its int8 dense leg re-ranks to the exact brute ranking
       ("q_hybrid_rrf" -> hybridRrfOracle) +
       ("q_hybrid_rrf_served" -> hybridRrfOracle) +
+      // bq dense leg: exact-recall Hamming-shortlist re-rank ⇒ the
+      // same dense ranking ⇒ the same full fusion oracle
+      ("q_hybrid_rrf_bq_served" -> hybridRrfOracle) +
       ("q_rerank" -> rerankOracle) +
       ("q_rerank_served" -> rerankOracle) +
       // full recompute of every stored int8 code from the raw floats:

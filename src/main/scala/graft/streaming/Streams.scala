@@ -327,6 +327,7 @@ object Streams {
       checkpoint: String, threshold: Double = 0.7,
       trigger: Trigger = Trigger.AvailableNow(),
       int8IndexDir: Option[String] = None,
+      bqIndexDir: Option[String] = None,
       pplModelDir: Option[String] = None,
       semanticProbes: Option[DataFrame] = None,
       semanticTau: Double = 0.8,
@@ -376,6 +377,17 @@ object Streams {
                 admitted.select(col("doc_id"), col("text")), batchId)
               int8IndexDir.foreach(dir =>
                 graft.operators.ScalarQuant.sqAppendBatch(
+                  admitted.sparkSession, dir,
+                  admitted.select(col("doc_id").as("vec_id"),
+                    col("embedding")),
+                  batchId))
+              // binary bit-tier leg (r16): sign-packed words for the
+              // admitted embeddings — like int8, closed-form packing
+              // means the grown bit table is an exact rebuild, so the
+              // served Hamming shortlist stays oracle-equal to a
+              // one-shot build over the admitted corpus
+              bqIndexDir.foreach(dir =>
+                graft.operators.BinaryQuant.bqAppendBatch(
                   admitted.sparkSession, dir,
                   admitted.select(col("doc_id").as("vec_id"),
                     col("embedding")),

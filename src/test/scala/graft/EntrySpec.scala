@@ -44,7 +44,15 @@ class EntrySpec extends SparkSuite {
   private val bnljDocumented = Set(
     "q11_concentration", "q_ann_brute", "q_ann_brute_agg", "q_ann_int8",
     "q_ann_int8_appended_served", "q_ann_int8_promoted_served",
-    "q_ann_int8_served", "q_bitext_mine", "q_bm25", "q_bm25_and",
+    "q_ann_int8_served",
+    // the binary tier's Hamming shortlist and the truncation-recall
+    // eval are the same intentional broadcast-probe cross (bounded
+    // probe set broadcasts, corpus/bit-table streams through once)
+    "q_ann_bq", "q_ann_bq_served", "q_ann_bq_appended_served",
+    "q_ann_bq_promoted_served", "q_matryoshka_recall",
+    // inherits its bq dense leg's documented broadcast-probe cross
+    "q_hybrid_rrf_bq_served",
+    "q_bitext_mine", "q_bm25", "q_bm25_and",
     "q_bm25_appended_served", "q_bm25_served", "q_chi2",
     "q_collocations", "q_dsir", "q_forecast", "q_funnel",
     "q_hard_negatives", "q_heavy_hitters", "q_histogram",

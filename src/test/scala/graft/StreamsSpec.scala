@@ -120,14 +120,15 @@ class StreamsSpec extends SparkSuite {
   }
 
   test("curationMaintainer: one document stream advances quarantine, " +
-    "near-dup, ANN, BM25, int8, LM-count, substring and BPE-substring " +
-    "lakes exactly-once with shared batch ids") {
+    "near-dup, ANN, BM25, int8, binary-bit, LM-count, substring and " +
+    "BPE-substring lakes exactly-once with shared batch ids") {
     import graft.operators.{Scrub, Search, Similarity}
     val d = sf()
     val lake = tmpDir("cur_lake")
     val ann = tmpDir("cur_ann")
     val bm25 = tmpDir("cur_bm25")
     val int8 = tmpDir("cur_int8")
+    val bq = tmpDir("cur_bq")
     val ppl = tmpDir("cur_ppl")
     val substr = tmpDir("cur_substr")
     val bpe = tmpDir("cur_bpe")
@@ -155,6 +156,8 @@ class StreamsSpec extends SparkSuite {
       assignOnly = Some(col("vec_id") % 5 =!= 4))
     graft.operators.ScalarQuant.sqWriteIndex(spark, d, int8,
       assignOnly = Some(col("vec_id") % 5 =!= 4))
+    graft.operators.BinaryQuant.bqWriteIndex(spark, d, bq,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
     graft.operators.Substring.writePositionIndex(spark,
       docs.filter(col("doc_id") % 5 =!= 4), substr)
     // BPE index: tokenizer frozen on the full raw corpus; 80% indexed
@@ -175,7 +178,8 @@ class StreamsSpec extends SparkSuite {
     def stream() = spark.readStream.schema(streamed.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val q = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,
-      bm25, ckpt, int8IndexDir = Some(int8), pplModelDir = Some(ppl),
+      bm25, ckpt, int8IndexDir = Some(int8), bqIndexDir = Some(bq),
+      pplModelDir = Some(ppl),
       substrIndexDir = Some(substr), bpeIndexDir = Some(bpe))
     q.awaitTermination(300000)
     // quarantine holds exactly the contaminated docs; the near-dup
@@ -196,6 +200,8 @@ class StreamsSpec extends SparkSuite {
     assert(batchDirs(s"$bm25/postings_batches") ===
       Seq("batch=0", "batch=1"))
     assert(batchDirs(s"$int8/codes_batches") ===
+      Seq("batch=0", "batch=1"))
+    assert(batchDirs(s"$bq/words_batches") ===
       Seq("batch=0", "batch=1"))
     assert(batchDirs(s"$ppl/bigrams_batches") ===
       Seq("batch=0", "batch=1"))
@@ -240,6 +246,17 @@ class StreamsSpec extends SparkSuite {
         Tables.embeddings(spark, d))
         .collect().map(_.toString).sorted.toSeq
     assert(serveInt8(int8) === serveInt8(int8Ref))
+    // binary-bit leg: same no-geometry argument one tier colder — the
+    // grown bit table serves the EXACT one-shot build over
+    // everything-but-quarantined
+    val bqRef = tmpDir("cur_bq_ref")
+    graft.operators.BinaryQuant.bqWriteIndex(spark, d, bqRef,
+      assignOnly = Some(!col("vec_id").isin(quarIds.toSeq: _*)))
+    def serveBq(dir: String): Seq[String] =
+      graft.operators.BinaryQuant.bqTopKFromIndex(spark, dir, queries,
+        Tables.embeddings(spark, d))
+        .collect().map(_.toString).sorted.toSeq
+    assert(serveBq(bq) === serveBq(bqRef))
     // capstone composition: the HYBRID serve over the streamed (grown)
     // bm25 + int8 indexes answers exactly what it answers over the
     // one-shot reference builds — the curation stream feeds retrieval
@@ -308,13 +325,15 @@ class StreamsSpec extends SparkSuite {
     // restart on the same checkpoint with no new files: every lake
     // unchanged — the composed pipeline is exactly-once as a whole
     val q2 = Streams.curationMaintainer(stream(), Seq(probe), lake, ann,
-      bm25, ckpt, int8IndexDir = Some(int8), pplModelDir = Some(ppl))
+      bm25, ckpt, int8IndexDir = Some(int8), bqIndexDir = Some(bq),
+      pplModelDir = Some(ppl))
     q2.awaitTermination(300000)
     assert(batchDirs(s"$bm25/postings_batches") ===
       Seq("batch=0", "batch=1"))
     assert(serveBm(bm25) === serveBm(bm25Ref))
     assert(serveAnn(ann) === serveAnn(annRef))
     assert(serveInt8(int8) === serveInt8(int8Ref))
+    assert(serveBq(bq) === serveBq(bqRef))
     assert(servePpl(ppl) === servePpl(pplRef))
   }
 
