@@ -28,6 +28,7 @@ object ScaleProbe {
     }
     if (args.headOption.contains("skew")) { skewProbe(); return }
     if (args.headOption.contains("int8")) { int8Probe(); return }
+    if (args.headOption.contains("bq")) { bqProbe(); return }
     if (args.headOption.contains("zorder")) { zorderProbe(); return }
     if (args.headOption.contains("substr")) { substrProbe(); return }
     val reps = args.headOption.map(_.toInt).getOrElse(32)
@@ -504,6 +505,85 @@ object ScaleProbe {
       f"$tBrute%.2f s vs int8-served $tServe%.2f s (min-of-3, " +
       f"$n vectors, served ranking ${if (exact) "IDENTICAL to"
         else "DIVERGES from"} the exact brute force)")
+    spark.stop()
+  }
+
+  /** `runMain graft.ScaleProbe bq`: the binary bit tier at 64×
+    * embeddings (128k vectors) — build wall, on-disk footprint vs the
+    * raw store and the int8 codes, and serve latency vs raw brute
+    * force. Replication degeneracy note: the probe corpus is 64 exact
+    * replicas of each base vector, so every Hamming distance class is
+    * 64× as populated as on real data — the refine width scales by the
+    * replication factor (288·64) to see past the replica ties; on
+    * non-degenerate data the base width is the measured bound
+    * ([[graft.operators.BinaryQuant]] scaladoc). Ranking identity vs
+    * brute force is measured and printed, not assumed.
+    */
+  private def bqProbe(): Unit = {
+    import graft.operators.{BinaryQuant, Similarity}
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reps = 64
+    val corpus = "/tmp/graft_pq_scale" // shared with pqProbe/int8Probe
+    val idx = s"$corpus/bq_idx"
+    def time(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $s%.2f s"); s
+    }
+    if (!new java.io.File(s"$corpus/embeddings.parquet").exists())
+      Tables.embeddings(spark, "/root/testdata/sf0.1")
+        .withColumn("__rep", explode(lit((0 until reps).toArray)))
+        .select((col("vec_id") + col("__rep") * lit(1000000L))
+          .as("vec_id"), col("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val n = Tables.embeddings(spark, corpus).count()
+    val tBuild = time(s"bq words build ($n vectors)") {
+      BinaryQuant.bqWriteIndex(spark, corpus, idx)
+    }
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+    val rawMb = dirBytes(s"$corpus/embeddings.parquet") / 1e6
+    val wordsMb = dirBytes(s"$idx/words") / 1e6
+    val int8Path = new java.io.File(s"$corpus/int8_idx/codes")
+    val int8Note = if (int8Path.exists())
+      f", int8 codes ${dirBytes(int8Path.getPath) / 1e6}%.1f MB" else ""
+    println(f"footprint: raw store $rawMb%.1f MB$int8Note, bq words " +
+      f"$wordsMb%.1f MB (${rawMb / wordsMb}%.1fx smaller than raw)")
+    val queries = Tables.embeddings(spark, corpus)
+      .filter(col("vec_id") < 5)
+    val refine = 288 * reps // replica-tie adjustment (scaladoc above)
+    def brute(): Long =
+      Similarity.bruteForceTopKAgg(spark, corpus).count()
+    def served(): Long =
+      BinaryQuant.bqTopKFromIndex(spark, idx, queries,
+        Tables.embeddings(spark, corpus), refine = refine).count()
+    served() // warm
+    val tBrute = (1 to 3).map(_ =>
+      time("brute-force 5 queries over the raw store")(brute())).min
+    val tServe = (1 to 3).map(_ =>
+      time("bq Hamming shortlist + exact re-rank, 5 queries")(
+        served())).min
+    val bruteRows = Similarity.bruteForceTopKAgg(spark, corpus)
+      .collect().map(_.toString).sorted.toSeq
+    val servedRows = BinaryQuant.bqTopKFromIndex(spark, idx, queries,
+      Tables.embeddings(spark, corpus), refine = refine)
+      .collect().map(_.toString).sorted.toSeq
+    val exact = bruteRows == servedRows
+    println(f"bq-probe summary: build $tBuild%.1f s, raw-brute " +
+      f"$tBrute%.2f s vs bq-served $tServe%.2f s (min-of-3, " +
+      f"$n vectors, refine $refine, served ranking " +
+      f"${if (exact) "IDENTICAL to" else "DIVERGES from"} " +
+      "the exact brute force)")
     spark.stop()
   }
 
