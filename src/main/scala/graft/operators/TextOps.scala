@@ -161,6 +161,49 @@ object TextOps {
           .as("docs_per_window"))
   }
 
+  /** Length-bucketed batching report — the dynamic-batching planner's
+    * table: documents are grouped into token-length buckets of
+    * `width`, batched `batch` at a time within each bucket (doc_id
+    * order, deterministic), and each batch pays padding up to its own
+    * max length. Reports, per bucket, the document/batch counts, the
+    * padding token mass and the padding ratio — the numbers that
+    * decide bucket width for a padded-batch training run (vs
+    * [[seqPackStats]], which evaluates the concat-and-chop packing
+    * alternative; together they are the two standard answers to
+    * variable-length batching).
+    *
+    * Scale shape: one scan; the per-bucket ordinal is the two-level
+    * sharded prefix sum ([[Prefix.shardedRunningSum]] over a unit
+    * column, ordered by unique doc_id) — a mega-bucket is numbered by
+    * parallel doc_id-range shards, not one window task; batch indices
+    * use integer `div`. The two aggregates after it are bucket- and
+    * (bucket, batch)-keyed — tiny.
+    */
+  def lengthBuckets(s: SparkSession, d: String, width: Int = 16,
+      batch: Int = 8): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket",
+        expr(s"(n_tok + ${width - 1}) div $width").cast("int"))
+      .withColumn("one", lit(1L))
+    val padded = Prefix.shardedRunningSum(perDoc, "bucket",
+        Seq("doc_id"), "one", "ord")
+      .withColumn("batch_idx", expr(s"(ord - 1) div $batch"))
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(max(col("n_tok")).as("mx"), count(lit(1)).as("n"),
+        sum(col("n_tok")).as("tok"))
+    padded.groupBy(col("bucket")).agg(
+      sum(col("n")).cast("long").as("n_docs"),
+      count(lit(1)).as("n_batches"),
+      sum(col("mx") * col("n") - col("tok")).cast("long")
+        .as("pad_tokens"),
+      when(sum(col("mx") * col("n")) > 0,
+        r4(sum(col("mx") * col("n") - col("tok")).cast("double")
+          / sum(col("mx") * col("n")))).otherwise(lit(0.0d))
+        .as("pad_ratio"))
+  }
+
   /** Corpus stats per (lang, source): volume and quality score. The
     * quality score is a simple length saturation — a placeholder with
     * the right shape (bounded, monotone) for a real scorer.

@@ -338,6 +338,11 @@ object TextQueries {
       TextOps.repetitionStats(s, d)),
     "q_seq_pack" -> ((s: SparkSession, d: String) =>
       TextOps.seqPackStats(s, d)),
+    // dynamic-batching planner table: per length-bucket padding mass
+    // under pad-to-batch-max batching (the alternative q_seq_pack's
+    // concat-and-chop packing is weighed against)
+    "q_length_buckets" -> ((s: SparkSession, d: String) =>
+      TextOps.lengthBuckets(s, d)),
     "q_curate" -> ((s: SparkSession, d: String) =>
       Curate.curate(s, d)),
     "q_pii_scan" -> (Scrub.piiScan _),
@@ -2490,6 +2495,36 @@ object TextQueries {
         | round(count(*) * 1.0 / ((max(cum) + 511) // 512), 4)
         |   AS docs_per_window
         |FROM c GROUP BY source""".stripMargin,
+    // length-bucketed batching: the same integer-exact construction —
+    // bucket by (n_tok + w-1) div w, per-bucket doc_id-ordered ordinal,
+    // batch = (ord-1) div B, padding = batch-max minus own length;
+    // everything up to the final ratio is integer arithmetic
+    "q_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |   len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |     AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tok,
+        |   CAST((n_tok + 15) // 16 AS INT) AS bucket
+        |  FROM t),
+        |rb AS (
+        |  SELECT bucket, n_tok,
+        |   (row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+        |     - 1) // 8 AS batch_idx
+        |  FROM b),
+        |pb AS (
+        |  SELECT bucket, batch_idx, max(n_tok) AS mx,
+        |   count(*) AS n, sum(n_tok) AS tok
+        |  FROM rb GROUP BY bucket, batch_idx)
+        |SELECT bucket, CAST(sum(n) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_batches,
+        | CAST(sum(mx * n - tok) AS BIGINT) AS pad_tokens,
+        | CASE WHEN sum(mx * n) > 0
+        |   THEN round(sum(mx * n - tok) * 1.0 / sum(mx * n), 4)
+        |   ELSE 0.0 END AS pad_ratio
+        |FROM pb GROUP BY bucket""".stripMargin,
     // the full curation chain recomputed end-to-end: same quality
     // features, same min-id dedup, same portable-hash admission order,
     // same integer-div packing. The oracle reads RAW text where the

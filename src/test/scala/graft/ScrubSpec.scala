@@ -145,6 +145,29 @@ class ScrubSpec extends SparkSuite {
     assert(r.getDouble(5) === 2.0) // docs per window
   }
 
+  test("lengthBuckets padding accounting is exact on a hand-batched " +
+      "fixture") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // width 4, batch 2. token lengths: 1,2,3 -> bucket 1; 5,7 ->
+    // bucket 2; 9 -> bucket 3. bucket 1 batches: (1,2) pad (2-1)=1,
+    // (3) pad 0 -> 2 batches, pad 1, padded mass 2+2+3=7 -> ratio 1/7;
+    // bucket 2: one batch (5,7) pad 2, mass 14 -> 2/14; bucket 3: one
+    // full-width doc, pad 0, ratio 0
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(1, 2, 3, 5, 7, 9).zipWithIndex.map { case (n, i) =>
+      (i.toLong, words(n), "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("lenbuck")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.lengthBuckets(spark, dir, width = 4, batch = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows(1) === ((3L, 2L, 1L, 0.1429)))
+    assert(rows(2) === ((2L, 1L, 2L, 0.1429)))
+    assert(rows(3) === ((1L, 1L, 0L, 0.0)))
+  }
+
   test("curate: every stage bites on a planted corpus — spam dropped, " +
       "dup collapsed, budget cut, windows assigned") {
     import spark.implicits._
