@@ -945,6 +945,59 @@ object Dedup {
           .as("members"))
   }
 
+  /** Quality-aware canonical selection per near-dup cluster — the
+    * keep-BEST rule real curation pipelines run instead of keep-first:
+    * within each duplicate cluster the survivor is the member with the
+    * lowest duplicate-bigram ratio ([[TextOps.repetitionStats]]'s
+    * Gopher-class signal — less self-repetition is better), ties
+    * broken by token count (longer wins), then doc_id. Deterministic
+    * end-to-end: the features are exact arithmetic over the token
+    * arrays and the selection is a total order, so the full oracle
+    * recomputes pair recall, the transitive clustering AND the
+    * keep-rule in one row set.
+    *
+    * Scale shape: cluster labels come from the pair machinery
+    * ([[minhashPairs]] → [[clusterPairs]] — banded candidates, never
+    * all-pairs); the feature frame is a narrow one-pass projection
+    * joined on doc_id. The `members` list mirrors [[dupClusters]]'
+    * oracle-form convention; the bounded-sample variant
+    * ([[dupClustersSample]]) is the mega-cluster-safe shape when the
+    * member list itself is not needed.
+    */
+  def canonicalDocs(s: SparkSession, d: String,
+      threshold: Double = 0.7): DataFrame = {
+    val labels = clusterPairs(
+      minhashPairs(s, d, threshold = threshold)
+        .select(col("doc_a"), col("doc_b")))
+    val toks = tokens(col("text"))
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
+      (a, b) => concat_ws(" ", a, b))
+    val feats = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      when(size(bigrams) > 0,
+        lit(1.0) - size(array_distinct(bigrams)).cast("double")
+          / size(bigrams))
+        .otherwise(lit(1.0)).as("dup_bigram"))
+    // min over a (dup_bigram, -n_tok, doc_id) struct IS the total
+    // order above — one aggregate, no per-cluster ranking window
+    labels.join(feats, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(struct(col("dup_bigram"), (-col("n_tok")).as("neg_tok"),
+          col("doc_id"))).as("best"),
+        count(lit(1)).as("n_members"),
+        array_join(array_sort(collect_list(col("doc_id"))), ",")
+          .as("members"))
+      .select(col("cluster_id"), col("best.doc_id").as("keep_id"),
+        graft.functions.Fns.r4(col("best.dup_bigram"))
+          .as("keep_dup_bigram"),
+        (-col("best.neg_tok")).as("keep_n_tok"),
+        col("n_members"), col("members"))
+  }
+
   /** Scale form of the per-cluster summary: member COUNT plus only the
     * `sampleSize` smallest member ids. [[dupClusters]]' full
     * `collect_list` materializes one row per cluster holding EVERY

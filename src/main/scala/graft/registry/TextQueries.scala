@@ -374,6 +374,11 @@ object TextQueries {
     // per-cell summary semantics stay spec-pinned on planted corpora
     "q_semdedup" -> ((s: SparkSession, d: String) =>
       Dedup.semDedupPerturbed(s, d)),
+    // quality-aware canonical selection: keep the LEAST-repetitive
+    // (then longest, then smallest-id) member of each near-dup cluster
+    // — the keep-best rule production curation uses over keep-first
+    "q_canonical_docs" -> ((s: SparkSession, d: String) =>
+      Dedup.canonicalDocs(s, d)),
     "q_dup_clusters" -> ((s: SparkSession, d: String) =>
       Dedup.dupClusters(s, d)),
     "q_dup_clusters_sample" -> ((s: SparkSession, d: String) =>
@@ -1828,6 +1833,49 @@ object TextQueries {
     // recursive reachability CTE: label(n) = min id reachable from n.
     // Hash-equality therefore checks pair recall AND the transitive
     // clustering in one row set.
+    // full recompute: exhaustive-jaccard pairs → recursive-CTE
+    // components (q_dup_clusters' construction) → per-doc Gopher
+    // features → the (dup_bigram ASC, n_tok DESC, doc_id) keep rule.
+    // Equality pins pair recall, the clustering AND the quality-argmax
+    // selection in one row set — regen-proof, no goldens.
+    "q_canonical_docs" ->
+      s"""${shingleCte.replace("WITH toks", "WITH RECURSIVE toks")},
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |     / len(list_distinct(a.sh || b.sh)) >= 0.7),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r
+         |    ON r.node = e.dst),
+         |lab AS (SELECT node, min(lab) AS cluster_id FROM reach
+         |        GROUP BY node),
+         |feat AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+         |   CASE WHEN len(t) > 1 THEN
+         |     1.0 - len(list_distinct(list_transform(range(1, len(t)),
+         |       i -> t[i] || ' ' || t[i + 1]))) * 1.0 / (len(t) - 1)
+         |   ELSE 1.0 END AS dup_bigram
+         |  FROM toks),
+         |m AS (
+         |  SELECT l.cluster_id, f.doc_id, f.n_tok, f.dup_bigram,
+         |   row_number() OVER (PARTITION BY l.cluster_id
+         |     ORDER BY f.dup_bigram ASC, f.n_tok DESC, f.doc_id)
+         |     AS rk
+         |  FROM lab l JOIN feat f ON f.doc_id = l.node)
+         |SELECT cluster_id,
+         | max(doc_id) FILTER (WHERE rk = 1) AS keep_id,
+         | round(max(dup_bigram) FILTER (WHERE rk = 1), 4)
+         |   AS keep_dup_bigram,
+         | max(n_tok) FILTER (WHERE rk = 1) AS keep_n_tok,
+         | CAST(count(*) AS BIGINT) AS n_members,
+         | array_to_string(list_sort(list(doc_id)), ',') AS members
+         |FROM m GROUP BY cluster_id""".stripMargin,
     "q_dup_clusters" ->
       s"""${shingleCte.replace("WITH toks", "WITH RECURSIVE toks")},
          |pairs AS (

@@ -1256,6 +1256,30 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("canonicalDocs keeps the least-repetitive member, not the " +
+      "first: planted cluster where the keep-best rule bites") {
+    import spark.implicits._
+    // doc 0 repeats its opening bigram (dup_bigram 1/13); doc 1 is the
+    // same text with the repeat replaced by a fresh token (dup 0,
+    // Jaccard 10/13 ≈ 0.77 — a near-dup pair). Keep-first would pick
+    // 0; the quality rule must pick 1.
+    val ws = (1 to 12).map(i => s"w$i")
+    val a = (ws ++ Seq("w1", "w2")).mkString(" ")
+    val b = (ws :+ "x").mkString(" ")
+    val dir = tmpDir("canon")
+    Seq((0L, a, "en", "s", 0L), (1L, b, "en", "s", 0L),
+      // an exact-duplicate pair: identical features, keep min id
+      (5L, "p q r s t u v p q", "en", "s", 0L),
+      (6L, "p q r s t u v p q", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Dedup.canonicalDocs(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4),
+        r.getString(5))).toMap
+    assert(rows(0L) === ((1L, 2L, "0,1"))) // quality beats id order
+    assert(rows(5L) === ((5L, 2L, "5,6"))) // exact tie -> min doc_id
+  }
+
   test("matryoshka truncation recall: full-dim rows anchor at 1.0, " +
       "truncated rows are valid fractions of k") {
     val rows = operators.Similarity
