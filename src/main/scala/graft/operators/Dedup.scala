@@ -998,6 +998,33 @@ object Dedup {
         col("n_members"), col("members"))
   }
 
+  /** Cross-source syndication matrix — which sources carry each
+    * other's content: near-dup pairs ([[minhashPairs]] — banded
+    * candidates, exact-Jaccard verified) rolled up to unordered
+    * (source, source) cells with pair counts and mean overlap. The
+    * mixture planner's copy-detection table: a high off-diagonal cell
+    * means two feeds syndicate the same text and their token budgets
+    * double-count; the diagonal is within-source duplication.
+    *
+    * Scale shape: the pair set is tiny (dup-rate-bounded 16-byte id
+    * pairs); the two source lookups are id-keyed hash joins against a
+    * narrow (doc_id, source) projection; the final aggregate is
+    * sources²-keyed.
+    */
+  def syndicationMatrix(s: SparkSession, d: String,
+      threshold: Double = 0.7): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    minhashPairs(s, d, threshold = threshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.functions.Fns.r4(avg(col("jaccard"))).as("avg_jaccard"))
+  }
+
   /** Scale form of the per-cluster summary: member COUNT plus only the
     * `sampleSize` smallest member ids. [[dupClusters]]' full
     * `collect_list` materializes one row per cluster holding EVERY

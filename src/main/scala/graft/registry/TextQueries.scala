@@ -374,6 +374,11 @@ object TextQueries {
     // per-cell summary semantics stay spec-pinned on planted corpora
     "q_semdedup" -> ((s: SparkSession, d: String) =>
       Dedup.semDedupPerturbed(s, d)),
+    // cross-source syndication matrix: near-dup pairs rolled up to
+    // unordered source cells — the copy-detection table a mixture
+    // planner reads before trusting per-source token budgets
+    "q_syndication" -> ((s: SparkSession, d: String) =>
+      Dedup.syndicationMatrix(s, d)),
     // quality-aware canonical selection: keep the LEAST-repetitive
     // (then longest, then smallest-id) member of each near-dup cluster
     // — the keep-best rule production curation uses over keep-first
@@ -1833,6 +1838,23 @@ object TextQueries {
     // recursive reachability CTE: label(n) = min id reachable from n.
     // Hash-equality therefore checks pair recall AND the transitive
     // clustering in one row set.
+    // full recompute: the exhaustive-jaccard pair set (q_minhash_pairs'
+    // construction — shingleCte carries source, so the rollup is one
+    // grouped select over the verified pairs)
+    "q_syndication" ->
+      s"""$shingleCte,
+         |p AS (
+         |  SELECT least(a.source, b.source) AS source_a,
+         |   greatest(a.source, b.source) AS source_b,
+         |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |     / len(list_distinct(a.sh || b.sh)) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |     / len(list_distinct(a.sh || b.sh)) >= 0.7)
+         |SELECT source_a, source_b,
+         | CAST(count(*) AS BIGINT) AS n_pairs,
+         | round(avg(j), 4) AS avg_jaccard
+         |FROM p GROUP BY source_a, source_b""".stripMargin,
     // full recompute: exhaustive-jaccard pairs → recursive-CTE
     // components (q_dup_clusters' construction) → per-doc Gopher
     // features → the (dup_bigram ASC, n_tok DESC, doc_id) keep rule.
