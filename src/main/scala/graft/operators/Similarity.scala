@@ -439,6 +439,77 @@ object Similarity {
         r4(count(col("fv")).cast("double") / lit(k)).as("recall"))
   }
 
+  /** MMR-diversified rerank (maximal marginal relevance): from each
+    * probe's exact cosine top-`kCand` shortlist, greedily select `k`
+    * results maximizing `λ·relevance − (1−λ)·max-similarity-to-already-
+    * selected` — the diversification stage a retrieval cascade runs so
+    * near-duplicate hits don't crowd the result page. Deterministic
+    * contract: the objective rounds at 6 dp (+1e-12, the
+    * [[Hybrid]] fuse convention) BEFORE each argmax, ties by vec_id —
+    * so the full greedy trajectory (ids, pick order, scores) is
+    * oracle-recomputable as unrolled SQL rounds (the q_coreset
+    * pattern, per-query).
+    *
+    * Scale shape: the distributed work is the exact shortlist pass
+    * (one broadcast-probe corpus scan, bounded per-query ranking); the
+    * greedy itself is INHERENTLY sequential in k, so it runs on the
+    * driver over the collected shortlist — a kCand·nQueries-row frame
+    * bounded by construction (the same frame the rerank cascade
+    * materializes; the q_coreset class of documented bounded collects).
+    */
+  def mmrTopK(s: SparkSession, d: String, nQueries: Int = 5,
+      kCand: Int = 12, k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val cand = emb
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        fusedCosine(col("q"), col("embedding")).as("rel"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kCand)
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        col("rel"))
+    val rows = cand.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getSeq[Float](2).toArray, r.getDouble(3)))
+    // sequential double accumulation in index order — the same fold
+    // FusedCosineSimilarity and the oracle's list_reduce run
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // HALF_UP at 6 dp — the BigDecimal path Spark's round() itself uses
+    def r6(x: Double): Double = BigDecimal(x + 1e-12)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val picks = rows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      val remaining = scala.collection.mutable.Buffer(
+        cs.sortBy(_._2): _*)
+      var selEmb = Vector.empty[Array[Float]]
+      (0 until math.min(k, remaining.size)).map { t =>
+        val scored = remaining.map { c =>
+          val pen =
+            if (selEmb.isEmpty) 0.0d
+            else selEmb.map(e => cos(c._3, e)).max
+          (c, r6(lambda * c._4 - (1 - lambda) * pen))
+        }
+        val best = scored.minBy { case (c, sc) => (-sc, c._2) }
+        selEmb :+= best._1._3
+        remaining -= best._1
+        (qid, best._1._2, t, best._2)
+      }
+    }
+    picks.toDF("query_id", "vec_id", "rnd", "score")
+      .select(col("query_id"), col("vec_id"), col("rnd").cast("int")
+        .as("rnd"), col("score"))
+  }
+
   /** Brute-force top-k via the bounded TopK aggregator instead of a
     * ranking window: the window form shuffles and sorts every
     * (query, candidate) pair; this form partial-aggregates per

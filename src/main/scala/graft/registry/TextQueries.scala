@@ -255,6 +255,11 @@ object TextQueries {
       Similarity.filteredBruteTopK(s, d)),
     "q_ann_filtered_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.filteredIvfTopK(s, d)),
+    // MMR-diversified rerank: greedy λ·relevance − (1−λ)·max-sim-to-
+    // selected over the exact shortlist — the result-page
+    // diversification stage; full trajectory oracle (unrolled rounds)
+    "q_mmr_rerank" -> ((s: SparkSession, d: String) =>
+      Similarity.mmrTopK(s, d)),
     // late-interaction multi-vector retrieval (ColBERT maxsim)
     "q_maxsim" -> ((s: SparkSession, d: String) =>
       Similarity.maxSimTopK(s, d)),
@@ -1273,6 +1278,69 @@ object TextQueries {
     sb.toString
   }
 
+  /** q_mmr_rerank's oracle: the greedy MMR trajectory replayed as
+    * unrolled per-query rounds (the coresetOracle pattern with a
+    * partitioned argmax instead of LIMIT 1) — exact shortlist, pairwise
+    * cosine table, then k chained (score → argmax → accumulate) blocks
+    * on 6-dp-rounded objectives. `${1 - lam}` interpolates the exact
+    * IEEE double Scala computes (0.30000000000000004, not the literal
+    * 0.3) so both engines weight the penalty with the same bits.
+    */
+  private def mmrOracle: String = {
+    val (kCand, k, lam) = (12, 5, 0.7)
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, e.embedding,
+       |   ${cosineSql("e.embedding", "q.qv")} AS rel
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |cand AS (
+       |  SELECT query_id, vec_id, embedding, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, vec_id) AS rk FROM scored)
+       |  WHERE rk <= $kCand),
+       |ps AS (
+       |  SELECT a.query_id, a.vec_id AS vi, b.vec_id AS vj,
+       |   ${cosineSql("a.embedding", "b.embedding")} AS cs
+       |  FROM cand a JOIN cand b ON b.query_id = a.query_id
+       |    AND b.vec_id <> a.vec_id),
+       |p0 AS (
+       |  SELECT query_id, vec_id, round($lam * rel + 1e-12, 6) AS score,
+       |   0 AS rnd FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round($lam * rel + 1e-12, 6) DESC, vec_id) AS rk
+       |    FROM cand) WHERE rk = 1),
+       |sel0 AS (SELECT query_id, vec_id, score, rnd FROM p0)""".stripMargin
+    var prev = "sel0"
+    (1 until k).foreach { t =>
+      sb ++= s""",
+         |m$t AS (
+         |  SELECT c.query_id, c.vec_id,
+         |   round($lam * c.rel - ${1 - lam} * max(ps.cs) + 1e-12, 6)
+         |     AS score
+         |  FROM cand c
+         |  JOIN $prev s ON s.query_id = c.query_id
+         |  JOIN ps ON ps.query_id = c.query_id AND ps.vi = c.vec_id
+         |    AND ps.vj = s.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.query_id, c.vec_id, c.rel),
+         |p$t AS (
+         |  SELECT query_id, vec_id, score, $t AS rnd FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id) AS rk FROM m$t)
+         |  WHERE rk = 1),
+         |sel$t AS (SELECT * FROM $prev UNION ALL
+         |  SELECT query_id, vec_id, score, rnd FROM p$t)""".stripMargin
+      prev = s"sel$t"
+    }
+    sb ++= s"\nSELECT query_id, vec_id, CAST(rnd AS INT) AS rnd, " +
+      s"score FROM $prev"
+    sb.toString
+  }
+
   private def cosineSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
@@ -1968,6 +2036,11 @@ object TextQueries {
     // min-vec_id seed — selection order, ids, AND distances pinned;
     // regen-proof, valid at every sf
     "q_coreset" -> coresetOracle,
+    // full recompute of the greedy MMR trajectory: exact shortlist,
+    // pairwise-cosine table, k unrolled argmax rounds on 6-dp-rounded
+    // objectives (round-then-rank, ties by vec_id) — ids, pick order
+    // AND scores pinned; regen-proof, valid at every sf
+    "q_mmr_rerank" -> mmrOracle,
     // exhaustive cosine at the near-dup threshold (empty on the driver
     // data — the oracle still catches false positives and threshold
     // drift)

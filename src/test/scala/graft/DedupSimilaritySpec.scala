@@ -1280,6 +1280,27 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(rows(5L) === ((5L, 2L, "5,6"))) // exact tie -> min doc_id
   }
 
+  test("mmr rerank: round-0 is the relevance argmax, picks are unique, " +
+      "and diversification reorders at least one query vs plain top-k") {
+    val d = "/root/testdata/sf0.001"
+    val mmr = operators.Similarity.mmrTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(mmr.length === 25) // 5 probes × k=5
+    val brute = operators.Similarity.bruteForceTopK(spark, d, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+    val topByQ = brute.groupBy(_._1)
+      .map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+    val mmrByQ = mmr.groupBy(_._1)
+      .map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
+    mmrByQ.foreach { case (q, picks) =>
+      assert(picks.distinct.size === picks.size) // no repeats
+      assert(picks.head === topByQ(q).head) // round 0 = top relevance
+    }
+    // λ=0.7 must trade relevance for diversity SOMEWHERE, or the stage
+    // is a no-op at this setting
+    assert(mmrByQ.exists { case (q, picks) => picks !== topByQ(q) })
+  }
+
   test("matryoshka truncation recall: full-dim rows anchor at 1.0, " +
       "truncated rows are valid fractions of k") {
     val rows = operators.Similarity
