@@ -59,7 +59,10 @@ class EntrySpec extends SparkSuite {
     "q_hll_mergeable", "q_hybrid_rrf", "q_hybrid_rrf_served",
     "q_join_size_ams", "q_pagerank", "q_perplexity",
     "q_perplexity_served", "q_quality_ensemble", "q_quality_nb",
-    "q_scalar_subquery", "q_seq_pack", "q_source_drift",
+    // q_length_buckets: q_seq_pack's sharded prefix sum — the in-plan
+    // one-row bounds aggregate broadcasts as BNLJ by design
+    "q_scalar_subquery", "q_seq_pack", "q_length_buckets",
+    "q_source_drift",
     "q_temperature_mix",
     // broadcast-probe scoring over the whole corpus by design: the
     // maxsim query set crosses the corpus on doc<>query_id, the
