@@ -148,6 +148,20 @@ object Hybrid {
       rrfFromIndexes(s, d, bm25Dir, int8Dir, k = kCand, kLeg = kCand,
         queries = queries), k, queries)
 
+  /** [[rerankFromIndexes]] with the binary bit tier as the dense leg
+    * ([[rrfFromIndexesBq]]): the whole cascade — postings + bit table
+    * shortlist, RRF fusion, pairwise rerank — served from the two
+    * cheapest persisted artifacts; oracle-identical to the inline
+    * cascade because the bq leg's exact re-rank recovers the exact
+    * dense ranking.
+    */
+  def rerankFromIndexesBq(s: SparkSession, d: String, bm25Dir: String,
+      bqDir: String, k: Int = 10, kCand: Int = 10,
+      queries: Seq[(Int, String)] = Search.defaultQueries): DataFrame =
+    rerankShortlist(s, d,
+      rrfFromIndexesBq(s, d, bm25Dir, bqDir, k = kCand, kLeg = kCand,
+        queries = queries), k, queries)
+
   /** The cascade's scoring stage, shared by the inline and served
     * forms: pairwise-score a (query_id, doc_id, rrf) shortlist and
     * re-rank (round-then-rank at 6 dp, ties by doc_id).

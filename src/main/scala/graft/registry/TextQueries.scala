@@ -577,7 +577,12 @@ object TextQueries {
     // RRF is oracle-identical to the inline form (exact-recall int8)
     "q_rerank_served" -> ((s: SparkSession, d: String) =>
       Hybrid.rerankFromIndexes(s, d, s"${indexRoot(d)}/bm25",
-        s"${indexRoot(d)}/int8"))
+        s"${indexRoot(d)}/int8")),
+    // the whole cascade from the two cheapest persisted artifacts
+    // (postings + sign-bit table) — same full cascade-recompute oracle
+    "q_rerank_bq_served" -> ((s: SparkSession, d: String) =>
+      Hybrid.rerankFromIndexesBq(s, d, s"${indexRoot(d)}/bm25",
+        s"${indexRoot(d)}/bq"))
   )
 
   /** The 5 probe vectors every ANN registry query uses
@@ -1004,6 +1009,9 @@ object TextQueries {
       ("q_hybrid_rrf_bq_served" -> hybridRrfOracle) +
       ("q_rerank" -> rerankOracle) +
       ("q_rerank_served" -> rerankOracle) +
+      // the bq-legged cascade serves the identical shortlist (exact
+      // dense recall), so the same full cascade oracle covers it
+      ("q_rerank_bq_served" -> rerankOracle) +
       // full recompute of every stored int8 code from the raw floats:
       // closed-form half-up quantizer (floor(x/s + 0.5) — explicit,
       // because engine round() tie semantics differ), clamped ±127

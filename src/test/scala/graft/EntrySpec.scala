@@ -50,8 +50,8 @@ class EntrySpec extends SparkSuite {
     // probe set broadcasts, corpus/bit-table streams through once)
     "q_ann_bq", "q_ann_bq_served", "q_ann_bq_appended_served",
     "q_ann_bq_promoted_served", "q_matryoshka_recall",
-    // inherits its bq dense leg's documented broadcast-probe cross
-    "q_hybrid_rrf_bq_served",
+    // inherit their bq dense leg's documented broadcast-probe cross
+    "q_hybrid_rrf_bq_served", "q_rerank_bq_served",
     "q_bitext_mine", "q_bm25", "q_bm25_and",
     "q_bm25_appended_served", "q_bm25_served", "q_chi2",
     "q_collocations", "q_dsir", "q_forecast", "q_funnel",
