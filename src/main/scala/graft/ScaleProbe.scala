@@ -42,10 +42,6 @@ object ScaleProbe {
     val d = "/root/testdata/sf0.1"
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
     // replicate via an exploded literal array — a codegen'd generator,
     // unlike crossJoin's nested-loop join which would dominate the probe
     def replicate(df: org.apache.spark.sql.DataFrame) =
@@ -56,23 +52,23 @@ object ScaleProbe {
     noop(Tables.lineitem(spark, d).limit(10))
 
     val li = replicate(Tables.lineitem(spark, d))
-    time(s"spark ${reps}x lineitem count-only") {
+    probeTime(s"spark ${reps}x lineitem count-only") {
       noop(li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1))))
     }
-    time(s"spark ${reps}x lineitem Q1 no-decimal") {
+    probeTime(s"spark ${reps}x lineitem Q1 no-decimal") {
       noop(li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")), avg(col("l_extendedprice")),
           count(lit(1))))
     }
-    time(s"spark ${reps}x lineitem Q1") {
+    probeTime(s"spark ${reps}x lineitem Q1") {
       noop(li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")), r4(avg(col("l_extendedprice"))),
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
           count(lit(1))))
     }
     val docs = replicate(Tables.documents(spark, d))
-    time(s"spark ${reps}x documents token explode") {
+    probeTime(s"spark ${reps}x documents token explode") {
       noop(docs
         .select(explode(graft.operators.TextOps.tokens(col("text")))
           .as("token"))
@@ -131,7 +127,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val reps = 32
     val corpus = "/tmp/graft_substr_scale"
-    def time(name: String)(f: => Long): (Long, Double) = {
+    def timeL(name: String)(f: => Long): (Long, Double) = {
       val t0 = System.nanoTime(); val r = f
       val s = (System.nanoTime() - t0) / 1e9
       println(f"$name: $r rows, $s%.2f s"); (r, s)
@@ -152,11 +148,11 @@ object ScaleProbe {
     // the ratio must not flatter itself with session startup)
     Substring.substringDups(spark, "/root/testdata/sf0.001").count()
     val (s1, t1) =
-      time("substring spans 1x (5k docs)") {
+      timeL("substring spans 1x (5k docs)") {
         Substring.substringDups(spark, "/root/testdata/sf0.1").count()
       }
     val (s32, t32) =
-      time(s"substring spans ${reps}x (160k docs)") {
+      timeL(s"substring spans ${reps}x (160k docs)") {
         Substring.substringDups(spark, corpus).count()
       }
     // constant density ⇒ the span set scales exactly with the corpus;
@@ -179,10 +175,10 @@ object ScaleProbe {
       r.getLong(1) // forces reassembly; return value is the cut mass
       r.getLong(0)
     }
-    val (c1, ct1) = time("substring scrub 1x cut-token mass") {
+    val (c1, ct1) = timeL("substring scrub 1x cut-token mass") {
       scrubMass("/root/testdata/sf0.1")
     }
-    val (c32, ct32) = time(s"substring scrub ${reps}x cut-token mass") {
+    val (c32, ct32) = timeL(s"substring scrub ${reps}x cut-token mass") {
       scrubMass(corpus)
     }
     assert(c32 == c1 * reps,
@@ -202,21 +198,16 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_probe"
-    def time(name: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"$name: $s%.2f s"); s
-    }
     val fact = Tables.lineitem(spark, d)
       .repartition(32)
       .withColumn("__rep", explode(lit((0 until 32).toArray)))
       .drop("__rep")
-    time("write 1-D sorted (l_orderkey)") {
+    probeTime("write 1-D sorted (l_orderkey)") {
       fact.repartitionByRange(64, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey")
         .write.mode("overwrite").parquet(s"$root/sorted")
     }
-    time("write z-ordered (l_orderkey, l_partkey)") {
+    probeTime("write z-ordered (l_orderkey, l_partkey)") {
       graft.sources.Layout.writeZordered(fact, s"$root/zorder",
         "l_orderkey", "l_partkey", partitions = 64)
     }
@@ -225,9 +216,9 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     rect(s"$root/sorted") // warm
     val tS = (1 to 3).map(_ =>
-      time("rectangle agg, sorted layout")(rect(s"$root/sorted"))).min
+      probeTime("rectangle agg, sorted layout")(rect(s"$root/sorted"))).min
     val tZ = (1 to 3).map(_ =>
-      time("rectangle agg, z-ordered layout")(rect(s"$root/zorder"))).min
+      probeTime("rectangle agg, z-ordered layout")(rect(s"$root/zorder"))).min
     println(f"min-of-3: sorted $tS%.2f s vs z-ordered $tZ%.2f s")
     // footer-level evidence: row groups a stats-pruning reader must read
     val st = Tables.lineitem(spark, d).agg(
@@ -271,7 +262,7 @@ object ScaleProbe {
     // granularity sweep: at finer row groups the 1-D layout stays at
     // the ¼ orderkey band while Morton converges toward the ¼×¼ AREA
     // fraction — the gap that matters when the corpus outruns cache
-    time("write both layouts at 256 groups") {
+    probeTime("write both layouts at 256 groups") {
       fact.repartitionByRange(256, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey")
         .write.mode("overwrite").parquet(s"$root/sorted256")
@@ -305,11 +296,6 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"$name: $s%.2f s"); s
-    }
     // ~19M rows, 60% on key 0, the rest uniform over 100k keys; the
     // row id (l_orderkey, l_linenumber, __rep) stays as salt identity.
     // `pad` is 8 incompressible bytes per row: AQE's skew detection
@@ -336,7 +322,7 @@ object ScaleProbe {
     // 1. AQE on: runtime skew split
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     var aqePlan = ""
-    val tAqe = time("skewed SMJ, AQE on (runtime split)") {
+    val tAqe = probeTime("skewed SMJ, AQE on (runtime split)") {
       val df = joined
       df.collect()
       aqePlan = df.queryExecution.executedPlan.toString
@@ -352,11 +338,11 @@ object ScaleProbe {
     }
     // 2. AQE off: the hot key lands on one task
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val tOff = time("skewed SMJ, AQE off (single hot task)") {
+    val tOff = probeTime("skewed SMJ, AQE off (single hot task)") {
       joined.collect()
     }
     // 3. AQE off + explicit salt: parallel by construction
-    val tSalt = time("saltedJoin(32), AQE off") {
+    val tSalt = probeTime("saltedJoin(32), AQE off") {
       Skew.saltedJoin(fact, dim, "k", salts = 32,
           idCols = Seq("l_orderkey", "l_linenumber", "__rep"))
         .agg(sum(col("l_quantity") * col("payload")).as("s"),
@@ -393,28 +379,12 @@ object ScaleProbe {
     val reps = 64
     val corpus = "/tmp/graft_pq_scale"
     val idx = s"$corpus/ivfpq_sharded_idx"
-    def time(name: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"$name: $s%.2f s"); s
-    }
-    if (!new java.io.File(s"$corpus/embeddings.parquet").exists())
-      Tables.embeddings(spark, "/root/testdata/sf0.1")
-        .withColumn("__rep", explode(lit((0 until reps).toArray)))
-        .select((col("vec_id") + col("__rep") * lit(1000000L))
-          .as("vec_id"), col("embedding"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    ensureScaleEmbeddings(spark, corpus, reps)
     val n = Tables.embeddings(spark, corpus).count()
     val shards = Similarity.shardsFor(n)
     println(s"corpus: $n vectors, shardsFor -> $shards shards")
-    val tBuild = time(s"ivf-pq sharded index build (${n} vectors)") {
+    val tBuild = probeTime(s"ivf-pq sharded index build (${n} vectors)") {
       Similarity.ivfPqWriteIndexSharded(spark, corpus, idx)
-    }
-    def dirBytes(p: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
-      walk(new java.io.File(p))
     }
     val rawMb = dirBytes(s"$corpus/embeddings.parquet") / 1e6
     val codesMb = dirBytes(s"$idx/codes") / 1e6
@@ -430,9 +400,9 @@ object ScaleProbe {
           else None).count()
     serve(0) // warm
     val tAdc = (1 to 3).map(_ =>
-      time("serve 5 queries, ADC-only")(serve(0))).min
+      probeTime("serve 5 queries, ADC-only")(serve(0))).min
     val tRefined = (1 to 3).map(_ =>
-      time("serve 5 queries, refine=100")(serve(100))).min
+      probeTime("serve 5 queries, refine=100")(serve(100))).min
     println(f"pq-probe summary: build $tBuild%.1f s, " +
       f"adc-serve $tAdc%.2f s, refined-serve $tRefined%.2f s " +
       f"(min-of-3, $n vectors, $shards shards)")
@@ -445,6 +415,33 @@ object ScaleProbe {
     * the tier's claim is "brute-force answers from a quarter of the
     * bytes, exactly".
     */
+  /** Shared by the embedding-tier probes (pq-sharded / int8 / bq):
+    * wall-time a block, recursive dir size, and the 64×-replicated
+    * embedding corpus under one /tmp dir — built once and reused so
+    * the tiers' footprint/serve numbers stay comparable.
+    */
+  private def probeTime(name: String)(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"$name: $s%.2f s"); s
+  }
+
+  private def dirBytes(p: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+    walk(new java.io.File(p))
+  }
+
+  private def ensureScaleEmbeddings(spark: SparkSession, corpus: String,
+      reps: Int): Unit =
+    if (!new java.io.File(s"$corpus/embeddings.parquet").exists())
+      Tables.embeddings(spark, "/root/testdata/sf0.1")
+        .withColumn("__rep", explode(lit((0 until reps).toArray)))
+        .select((col("vec_id") + col("__rep") * lit(1000000L))
+          .as("vec_id"), col("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+
   private def int8Probe(): Unit = {
     import graft.operators.{ScalarQuant, Similarity}
     val spark = SparkSession.builder()
@@ -457,26 +454,10 @@ object ScaleProbe {
     val reps = 64
     val corpus = "/tmp/graft_pq_scale" // shared with pqProbe
     val idx = s"$corpus/int8_idx"
-    def time(name: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"$name: $s%.2f s"); s
-    }
-    if (!new java.io.File(s"$corpus/embeddings.parquet").exists())
-      Tables.embeddings(spark, "/root/testdata/sf0.1")
-        .withColumn("__rep", explode(lit((0 until reps).toArray)))
-        .select((col("vec_id") + col("__rep") * lit(1000000L))
-          .as("vec_id"), col("embedding"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    ensureScaleEmbeddings(spark, corpus, reps)
     val n = Tables.embeddings(spark, corpus).count()
-    val tBuild = time(s"int8 codes build ($n vectors)") {
+    val tBuild = probeTime(s"int8 codes build ($n vectors)") {
       ScalarQuant.sqWriteIndex(spark, corpus, idx)
-    }
-    def dirBytes(p: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
-      walk(new java.io.File(p))
     }
     val rawMb = dirBytes(s"$corpus/embeddings.parquet") / 1e6
     val codesMb = dirBytes(s"$idx/codes") / 1e6
@@ -491,9 +472,9 @@ object ScaleProbe {
         Tables.embeddings(spark, corpus)).count()
     served() // warm
     val tBrute = (1 to 3).map(_ =>
-      time("brute-force 5 queries over the raw store")(brute())).min
+      probeTime("brute-force 5 queries over the raw store")(brute())).min
     val tServe = (1 to 3).map(_ =>
-      time("int8 shortlist + exact re-rank, 5 queries")(served())).min
+      probeTime("int8 shortlist + exact re-rank, 5 queries")(served())).min
     // measured, not asserted: shortlist recall at this corpus size
     val bruteRows = Similarity.bruteForceTopKAgg(spark, corpus)
       .collect().map(_.toString).sorted.toSeq
@@ -531,26 +512,10 @@ object ScaleProbe {
     val reps = 64
     val corpus = "/tmp/graft_pq_scale" // shared with pqProbe/int8Probe
     val idx = s"$corpus/bq_idx"
-    def time(name: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"$name: $s%.2f s"); s
-    }
-    if (!new java.io.File(s"$corpus/embeddings.parquet").exists())
-      Tables.embeddings(spark, "/root/testdata/sf0.1")
-        .withColumn("__rep", explode(lit((0 until reps).toArray)))
-        .select((col("vec_id") + col("__rep") * lit(1000000L))
-          .as("vec_id"), col("embedding"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    ensureScaleEmbeddings(spark, corpus, reps)
     val n = Tables.embeddings(spark, corpus).count()
-    val tBuild = time(s"bq words build ($n vectors)") {
+    val tBuild = probeTime(s"bq words build ($n vectors)") {
       BinaryQuant.bqWriteIndex(spark, corpus, idx)
-    }
-    def dirBytes(p: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
-      walk(new java.io.File(p))
     }
     val rawMb = dirBytes(s"$corpus/embeddings.parquet") / 1e6
     val wordsMb = dirBytes(s"$idx/words") / 1e6
@@ -569,9 +534,9 @@ object ScaleProbe {
         Tables.embeddings(spark, corpus), refine = refine).count()
     served() // warm
     val tBrute = (1 to 3).map(_ =>
-      time("brute-force 5 queries over the raw store")(brute())).min
+      probeTime("brute-force 5 queries over the raw store")(brute())).min
     val tServe = (1 to 3).map(_ =>
-      time("bq Hamming shortlist + exact re-rank, 5 queries")(
+      probeTime("bq Hamming shortlist + exact re-rank, 5 queries")(
         served())).min
     val bruteRows = Similarity.bruteForceTopKAgg(spark, corpus)
       .collect().map(_.toString).sorted.toSeq
@@ -605,11 +570,6 @@ object ScaleProbe {
     val reps = 32
     val corpus = "/tmp/graft_bm25_scale"
     val idx = s"$corpus/bm25_idx"
-    def time(name: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"$name: $s%.2f s"); s
-    }
     if (!new java.io.File(s"$corpus/documents.parquet").exists())
       Tables.documents(spark, "/root/testdata/sf0.1")
         .withColumn("__rep", explode(lit((0 until reps).toArray)))
@@ -618,13 +578,8 @@ object ScaleProbe {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
     val n = Tables.documents(spark, corpus).count()
-    val tBuild = time(s"bm25 index build ($n docs)") {
+    val tBuild = probeTime(s"bm25 index build ($n docs)") {
       Search.buildIndex(spark, corpus, idx)
-    }
-    def dirBytes(p: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
-      walk(new java.io.File(p))
     }
     val allMb = dirBytes(s"$idx/postings") / 1e6
     val terms = Search.defaultQueries.map(_._2).distinct
@@ -634,10 +589,10 @@ object ScaleProbe {
       f"$prunedMb%.1f MB (${100 * prunedMb / allMb}%.0f%%)")
     Search.bm25FromIndex(spark, idx).count() // warm
     val tInline = (1 to 3).map(_ =>
-      time("inline bm25 (recompute everything)")(
+      probeTime("inline bm25 (recompute everything)")(
         Search.bm25(spark, corpus).count())).min
     val tServed = (1 to 3).map(_ =>
-      time("served bm25 (pruned index read)")(
+      probeTime("served bm25 (pruned index read)")(
         Search.bm25FromIndex(spark, idx).count())).min
     println(f"bm25-probe summary: build $tBuild%.1f s, inline " +
       f"$tInline%.2f s, served $tServed%.2f s (min-of-3, $n docs)")
@@ -671,11 +626,6 @@ object ScaleProbe {
       walk(new java.io.File(p))
     }
     rmrf("/tmp/graft_bm25_growth")
-    def time(name: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"$name: $s%.2f s"); s
-    }
     Search.buildIndex(spark, d, oneShot)
     Search.buildIndex(spark, d, grown,
       docFilter = Some(col("doc_id") % 2 === 0))
@@ -690,7 +640,7 @@ object ScaleProbe {
     def serve(dir: String, label: String): Double = {
       Search.bm25FromIndex(spark, dir).count() // warm
       (1 to 3).map(_ =>
-        time(label)(Search.bm25FromIndex(spark, dir).count())).min
+        probeTime(label)(Search.bm25FromIndex(spark, dir).count())).min
     }
     val tOne = serve(oneShot, "serve one-shot index")
     val tGrown = serve(grown, s"serve grown index ($nBatches batch dirs)")
@@ -727,12 +677,6 @@ object ScaleProbe {
     val shardDir = "/tmp/graft_scan_sharded"
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    def time(name: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"$name: $s%.2f s")
-      s
-    }
     Seq("lineitem", "documents").foreach { t =>
       val rep = spark.read.parquet(s"$d/$t.parquet")
         .withColumn("__rep", explode(lit((0 until reps).toArray)))
@@ -761,7 +705,7 @@ object ScaleProbe {
       s"sharded=${scanParts(shardDir)}")
     noop(q1(singleDir).limit(1)) // warm
     def bestOf(name: String, n: Int)(f: => Unit): Double =
-      (1 to n).map(_ => time(name)(f)).min
+      (1 to n).map(_ => probeTime(name)(f)).min
     val q1Single = bestOf(s"q1 ${reps}x single-file", 3)(noop(q1(singleDir)))
     val q1Shard = bestOf(s"q1 ${reps}x 32-file", 3)(noop(q1(shardDir)))
     val tokSingle =

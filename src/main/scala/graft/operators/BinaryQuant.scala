@@ -50,7 +50,12 @@ object BinaryQuant {
     * only — one codegen'd pass, no UDF.
     */
   def packed(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
-    val nWords = (size(col(vecCol)) + lit(63)) / lit(64)
+    // floor at one word: an empty/corrupt vector packs as [0L] rather
+    // than hitting sequence(0, -1) — which Spark generates DESCENDING
+    // as [0, -1], two phantom words that would null the Hamming
+    // zip_with against real vectors and crash the typed serve path
+    val nWords = greatest(
+      (size(col(vecCol)) + lit(63)) / lit(64), lit(1))
     val words = transform(sequence(lit(0), nWords.cast("int") - 1), j =>
       aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) => {
         val idx = j * 64 + b // 0-based dimension

@@ -59,10 +59,7 @@ object Curate {
       .select(col("doc_id"), col("source"), col("clean_text"),
         TextOps.tokens(col("clean_text")).as("toks"))
     val toks = col("toks")
-    val nBi = greatest(size(toks) - 1, lit(0))
-    val bigrams = zip_with(
-      slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
-      (a, b) => concat_ws(" ", a, b))
+    val bigrams = TextOps.bigramsOf(toks)
     val quality = docs
       .withColumn("ws", size(toks).cast("long"))
       .withColumn("bigrams", bigrams)

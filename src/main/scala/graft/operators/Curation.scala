@@ -40,12 +40,7 @@ object Curation {
 
   def report(s: SparkSession, d: String): DataFrame = {
     val toksC = col("t")
-    val nBi = greatest(size(toksC) - 1, lit(0))
-    // adjacent bigrams as a slice zip (the TextOps.repetitionStats
-    // construction — no explode, the list never leaves its row)
-    val bigrams = zip_with(
-      slice(toksC, lit(1), nBi), slice(toksC, lit(2), nBi),
-      (a, b) => concat_ws(" ", a, b))
+    val bigrams = TextOps.bigramsOf(toksC)
     val pii = col("text").rlike(Scrub.EmailRe) ||
       col("text").rlike(Scrub.PhoneRe) ||
       col("text").rlike(Scrub.Ipv4Re)

@@ -970,10 +970,7 @@ object Dedup {
       minhashPairs(s, d, threshold = threshold)
         .select(col("doc_a"), col("doc_b")))
     val toks = tokens(col("text"))
-    val nBi = greatest(size(toks) - 1, lit(0))
-    val bigrams = zip_with(
-      slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
-      (a, b) => concat_ws(" ", a, b))
+    val bigrams = TextOps.bigramsOf(toks)
     val feats = Tables.documents(s, d).select(
       col("doc_id"),
       size(toks).cast("long").as("n_tok"),

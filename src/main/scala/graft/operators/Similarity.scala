@@ -421,7 +421,11 @@ object Similarity {
       slice(col("embedding"), lit(1), col("trunc_dim"))) + lit(1e-12), 6)
     val w = Window.partitionBy(col("trunc_dim"), col("query_id"))
       .orderBy(col("simk").desc, col("vec_id"))
-    val top = emb
+    // k·probes·|dims| rows feeding two consumers (the full-dim side of
+    // the overlap join and the left side) — lazily materialized once so
+    // the corpus×probes×|dims| scoring pass doesn't re-run per consumer
+    // (the Dedup.minhashPairs convention)
+    val top = Dedup.lazyCheckpoint(emb
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         explode(typedLit(dims)).as("trunc_dim"), col("q"), col("embedding"))
@@ -429,7 +433,7 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("trunc_dim").cast("int").as("trunc_dim"),
-        col("query_id"), col("vec_id"))
+        col("query_id"), col("vec_id")))
     val full = top.filter(col("trunc_dim") === fullDim)
       .select(col("query_id").as("fq"), col("vec_id").as("fv"))
     top.join(broadcast(full), col("query_id") === col("fq") &&

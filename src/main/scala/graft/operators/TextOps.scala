@@ -22,6 +22,19 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Adjacent-token bigrams as a slice zip — one narrow expression, no
+    * explode (the list never leaves its row). The single definition of
+    * the Gopher duplicate-bigram signal's input, shared by
+    * [[repetitionStats]], [[Curate]], [[Curation]] and
+    * [[Dedup.canonicalDocs]] so the feature cannot drift between its
+    * consumers.
+    */
+  def bigramsOf(toks: Column): Column = {
+    val nBi = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
   /** P1-style explode: token frequencies across the corpus. */
   def tokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -106,10 +119,7 @@ object TextOps {
   def repetitionStats(s: SparkSession, d: String,
       threshold: Double = 0.2): DataFrame = {
     val toks = tokens(col("text"))
-    val nBi = greatest(size(toks) - 1, lit(0))
-    val bigrams = zip_with(
-      slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
-      (a, b) => concat_ws(" ", a, b))
+    val bigrams = bigramsOf(toks)
     val perDoc = Tables.documents(s, d).select(
       col("source"),
       (lit(1.0) - size(array_distinct(toks)).cast("double")

@@ -956,19 +956,17 @@ object TextQueries {
       // convention that keeps cross-engine ulps out of the rank order),
       // overlap counted against the full-dim ranking from the same CTE
       ("q_matryoshka_recall" ->
-        """WITH dims(m) AS (VALUES (8),(16),(32),(64)),
+        // the prefix cosine uses cosineSql's list_reduce sequential
+        // fold, not list_sum — the pinned accumulation-order contract
+        // that keeps raw-double ranking bit-stable cross-engine
+        s"""WITH dims(m) AS (VALUES (8),(16),(32),(64)),
           |q AS (
           |  SELECT vec_id AS query_id, embedding AS qv
           |  FROM embeddings WHERE vec_id < 5),
           |pairs AS (
           |  SELECT dims.m, q.query_id, e.vec_id,
-          |    round(
-          |      list_sum(list_transform(e.embedding[1:dims.m],
-          |        (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-          |      / (sqrt(list_sum(list_transform(e.embedding[1:dims.m],
-          |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-          |         * sqrt(list_sum(list_transform(q.qv[1:dims.m],
-          |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          |    round(${cosineSql("e.embedding[1:dims.m]",
+            "q.qv[1:dims.m]")}
           |      + 1e-12, 6) AS simk
           |  FROM embeddings e CROSS JOIN q CROSS JOIN dims
           |  WHERE e.vec_id <> q.query_id),
@@ -982,7 +980,7 @@ object TextQueries {
           |  SELECT query_id AS fq, vec_id AS fv FROM topk WHERE m = 64)
           |SELECT t.m AS trunc_dim, t.query_id,
           |  CAST(count(f.fv) AS BIGINT) AS n_hits,
-          |  round(count(f.fv) / 10.0, 4) AS recall
+          |  round(count(f.fv) / 10.0 + 1e-9, 4) AS recall
           |FROM topk t LEFT JOIN fulltop f
           |  ON f.fq = t.query_id AND f.fv = t.vec_id
           |GROUP BY t.m, t.query_id""".stripMargin) +
@@ -1929,7 +1927,7 @@ object TextQueries {
          |     / len(list_distinct(a.sh || b.sh)) >= 0.7)
          |SELECT source_a, source_b,
          | CAST(count(*) AS BIGINT) AS n_pairs,
-         | round(avg(j), 4) AS avg_jaccard
+         | round(avg(j) + 1e-9, 4) AS avg_jaccard
          |FROM p GROUP BY source_a, source_b""".stripMargin,
     // full recompute: exhaustive-jaccard pairs → recursive-CTE
     // components (q_dup_clusters' construction) → per-doc Gopher
@@ -1968,7 +1966,7 @@ object TextQueries {
          |  FROM lab l JOIN feat f ON f.doc_id = l.node)
          |SELECT cluster_id,
          | max(doc_id) FILTER (WHERE rk = 1) AS keep_id,
-         | round(max(dup_bigram) FILTER (WHERE rk = 1), 4)
+         | round(max(dup_bigram) FILTER (WHERE rk = 1) + 1e-9, 4)
          |   AS keep_dup_bigram,
          | max(n_tok) FILTER (WHERE rk = 1) AS keep_n_tok,
          | CAST(count(*) AS BIGINT) AS n_members,
@@ -2673,7 +2671,7 @@ object TextQueries {
         | CAST(count(*) AS BIGINT) AS n_batches,
         | CAST(sum(mx * n - tok) AS BIGINT) AS pad_tokens,
         | CASE WHEN sum(mx * n) > 0
-        |   THEN round(sum(mx * n - tok) * 1.0 / sum(mx * n), 4)
+        |   THEN round(sum(mx * n - tok) * 1.0 / sum(mx * n) + 1e-9, 4)
         |   ELSE 0.0 END AS pad_ratio
         |FROM pb GROUP BY bucket""".stripMargin,
     // the full curation chain recomputed end-to-end: same quality

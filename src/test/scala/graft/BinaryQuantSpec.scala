@@ -37,6 +37,23 @@ class BinaryQuantSpec extends SparkSuite {
     assert(got === Seq((1L << 0) | (1L << 1) | (1L << 63), 1L))
   }
 
+  test("an empty (corrupt) vector packs as one zero word and still " +
+      "Hamming-scores against real vectors instead of nulling out") {
+    val d = plantEmb(Seq(
+      (0L, Array.empty[Float], 0),
+      (1L, Array.fill(64)(1.0f), 0)))
+    val w = BinaryQuant.packed(
+      Tables.embeddings(spark, d).select("vec_id", "embedding"))
+    val byId = w.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(byId(0L) === Seq(0L)) // not sequence(0,-1)'s two phantom words
+    val ham = w.filter(col("vec_id") === 0L)
+      .crossJoin(w.filter(col("vec_id") === 1L)
+        .withColumnRenamed("words", "w2").drop("vec_id"))
+      .select(BinaryQuant.hamming(col("words"), col("w2")))
+      .collect()(0)
+    assert(!ham.isNullAt(0) && ham.getLong(0) === 64L)
+  }
+
   test("hamming equals a direct per-dimension sign-disagreement count") {
     val rnd = new scala.util.Random(11)
     val a = Array.fill(128)(rnd.nextFloat() * 2 - 1)
