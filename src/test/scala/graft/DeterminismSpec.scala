@@ -120,6 +120,15 @@ class DeterminismSpec extends SparkSuite {
     "q_embedding_outliers")
 
   test("rounded aggregates are identical across shuffle widths") {
+    // the graph sample rows (q_pagerank etc.) read prepare's persisted
+    // edge lists at THIS spec's sf0.01 scale — build them here rather
+    // than inheriting whatever a previous Verify run left in the JVM
+    // temp dir (a fresh machine has nothing there and the suite must
+    // be hermetic). Only the edge lists: no sampled query reads the
+    // other prepare artifacts, and the full sf0.01 prepare costs
+    // minutes of suite time
+    graft.operators.Graph.prepareEdges(spark, sf("sf0.01"),
+      s"${graft.registry.TextQueries.indexRoot(sf("sf0.01"))}/edges")
     val original = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(parts: String): Map[String, Seq[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
