@@ -38,7 +38,28 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  def report(s: SparkSession, d: String): DataFrame = {
+  def report(s: SparkSession, d: String): DataFrame =
+    reportFrom(s, d, Substring.substringScrub(s, d))
+
+  /** The report SERVED from the standing lake indexes (r16): the
+    * substring component — the family's expensive span machinery —
+    * reads the persisted full-corpus position index
+    * ([[Substring.substringScrubFromIndex]]: no corpus re-gram) instead
+    * of recomputing it inline. The scan-side components (exact-dup
+    * window, PII, repetition) are per-doc map work with no index to
+    * serve from, and the n-gram-Jaccard pair detector is
+    * blocked-exhaustive by construction — both run as in the inline
+    * form. Spans from the index are bit-identical to the inline
+    * recompute (the q_substring_scrub_served parity), so the served
+    * report shares the inline full oracle.
+    */
+  def reportServed(s: SparkSession, d: String,
+      substrIndexDir: String): DataFrame =
+    reportFrom(s, d, Substring.substringScrubFromIndex(s, substrIndexDir,
+      Tables.documents(s, d).select(col("doc_id"), col("text"))))
+
+  private def reportFrom(s: SparkSession, d: String,
+      scrub: DataFrame): DataFrame = {
     val toksC = col("t")
     val bigrams = TextOps.bigramsOf(toksC)
     val pii = col("text").rlike(Scrub.EmailRe) ||
@@ -61,8 +82,7 @@ object Curation {
     val nearDup = Dedup.ngramJaccardPairs(s, d)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("near_dup", lit(1L))
-    val cut = Substring.substringScrub(s, d)
-      .select(col("doc_id"), col("n_cut"))
+    val cut = scrub.select(col("doc_id"), col("n_cut"))
     val contam = Scrub.contamination(s, d, nProbes = 3, ngramSize = 4)
       .select(col("doc_id")).withColumn("contaminated", lit(1L))
     perDoc

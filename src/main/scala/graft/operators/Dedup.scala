@@ -945,6 +945,74 @@ object Dedup {
           .as("members"))
   }
 
+  /** Persist the FULL-corpus LSH bucket index for `d`'s documents —
+    * the lake artifact the corpus-wide near-dup consumers
+    * ([[canonicalDocsFromIndex]], [[syndicationFromIndex]]) serve
+    * from without re-signing the standing corpus. Same
+    * (doc_id, band, bucket) rows as [[minhashBuckets]]; `buildOnly`
+    * restricts which docs are INDEXED at build time (the rest arrive
+    * later via [[minhashAppendBatch]] — buckets are per-doc rows, so
+    * the base ∪ batches union IS the one-shot full index exactly, no
+    * frozen-model caveat).
+    */
+  def minhashWriteIndex(s: SparkSession, d: String, indexDir: String,
+      buildOnly: Option[Column] = None, bands: Int = 4,
+      rowsPerBand: Int = 4): Unit = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    minhashBuckets(buildOnly.map(docs.filter).getOrElse(docs),
+        bands, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$indexDir/buckets")
+  }
+
+  /** Per-arrival growth of [[minhashWriteIndex]]'s artifact: signature
+    * work scales with the batch, never the corpus. Exactly-once under
+    * retries — the batch dir is overwritten whole, keyed by `batchId`.
+    */
+  def minhashAppendBatch(s: SparkSession, indexDir: String,
+      newDocs: DataFrame, batchId: Long, bands: Int = 4,
+      rowsPerBand: Int = 4): Unit =
+    minhashBuckets(newDocs.select(col("doc_id"), col("text")),
+        bands, rowsPerBand)
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/buckets_batches/batch=$batchId")
+
+  /** Base buckets ∪ committed append batches (absent side dirs → base
+    * alone — the [[ScalarQuant]] readCodes convention). */
+  private def readBuckets(s: SparkSession, indexDir: String): DataFrame = {
+    val base = s.read.parquet(s"$indexDir/buckets")
+    val bp = new org.apache.hadoop.fs.Path(s"$indexDir/buckets_batches")
+    val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(bp))
+      base.unionByName(s.read.parquet(bp.toString).drop("batch"))
+    else base
+  }
+
+  /** [[minhashPairs]] SERVED from a persisted full-corpus bucket index
+    * ([[minhashWriteIndex]], any lifecycle state): the candidate stage
+    * reads 24-byte bucket rows from the lake instead of re-running the
+    * corpus signature pipeline; the pruned verify then re-shingles only
+    * candidate MEMBERS, exactly as the inline form. Signatures are a
+    * pure function of text, so the candidate set — and therefore the
+    * verified pair set — is bit-identical to the inline twin's and the
+    * serves share its oracle.
+    */
+  def minhashPairsFromIndex(s: SparkSession, d: String, indexDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val banded = readBuckets(s, indexDir)
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .repartition(col("band"), col("bucket"))
+    // same shape as the inline candidate stage (minhashCandidatesOf
+    // dedup=false): the verify groupBy collapses multi-band agreement,
+    // and the shared repartition lets ReuseExchange scan the index once
+    val candidates = lazyCheckpoint(banded
+      .join(banded.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b")), Seq("band", "bucket"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b")))
+    verifiedJaccard(Tables.documents(s, d).select(col("doc_id"),
+      col("text")), candidates, threshold)
+  }
+
   /** Quality-aware canonical selection per near-dup cluster — the
     * keep-BEST rule real curation pipelines run instead of keep-first:
     * within each duplicate cluster the survivor is the member with the
@@ -965,10 +1033,21 @@ object Dedup {
     * member list itself is not needed.
     */
   def canonicalDocs(s: SparkSession, d: String,
-      threshold: Double = 0.7): DataFrame = {
-    val labels = clusterPairs(
-      minhashPairs(s, d, threshold = threshold)
-        .select(col("doc_a"), col("doc_b")))
+      threshold: Double = 0.7): DataFrame =
+    canonicalDocsFromPairs(s, d, minhashPairs(s, d, threshold = threshold))
+
+  /** [[canonicalDocs]] SERVED from a persisted bucket index — pairs
+    * come from [[minhashPairsFromIndex]] (bit-identical to the inline
+    * pair set), so the served selection shares the inline oracle.
+    */
+  def canonicalDocsFromIndex(s: SparkSession, d: String, indexDir: String,
+      threshold: Double = 0.7): DataFrame =
+    canonicalDocsFromPairs(s, d,
+      minhashPairsFromIndex(s, d, indexDir, threshold))
+
+  private def canonicalDocsFromPairs(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
+    val labels = clusterPairs(pairs.select(col("doc_a"), col("doc_b")))
     val toks = tokens(col("text"))
     val bigrams = TextOps.bigramsOf(toks)
     val feats = Tables.documents(s, d).select(
@@ -1009,9 +1088,21 @@ object Dedup {
     * sources²-keyed.
     */
   def syndicationMatrix(s: SparkSession, d: String,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7): DataFrame =
+    syndicationFromPairs(s, d, minhashPairs(s, d, threshold = threshold))
+
+  /** [[syndicationMatrix]] SERVED from a persisted bucket index — the
+    * same pairs-from-lake seam as [[canonicalDocsFromIndex]].
+    */
+  def syndicationFromIndex(s: SparkSession, d: String, indexDir: String,
+      threshold: Double = 0.7): DataFrame =
+    syndicationFromPairs(s, d,
+      minhashPairsFromIndex(s, d, indexDir, threshold))
+
+  private def syndicationFromPairs(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    minhashPairs(s, d, threshold = threshold)
+    pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
         "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),

@@ -111,17 +111,63 @@ object ScalarQuant {
     fs.delete(ready, false)
   }
 
+  /** Logical delete (the GDPR-erasure path): the vec_ids land in a
+    * tombstone batch; every serve anti-joins them out until
+    * [[compactDeletes]] folds the deletions into a fresh base. Work
+    * scales with the request, never the index. Caller's invariant:
+    * ids are index-resident (erasure requests name stored vectors).
+    */
+  def sqDeleteIds(s: SparkSession, indexDir: String, ids: DataFrame,
+      batchId: Long): Unit =
+    Tombstones.append(s, indexDir, ids.select(col("vec_id")), batchId)
+
+  /** Admin-cadence close-out of the delete path: rewrite the base
+    * codes table without the tombstoned rows (committed append batches
+    * fold in too — [[readCodes]] is the single definition of the live
+    * row set), then retire batch dirs and tombstones — the serve
+    * returns to the minimal one-scan, no-anti-join plan. Same staged
+    * publish as [[promoteBatches]]: merged table, ready marker, swap,
+    * retire; crash-idempotent at every step.
+    */
+  def compactDeletes(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def path(p: String) = new Path(s"$indexDir/$p")
+    val fs = new Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ready = path("__compact_ready")
+    if (Tombstones.read(s, indexDir).isEmpty && !fs.exists(ready)) return
+    if (!fs.exists(ready)) {
+      readCodes(s, indexDir)
+        .write.mode("overwrite").parquet(s"$indexDir/__compact_tmp/codes")
+      fs.create(ready, true).close()
+    }
+    val tmp = path("__compact_tmp/codes")
+    if (fs.exists(tmp)) {
+      fs.delete(path("codes"), true)
+      fs.rename(tmp, path("codes"))
+    }
+    fs.delete(path("codes_batches"), true)
+    Tombstones.clear(s, indexDir)
+    fs.delete(path("__compact_tmp"), true)
+    fs.delete(ready, false)
+  }
+
   /** Base codes ∪ committed append batches (when any exist — an
     * ungrown or freshly promoted index serves with the minimal
-    * one-scan plan).
+    * one-scan plan), minus any tombstoned rows (erasure-request-sized,
+    * so the anti-join broadcasts; no tombstones → no anti-join).
     */
   private def readCodes(s: SparkSession, indexDir: String): DataFrame = {
     val base = s.read.parquet(s"$indexDir/codes")
     val bp = new org.apache.hadoop.fs.Path(s"$indexDir/codes_batches")
     val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(bp))
-      base.unionByName(s.read.parquet(bp.toString).drop("batch"))
-    else base
+    val all =
+      if (fs.exists(bp))
+        base.unionByName(s.read.parquet(bp.toString).drop("batch"))
+      else base
+    Tombstones.read(s, indexDir).map(t =>
+      all.join(broadcast(t.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")).getOrElse(all)
   }
 
   /** Decode audit: the persisted codes exploded back to

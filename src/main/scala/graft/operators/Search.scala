@@ -334,10 +334,14 @@ object Search {
   def phraseMatchFromIndex(s: SparkSession, indexDir: String,
       phrases: Seq[(Int, String)] = defaultPhrases): DataFrame = {
     val terms = phrases.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
-    val positions = withBatches(s, indexDir, "postings")
+    val pruned = withBatches(s, indexDir, "postings")
       .filter(col("term").isin(terms: _*))
-      .select(col("term"), col("doc_id"),
-        explode(col("positions")).as("pos"))
+    // pending logical deletes are anti-joined out, as in servedFrames
+    val live = Tombstones.read(s, indexDir).map(t =>
+      pruned.join(broadcast(t.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")).getOrElse(pruned)
+    val positions = live.select(col("term"), col("doc_id"),
+      explode(col("positions")).as("pos"))
     phraseHits(s, positions, phrases)
   }
 
@@ -390,16 +394,106 @@ object Search {
       queries: Seq[(Int, String)]): (DataFrame, DataFrame, DataFrame) = {
     val terms = queries.map(_._2).distinct
     val grown = hasBatches(s, indexDir)
-    val post = withBatches(s, indexDir, "postings")
+    val post0 = withBatches(s, indexDir, "postings")
       .filter(col("term").isin(terms: _*))
-    val termstats =
+    val termstats0 =
       if (grown) withBatches(s, indexDir, "termstats")
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
       else s.read.parquet(s"$indexDir/termstats")
-    val stats =
+    val stats0 =
       if (grown) withBatches(s, indexDir, "stats")
         .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
       else s.read.parquet(s"$indexDir/stats")
-    (post, termstats, stats)
+    Tombstones.read(s, indexDir) match {
+      case None => (post0, termstats0, stats0)
+      case Some(tomb) =>
+        // logical deletes pending: the pruned postings anti-join the
+        // (tiny, broadcast) tombstone set; df for the QUERY terms is
+        // recounted from those same surviving pruned rows (exact —
+        // stored df is by construction the postings row count per
+        // term); the corpus scalars adjust by the tombstones'
+        // recorded (count, Σdl) — all of it index-local, no corpus
+        // re-read, work scales with the erasure set
+        val post = post0.join(broadcast(tomb.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+        val termstats = post.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+        val stats = stats0.crossJoin(broadcast(
+            tomb.agg(count(lit(1)).as("tn"),
+              sum(col("dl")).cast("double").as("tdl"))))
+          .select((col("n") - col("tn")).as("n"),
+            (col("sumdl") - coalesce(col("tdl"), lit(0.0d))).as("sumdl"))
+        (post, termstats, stats)
+    }
+  }
+
+  /** Logical delete (the GDPR-erasure path): `docs` are the documents
+    * to erase, (doc_id, text) — the text is tokenized ONCE here to
+    * record each deleted doc's length, so the serve-time corpus
+    * scalars (N, Σdl) adjust by exact subtraction without any corpus
+    * re-scan (work scales with the erasure request). Every serve
+    * anti-joins the tombstoned doc_ids until [[compactDeletes]] folds
+    * the deletions into a fresh base. Caller's invariant: the ids are
+    * index-resident (erasure requests name stored documents).
+    */
+  def deleteDocs(s: SparkSession, indexDir: String, docs: DataFrame,
+      batchId: Long): Unit =
+    Tombstones.append(s, indexDir,
+      docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("dl")),
+      batchId)
+
+  /** Admin-cadence delete close-out: rewrite postings without the
+    * tombstoned docs (committed append batches fold in), recount df
+    * from the surviving postings, subtract the tombstones' (count,
+    * Σdl) from the corpus scalars, retire batch dirs and tombstones —
+    * the serve returns to the minimal stored-stats plan. Staged
+    * publish with a ready marker ([[promoteBatches]]'s order), so a
+    * crash at any point re-runs to completion without double-counting.
+    */
+  def compactDeletes(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def path(p: String) = new Path(s"$indexDir/$p")
+    val fs = new Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ready = path("__compact_ready")
+    val tombOpt = Tombstones.read(s, indexDir)
+    if (tombOpt.isEmpty && !fs.exists(ready)) return
+    val tables = Seq("postings", "termstats", "stats")
+    if (!fs.exists(ready)) {
+      val tomb = tombOpt.get
+      val post = withBatches(s, indexDir, "postings")
+        .join(broadcast(tomb.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      post.repartition(col("term"))
+        .write.mode("overwrite").partitionBy("term")
+        .parquet(s"$indexDir/__compact_tmp/postings")
+      // recount from the REWRITTEN postings (one read of the compacted
+      // table, term-complete), not the pre-delete stored df
+      s.read.parquet(s"$indexDir/__compact_tmp/postings")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/__compact_tmp/termstats")
+      withBatches(s, indexDir, "stats")
+        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+        .crossJoin(broadcast(tomb.agg(count(lit(1)).as("tn"),
+          sum(col("dl")).cast("double").as("tdl"))))
+        .select((col("n") - col("tn")).as("n"),
+          (col("sumdl") - coalesce(col("tdl"), lit(0.0d))).as("sumdl"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/__compact_tmp/stats")
+      fs.create(ready, true).close()
+    }
+    tables.foreach { t =>
+      val tmp = path(s"__compact_tmp/$t")
+      if (fs.exists(tmp)) {
+        fs.delete(path(t), true)
+        fs.rename(tmp, path(t))
+      }
+    }
+    tables.foreach(t => fs.delete(path(s"${t}_batches"), true))
+    Tombstones.clear(s, indexDir)
+    fs.delete(path("__compact_tmp"), true)
+    fs.delete(ready, false)
   }
 }

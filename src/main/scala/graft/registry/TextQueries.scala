@@ -423,6 +423,17 @@ object TextQueries {
     // oracle (no frozen-model caveat, unlike the ANN appends)
     "q_bm25_appended_served" -> ((s: SparkSession, d: String) =>
       Search.bm25FromIndex(s, s"${indexRoot(d)}/bm25_appended")),
+    // GDPR-erasure over the retrieval tier (r16): tombstoned docs must
+    // leave the RANKING MODEL, not just the result list — df recounts
+    // from the surviving pruned postings and N/Σdl adjust by the
+    // tombstones' recorded lengths, so scores equal a from-scratch
+    // index over the survivors (the delete-restricted full oracle);
+    // the compacted twin folds the deletions in and serves the same
+    // answer from the minimal stored-stats plan
+    "q_bm25_deleted_served" -> ((s: SparkSession, d: String) =>
+      Search.bm25FromIndex(s, s"${indexRoot(d)}/bm25_deleted")),
+    "q_bm25_del_compacted_served" -> ((s: SparkSession, d: String) =>
+      Search.bm25FromIndex(s, s"${indexRoot(d)}/bm25_del_compacted")),
     "q_ann_lsh_served" -> ((s: SparkSession, d: String) =>
       Similarity.annTopKFromIndex(s, s"${indexRoot(d)}/lsh",
         annProbeVectors(s, d))),
@@ -498,6 +509,24 @@ object TextQueries {
       Similarity.ivfPqTopKFromIndex(s, s"${indexRoot(d)}/ivfpq_promoted",
         annProbeVectors(s, d), refine = 100,
         refineFrom = Some(graft.Tables.embeddings(s, d)))),
+    // corpus-wide near-dup consumers served from the standing
+    // full-corpus bucket index (r16): pairs come off the lake's
+    // 24-byte bucket rows — no corpus signature pass — then feed the
+    // same selection/rollup; pair sets are bit-identical to the inline
+    // twins', so both share their full oracles
+    "q_canonical_docs_served" -> ((s: SparkSession, d: String) =>
+      Dedup.canonicalDocsFromIndex(s, d,
+        s"${indexRoot(d)}/minhash_full")),
+    "q_syndication_served" -> ((s: SparkSession, d: String) =>
+      Dedup.syndicationFromIndex(s, d,
+        s"${indexRoot(d)}/minhash_full")),
+    // the per-source audit served from the standing indexes (r16): the
+    // substring cut — the report's expensive span machinery — reads
+    // the persisted full-corpus position index; scan-side components
+    // are per-doc map work with no index to serve from
+    "q_curation_report_served" -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.reportServed(s, d,
+        s"${indexRoot(d)}/substr_full")),
     "q_incremental_dedup_served" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalMinhashPairsFromIndex(
         s.read.parquet(s"${indexRoot(d)}/minhash_buckets"),
@@ -552,6 +581,23 @@ object TextQueries {
         annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
     "q_ann_bq_promoted_served" -> ((s: SparkSession, d: String) =>
       BinaryQuant.bqTopKFromIndex(s, s"${indexRoot(d)}/bq_promoted",
+        annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
+    // GDPR-erasure lifecycle (r16): logical deletes over a GROWN index
+    // (base + committed batch + tombstones all live at once) must
+    // vanish from the serve without an index rewrite; the compaction
+    // close-out folds them into a fresh base and returns the plan to
+    // one scan. Both answer the delete-RESTRICTED brute oracle —
+    // deleted ids must not rank, every survivor must rank exactly
+    "q_ann_int8_deleted_served" -> ((s: SparkSession, d: String) =>
+      ScalarQuant.sqTopKFromIndex(s, s"${indexRoot(d)}/int8_deleted",
+        annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
+    "q_ann_int8_del_compacted_served" -> ((s: SparkSession, d: String) =>
+      ScalarQuant.sqTopKFromIndex(s,
+        s"${indexRoot(d)}/int8_del_compacted",
+        annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
+    // the bit tier shares the tombstone machinery; one fixture pins it
+    "q_ann_bq_deleted_served" -> ((s: SparkSession, d: String) =>
+      BinaryQuant.bqTopKFromIndex(s, s"${indexRoot(d)}/bq_deleted",
         annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
     // hybrid retrieval: BM25 + dense cosine fused by reciprocal-rank
     // fusion. The served twin composes the two PERSISTED indexes
@@ -704,6 +750,18 @@ object TextQueries {
       partitionCol = "cell")
     Dedup.minhashBuckets(incrSplitSide(s, d, newSide = false))
       .write.mode("overwrite").parquet(s"$root/minhash_buckets")
+    // FULL-corpus LSH bucket index (r16) for the served corpus-wide
+    // near-dup consumers (canonical selection, syndication matrix) —
+    // built lifecycle-real as 80% base + one append batch; buckets are
+    // per-doc rows, so the union IS the one-shot full index exactly
+    val mhFull = s"$root/minhash_full"
+    Dedup.minhashWriteIndex(s, d, mhFull,
+      buildOnly = Some(org.apache.spark.sql.functions
+        .col("doc_id") % 5 =!= 4))
+    Dedup.minhashAppendBatch(s, mhFull,
+      graft.Tables.documents(s, d)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 4),
+      batchId = 1L)
     // gram-position index for the served exact-substring probe (r15):
     // old 80% positions + mergeable frequency counts
     Substring.writePositionIndex(s,
@@ -826,6 +884,45 @@ object TextQueries {
           batchId = 1L)
         if (promote) BinaryQuant.promoteBatches(s, dir)
     }
+    // GDPR-erasure fixtures (r16): each deleted index is built the
+    // hardest lifecycle-real way — 80% base + 20% committed append
+    // batch + a tombstone batch over vec_id/doc_id % 7 == 6 (disjoint
+    // from the probe ids 0–4), all live at once; the compacted twins
+    // then fold the deletions into a fresh base. All serve the
+    // delete-restricted oracles
+    locally {
+      import org.apache.spark.sql.functions.col
+      val emb = graft.Tables.embeddings(s, d)
+      val embDel = emb.filter(col("vec_id") % 7 === 6).select("vec_id")
+      Seq("int8_deleted" -> false, "int8_del_compacted" -> true)
+        .foreach { case (name, compact) =>
+          val dir = s"$root/$name"
+          ScalarQuant.sqWriteIndex(s, d, dir,
+            assignOnly = Some(col("vec_id") % 5 =!= 4))
+          ScalarQuant.sqAppendBatch(s, dir,
+            emb.filter(col("vec_id") % 5 === 4), batchId = 1L)
+          ScalarQuant.sqDeleteIds(s, dir, embDel, batchId = 1L)
+          if (compact) ScalarQuant.compactDeletes(s, dir)
+        }
+      val bqDel = s"$root/bq_deleted"
+      BinaryQuant.bqWriteIndex(s, d, bqDel,
+        assignOnly = Some(col("vec_id") % 5 =!= 4))
+      BinaryQuant.bqAppendBatch(s, bqDel,
+        emb.filter(col("vec_id") % 5 === 4), batchId = 1L)
+      BinaryQuant.bqDeleteIds(s, bqDel, embDel, batchId = 1L)
+      val docs = graft.Tables.documents(s, d)
+      Seq("bm25_deleted" -> false, "bm25_del_compacted" -> true)
+        .foreach { case (name, compact) =>
+          val dir = s"$root/$name"
+          Search.buildIndex(s, d, dir,
+            docFilter = Some(col("doc_id") % 5 =!= 4))
+          Search.appendBatch(s, dir,
+            docs.filter(col("doc_id") % 5 === 4), batchId = 1L)
+          Search.deleteDocs(s, dir,
+            docs.filter(col("doc_id") % 7 === 6), batchId = 1L)
+          if (compact) Search.compactDeletes(s, dir)
+        }
+    }
     // frozen BPE tokenizer: trained once here, applied by
     // q_bpe_encode_served (and to anything else) without retraining
     Bpe.writeModel(s, d, s"$root/bpe_model")
@@ -859,6 +956,33 @@ object TextQueries {
     // q_stream_sliding must match the batch q_sliding oracle
     graft.streaming.Streams.slidingEventsSnapshot(s, d,
       s"$root/stream_sliding", s"$root/stream_sliding_ckpt")
+  }
+
+  /** The GDPR-erasure rows' oracles: the inline full recomputes
+    * RESTRICTED to the surviving rows (vec_id/doc_id % 7 ≠ 6 — the
+    * prepare fixtures' tombstone slice). Spliced from the base oracles
+    * with require-guarded anchors (the incrOracleSql ADVICE rule: a
+    * wording drift must fail loudly, not silently gate against the
+    * unrestricted form). For BM25 the restriction lands in the toks
+    * CTE, so N, Σdl, df and every score are the from-scratch
+    * survivors-only model — exactly what a correct erasure must serve.
+    */
+  private lazy val deletedBruteOracle: String = {
+    val base = baseOracle("q_ann_brute")
+    val out = base.replace("WHERE e.vec_id <> q.query_id)",
+      "WHERE e.vec_id <> q.query_id AND e.vec_id % 7 <> 6)")
+    require(out != base,
+      "deletedBruteOracle: candidate-restriction splice found no anchor")
+    out
+  }
+
+  private lazy val deletedBm25Oracle: String = {
+    val base = baseOracle("q_bm25")
+    val out = base.replace("FROM documents)",
+      "FROM documents WHERE doc_id % 7 <> 6)")
+    require(out != base,
+      "deletedBm25Oracle: corpus-restriction splice found no anchor")
+    out
   }
 
   /** q_ann_brute_agg produces identical results to q_ann_brute (the
@@ -897,6 +1021,24 @@ object TextQueries {
       // the grown first-seen index min-folds to the global min, so the
       // served novelty answers the inline full-recompute oracle
       ("q_novelty_served" -> baseOracle("q_novelty")) +
+      // pairs off the persisted full-corpus bucket index are
+      // bit-identical to the inline minhash pair set (signatures are a
+      // pure function of text), so the served consumers answer the
+      // inline full oracles; the served report's only index-fed
+      // component (the substring cut) carries the
+      // q_substring_scrub_served parity
+      ("q_canonical_docs_served" -> baseOracle("q_canonical_docs")) +
+      ("q_syndication_served" -> baseOracle("q_syndication")) +
+      ("q_curation_report_served" -> baseOracle("q_curation_report")) +
+      // the GDPR-erasure rows: full recomputes restricted to the
+      // surviving ids — a deleted row ranking anywhere, or a
+      // survivor's score still carrying the deleted docs' df/N/Σdl,
+      // fails the hash compare
+      ("q_ann_int8_deleted_served" -> deletedBruteOracle) +
+      ("q_ann_int8_del_compacted_served" -> deletedBruteOracle) +
+      ("q_ann_bq_deleted_served" -> deletedBruteOracle) +
+      ("q_bm25_deleted_served" -> deletedBm25Oracle) +
+      ("q_bm25_del_compacted_served" -> deletedBm25Oracle) +
       ("q_ann_ivfpq_served" -> baseOracle("q_ann_ivfpq")) +
       // compressed append-parity: frozen centroids+codebooks ⇒ the
       // grown codes table is row-identical to the one-shot encode

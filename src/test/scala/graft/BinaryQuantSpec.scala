@@ -79,6 +79,36 @@ class BinaryQuantSpec extends SparkSuite {
     assert(bq === brute)
   }
 
+  test("delete lifecycle: tombstoned vectors vanish from the bit-tier " +
+      "serve and compaction folds them into a fresh base") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val ref = tmpDir("bq_del_ref")
+    BinaryQuant.bqWriteIndex(spark, d, ref,
+      assignOnly = Some(col("vec_id") % 7 =!= 6))
+    def rows(dir: String) = BinaryQuant.bqTopKFromIndex(spark, dir,
+      emb.filter(col("vec_id") < 5), emb).collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString)
+    val want = rows(ref)
+    val idx = tmpDir("bq_del")
+    BinaryQuant.bqWriteIndex(spark, d, idx,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
+    BinaryQuant.bqAppendBatch(spark, idx,
+      emb.filter(col("vec_id") % 5 === 4), batchId = 1L)
+    BinaryQuant.bqDeleteIds(spark, idx,
+      emb.filter(col("vec_id") % 7 === 6).select("vec_id"), batchId = 1L)
+    assert(rows(idx) === want)
+    BinaryQuant.compactDeletes(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/words_batches")))
+    assert(rows(idx) === want)
+    assert(spark.read.parquet(s"$idx/words").count()
+      === emb.filter(col("vec_id") % 7 =!= 6).count())
+  }
+
   test("append + promote lifecycle serves the one-shot ranking at " +
       "every stage, and the bit audit round-trips the packer") {
     val d = "/root/testdata/sf0.001"

@@ -1280,6 +1280,44 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(rows(5L) === ((5L, 2L, "5,6"))) // exact tie -> min doc_id
   }
 
+  test("canonical selection and syndication served from the persisted " +
+      "full-corpus bucket index equal the inline recomputes (grown " +
+      "index: base + append batch)") {
+    def doc(ns: String) = (1 to 12).map(i => s"$ns$i").mkString(" ")
+    def nearDoc(ns: String) = ((1 to 11).map(i => s"$ns$i") :+ "x")
+      .mkString(" ")
+    // two cross-source near-dup pairs + one exact pair, ids straddling
+    // the %5 build/append split so the batch genuinely contributes
+    val dir = tmpDir("mhserve")
+    Seq((0L, doc("a"), "en", "web"), (4L, nearDoc("a"), "en", "wiki"),
+      (7L, doc("b"), "en", "web"), (9L, nearDoc("b"), "en", "web"),
+      (10L, "p q r s t u v w", "en", "news"),
+      (14L, "p q r s t u v w", "en", "web"),
+      (11L, doc("z"), "en", "news"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val idx = tmpDir("mhserve_idx")
+    operators.Dedup.minhashWriteIndex(spark, dir, idx,
+      buildOnly = Some(col("doc_id") % 5 =!= 4))
+    operators.Dedup.minhashAppendBatch(spark, idx,
+      Tables.documents(spark, dir).filter(col("doc_id") % 5 === 4),
+      batchId = 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val pairsInline = rows(operators.Dedup.minhashPairs(spark, dir))
+    assert(pairsInline.size >= 3) // non-vacuous: planted pairs found
+    assert(rows(operators.Dedup.minhashPairsFromIndex(spark, dir, idx))
+      === pairsInline)
+    assert(rows(operators.Dedup.canonicalDocsFromIndex(spark, dir, idx))
+      === rows(operators.Dedup.canonicalDocs(spark, dir)))
+    val synd = rows(operators.Dedup.syndicationFromIndex(spark, dir, idx))
+    assert(synd === rows(operators.Dedup.syndicationMatrix(spark, dir)))
+    // the matrix must carry an off-diagonal (cross-source) cell —
+    // the copy-detection signal the planner reads
+    assert(synd.exists(r => r(0) != r(1)))
+  }
+
   test("mmr rerank: round-0 is the relevance argmax, picks are unique, " +
       "and diversification reorders at least one query vs plain top-k") {
     val d = "/root/testdata/sf0.001"

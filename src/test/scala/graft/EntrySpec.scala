@@ -45,6 +45,12 @@ class EntrySpec extends SparkSuite {
     "q11_concentration", "q_ann_brute", "q_ann_brute_agg", "q_ann_int8",
     "q_ann_int8_appended_served", "q_ann_int8_promoted_served",
     "q_ann_int8_served",
+    // the delete-lifecycle twins inherit their families' documented
+    // broadcast-probe crosses (int8/bq) and one-row stats broadcasts
+    // (bm25 — plus the tombstone-aggregate row the deleted serve adds)
+    "q_ann_int8_deleted_served", "q_ann_int8_del_compacted_served",
+    "q_ann_bq_deleted_served", "q_bm25_deleted_served",
+    "q_bm25_del_compacted_served",
     // the binary tier's Hamming shortlist and the truncation-recall
     // eval are the same intentional broadcast-probe cross (bounded
     // probe set broadcasts, corpus/bit-table streams through once)

@@ -119,6 +119,45 @@ class ScalarQuantSpec extends SparkSuite {
     new graft.plans.GraftExtensions().apply(e)
   }
 
+  test("delete lifecycle: tombstoned vectors vanish from the serve " +
+      "(exactly the survivors' from-scratch ranking) and compaction " +
+      "folds them into a fresh base") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    // ground truth: a from-scratch index over the survivors only
+    val ref = tmpDir("sq_del_ref")
+    ScalarQuant.sqWriteIndex(spark, d, ref,
+      assignOnly = Some(col("vec_id") % 7 =!= 6))
+    def rows(dir: String) = ScalarQuant.sqTopKFromIndex(spark, dir,
+      emb.filter(col("vec_id") < 5), emb).collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString)
+    val want = rows(ref)
+    // non-vacuous: some deleted id ranks in the FULL index's top-k,
+    // so the restriction must actually change the answer
+    assert(ScalarQuant.sqTopK(spark, d).collect()
+      .exists(_.getLong(1) % 7 == 6))
+    // lifecycle-real: 80% base + committed batch + tombstones at once
+    val idx = tmpDir("sq_del")
+    ScalarQuant.sqWriteIndex(spark, d, idx,
+      assignOnly = Some(col("vec_id") % 5 =!= 4))
+    ScalarQuant.sqAppendBatch(spark, idx,
+      emb.filter(col("vec_id") % 5 === 4), batchId = 1L)
+    ScalarQuant.sqDeleteIds(spark, idx,
+      emb.filter(col("vec_id") % 7 === 6).select("vec_id"), batchId = 1L)
+    assert(rows(idx) === want)
+    ScalarQuant.compactDeletes(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/codes_batches")))
+    assert(rows(idx) === want)
+    ScalarQuant.compactDeletes(spark, idx) // idempotent no-op
+    assert(rows(idx) === want)
+    assert(spark.read.parquet(s"$idx/codes").count()
+      === emb.filter(col("vec_id") % 7 =!= 6).count())
+  }
+
   test("append + promote lifecycle serves the one-shot ranking at " +
       "every stage, and promotion is re-run idempotent") {
     val d = "/root/testdata/sf0.001"

@@ -85,6 +85,50 @@ class SearchSpec extends SparkSuite {
     assert(Search.bm25FromIndex(spark, grown).collect().toSet === want)
   }
 
+  test("delete lifecycle: tombstoned docs leave the ranking MODEL " +
+      "(df/N/Σdl adjust to the survivors), compaction preserves the " +
+      "answer and retires the tombstones") {
+    val d = sf()
+    // ground truth: from-scratch inline BM25 over the survivor corpus
+    val survivors = tmpDir("bm25_survivors")
+    graft.Tables.documents(spark, d).filter(col("doc_id") % 7 =!= 6)
+      .write.mode("overwrite").parquet(s"$survivors/documents.parquet")
+    val want = Search.bm25(spark, survivors).collect().toSet
+    val wantPhrase = Search.phraseMatch(spark, survivors).collect().toSet
+    // non-vacuous: the deletions must actually move a score (the full
+    // corpus ranks differently than the survivors)
+    assert(Search.bm25(spark, d).collect().toSet !== want)
+    // lifecycle-real: 80% base + one committed batch + tombstones
+    val idx = tmpDir("bm25_del")
+    Search.buildIndex(spark, d, idx,
+      docFilter = Some(col("doc_id") % 5 =!= 4))
+    Search.appendBatch(spark, idx,
+      graft.Tables.documents(spark, d).filter(col("doc_id") % 5 === 4),
+      batchId = 1L)
+    val doomed = graft.Tables.documents(spark, d)
+      .filter(col("doc_id") % 7 === 6)
+    assert(doomed.count() > 0)
+    Search.deleteDocs(spark, idx, doomed, batchId = 1L)
+    assert(Search.bm25FromIndex(spark, idx).collect().toSet === want)
+    assert(Search.phraseMatchFromIndex(spark, idx).collect().toSet
+      === wantPhrase)
+    // delete retries are exactly-once: the batch dir replaces itself
+    Search.deleteDocs(spark, idx, doomed, batchId = 1L)
+    assert(Search.bm25FromIndex(spark, idx).collect().toSet === want)
+    // compaction folds deletions (and append batches) into the base,
+    // retires the side dirs, and serves the same answer from the
+    // minimal stored-stats plan
+    Search.compactDeletes(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists())
+    assert(!new java.io.File(s"$idx/postings_batches").exists())
+    assert(Search.bm25FromIndex(spark, idx).collect().toSet === want)
+    Search.compactDeletes(spark, idx) // idempotent no-op
+    assert(Search.bm25FromIndex(spark, idx).collect().toSet === want)
+    // the compacted corpus scalar equals the survivors' true count
+    assert(spark.read.parquet(s"$idx/stats").collect().head.getLong(0)
+      === graft.Tables.documents(spark, survivors).count())
+  }
+
   test("phraseMatch counts exact consecutive spans, including " +
       "overlapping and repeated-word phrases") {
     val d = plant(Seq(

@@ -276,6 +276,24 @@ class SubstringSpec extends SparkSuite {
     assert(serve() === inline)
   }
 
+  test("curation report served from the position index equals the " +
+      "inline report (the substring component is the only index seam)") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "text")
+    val idx = tmpDir("curation_substr_idx")
+    Substring.writePositionIndex(spark,
+      docs.filter(col("doc_id") % 5 =!= 4), idx)
+    Substring.appendPositionsBatch(spark, idx,
+      docs.filter(col("doc_id") % 5 === 4), batchId = 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val inline = rows(graft.operators.Curation.report(spark, d))
+    assert(inline.nonEmpty)
+    assert(rows(graft.operators.Curation.reportServed(spark, d, idx))
+      === inline)
+  }
+
   test("scrub keeps exactly one copy per duplicate cluster: the " +
       "smallest doc_id's; cut ranges union; untouched docs round-trip") {
     val span = toks("s", 9)
