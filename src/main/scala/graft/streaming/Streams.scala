@@ -251,6 +251,42 @@ object Streams {
       }
       .start()
 
+  /** Streaming right-to-be-forgotten: erasure REQUESTS flow as a
+    * stream of (doc_id, text) rows — the text rides along so the BM25
+    * tombstone records the deleted doc's length once, at delete time
+    * ([[graft.operators.Search.deleteDocs]]), keeping the serve-time
+    * N/Σdl adjustment index-local. Each micro-batch lands as one
+    * tombstone batch per index family keyed by the micro-batch id
+    * (overwrite-whole — the exactly-once contract every maintainer
+    * here shares), so checkpoint replay re-tombstones the same ids and
+    * changes nothing. The embedding tiers key on doc_id = vec_id (the
+    * curation pipeline's convention). Compaction
+    * ([[graft.operators.ScalarQuant.compactDeletes]] et al.) runs at
+    * admin cadence with the maintainer stopped, like promotion.
+    */
+  def erasureMaintainer(requests: DataFrame, bm25IndexDir: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+      int8IndexDir: Option[String] = None,
+      bqIndexDir: Option[String] = None): StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.operators.Search.deleteDocs(s, bm25IndexDir,
+            batch.select(col("doc_id"), col("text")), batchId)
+          int8IndexDir.foreach(dir =>
+            graft.operators.ScalarQuant.sqDeleteIds(s, dir,
+              batch.select(col("doc_id").as("vec_id")), batchId))
+          bqIndexDir.foreach(dir =>
+            graft.operators.BinaryQuant.bqDeleteIds(s, dir,
+              batch.select(col("doc_id").as("vec_id")), batchId))
+        }
+      }
+      .start()
+
   /** Streaming CDC maintainer: each micro-batch of changelog rows
     * (key, value, ts, event_id) lands via
     * [[graft.operators.Cdc.appendBatch]] keyed by the micro-batch id —

@@ -451,6 +451,79 @@ class StreamsSpec extends SparkSuite {
     assert(serve(grown) === oneShot)
   }
 
+  test("streaming erasure maintainer: micro-batched right-to-be-" +
+    "forgotten requests tombstone the BM25 + int8 indexes to the " +
+    "survivors-only answers, exactly-once across restarts") {
+    import graft.operators.{ScalarQuant, Search}
+    val emb = Tables.embeddings(spark, sf())
+    // survivors-only references: from-scratch builds without the
+    // to-be-erased slice (doc_id/vec_id % 7 == 6)
+    val survivorsDocs = tmpDir("erase_ref_docs")
+    Tables.documents(spark, sf()).filter(col("doc_id") % 7 =!= 6)
+      .write.mode("overwrite").parquet(s"$survivorsDocs/documents.parquet")
+    val wantBm25 = Search.bm25(spark, survivorsDocs)
+      .collect().map(_.toString).sorted.toSeq
+    val refSq = tmpDir("erase_ref_sq")
+    ScalarQuant.sqWriteIndex(spark, sf(), refSq,
+      assignOnly = Some(col("vec_id") % 7 =!= 6))
+    val wantSq = ScalarQuant.sqTopKFromIndex(spark, refSq,
+      emb.filter(col("vec_id") < 5), emb)
+      .collect().map(_.toString).sorted.toSeq
+    // live indexes over the FULL corpus, then erase via the stream
+    val bm25Idx = tmpDir("erase_bm25")
+    val sqIdx = tmpDir("erase_sq")
+    Search.buildIndex(spark, sf(), bm25Idx)
+    ScalarQuant.sqWriteIndex(spark, sf(), sqIdx)
+    val doomed = Tables.documents(spark, sf())
+      .filter(col("doc_id") % 7 === 6)
+      .select(col("doc_id"), col("text"))
+    assert(doomed.count() > 0)
+    val stage = tmpDir("erase_stage")
+    val ckpt = tmpDir("erase_ckpt")
+    def stageBatch(name: String, part: org.apache.spark.sql.DataFrame):
+        Unit = {
+      val tmp = tmpDir(s"erase_stage_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    stageBatch("a", doomed.filter(col("doc_id") % 2 === 0))
+    stageBatch("b", doomed.filter(col("doc_id") % 2 =!= 0))
+    def stream() = spark.readStream
+      .schema(doomed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = Streams.erasureMaintainer(stream(), bm25Idx, ckpt,
+      int8IndexDir = Some(sqIdx))
+    q.awaitTermination(180000)
+    def gotBm25() = Search.bm25FromIndex(spark, bm25Idx)
+      .collect().map(_.toString).sorted.toSeq
+    def gotSq() = ScalarQuant.sqTopKFromIndex(spark, sqIdx,
+      emb.filter(col("vec_id") < 5), emb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotBm25() === wantBm25)
+    assert(gotSq() === wantSq)
+    // one tombstone batch per micro-batch, per family
+    val tombDirs = new java.io.File(s"$bm25Idx/tombstones")
+      .listFiles().toSeq.map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(tombDirs === Seq("batch=0", "batch=1"))
+    // restart on the same checkpoint: nothing re-read, nothing changed
+    val q2 = Streams.erasureMaintainer(stream(), bm25Idx, ckpt,
+      int8IndexDir = Some(sqIdx))
+    q2.awaitTermination(180000)
+    assert(gotBm25() === wantBm25)
+    assert(gotSq() === wantSq)
+    // admin-cadence close-out with the maintainer stopped: compaction
+    // folds the streamed tombstones in and serves the same answers
+    Search.compactDeletes(spark, bm25Idx)
+    ScalarQuant.compactDeletes(spark, sqIdx)
+    assert(!new java.io.File(s"$bm25Idx/tombstones").exists())
+    assert(gotBm25() === wantBm25)
+    assert(gotSq() === wantSq)
+  }
+
   test("streaming ANN index maintainer: micro-batched vector arrivals " +
     "grow the frozen-geometry index to the one-shot build's exact " +
     "ranking, exactly-once across restarts") {
