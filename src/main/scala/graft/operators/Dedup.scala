@@ -976,15 +976,61 @@ object Dedup {
       .write.mode("overwrite")
       .parquet(s"$indexDir/buckets_batches/batch=$batchId")
 
+  /** Logical delete for the bucket index (the GDPR-erasure leg,
+    * [[Tombstones]]): a tombstoned doc's bucket rows vanish from every
+    * serve, so it can neither pair nor be selected — the downstream
+    * consumers ([[canonicalDocsFromIndex]], [[syndicationFromIndex]])
+    * answer the survivors-only constructions automatically, because
+    * cluster membership and the feature joins are pair-driven.
+    */
+  def minhashDeleteIds(s: SparkSession, indexDir: String, ids: DataFrame,
+      batchId: Long): Unit =
+    Tombstones.append(s, indexDir, ids.select(col("doc_id")), batchId)
+
+  /** Admin-cadence delete close-out: rewrite the base buckets without
+    * the tombstoned docs (append batches fold in), retire batch dirs
+    * and tombstones — staged publish with a ready marker
+    * ([[ScalarQuant.compactDeletes]]'s order, crash-idempotent).
+    */
+  def compactBucketDeletes(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def path(p: String) = new Path(s"$indexDir/$p")
+    val fs = new Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ready = path("__compact_ready")
+    if (Tombstones.read(s, indexDir).isEmpty && !fs.exists(ready)) return
+    if (!fs.exists(ready)) {
+      readBuckets(s, indexDir)
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/__compact_tmp/buckets")
+      fs.create(ready, true).close()
+    }
+    val tmp = path("__compact_tmp/buckets")
+    if (fs.exists(tmp)) {
+      fs.delete(path("buckets"), true)
+      fs.rename(tmp, path("buckets"))
+    }
+    fs.delete(path("buckets_batches"), true)
+    Tombstones.clear(s, indexDir)
+    fs.delete(path("__compact_tmp"), true)
+    fs.delete(ready, false)
+  }
+
   /** Base buckets ∪ committed append batches (absent side dirs → base
-    * alone — the [[ScalarQuant]] readCodes convention). */
+    * alone — the [[ScalarQuant]] readCodes convention), minus any
+    * tombstoned docs' rows (erasure-request-sized ⇒ broadcast
+    * anti-join; absent → no-op). */
   private def readBuckets(s: SparkSession, indexDir: String): DataFrame = {
     val base = s.read.parquet(s"$indexDir/buckets")
     val bp = new org.apache.hadoop.fs.Path(s"$indexDir/buckets_batches")
     val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(bp))
-      base.unionByName(s.read.parquet(bp.toString).drop("batch"))
-    else base
+    val all =
+      if (fs.exists(bp))
+        base.unionByName(s.read.parquet(bp.toString).drop("batch"))
+      else base
+    Tombstones.read(s, indexDir).map(t =>
+      all.join(broadcast(t.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")).getOrElse(all)
   }
 
   /** [[minhashPairs]] SERVED from a persisted full-corpus bucket index

@@ -271,6 +271,61 @@ object Substring {
     fs.delete(ready, false)
   }
 
+  /** Logical delete for the position index (the GDPR-erasure leg,
+    * [[Tombstones]]): the doc_ids land as an exactly-once tombstone
+    * batch; every serve drops their positions AND subtracts their
+    * per-gram counts from the global frequency — reconstructed from
+    * the index's OWN positions, so the adjustment is index-local (no
+    * corpus re-gram) and the served spans equal a from-scratch build
+    * over the survivors, including the dfCap boundary: a boilerplate
+    * gram that falls back under the cap once its copies are erased
+    * REAPPEARS in the survivors' span set, exactly as the restricted
+    * recompute demands.
+    */
+  def deletePositions(s: SparkSession, indexDir: String, ids: DataFrame,
+      batchId: Long): Unit =
+    Tombstones.append(s, indexDir, ids.select(col("doc_id")), batchId)
+
+  /** Admin-cadence delete close-out: rewrite positions without the
+    * tombstoned docs (append batches fold in), recount freq from the
+    * surviving positions, retire batch dirs and tombstones — the
+    * serve returns to the minimal no-anti-join plan. Staged publish
+    * with a ready marker ([[promotePositionBatches]]'s order).
+    */
+  def compactPositionDeletes(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def path(p: String) = new Path(s"$indexDir/$p")
+    val fs = new Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ready = path("__compact_ready")
+    val tombOpt = Tombstones.read(s, indexDir)
+    if (tombOpt.isEmpty && !fs.exists(ready)) return
+    if (!fs.exists(ready)) {
+      val live = withBatches(s, indexDir, "positions")
+        .join(broadcast(tombOpt.get.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      live.write.mode("overwrite")
+        .parquet(s"$indexDir/__compact_tmp/positions")
+      s.read.parquet(s"$indexDir/__compact_tmp/positions")
+        .groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/__compact_tmp/freq")
+      fs.create(ready, true).close()
+    }
+    Seq("positions", "freq").foreach { t =>
+      val tmp = path(s"__compact_tmp/$t")
+      if (fs.exists(tmp)) {
+        fs.delete(path(t), true)
+        fs.rename(tmp, path(t))
+      }
+    }
+    Seq("positions", "freq").foreach(t =>
+      fs.delete(path(s"${t}_batches"), true))
+    Tombstones.clear(s, indexDir)
+    fs.delete(path("__compact_tmp"), true)
+    fs.delete(ready, false)
+  }
+
   /** Probe a NEW batch against the persisted position index: only the
     * batch is re-grammed (per-batch gram work scales with the batch);
     * the global dfCap frequency is reconstructed as index counts +
@@ -751,7 +806,25 @@ object Substring {
     */
   private def spansFromIndex(s: SparkSession, indexDir: String,
       minLen: Int, dfCap: Int): DataFrame = {
-    val keptH = withBatches(s, indexDir, "freq")
+    val pos0 = withBatches(s, indexDir, "positions")
+    val storedFreq = withBatches(s, indexDir, "freq")
+      .select(col("h"), col("n"))
+    // pending logical deletes: drop the tombstoned docs' positions and
+    // subtract their per-gram counts (reconstructed from the index's
+    // own positions — mergeable counts, no corpus re-gram) so the
+    // global dfCap filter is the survivors' exactly; a capped gram can
+    // legitimately RE-ENTER once its copies are erased
+    val tomb = Tombstones.read(s, indexDir).map(t =>
+      broadcast(t.select(col("doc_id"))))
+    val positions = tomb.map(t =>
+      pos0.join(t, Seq("doc_id"), "left_anti")).getOrElse(pos0)
+    val freq = tomb match {
+      case None => storedFreq
+      case Some(t) => storedFreq.unionByName(
+        pos0.join(t, Seq("doc_id"), "left_semi")
+          .groupBy(col("h")).agg((-count(lit(1))).as("n")))
+    }
+    val keptH = freq
       .groupBy(col("h")).agg(sum(col("n")).as("n"))
       .filter(col("n") <= dfCap)
       .select(col("h"))
@@ -760,9 +833,25 @@ object Substring {
     // scan + one small join, and the self-join's double consumption
     // collapses to a ReusedExchange — cheaper than materializing
     // corpus-sized positions into the block manager
-    val kept = withBatches(s, indexDir, "positions").join(keptH, Seq("h"))
+    val kept = positions.join(keptH, Seq("h"))
       .select(col("h"), col("doc_id"), col("pos"))
     spansOf(matchesOf(kept, kept), minLen)
+  }
+
+  /** [[substringScrubFromIndex]]'s oracle when the index carries
+    * deletions: the full scrub recompute RESTRICTED to the survivors —
+    * spliced into the toks CTE with a require-guarded anchor (the
+    * incrSpliceSql rule), so freq, the dfCap boundary, the span set
+    * and the reassembly are all the survivors-only construction.
+    */
+  def deletedScrubOracleSql(pred: String = "doc_id % 7 <> 6",
+      minLen: Int = 8, dfCap: Int = 64): String = {
+    val base = scrubOracleSql(minLen, dfCap)
+    val out = base.replace("FROM documents)",
+      s"FROM documents WHERE $pred)")
+    require(out != base,
+      "deletedScrubOracleSql: corpus-restriction splice found no anchor")
+    out
   }
 
   /** [[substringScrub]] recomputed end-to-end in DuckDB — span

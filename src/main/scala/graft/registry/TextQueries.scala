@@ -527,6 +527,29 @@ object TextQueries {
     "q_curation_report_served" -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.reportServed(s, d,
         s"${indexRoot(d)}/substr_full")),
+    // erasure through the dedup/curation indexes (r16): tombstoned
+    // docs can neither pair nor be selected, and the substring cut's
+    // dfCap boundary is the survivors' (a capped gram re-enters when
+    // its copies are erased) — both lifecycle states answer the
+    // delete-RESTRICTED full recomputes
+    "q_canonical_docs_deleted_served" -> ((s: SparkSession, d: String) =>
+      Dedup.canonicalDocsFromIndex(s, d,
+        s"${indexRoot(d)}/minhash_deleted")),
+    "q_canonical_docs_del_compacted_served" ->
+      ((s: SparkSession, d: String) =>
+        Dedup.canonicalDocsFromIndex(s, d,
+          s"${indexRoot(d)}/minhash_del_compacted")),
+    "q_substring_scrub_deleted_served" -> ((s: SparkSession, d: String) =>
+      graft.operators.Substring.substringScrubFromIndex(s,
+        s"${indexRoot(d)}/substr_deleted",
+        graft.Tables.documents(s, d).filter(
+          org.apache.spark.sql.functions.col("doc_id") % 7 =!= 6))),
+    "q_substring_scrub_del_compacted_served" ->
+      ((s: SparkSession, d: String) =>
+        graft.operators.Substring.substringScrubFromIndex(s,
+          s"${indexRoot(d)}/substr_del_compacted",
+          graft.Tables.documents(s, d).filter(
+            org.apache.spark.sql.functions.col("doc_id") % 7 =!= 6))),
     "q_incremental_dedup_served" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalMinhashPairsFromIndex(
         s.read.parquet(s"${indexRoot(d)}/minhash_buckets"),
@@ -922,6 +945,34 @@ object TextQueries {
             docs.filter(col("doc_id") % 7 === 6), batchId = 1L)
           if (compact) Search.compactDeletes(s, dir)
         }
+      // erasure reaches the dedup/curation indexes too: the bucket
+      // index loses the tombstoned docs' pair rows (the canonical
+      // consumer answers the survivors-only construction), the
+      // position index drops their positions AND subtracts their
+      // per-gram counts — a capped gram can re-enter the survivors'
+      // span set, which the restricted oracle demands
+      val docDel = docs.filter(col("doc_id") % 7 === 6).select("doc_id")
+      Seq("minhash_deleted" -> false, "minhash_del_compacted" -> true)
+        .foreach { case (name, compact) =>
+          val dir = s"$root/$name"
+          Dedup.minhashWriteIndex(s, d, dir,
+            buildOnly = Some(col("doc_id") % 5 =!= 4))
+          Dedup.minhashAppendBatch(s, dir,
+            docs.filter(col("doc_id") % 5 === 4), batchId = 1L)
+          Dedup.minhashDeleteIds(s, dir, docDel, batchId = 1L)
+          if (compact) Dedup.compactBucketDeletes(s, dir)
+        }
+      Seq("substr_deleted" -> false, "substr_del_compacted" -> true)
+        .foreach { case (name, compact) =>
+          val dir = s"$root/$name"
+          val all = docs.select("doc_id", "text")
+          Substring.writePositionIndex(s,
+            all.filter(col("doc_id") % 5 =!= 4), dir)
+          Substring.appendPositionsBatch(s, dir,
+            all.filter(col("doc_id") % 5 === 4), batchId = 1L)
+          Substring.deletePositions(s, dir, docDel, batchId = 1L)
+          if (compact) Substring.compactPositionDeletes(s, dir)
+        }
     }
     // frozen BPE tokenizer: trained once here, applied by
     // q_bpe_encode_served (and to anything else) without retraining
@@ -985,6 +1036,17 @@ object TextQueries {
     out
   }
 
+  private lazy val deletedCanonicalOracle: String = {
+    val base = baseOracle("q_canonical_docs")
+    // one anchor: the shingle CTE's corpus scan — pairs, components,
+    // features and members all flow from the restricted toks
+    val out = base.replace("FROM documents\n",
+      "FROM documents WHERE doc_id % 7 <> 6\n")
+    require(out != base,
+      "deletedCanonicalOracle: corpus-restriction splice found no anchor")
+    out
+  }
+
   /** q_ann_brute_agg produces identical results to q_ann_brute (the
     * aggregate formulation changes the plan, not the semantics), so it
     * shares the same oracle SQL.
@@ -1039,6 +1101,13 @@ object TextQueries {
       ("q_ann_bq_deleted_served" -> deletedBruteOracle) +
       ("q_bm25_deleted_served" -> deletedBm25Oracle) +
       ("q_bm25_del_compacted_served" -> deletedBm25Oracle) +
+      ("q_canonical_docs_deleted_served" -> deletedCanonicalOracle) +
+      ("q_canonical_docs_del_compacted_served" ->
+        deletedCanonicalOracle) +
+      ("q_substring_scrub_deleted_served" ->
+        graft.operators.Substring.deletedScrubOracleSql()) +
+      ("q_substring_scrub_del_compacted_served" ->
+        graft.operators.Substring.deletedScrubOracleSql()) +
       ("q_ann_ivfpq_served" -> baseOracle("q_ann_ivfpq")) +
       // compressed append-parity: frozen centroids+codebooks ⇒ the
       // grown codes table is row-identical to the one-shot encode

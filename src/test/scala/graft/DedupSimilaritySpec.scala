@@ -1316,6 +1316,34 @@ class DedupSimilaritySpec extends SparkSuite {
     // the matrix must carry an off-diagonal (cross-source) cell —
     // the copy-detection signal the planner reads
     assert(synd.exists(r => r(0) != r(1)))
+    // erasure: tombstone doc 9 (one member of the (7, 9) pair) — the
+    // served consumers must answer the survivors-only construction
+    operators.Dedup.minhashDeleteIds(spark, idx,
+      Seq(9L).toDF("doc_id"), batchId = 1L)
+    val survivors = tmpDir("mhserve_survivors")
+    Tables.documents(spark, dir).filter(col("doc_id") =!= 9)
+      .write.mode("overwrite")
+      .parquet(s"$survivors/documents.parquet")
+    val wantPairs = rows(operators.Dedup.minhashPairs(spark, survivors))
+    assert(wantPairs.nonEmpty && wantPairs.size < pairsInline.size)
+    // the serve's verify side may read the FULL corpus table — deleted
+    // docs can no longer pair, so they never reach the verify stage
+    def pairsDel() =
+      rows(operators.Dedup.minhashPairsFromIndex(spark, dir, idx))
+    assert(pairsDel() === wantPairs)
+    assert(rows(operators.Dedup.canonicalDocsFromIndex(spark, dir, idx))
+      === rows(operators.Dedup.canonicalDocs(spark, survivors)))
+    // compaction folds the tombstones into a fresh base: same answers,
+    // side dirs retired, re-run no-op
+    operators.Dedup.compactBucketDeletes(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/buckets_batches")))
+    assert(pairsDel() === wantPairs)
+    operators.Dedup.compactBucketDeletes(spark, idx)
+    assert(pairsDel() === wantPairs)
   }
 
   test("mmr rerank: round-0 is the relevance argmax, picks are unique, " +

@@ -276,6 +276,58 @@ class SubstringSpec extends SparkSuite {
     assert(serve() === inline)
   }
 
+  test("position-index deletes: the served scrub equals the survivors-" +
+      "only recompute, a capped gram RE-ENTERS once its copies are " +
+      "erased, and compaction folds the tombstones in") {
+    import org.apache.spark.sql.functions.col
+    val span = toks("s", 9) // 9 tokens -> 2 grams at minLen=8
+    val d = plant(Seq(
+      1L -> (span + " " + toks("a", 4)),
+      2L -> (span + " " + toks("b", 4)),
+      3L -> (span + " " + toks("c", 4)), // the copy to erase
+      4L -> toks("z", 10)))
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "text")
+    val idx = tmpDir("substr_del_idx")
+    // lifecycle-real: doc 4 arrives as an append batch
+    Substring.writePositionIndex(spark,
+      docs.filter(col("doc_id") =!= 4), idx)
+    Substring.appendPositionsBatch(spark, idx,
+      docs.filter(col("doc_id") === 4), batchId = 1L)
+    def spans(dfCap: Int) = Substring.substringScrubFromIndex(spark, idx,
+      docs.filter(col("doc_id") =!= 3), dfCap = dfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // dfCap=2: the span grams occur in 3 docs -> capped, nothing cut
+    assert(spans(2).values.forall(_ == 0L))
+    // erase doc 3: gram frequency falls to 2 <= cap, the span
+    // re-enters the survivors' set and doc 2's copy is cut
+    Substring.deletePositions(spark, idx,
+      docs.filter(col("doc_id") === 3).select("doc_id"), batchId = 1L)
+    val after = spans(2)
+    assert(after(1L) === 0L && after(2L) === 9L && after(4L) === 0L)
+    // the survivors-only from-scratch reference agrees exactly
+    val refDir = plant(Seq(
+      1L -> (span + " " + toks("a", 4)),
+      2L -> (span + " " + toks("b", 4)),
+      4L -> toks("z", 10)))
+    val want = Substring.substringScrub(spark, refDir, dfCap = 2)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    def served() = Substring.substringScrubFromIndex(spark, idx,
+      docs.filter(col("doc_id") =!= 3), dfCap = 2)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(served() === want)
+    // compaction: positions rewritten, freq recounted, tombstones and
+    // batch dirs retired; the serve is unchanged and re-runs no-op
+    Substring.compactPositionDeletes(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/positions_batches")))
+    assert(served() === want)
+    Substring.compactPositionDeletes(spark, idx)
+    assert(served() === want)
+  }
+
   test("curation report served from the position index equals the " +
       "inline report (the substring component is the only index seam)") {
     val d = "/root/testdata/sf0.001"
