@@ -31,6 +31,7 @@ object ScaleProbe {
     if (args.headOption.contains("bq")) { bqProbe(); return }
     if (args.headOption.contains("zorder")) { zorderProbe(); return }
     if (args.headOption.contains("substr")) { substrProbe(); return }
+    if (args.headOption.contains("erasure")) { erasureProbe(); return }
     val reps = args.headOption.map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -558,6 +559,76 @@ object ScaleProbe {
     * postings partitions vs the whole postings table (what the
     * PartitionFilters actually save at this corpus size).
     */
+  /** `runMain graft.ScaleProbe erasure`: the GDPR-delete cost model on
+    * the BM25 tier at 32× documents (160 k docs). Measures the four
+    * lifecycle phases — (1) the delete REQUEST (tokenize the erased
+    * docs + one tombstone write: must scale with the request, never
+    * the index), (2) the tombstoned serve (anti-join + query-term df
+    * recount — the price paid until compaction), (3) compaction (the
+    * corpus-sized rewrite, admin cadence), (4) the compacted serve
+    * (back on the stored-stats plan) — and asserts answer-equality
+    * against an inline recompute over the survivor corpus at every
+    * stage, so the timing rows can't drift from correctness.
+    */
+  private def erasureProbe(): Unit = {
+    import graft.operators.Search
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reps = 32
+    val corpus = "/tmp/graft_erasure_scale"
+    val idx = s"$corpus/bm25_idx"
+    if (!new java.io.File(s"$corpus/documents.parquet").exists())
+      Tables.documents(spark, "/root/testdata/sf0.1")
+        .withColumn("__rep", explode(lit((0 until reps).toArray)))
+        .select((col("doc_id") * reps + col("__rep")).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val docs = Tables.documents(spark, corpus)
+    val n = docs.count()
+    val doomed = docs.filter(col("doc_id") % 64 === 7)
+    val nDel = doomed.count()
+    val tBuild = probeTime(s"bm25 index build ($n docs)") {
+      Search.buildIndex(spark, corpus, idx)
+    }
+    // the survivors-only truth every stage must serve
+    val survivors = s"$corpus/survivors"
+    if (!new java.io.File(s"$survivors/documents.parquet").exists())
+      docs.filter(col("doc_id") % 64 =!= 7)
+        .write.mode("overwrite").parquet(s"$survivors/documents.parquet")
+    val want = Search.bm25(spark, survivors).collect()
+      .map(_.toString).sorted.toSeq
+    def served() = Search.bm25FromIndex(spark, idx).collect()
+      .map(_.toString).sorted.toSeq
+    val tDelete = probeTime(
+      s"delete request ($nDel of $n docs -> tombstone batch)") {
+      Search.deleteDocs(spark, idx, doomed, batchId = 1L)
+    }
+    served() // warm
+    val tTomb = (1 to 3).map(_ =>
+      probeTime("tombstoned serve (anti-join + df recount)") {
+        assert(served() == want, "tombstoned serve != survivors truth")
+      }).min
+    val tCompact = probeTime("compactDeletes (corpus-sized rewrite)") {
+      Search.compactDeletes(spark, idx)
+    }
+    val tCompacted = (1 to 3).map(_ =>
+      probeTime("compacted serve (stored-stats plan)") {
+        assert(served() == want, "compacted serve != survivors truth")
+      }).min
+    println(f"erasure-probe summary ($n docs, $nDel erased): build " +
+      f"$tBuild%.1f s, delete $tDelete%.2f s, tombstoned serve " +
+      f"$tTomb%.2f s, compact $tCompact%.1f s, compacted serve " +
+      f"$tCompacted%.2f s (serves min-of-3, answers asserted against " +
+      "the survivors-only inline recompute)")
+    spark.stop()
+  }
+
   private def bm25Probe(): Unit = {
     import graft.operators.Search
     val spark = SparkSession.builder()
