@@ -463,7 +463,6 @@ object Similarity {
     */
   def mmrTopK(s: SparkSession, d: String, nQueries: Int = 5,
       kCand: Int = 12, k: Int = 5, lambda: Double = 0.7): DataFrame = {
-    import s.implicits._
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
@@ -477,6 +476,45 @@ object Similarity {
       .filter(col("rk") <= kCand)
       .select(col("query_id"), col("vec_id"), col("embedding"),
         col("rel"))
+    mmrGreedy(s, cand, k, lambda)
+  }
+
+  /** [[mmrTopK]] SERVED from the persisted int8 codes tier: the
+    * shortlist IDS come off the index ([[ScalarQuant.sqTopKFromIndex]]
+    * — whose exact re-rank recovers the brute ranking row-for-row, the
+    * q_ann_int8 contract), then relevance and the candidate vectors
+    * re-attach from the raw store by id (a k·queries-row fetch join —
+    * the rel recompute keeps the unrounded doubles the greedy
+    * objective needs; the index's served `sim` column is 4-dp display
+    * rounding). Candidate sets and relevances are bit-identical to the
+    * inline form's, so the served trajectory shares the full
+    * unrolled-rounds oracle.
+    */
+  def mmrTopKFromIndex(s: SparkSession, indexDir: String, d: String,
+      nQueries: Int = 5, kCand: Int = 12, k: Int = 5,
+      lambda: Double = 0.7): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val shortlist = ScalarQuant.sqTopKFromIndex(s, indexDir,
+        emb.filter(col("vec_id") < nQueries), emb, k = kCand)
+      .select(col("query_id"), col("vec_id"))
+    val cand = shortlist
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        fusedCosine(col("q"), col("embedding")).as("rel"))
+    mmrGreedy(s, cand, k, lambda)
+  }
+
+  /** The inherently-sequential greedy over a bounded
+    * (query_id, vec_id, embedding, rel) candidate frame — shared by
+    * the inline and served MMR forms (the documented bounded-collect
+    * class; kCand·nQueries rows by construction).
+    */
+  private def mmrGreedy(s: SparkSession, cand: DataFrame, k: Int,
+      lambda: Double): DataFrame = {
+    import s.implicits._
     val rows = cand.collect().map(r => (r.getLong(0), r.getLong(1),
       r.getSeq[Float](2).toArray, r.getDouble(3)))
     // sequential double accumulation in index order — the same fold

@@ -260,6 +260,12 @@ object TextQueries {
     // diversification stage; full trajectory oracle (unrolled rounds)
     "q_mmr_rerank" -> ((s: SparkSession, d: String) =>
       Similarity.mmrTopK(s, d)),
+    // the diversification stage served from the persisted int8 tier:
+    // shortlist ids off the index (exact re-rank ⇒ the brute top-kCand
+    // row-for-row), relevance re-attached from the raw store by id —
+    // same candidates, same greedy, shared trajectory oracle
+    "q_mmr_rerank_served" -> ((s: SparkSession, d: String) =>
+      Similarity.mmrTopKFromIndex(s, s"${indexRoot(d)}/int8", d)),
     // late-interaction multi-vector retrieval (ColBERT maxsim)
     "q_maxsim" -> ((s: SparkSession, d: String) =>
       Similarity.maxSimTopK(s, d)),
@@ -1108,6 +1114,9 @@ object TextQueries {
         graft.operators.Substring.deletedScrubOracleSql()) +
       ("q_substring_scrub_del_compacted_served" ->
         graft.operators.Substring.deletedScrubOracleSql()) +
+      // served MMR: index-exact shortlist + raw-store relevance ⇒ the
+      // identical greedy trajectory — shares the unrolled-rounds oracle
+      ("q_mmr_rerank_served" -> baseOracle("q_mmr_rerank")) +
       ("q_ann_ivfpq_served" -> baseOracle("q_ann_ivfpq")) +
       // compressed append-parity: frozen centroids+codebooks ⇒ the
       // grown codes table is row-identical to the one-shot encode

@@ -1365,6 +1365,14 @@ class DedupSimilaritySpec extends SparkSuite {
     // λ=0.7 must trade relevance for diversity SOMEWHERE, or the stage
     // is a no-op at this setting
     assert(mmrByQ.exists { case (q, picks) => picks !== topByQ(q) })
+    // served from the persisted int8 tier: index-exact shortlist +
+    // raw-store relevance must reproduce the inline trajectory
+    val idx = tmpDir("mmr_int8")
+    operators.ScalarQuant.sqWriteIndex(spark, d, idx)
+    val served = operators.Similarity.mmrTopKFromIndex(spark, idx, d)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(served === operators.Similarity.mmrTopK(spark, d)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
   test("matryoshka truncation recall: full-dim rows anchor at 1.0, " +
