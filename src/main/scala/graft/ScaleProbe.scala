@@ -30,8 +30,12 @@ object ScaleProbe {
     if (args.headOption.contains("int8")) { int8Probe(); return }
     if (args.headOption.contains("bq")) { bqProbe(); return }
     if (args.headOption.contains("zorder")) { zorderProbe(); return }
+    if (args.headOption.contains("fetch")) { fetchProbe(); return }
     if (args.headOption.contains("substr")) { substrProbe(); return }
     if (args.headOption.contains("erasure")) { erasureProbe(); return }
+    if (args.headOption.contains("modelerase")) {
+      modelEraseProbe(); return
+    }
     val reps = args.headOption.map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -274,6 +278,141 @@ object ScaleProbe {
     val (nZ2, tZ2) = rowGroups(s"$root/zorder256")
     println(s"row groups intersecting the rectangle at 256: " +
       s"sorted $nS2/$tS2 vs z-ordered $nZ2/$tZ2")
+  }
+
+  /** `runMain graft.ScaleProbe fetch`: the shortlist-fetch pruning
+    * evidence (r16 VERDICT gap #2). At 64× sf0.1 (320k vectors) the
+    * raw embedding store is written vec_id-SORTED (repartitionByRange
+    * + sortWithinPartitions — the Layout 1-D machinery, i.e. how a
+    * 100 TB cold tier is laid out), so every parquet row group carries
+    * a disjoint vec_id band. The int8 serve's exact re-rank pushes the
+    * bounded shortlist's vec_id set into that scan as an In filter
+    * ([[graft.operators.ScalarQuant]] rerankFetch); this probe prints
+    * (1) bytes read + wall time of the OLD full-store fetch scan vs
+    * the pruned one, (2) the footer-level row-group evidence (groups
+    * whose vec_id band intersects the shortlist vs total), and (3)
+    * row-equality of the pruned serve against the scan-everything
+    * plan reconstructed inline — the pruning must change bytes, never
+    * rows.
+    */
+  private def fetchProbe(): Unit = {
+    import graft.operators.ScalarQuant
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reps = 256
+    val corpus = "/tmp/graft_fetch_scale"
+    ensureScaleEmbeddings(spark, corpus, reps)
+    // the cold tier written vec_id-sorted with ~64 KB row groups: the
+    // probe corpus is small, so group granularity stands in for lake
+    // scale — what transfers is ids-per-group, and at 100 TB the group
+    // count outruns any shortlist by orders of magnitude, so the
+    // pruned fetch converges to (shortlist size × one group) while the
+    // unpruned one stays at the corpus
+    val store = s"$corpus/raw_sorted"
+    if (!new java.io.File(store).exists())
+      Tables.embeddings(spark, corpus)
+        .repartitionByRange(16, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (64 << 10).toString)
+        .parquet(store)
+    val idx = s"$corpus/int8_fetch_idx"
+    if (!new java.io.File(idx).exists())
+      ScalarQuant.sqWriteIndex(spark, corpus, idx)
+    def raw = spark.read.parquet(store)
+    val queries = Tables.embeddings(spark, corpus)
+      .filter(col("vec_id") < 5)
+    // production-width shortlist (refine 50 × 5 queries) — the point
+    // is k·queries rows against a half-million-vector store
+    val refine = 50
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // the shortlist the re-rank fetches: serve with k = refine emits
+    // exactly the refine-width candidate set
+    val slIds = ScalarQuant.sqTopKFromIndex(spark, idx, queries, raw,
+        k = refine, refine = refine)
+      .select(col("vec_id")).collect().map(_.getLong(0)).distinct.toSeq
+    println(s"shortlist: ${slIds.length} distinct ids of " +
+      s"${Tables.embeddings(spark, corpus).count()} vectors")
+    noop(raw.select(col("vec_id"), col("embedding"))) // warm page cache
+    val tFull = (1 to 3).map(_ =>
+      probeTime("fetch scan, FULL store (old plan)") {
+        noop(raw.select(col("vec_id"), col("embedding")))
+      }).min
+    val tPruned = (1 to 3).map(_ =>
+      probeTime("fetch scan, In-pruned store") {
+        noop(raw.select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id").isin(slIds: _*)))
+      }).min
+    // footer-level evidence — deterministic, reader-independent: row
+    // groups whose vec_id band holds any shortlisted id are ALL a
+    // stats-pruning reader opens; sum their on-disk bytes
+    import scala.jdk.CollectionConverters._
+    val sortedIds = slIds.sorted.toArray
+    def intersects(lo: Long, hi: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(sortedIds, lo)
+      val at = if (i >= 0) i else -i - 1
+      at < sortedIds.length && sortedIds(at) <= hi
+    }
+    val conf = new org.apache.hadoop.conf.Configuration()
+    var total = 0; var needed = 0
+    var bytesAll = 0L; var bytesNeeded = 0L
+    new java.io.File(store).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.foreach { b =>
+          total += 1
+          val sz = b.getColumns.asScala.map(_.getTotalSize).sum
+          bytesAll += sz
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == "vec_id").get
+          val st = c.getStatistics
+          if (intersects(
+              st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue())) {
+            needed += 1; bytesNeeded += sz
+          }
+        } finally r.close()
+      }
+    println(f"row groups a stats-pruning reader opens: $needed/$total " +
+      f"(${bytesNeeded / 1e6}%.1f of ${bytesAll / 1e6}%.1f MB on disk " +
+      f"— ${bytesAll.toDouble / math.max(bytesNeeded, 1L)}%.1fx fewer " +
+      f"bytes); wall: full $tFull%.2f s vs pruned $tPruned%.2f s " +
+      "(min-of-3)")
+    // rows must be identical to the scan-everything plan — reconstruct
+    // the pre-pruning fetch inline and compare the final rankings
+    val qs = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q"))
+    val shortlist = ScalarQuant.sqTopKFromIndex(spark, idx, queries,
+        raw, k = refine, refine = refine)
+      .select(col("query_id"), col("vec_id")).join(qs, "query_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val unpruned = raw.select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.FusedCosineSimilarity.fusedCosine(
+          col("q"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id"),
+        r4(col("sim")).as("sim"), col("rk"))
+      .collect().map(_.toString).sorted.toSeq
+    val pruned = ScalarQuant.sqTopKFromIndex(spark, idx, queries, raw,
+        refine = refine)
+      .collect().map(_.toString).sorted.toSeq
+    println(s"pruned serve ${if (pruned == unpruned) "IDENTICAL to"
+      else "DIVERGES from"} the scan-everything plan " +
+      s"(${pruned.length} rows)")
+    spark.stop()
   }
 
   private def skewProbe(): Unit = {
@@ -626,6 +765,124 @@ object ScaleProbe {
       f"$tTomb%.2f s, compact $tCompact%.1f s, compacted serve " +
       f"$tCompacted%.2f s (serves min-of-3, answers asserted against " +
       "the survivors-only inline recompute)")
+    spark.stop()
+  }
+
+  /** `runMain graft.ScaleProbe modelerase`: the GDPR-delete cost model
+    * for the DERIVED/MODEL indexes at 32× documents (160 k docs,
+    * ~2,500 erased) — the r17 counterpart of the BM25 `erasure` probe.
+    * Two statistics classes:
+    *  - the perplexity LM's bigram counts are ADDITIVE — the delete
+    *    request records the erased docs' counts, serves subtract them
+    *    exactly, compaction folds by subtraction (never re-reads the
+    *    corpus);
+    *  - the novelty index's first-seen MIN is NOT subtractable — the
+    *    request and serves stay request/probe-scaled (surviving minima
+    *    stand; erased-vouched grams re-derive from the probe), but
+    *    compaction must pay one survivor-corpus re-shingle pass
+    *    restricted to the affected grams: the honest price of erasing
+    *    a min statistic, scheduled like an IVF refit and still cheaper
+    *    than the full retrain it replaces.
+    * Answers asserted against survivors-only inline recomputes at
+    * every stage.
+    */
+  private def modelEraseProbe(): Unit = {
+    import graft.operators.{Dedup, Perplexity}
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reps = 32
+    val corpus = "/tmp/graft_erasure_scale" // shared with erasureProbe
+    if (!new java.io.File(s"$corpus/documents.parquet").exists())
+      Tables.documents(spark, "/root/testdata/sf0.1")
+        .withColumn("__rep", explode(lit((0 until reps).toArray)))
+        .select((col("doc_id") * reps + col("__rep")).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val docs = Tables.documents(spark, corpus)
+    val n = docs.count()
+    val doomed = docs.filter(col("doc_id") % 64 === 7)
+    val nDel = doomed.count()
+    val survivors = s"$corpus/survivors"
+    if (!new java.io.File(s"$survivors/documents.parquet").exists())
+      docs.filter(col("doc_id") % 64 =!= 7)
+        .write.mode("overwrite").parquet(s"$survivors/documents.parquet")
+    val survDocs = Tables.documents(spark, survivors)
+      .select(col("doc_id"), col("text"))
+
+    // ---- novelty first-seen index (min: not subtractable) ----
+    val nIdx = s"$corpus/novelty_idx"
+    val tNBuild = probeTime(s"novelty first-seen build ($n docs)") {
+      Dedup.noveltyWriteIndex(spark, corpus, nIdx)
+    }
+    val wantNov = Dedup.novelty(spark, survivors).collect()
+      .map(_.toString).sorted.toSeq
+    val tNDel = probeTime(
+      s"novelty delete request ($nDel docs shingled -> tombstone)") {
+      Dedup.noveltyDeleteDocs(spark, nIdx, doomed, batchId = 1L)
+    }
+    def novServe() = Dedup.noveltyFromIndex(spark, nIdx, survDocs)
+      .collect().map(_.toString).sorted.toSeq
+    novServe() // warm
+    val tNTomb = (1 to 2).map(_ =>
+      probeTime("novelty tombstoned serve (survivor probe)") {
+        assert(novServe() == wantNov,
+          "novelty tombstoned serve != survivors truth")
+      }).min
+    val tNCompact = probeTime(
+      "compactNoveltyDeletes (affected-gram survivor re-shingle)") {
+      Dedup.compactNoveltyDeletes(spark, nIdx, survDocs)
+    }
+    val tNAfter = probeTime("novelty compacted serve") {
+      assert(novServe() == wantNov,
+        "novelty compacted serve != survivors truth")
+    }
+    println(f"novelty-erase summary ($n docs, $nDel erased): build " +
+      f"$tNBuild%.1f s, delete $tNDel%.2f s, tombstoned serve " +
+      f"$tNTomb%.1f s, compact $tNCompact%.1f s (vs $tNBuild%.1f s " +
+      f"retrain), compacted serve $tNAfter%.1f s")
+
+    // ---- perplexity LM (counts: additive subtraction) ----
+    val pplDir = s"$corpus/ppl_model"
+    val tPBuild = probeTime(s"LM count train ($n docs, ref = all)") {
+      Perplexity.writeModel(spark, corpus, pplDir,
+        reference = lit(true))
+    }
+    val wantPpl = Perplexity.perplexityFilter(spark, survivors,
+        reference = lit(true))
+      .collect().map(_.toString).sorted.toSeq
+    val tPDel = probeTime(
+      s"LM delete request ($nDel docs' bigram counts -> tombstone)") {
+      Perplexity.deleteDocs(spark, pplDir, doomed, batchId = 1L,
+        reference = lit(true))
+    }
+    def pplServe() = Perplexity.scoreWithModel(spark, corpus, pplDir,
+        reference = lit(true),
+        docFilter = Some(col("doc_id") % 64 =!= 7))
+      .collect().map(_.toString).sorted.toSeq
+    pplServe() // warm
+    val tPTomb = (1 to 2).map(_ =>
+      probeTime("LM tombstoned serve (counts minus tombstones)") {
+        assert(pplServe() == wantPpl,
+          "LM tombstoned serve != survivors truth")
+      }).min
+    val tPCompact = probeTime(
+      "LM compactDeletes (subtraction fold, corpus never re-read)") {
+      Perplexity.compactDeletes(spark, pplDir)
+    }
+    val tPAfter = probeTime("LM compacted serve") {
+      assert(pplServe() == wantPpl,
+        "LM compacted serve != survivors truth")
+    }
+    println(f"lm-erase summary ($n docs, $nDel erased): train " +
+      f"$tPBuild%.1f s, delete $tPDel%.2f s, tombstoned serve " +
+      f"$tPTomb%.1f s, compact $tPCompact%.1f s (vs $tPBuild%.1f s " +
+      f"retrain), compacted serve $tPAfter%.1f s")
     spark.stop()
   }
 

@@ -240,16 +240,9 @@ object BinaryQuant {
       .select(col("query_id"), col("cand._1").as("vec_id"))
       .join(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q")), "query_id") // tiny × tiny
-    // exact re-rank: broadcast the shortlist into one raw-store scan
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    refineFrom.select(col("vec_id"), col("embedding"))
-      .join(broadcast(shortlist), Seq("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        fusedCosine(col("q"), col("embedding")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), r4(col("sim")).as("sim"),
-        col("rk"))
+    // exact re-rank with the shortlist's vec_id set pushed into the
+    // raw-store scan — the shared pruned fetch (see
+    // [[ScalarQuant.rerankFetch]]'s scale note)
+    ScalarQuant.rerankFetch(s, shortlist, refineFrom, k)
   }
 }

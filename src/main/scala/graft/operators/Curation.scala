@@ -58,7 +58,12 @@ object Curation {
     reportFrom(s, d, Substring.substringScrubFromIndex(s, substrIndexDir,
       Tables.documents(s, d).select(col("doc_id"), col("text"))))
 
-  private def reportFrom(s: SparkSession, d: String,
+  /** The shared per-document flag frame every report derives from:
+    * (doc_id, source, ws, n_cut, exact_dup, near_dup, pii,
+    * contaminated, repetitive) — one row per doc, joined-in component
+    * flags coalesced to 0.
+    */
+  private def flagsFrom(s: SparkSession, d: String,
       scrub: DataFrame): DataFrame = {
     val toksC = col("t")
     val bigrams = TextOps.bigramsOf(toksC)
@@ -89,17 +94,78 @@ object Curation {
       .join(nearDup, Seq("doc_id"), "left")
       .join(cut, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("ws"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        col("exact_dup"),
+        coalesce(col("near_dup"), lit(0L)).as("near_dup"),
+        col("pii"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+        col("repetitive"))
+  }
+
+  private def reportFrom(s: SparkSession, d: String,
+      scrub: DataFrame): DataFrame =
+    flagsFrom(s, d, scrub)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ws")).cast("bigint").as("ws_tokens"),
         sum(col("exact_dup")).cast("bigint").as("exact_dup_docs"),
-        sum(coalesce(col("near_dup"), lit(0L))).cast("bigint")
-          .as("near_dup_docs"),
-        sum(coalesce(col("n_cut"), lit(0L))).cast("bigint")
-          .as("substr_cut_tokens"),
+        sum(col("near_dup")).cast("bigint").as("near_dup_docs"),
+        sum(col("n_cut")).cast("bigint").as("substr_cut_tokens"),
         sum(col("pii")).cast("bigint").as("pii_docs"),
-        sum(coalesce(col("contaminated"), lit(0L))).cast("bigint")
-          .as("contaminated_docs"),
+        sum(col("contaminated")).cast("bigint").as("contaminated_docs"),
         sum(col("repetitive")).cast("bigint").as("repetitive_docs"))
+
+  /** The training-mix MANIFEST — the artifact a pretraining run is
+    * actually configured from, composing the audited components into
+    * one row per source:
+    *  - `raw_docs` / `raw_tokens` — corpus mass before curation;
+    *  - `kept_docs` / `clean_tokens` — post-curation mass: documents
+    *    carrying NO flag (exact/near dup, PII, contamination,
+    *    repetition — the report's drop set), token mass net of their
+    *    substring cuts;
+    *  - `clean_share` — each source's share of the total clean mass;
+    *  - `q_share` — the temperature-smoothed sampling weight over
+    *    clean TOKENS (q ∝ p^α, α = 0.3 — [[Sampling.temperatureMix]]'s
+    *    rule applied to the mass a shard writer actually draws from,
+    *    not raw doc counts);
+    *  - `alloc_tokens` — this source's slice of the run's token
+    *    budget (q_share × budget);
+    *  - `epochs` — alloc / clean: how many times the source's clean
+    *    data is traversed (> 1 = upsampling repeats).
+    * All derived doubles at 4 dp (the pow() ulp contract). Scale
+    * shape: the flag frame is the report's (one corpus pass + the
+    * component operators); everything after is source-cardinality.
+    */
+  def mixManifest(s: SparkSession, d: String, alpha: Double = 0.3,
+      budgetTokens: Long = 50000L): DataFrame = {
+    import graft.functions.Fns.r4
+    val per = flagsFrom(s, d, Substring.substringScrub(s, d))
+      .withColumn("dropped",
+        when(col("exact_dup") + col("near_dup") + col("pii") +
+          col("contaminated") + col("repetitive") > 0, 1L)
+          .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("raw_docs"),
+        sum(col("ws")).cast("bigint").as("raw_tokens"),
+        sum(when(col("dropped") === 0, 1L).otherwise(0L))
+          .cast("bigint").as("kept_docs"),
+        sum(when(col("dropped") === 0, col("ws") - col("n_cut"))
+          .otherwise(0L)).cast("bigint").as("clean_tokens"))
+    val tot = per.agg(
+      sum(col("clean_tokens")).cast("double").as("ct_total"))
+    val sm = per.crossJoin(broadcast(tot))
+      .withColumn("p", col("clean_tokens") / col("ct_total"))
+      .withColumn("pa", pow(col("p"), lit(alpha)))
+    val z = sm.agg(sum(col("pa")).as("z"))
+    sm.crossJoin(broadcast(z))
+      .select(col("source"), col("raw_docs"), col("raw_tokens"),
+        col("kept_docs"), col("clean_tokens"),
+        r4(col("p")).as("clean_share"),
+        r4(col("pa") / col("z")).as("q_share"),
+        r4(col("pa") / col("z") * lit(budgetTokens.toDouble))
+          .as("alloc_tokens"),
+        r4(col("pa") / col("z") * lit(budgetTokens.toDouble)
+          / col("clean_tokens")).as("epochs"))
   }
 }

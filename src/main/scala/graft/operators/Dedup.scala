@@ -882,16 +882,127 @@ object Dedup {
           s.read.parquet(bPath.toString).drop("batch"))
       else base
     // checkpointed for the same two-consumer reason novelty() notes
-    val firstSeen = lazyCheckpoint(union.groupBy(col("g"))
+    val firstSeen0 = lazyCheckpoint(union.groupBy(col("g"))
       .agg(min(col("first_doc")).as("first_doc"),
         sum(col("df")).as("df")))
     // same materialize-arrays-then-explode shape as novelty() — the
-    // probe frame forks into noveltyScores' hot/cold legs
-    noveltyScores(
-      hashedShingleArrays(Tables.parallelized(
+    // probe frame forks into noveltyScores' hot/cold legs (and, with
+    // deletions pending, the affected-gram re-derivation)
+    val probeGrams = hashedShingleArrays(Tables.parallelized(
         docs.select(col("doc_id"), col("text"))))
+      .select(col("doc_id"), explode(col("shh")).as("g"))
+    // GDPR-erasure leg ([[noveltyDeleteDocs]]): min is NOT a
+    // subtractable statistic — unlike BM25's N/Σdl or the LM's counts,
+    // a first-seen record vouched by an erased doc has no index-local
+    // replacement. The serve handles the two cases exactly:
+    // (1) rows whose first_doc SURVIVES stay — removing docs can only
+    //     raise a min, so a surviving min IS the survivors' min; their
+    //     df subtracts the erased carriers (routing-only honesty — the
+    //     hot/cold split is result-invariant);
+    // (2) rows whose first_doc is erased drop, and those grams' minima
+    //     RE-DERIVE from the probe frame itself — exact when the probe
+    //     covers the surviving corpus (the erasure serve's contract,
+    //     and the registry shape: q_novelty scores the whole corpus).
+    // Work stays request+probe-scaled; the corpus-sized min rebuild is
+    // [[compactNoveltyDeletes]]' admin-cadence job.
+    val firstSeen = Tombstones.read(s, indexDir) match {
+      case None => firstSeen0
+      case Some(t) =>
+        val tdocs = broadcast(t.select(col("doc_id")).distinct()
+          .withColumnRenamed("doc_id", "first_doc"))
+        val dfDel = broadcast(t.dropDuplicates("doc_id", "g")
+          .groupBy(col("g")).agg(count(lit(1)).as("dfd")))
+        val kept = firstSeen0
+          .join(tdocs, Seq("first_doc"), "left_anti")
+          .join(dfDel, Seq("g"), "left")
+          .select(col("g"), col("first_doc"),
+            (col("df") - coalesce(col("dfd"), lit(0L))).as("df"))
+        val reDerived = probeGrams.groupBy(col("g"))
+          .agg(min(col("doc_id")).as("first_doc"),
+            count(lit(1)).as("df"))
+          .join(kept.select(col("g")), Seq("g"), "left_anti")
+          .select(col("g"), col("first_doc"), col("df"))
+        lazyCheckpoint(kept.unionByName(reDerived))
+    }
+    noveltyScores(probeGrams, firstSeen, hotDocs)
+  }
+
+  /** Logical delete for the novelty index (the GDPR-erasure leg): the
+    * tombstone carries the erased docs' (doc_id, g) gram rows —
+    * computed from their text HERE, while the erasure request still
+    * holds it — so both the serve-time df adjustment and the
+    * compaction's affected-gram detection are index-local afterward.
+    * Work scales with the request. Caller's invariant: the docs are
+    * index-resident.
+    */
+  def noveltyDeleteDocs(s: SparkSession, indexDir: String,
+      docs: DataFrame, batchId: Long): Unit =
+    Tombstones.append(s, indexDir,
+      hashedShingleArrays(Tables.parallelized(
+          docs.select(col("doc_id"), col("text"))))
         .select(col("doc_id"), explode(col("shh")).as("g")),
-      firstSeen, hotDocs)
+      batchId)
+
+  /** Admin-cadence delete close-out for the novelty index. Because min
+    * is not subtractable, the grams whose recorded first-seen is
+    * erased must re-derive their survivor minimum from the CORPUS —
+    * `survivorDocs` — and that one restricted re-shingle pass is the
+    * honest price of erasing a min statistic (COMPARE.md: the delete
+    * request and every serve stay request-scaled; this pass is
+    * scheduled, like the IVF refit). Unaffected grams fold
+    * index-locally (min survives ⇒ min is the survivors'; df
+    * subtracts the tombstoned carriers). The rewritten base equals a
+    * survivors-only [[noveltyWriteIndex]] build row-for-row
+    * (spec-pinned). Staged publish + ready marker, crash-idempotent.
+    */
+  def compactNoveltyDeletes(s: SparkSession, indexDir: String,
+      survivorDocs: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    def path(p: String) = new Path(s"$indexDir/$p")
+    val fs =
+      new Path(indexDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ready = path("__compact_firstseen_ready")
+    val tombOpt = Tombstones.read(s, indexDir)
+    if (tombOpt.isEmpty && !fs.exists(ready)) return
+    val tmp = path("__compact_firstseen_tmp")
+    if (!fs.exists(ready)) {
+      val t = tombOpt.get
+      val bPath = path("firstseen_batches")
+      val base = s.read.parquet(path("firstseen").toString)
+      val folded = (if (fs.exists(bPath))
+          base.unionByName(s.read.parquet(bPath.toString).drop("batch"))
+        else base)
+        .groupBy(col("g")).agg(min(col("first_doc")).as("first_doc"),
+          sum(col("df")).as("df"))
+      val tdocs = broadcast(t.select(col("doc_id")).distinct()
+        .withColumnRenamed("doc_id", "first_doc"))
+      val dfDel = broadcast(t.dropDuplicates("doc_id", "g")
+        .groupBy(col("g")).agg(count(lit(1)).as("dfd")))
+      val kept = folded.join(tdocs, Seq("first_doc"), "left_anti")
+        .join(dfDel, Seq("g"), "left")
+        .select(col("g"), col("first_doc"),
+          (col("df") - coalesce(col("dfd"), lit(0L))).as("df"))
+      // affected grams: recorded first-seen erased — re-min from the
+      // surviving corpus, restricted to exactly those grams
+      val affected = folded.join(tdocs, Seq("first_doc"), "left_semi")
+        .select(col("g"))
+      val reDerived = hashedShingleArrays(Tables.parallelized(
+          survivorDocs.select(col("doc_id"), col("text"))))
+        .select(col("doc_id"), explode(col("shh")).as("g"))
+        .join(affected, Seq("g"), "left_semi")
+        .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"),
+          count(lit(1)).as("df"))
+      kept.unionByName(reDerived)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.create(ready, true).close()
+    }
+    if (fs.exists(tmp)) {
+      fs.delete(path("firstseen"), true)
+      fs.rename(tmp, path("firstseen"))
+    }
+    fs.delete(path("firstseen_batches"), true)
+    Tombstones.clear(s, indexDir)
+    fs.delete(ready, false)
   }
 
   /** Fold committed novelty append batches back into the base index —

@@ -145,6 +145,9 @@ object Perplexity {
     val kept = docFilter.fold(docs)(docs.where(_))
     bigramsOf(kept).where(col("ref"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      // tw = the tombstone fold WATERMARK (Search.statsRowOf's
+      // convention): −1 on a fresh train — no delete batch folded yet
+      .withColumn("tw", lit(-1L))
       .write.mode("overwrite").parquet(s"$modelDir/bigrams")
   }
 
@@ -159,14 +162,38 @@ object Perplexity {
         TextOps.tokens(col("text")).as("ts")))
       .where(col("ref"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .withColumn("tw", lit(-1L))
       .write.mode("overwrite")
       .parquet(s"$modelDir/bigrams_batches/batch=$batchId")
 
-  /** Base ∪ batch counts, summed — the folded model table. A
+  /** Logical delete (the GDPR-erasure leg): the tombstone carries the
+    * erased docs' per-doc bigram counts — (doc_id, w1, w2, c2),
+    * computed from their text HERE, while the erasure request still
+    * holds it — and every count-reading path subtracts them until
+    * [[compactDeletes]] folds the subtraction into a fresh base.
+    * Counts are additive, so the adjusted model IS the
+    * survivors-trained model exactly (unlike the novelty index's min,
+    * which needs [[Dedup.compactNoveltyDeletes]]' corpus pass). Docs
+    * outside the reference slice contribute no rows — correctly: they
+    * never trained the model. Work scales with the request. Caller's
+    * invariant: the docs are model-resident (requests name stored
+    * documents not yet folded out).
+    */
+  def deleteDocs(s: SparkSession, modelDir: String, docs: DataFrame,
+      batchId: Long, reference: Column = defaultReference): Unit =
+    Tombstones.append(s, modelDir,
+      bigramsOf(docs.select(col("doc_id"),
+          reference.cast("boolean").as("ref"),
+          TextOps.tokens(col("text")).as("ts")))
+        .where(col("ref"))
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c2")),
+      batchId)
+
+  /** Base ∪ batch rows, ungrouped, with the fold watermark column. A
     * streaming-fed model may have batches and no base yet; only BOTH
     * missing is an error.
     */
-  private def foldedCounts(s: SparkSession, modelDir: String): DataFrame = {
+  private def foldedRaw(s: SparkSession, modelDir: String): DataFrame = {
     def existing(p: String): Option[DataFrame] = {
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -176,14 +203,92 @@ object Perplexity {
     val base = existing(s"$modelDir/bigrams")
     val batches = existing(s"$modelDir/bigrams_batches")
       .map(_.drop("batch"))
-    val all = (base, batches) match {
+    (base, batches) match {
       case (Some(b), Some(x)) => b.unionByName(x)
       case (Some(b), None)    => b
       case (None, Some(x))    => x
       case (None, None) => sys.error(
         s"no perplexity model at $modelDir (neither base nor batches)")
     }
+  }
+
+  /** Batches folded into summed counts, tombstones NOT applied —
+    * (w1, w2, c2, tw) with the carried-forward watermark. What
+    * [[promoteBatches]] persists: promotion folds APPEND batches only;
+    * applying pending deletions there would strand live tombstones
+    * above a base that already subtracted them.
+    */
+  private def foldedBase(s: SparkSession, modelDir: String): DataFrame = {
+    val all = foldedRaw(s, modelDir)
     all.groupBy("w1", "w2").agg(sum(col("c2")).as("c2"))
+      .crossJoin(broadcast(all.agg(max(col("tw")).as("tw"))))
+  }
+
+  /** The LIVE model table (w1, w2, c2): base ∪ batches summed, minus
+    * any pending tombstoned counts. The subtraction carries the two
+    * guards of [[Search]]'s statsMinusTombs — only delete batches
+    * ABOVE the persisted fold watermark subtract (a serve landing in a
+    * compaction's swap-to-retire window, or after a crash there, never
+    * double-subtracts), and rows dedupe by (doc_id, w1, w2) first (a
+    * re-sent request in a second live batch subtracts once). Rows
+    * whose count reaches zero DROP — a bigram seen only in erased docs
+    * leaves the vocabulary, shifting V exactly as the survivors-only
+    * retrain would.
+    */
+  private def foldedCounts(s: SparkSession, modelDir: String): DataFrame = {
+    val all = foldedRaw(s, modelDir)
+    val folded = all.groupBy("w1", "w2").agg(sum(col("c2")).as("c2"))
+    Tombstones.readRaw(s, modelDir) match {
+      case None => folded
+      case Some(tombRaw) =>
+        val unfolded = tombRaw
+          .crossJoin(broadcast(all.agg(max(col("tw")).as("tw"))))
+          .filter(col("batch") > col("tw"))
+          .dropDuplicates("doc_id", "w1", "w2")
+          .groupBy("w1", "w2").agg(sum(col("c2")).as("dc"))
+        folded.join(broadcast(unfolded), Seq("w1", "w2"), "left")
+          .select(col("w1"), col("w2"),
+            (col("c2") - coalesce(col("dc"), lit(0L))).as("c2"))
+          .filter(col("c2") > 0)
+    }
+  }
+
+  /** Admin-cadence delete close-out: rewrite the base table as the
+    * LIVE counts (append batches fold in, tombstoned counts subtract
+    * under the watermark guard) with the watermark ADVANCED past every
+    * folded delete batch, then retire batch dirs and tombstones — the
+    * serve returns to the minimal no-subtraction plan, and the window
+    * between the swap and the retire is inert by the watermark. Staged
+    * publish + ready marker, crash-idempotent.
+    */
+  def compactDeletes(s: SparkSession, modelDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def path(p: String) = new Path(s"$modelDir/$p")
+    val fs = new Path(modelDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ready = path("__compact_ready")
+    val tombOpt = Tombstones.readRaw(s, modelDir)
+    if (tombOpt.isEmpty && !fs.exists(ready)) return
+    val tmp = path("__compact_tmp/bigrams")
+    if (!fs.exists(ready)) {
+      val twNew = foldedRaw(s, modelDir).agg(max(col("tw")).as("otw"))
+        .crossJoin(broadcast(
+          tombOpt.get.agg(max(col("batch")).cast("long").as("mb"))))
+        .select(greatest(col("otw"),
+          coalesce(col("mb"), col("otw"))).as("tw"))
+      foldedCounts(s, modelDir)
+        .crossJoin(broadcast(twNew))
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.create(ready, true).close()
+    }
+    if (fs.exists(tmp)) {
+      fs.delete(path("bigrams"), true)
+      fs.rename(tmp, path("bigrams"))
+    }
+    fs.delete(path("bigrams_batches"), true)
+    Tombstones.clear(s, modelDir)
+    fs.delete(path("__compact_tmp"), true)
+    fs.delete(ready, false)
   }
 
   /** Admin-cadence promotion: fold committed batches into the base
@@ -198,7 +303,7 @@ object Perplexity {
     val ready = path("__promote_ready")
     if (!fs.exists(path("bigrams_batches")) && !fs.exists(ready)) return
     if (!fs.exists(ready)) {
-      foldedCounts(s, modelDir).write.mode("overwrite")
+      foldedBase(s, modelDir).write.mode("overwrite")
         .parquet(s"$modelDir/__promote_tmp/bigrams")
       fs.create(ready, true).close()
     }
@@ -213,11 +318,13 @@ object Perplexity {
   }
 
   /** LM-count fsck — [[Search.indexTermStats]]'s counterpart for the
-    * count model: the folded (base ∪ batches) bigram counts bucketed
-    * by INTEGER binary length of c2 (never a float log — engine-exact
-    * at power boundaries). The driver row reads the GROWN model and
-    * answers a pure corpus recompute, so a double-counted replay, a
-    * lost batch, or count drift fails the hash compare.
+    * count model: the LIVE bigram counts (base ∪ batches summed, any
+    * pending tombstoned counts subtracted) bucketed by INTEGER binary
+    * length of c2 (never a float log — engine-exact at power
+    * boundaries). The driver rows read the grown AND the tombstoned
+    * models against pure corpus recomputes, so a double-counted
+    * replay, a lost batch, count drift, or a mis-subtracted erasure
+    * fails the hash compare.
     */
   def modelStats(s: SparkSession, modelDir: String): DataFrame =
     foldedCounts(s, modelDir)
@@ -230,13 +337,19 @@ object Perplexity {
   /** Serve: score `d`'s documents against the persisted (possibly
     * grown) model. With the model trained on the same corpus's
     * reference slice — in any base/batch split — this equals
-    * [[perplexityFilter]] exactly and shares its oracle.
+    * [[perplexityFilter]] exactly and shares its oracle. `docFilter`
+    * restricts WHICH docs are scored and bucketed (the erasure serve:
+    * deleted docs must neither score nor shift the tertiles — with the
+    * model's tombstoned counts subtracted, the whole chain is the
+    * survivors-only train+score+bucket exactly).
     */
   def scoreWithModel(s: SparkSession, d: String, modelDir: String,
       reference: Column = defaultReference,
       alpha: Double = 0.5,
-      exactThresholds: Boolean = true): DataFrame = {
-    val base = labeledDocs(s, d, reference)
+      exactThresholds: Boolean = true,
+      docFilter: Option[Column] = None): DataFrame = {
+    val docs = labeledDocs(s, d, reference)
+    val base = docFilter.map(docs.filter).getOrElse(docs)
     scoreAndBucket(base, bigramsOf(base), foldedCounts(s, modelDir),
       alpha, exactThresholds)
   }

@@ -222,11 +222,40 @@ object ScalarQuant {
       .select(col("query_id"), explode(col("topk")).as("cand"))
       .select(col("query_id"), col("cand._1").as("vec_id"))
       .join(qs, "query_id") // tiny × tiny: re-attach the query vector
-    // exact re-rank: broadcast the shortlist into one raw-store scan
+    rerankFetch(s, shortlist, refineFrom, k)
+  }
+
+  /** The exact re-rank every quantized tier shares (int8, bit, and
+    * the PQ refine shape): fetch the shortlisted raw vectors and
+    * re-score with full-precision cosine. The shortlist is bounded
+    * (≤ refine·|queries| rows — the frame the plan broadcasts anyway),
+    * so it materializes ONCE here and serves double duty:
+    *  - its vec_id set pushes INTO the raw-store scan as an In filter
+    *    (`PushedFilters: In(vec_id, …)`), so with the store
+    *    vec_id-clustered (the [[graft.sources.Layout]] sort/Z-order
+    *    machinery) parquet row-group stats skip everything outside the
+    *    shortlist — the fetch reads ~(shortlist/corpus) of the cold
+    *    tier instead of scanning 100 TB to re-rank k·queries rows
+    *    (COMPARE.md probe);
+    *  - the broadcast side rebuilds from the same collected rows, so
+    *    the shortlist subtree runs exactly once, not once per consumer.
+    * The collect is the documented bounded class (q_coreset's);
+    * row values are identical to the scan-everything plan — only
+    * bytes-read changes, so every serve keeps its oracle.
+    */
+  private[operators] def rerankFetch(s: SparkSession,
+      shortlist: DataFrame, refineFrom: DataFrame, k: Int): DataFrame = {
+    val rows = shortlist.collect()
+    val vecIdx = shortlist.schema.fieldIndex("vec_id")
+    val ids = rows.map(_.getLong(vecIdx)).distinct.toSeq
+    val local = broadcast(s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), shortlist.schema))
+    val fetched = refineFrom.select(col("vec_id"), col("embedding"))
+      .filter(
+        if (ids.isEmpty) lit(false) else col("vec_id").isin(ids: _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    refineFrom.select(col("vec_id"), col("embedding"))
-      .join(broadcast(shortlist), Seq("vec_id"))
+    fetched.join(local, Seq("vec_id"))
       .select(col("query_id"), col("vec_id"),
         fusedCosine(col("q"), col("embedding")).as("sim"))
       .withColumn("rk", row_number().over(w))

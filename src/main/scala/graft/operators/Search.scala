@@ -84,6 +84,20 @@ object Search {
     toks.agg(count(lit(1)).as("n"),
       sum(size(col("ts"))).cast("double").as("sumdl"))
 
+  /** [[statsOf]] as persisted in the index: the scalars plus the
+    * tombstone fold WATERMARK `tw` — the highest tombstone batch id
+    * already folded into these scalars (−1 for a fresh build/append:
+    * nothing folded). The serve-time adjustment subtracts only
+    * tombstone batches ABOVE the watermark, which is what makes the
+    * compaction swap safe at any interruption point: the instant the
+    * compacted stats land, their folded batches stop subtracting,
+    * whether or not the tombstone retire has happened yet (the window
+    * [[Tombstones.clear]]'s anti-join argument does NOT cover for
+    * aggregate-based adjustments like these scalars).
+    */
+  private def statsRowOf(toks: DataFrame): DataFrame =
+    statsOf(toks).withColumn("tw", lit(-1L))
+
   /** Persist the index: term-partitioned postings + df + corpus stats.
     * `docFilter` restricts which documents are indexed at build time —
     * the rest arrive later via [[appendBatch]].
@@ -96,7 +110,7 @@ object Search {
       .parquet(s"$indexDir/postings")
     termstatsOf(post).coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/termstats")
-    statsOf(toks).coalesce(1).write.mode("overwrite")
+    statsRowOf(toks).coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/stats")
   }
 
@@ -119,7 +133,7 @@ object Search {
       .parquet(s"$indexDir/postings_batches/batch=$batchId")
     termstatsOf(post).coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/termstats_batches/batch=$batchId")
-    statsOf(toks).coalesce(1).write.mode("overwrite")
+    statsRowOf(toks).coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/stats_batches/batch=$batchId")
   }
 
@@ -154,7 +168,8 @@ object Search {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$indexDir/__promote_tmp/termstats")
       withBatches(s, indexDir, "stats")
-        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"),
+          max(col("tw")).as("tw"))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$indexDir/__promote_tmp/stats")
       fs.create(ready, true).close()
@@ -402,11 +417,12 @@ object Search {
       else s.read.parquet(s"$indexDir/termstats")
     val stats0 =
       if (grown) withBatches(s, indexDir, "stats")
-        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"),
+          max(col("tw")).as("tw"))
       else s.read.parquet(s"$indexDir/stats")
-    Tombstones.read(s, indexDir) match {
-      case None => (post0, termstats0, stats0)
-      case Some(tomb) =>
+    Tombstones.readRaw(s, indexDir) match {
+      case None => (post0, termstats0, stats0.select("n", "sumdl"))
+      case Some(tombRaw) =>
         // logical deletes pending: the pruned postings anti-join the
         // (tiny, broadcast) tombstone set; df for the QUERY terms is
         // recounted from those same surviving pruned rows (exact —
@@ -414,17 +430,45 @@ object Search {
         // term); the corpus scalars adjust by the tombstones'
         // recorded (count, Σdl) — all of it index-local, no corpus
         // re-read, work scales with the erasure set
-        val post = post0.join(broadcast(tomb.select(col("doc_id"))),
+        val post = post0.join(
+          broadcast(tombRaw.select(col("doc_id")).distinct()),
           Seq("doc_id"), "left_anti")
         val termstats = post.groupBy(col("term"))
           .agg(count(lit(1)).as("df"))
-        val stats = stats0.crossJoin(broadcast(
-            tomb.agg(count(lit(1)).as("tn"),
-              sum(col("dl")).cast("double").as("tdl"))))
-          .select((col("n") - col("tn")).as("n"),
-            (col("sumdl") - coalesce(col("tdl"), lit(0.0d))).as("sumdl"))
-        (post, termstats, stats)
+        (post, termstats,
+          statsMinusTombs(stats0, tombRaw).select("n", "sumdl"))
     }
+  }
+
+  /** The survivors' corpus scalars: folded stats minus the UNFOLDED
+    * tombstones' (count, Σdl). Two guards make the subtraction exact
+    * under the failure modes an aggregate adjustment is exposed to
+    * (anti-joins shrug both off; sums don't): (1) only tombstone
+    * batches ABOVE the stats row's fold watermark subtract — batches a
+    * completed-or-interrupted compaction already folded stop counting
+    * the instant the swapped stats land, tombstoned or not; (2) rows
+    * dedupe by doc_id first — a re-sent erasure request landing as a
+    * SECOND live batch (natural under at-least-once delivery) must
+    * subtract its doc once, not twice. The one case neither guard
+    * covers — a re-request for a doc an earlier compaction already
+    * folded out — is excluded by [[deleteDocs]]' residency invariant:
+    * erasure requests name STORED documents, and that doc is gone.
+    * Output carries the advanced watermark for [[compactDeletes]] to
+    * persist; serve paths drop it.
+    */
+  private def statsMinusTombs(stats0: DataFrame,
+      tombRaw: DataFrame): DataFrame = {
+    val unfolded = tombRaw
+      .crossJoin(broadcast(stats0.select(col("tw"))))
+      .filter(col("batch") > col("tw"))
+      .dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("tn"),
+        sum(col("dl")).cast("double").as("tdl"),
+        max(col("batch")).cast("long").as("maxb"))
+    stats0.crossJoin(broadcast(unfolded))
+      .select((col("n") - col("tn")).as("n"),
+        (col("sumdl") - coalesce(col("tdl"), lit(0.0d))).as("sumdl"),
+        greatest(col("tw"), coalesce(col("maxb"), col("tw"))).as("tw"))
   }
 
   /** Logical delete (the GDPR-erasure path): `docs` are the documents
@@ -457,13 +501,13 @@ object Search {
     val fs = new Path(indexDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val ready = path("__compact_ready")
-    val tombOpt = Tombstones.read(s, indexDir)
+    val tombOpt = Tombstones.readRaw(s, indexDir)
     if (tombOpt.isEmpty && !fs.exists(ready)) return
     val tables = Seq("postings", "termstats", "stats")
     if (!fs.exists(ready)) {
-      val tomb = tombOpt.get
+      val tombRaw = tombOpt.get
       val post = withBatches(s, indexDir, "postings")
-        .join(broadcast(tomb.select(col("doc_id"))),
+        .join(broadcast(tombRaw.select(col("doc_id")).distinct()),
           Seq("doc_id"), "left_anti")
       post.repartition(col("term"))
         .write.mode("overwrite").partitionBy("term")
@@ -474,12 +518,14 @@ object Search {
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$indexDir/__compact_tmp/termstats")
-      withBatches(s, indexDir, "stats")
-        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
-        .crossJoin(broadcast(tomb.agg(count(lit(1)).as("tn"),
-          sum(col("dl")).cast("double").as("tdl"))))
-        .select((col("n") - col("tn")).as("n"),
-          (col("sumdl") - coalesce(col("tdl"), lit(0.0d))).as("sumdl"))
+      // the same watermark-guarded, doc-deduped subtraction the serve
+      // runs — and the ADVANCED watermark persists with the scalars,
+      // so these batches stop subtracting the moment this row lands
+      statsMinusTombs(
+        withBatches(s, indexDir, "stats")
+          .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"),
+            max(col("tw")).as("tw")),
+        tombRaw)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$indexDir/__compact_tmp/stats")
       fs.create(ready, true).close()

@@ -456,10 +456,9 @@ object Similarity {
     *
     * Scale shape: the distributed work is the exact shortlist pass
     * (one broadcast-probe corpus scan, bounded per-query ranking); the
-    * greedy itself is INHERENTLY sequential in k, so it runs on the
-    * driver over the collected shortlist — a kCand·nQueries-row frame
-    * bounded by construction (the same frame the rerank cascade
-    * materializes; the q_coreset class of documented bounded collects).
+    * greedy is sequential only WITHIN a query, so it runs per-query
+    * inside executors ([[mmrGreedy]]'s flatMapGroups — kCand-bounded
+    * state per group, flat driver memory at any query count).
     */
   def mmrTopK(s: SparkSession, d: String, nQueries: Int = 5,
       kCand: Int = 12, k: Int = 5, lambda: Double = 0.7): DataFrame = {
@@ -507,50 +506,67 @@ object Similarity {
     mmrGreedy(s, cand, k, lambda)
   }
 
-  /** The inherently-sequential greedy over a bounded
+  /** The inherently-sequential greedy over a
     * (query_id, vec_id, embedding, rel) candidate frame — shared by
-    * the inline and served MMR forms (the documented bounded-collect
-    * class; kCand·nQueries rows by construction).
+    * the inline and served MMR forms. Per-query independent, so it
+    * runs INSIDE executors: `groupByKey(query_id).flatMapGroups` holds
+    * one query's kCand-bounded candidate set at a time and replays the
+    * identical 6-dp-rounded fold — no `collect()`, no driver loop, and
+    * the operator scales along its natural axis (a production rerank
+    * batch of 10⁵ queries is 10⁵ tiny groups across the cluster, flat
+    * driver memory — the r16 design note closed). The exchange this
+    * adds is the narrow candidate frame keyed by query_id; at the
+    * registry shape that is kCand·nQueries = 60 rows.
     */
   private def mmrGreedy(s: SparkSession, cand: DataFrame, k: Int,
       lambda: Double): DataFrame = {
     import s.implicits._
-    val rows = cand.collect().map(r => (r.getLong(0), r.getLong(1),
-      r.getSeq[Float](2).toArray, r.getDouble(3)))
-    // sequential double accumulation in index order — the same fold
-    // FusedCosineSimilarity and the oracle's list_reduce run
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
+    cand
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        col("rel"))
+      .as[(Long, Long, Array[Float], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // deterministic start state: candidates in vec_id order — the
+        // same sort the driver-side fold ran, partition-layout-free
+        val remaining = scala.collection.mutable.Buffer(
+          it.toArray.sortBy(_._2): _*)
+        var selEmb = Vector.empty[Array[Float]]
+        (0 until math.min(k, remaining.size)).map { t =>
+          val scored = remaining.map { c =>
+            val pen =
+              if (selEmb.isEmpty) 0.0d
+              else selEmb.map(e => mmrCos(c._3, e)).max
+            (c, mmrR6(lambda * c._4 - (1 - lambda) * pen))
+          }
+          val best = scored.minBy { case (c, sc) => (-sc, c._2) }
+          selEmb :+= best._1._3
+          remaining -= best._1
+          (qid, best._1._2, t, best._2)
+        }.iterator
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    // HALF_UP at 6 dp — the BigDecimal path Spark's round() itself uses
-    def r6(x: Double): Double = BigDecimal(x + 1e-12)
-      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-    val picks = rows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
-      val remaining = scala.collection.mutable.Buffer(
-        cs.sortBy(_._2): _*)
-      var selEmb = Vector.empty[Array[Float]]
-      (0 until math.min(k, remaining.size)).map { t =>
-        val scored = remaining.map { c =>
-          val pen =
-            if (selEmb.isEmpty) 0.0d
-            else selEmb.map(e => cos(c._3, e)).max
-          (c, r6(lambda * c._4 - (1 - lambda) * pen))
-        }
-        val best = scored.minBy { case (c, sc) => (-sc, c._2) }
-        selEmb :+= best._1._3
-        remaining -= best._1
-        (qid, best._1._2, t, best._2)
-      }
-    }
-    picks.toDF("query_id", "vec_id", "rnd", "score")
+      .toDF("query_id", "vec_id", "rnd", "score")
       .select(col("query_id"), col("vec_id"), col("rnd").cast("int")
         .as("rnd"), col("score"))
   }
+
+  /** Sequential double accumulation in index order — the same fold
+    * FusedCosineSimilarity and the oracle's list_reduce run.
+    */
+  private def mmrCos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** HALF_UP at 6 dp — the BigDecimal path Spark's round() itself
+    * uses.
+    */
+  private def mmrR6(x: Double): Double = BigDecimal(x + 1e-12)
+    .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Brute-force top-k via the bounded TopK aggregator instead of a
     * ranking window: the window form shuffles and sorts every
@@ -991,10 +1007,17 @@ object Similarity {
       .parquet(s"$indexDir/assignments_batches")
   }
 
-  /** The full assignment set of a persisted index: the base
-    * `assignments` table plus any [[ivfAppendBatch]] batch dirs —
-    * `cell` is a partition column in both layouts, so partition
-    * pruning covers both sides of the union.
+  /** The LIVE row set of a persisted index: the base table plus any
+    * append-batch dirs (`cell`/`bucket` is a partition column in both
+    * layouts, so partition pruning covers both sides of the union),
+    * minus any tombstoned vec_ids (the GDPR-erasure leg — the
+    * [[ScalarQuant]] readCodes convention: tombstones are
+    * erasure-request-sized so the anti-join broadcasts, and with no
+    * tombstones the plan stays minimal, no anti-join node). One
+    * definition serves every vector family — IVF assignments, IVF-PQ
+    * codes, LSH buckets — because all three freeze their geometry
+    * (centroids / codebooks / planes), so deletion never needs a
+    * refit: a vector's absence from the candidate set IS its erasure.
     */
   private def readAssignments(s: SparkSession, indexDir: String,
       table: String = "assignments"): DataFrame = {
@@ -1002,9 +1025,64 @@ object Similarity {
     val batchesPath = new org.apache.hadoop.fs.Path(
       s"$indexDir/${table}_batches")
     val fs = batchesPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(batchesPath))
-      base.unionByName(s.read.parquet(batchesPath.toString).drop("batch"))
-    else base
+    val all =
+      if (fs.exists(batchesPath))
+        base.unionByName(s.read.parquet(batchesPath.toString).drop("batch"))
+      else base
+    Tombstones.read(s, indexDir).map(t =>
+      all.join(broadcast(t.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")).getOrElse(all)
+  }
+
+  /** Logical delete for the frozen-geometry vector tiers (IVF
+    * assignments, IVF-PQ codes, LSH buckets): the vec_ids land in a
+    * tombstone batch; every serve path anti-joins them out (via
+    * [[readAssignments]]) until [[compactAnnDeletes]] folds the
+    * deletions into a fresh base. Work scales with the request, never
+    * the index, and the model tables (centroids / codebooks / planes)
+    * are untouched — erasure needs no refit. Caller's invariant: the
+    * ids are index-resident (erasure requests name stored vectors).
+    */
+  def annDeleteIds(s: SparkSession, indexDir: String, ids: DataFrame,
+      batchId: Long): Unit =
+    Tombstones.append(s, indexDir, ids.select(col("vec_id")), batchId)
+
+  /** Admin-cadence close-out of the vector-tier delete path: rewrite
+    * the base table without the tombstoned rows (committed append
+    * batches fold in — [[readAssignments]] is the single definition of
+    * the live set), retire batch dirs and tombstones, and the serve
+    * returns to the minimal one-scan partition-pruned plan. Staged
+    * publish with a ready marker ([[promoteBatches]]'s order),
+    * crash-idempotent at every step; the anti-join-only adjustment
+    * makes the swap-to-retire window safe by construction
+    * ([[Tombstones.clear]]'s argument). `table`/`partitionCol` select
+    * the family: assignments/cell (IVF), codes/cell (IVF-PQ),
+    * buckets/bucket (LSH).
+    */
+  def compactAnnDeletes(s: SparkSession, indexDir: String,
+      table: String = "assignments",
+      partitionCol: String = "cell"): Unit = {
+    import org.apache.hadoop.fs.Path
+    def path(p: String) = new Path(s"$indexDir/$p")
+    val fs =
+      new Path(indexDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ready = path(s"__compact_${table}_ready")
+    if (Tombstones.read(s, indexDir).isEmpty && !fs.exists(ready)) return
+    val tmp = path(s"__compact_${table}_tmp")
+    if (!fs.exists(ready)) {
+      readAssignments(s, indexDir, table)
+        .repartition(col(partitionCol)) // one file per dir, as the build
+        .write.mode("overwrite").partitionBy(partitionCol)
+        .parquet(tmp.toString)
+      fs.create(ready, true).close()
+    }
+    if (fs.exists(tmp)) {
+      fs.delete(path(table), true)
+      fs.rename(tmp, path(table))
+    }
+    fs.delete(path(s"${table}_batches"), true)
+    Tombstones.clear(s, indexDir)
+    fs.delete(ready, false)
   }
 
   /** Drift monitor for the frozen-geometry lake: per-cell occupancy
@@ -2036,16 +2114,12 @@ object Similarity {
     val probes =
       if (nProbe > 0) nProbe else probesFor(centroidMatrix.length)
     // codes appended after the build ([[ivfPqAppendBatch]]) live in a
-    // sibling batch-partitioned table; cell stays a partition column
-    // there too, so pruning covers both sides of the union
-    val base = s.read.parquet(s"$indexDir/codes")
-    val batchesPath = new org.apache.hadoop.fs.Path(
-      s"$indexDir/codes_batches")
-    val fs = batchesPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val codes =
-      if (fs.exists(batchesPath))
-        base.unionByName(s.read.parquet(batchesPath.toString).drop("batch"))
-      else base
+    // sibling batch-partitioned table (cell stays a partition column,
+    // so pruning covers both sides of the union) and tombstoned rows
+    // anti-join out — readAssignments is the live-set definition, and
+    // the refine re-rank can't resurrect a deleted id because its
+    // shortlist derives from these rows
+    val codes = readAssignments(s, indexDir, table = "codes")
     val queryProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
       .select(col("query_id"), col("q"),

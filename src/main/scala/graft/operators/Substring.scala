@@ -300,26 +300,36 @@ object Substring {
     val ready = path("__compact_ready")
     val tombOpt = Tombstones.read(s, indexDir)
     if (tombOpt.isEmpty && !fs.exists(ready)) return
+    // the BPE index carries the encoded symbol streams as a third
+    // table — an erased doc's stream must leave the lake with its
+    // positions (it IS the document, re-encoded)
+    val tables = Seq("positions", "freq") ++
+      (if (fs.exists(path("streams"))) Seq("streams") else Nil)
     if (!fs.exists(ready)) {
-      val live = withBatches(s, indexDir, "positions")
-        .join(broadcast(tombOpt.get.select(col("doc_id"))),
-          Seq("doc_id"), "left_anti")
-      live.write.mode("overwrite")
+      val tombIds = broadcast(tombOpt.get.select(col("doc_id")))
+      withBatches(s, indexDir, "positions")
+        .join(tombIds, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite")
         .parquet(s"$indexDir/__compact_tmp/positions")
       s.read.parquet(s"$indexDir/__compact_tmp/positions")
         .groupBy(col("h")).agg(count(lit(1)).as("n"))
         .write.mode("overwrite")
         .parquet(s"$indexDir/__compact_tmp/freq")
+      if (tables.contains("streams"))
+        withBatches(s, indexDir, "streams")
+          .join(tombIds, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite")
+          .parquet(s"$indexDir/__compact_tmp/streams")
       fs.create(ready, true).close()
     }
-    Seq("positions", "freq").foreach { t =>
+    tables.foreach { t =>
       val tmp = path(s"__compact_tmp/$t")
       if (fs.exists(tmp)) {
         fs.delete(path(t), true)
         fs.rename(tmp, path(t))
       }
     }
-    Seq("positions", "freq").foreach(t =>
+    tables.foreach(t =>
       fs.delete(path(s"${t}_batches"), true))
     Tombstones.clear(s, indexDir)
     fs.delete(path("__compact_tmp"), true)
@@ -620,12 +630,28 @@ object Substring {
   /** [[substringScrubBpe]] SERVED from the persisted index: spans from
     * the position tuples, reassembly from the PERSISTED symbol streams
     * — zero re-encode, zero re-gram; the only corpus-sized work left
-    * is the cut + reassembly any scrub must pay.
+    * is the cut + reassembly any scrub must pay. Pending logical
+    * deletes ([[deletePositions]] works on the BPE dir unchanged — the
+    * tombstone is just doc_ids) drop from BOTH sides: the span source
+    * handles its own anti-join + freq subtraction (see
+    * [[spansFromIndex]]), and the streams anti-join here keeps erased
+    * documents out of the emitted rows — a scrubbed GDPR deletion must
+    * not resurface as "clean text". The frozen tokenizer is untouched:
+    * erasure removes the documents' rows, never retrains the
+    * vocabulary (the merge table is aggregate statistics, the LSH
+    * plane-set convention) — which is exactly what the restricted
+    * oracle recomputes ([[deletedBpeScrubOracleSql]]: survivors
+    * encoded under the FULL-corpus-trained merges).
     */
   def substringScrubBpeFromIndex(s: SparkSession, indexDir: String,
-      minLen: Int = 16, dfCap: Int = 64): DataFrame =
-    scrubFromToks(withBatches(s, indexDir, "streams"),
+      minLen: Int = 16, dfCap: Int = 64): DataFrame = {
+    val streams0 = withBatches(s, indexDir, "streams")
+    val streams = Tombstones.read(s, indexDir).map(t =>
+      streams0.join(broadcast(t.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")).getOrElse(streams0)
+    scrubFromToks(streams,
       spansFromIndex(s, indexDir, minLen, dfCap), bpeRebuild)
+  }
 
   /** Surviving BPE symbols → clean text: concatenate, turn word-final
     * `</w>` markers into spaces, drop the trailing one. Mirrored
@@ -871,6 +897,29 @@ object Substring {
       nMerges: Int = 16): String =
     scrubSqlFrom(bpeOracleSql(minLen, dfCap, nMerges), minLen,
       "rtrim(replace(string_agg(tok, '' ORDER BY pos), '</w>', ' '))")
+
+  /** [[substringScrubBpeFromIndex]]'s oracle when the index carries
+    * deletions: the full recompute with the ENCODE corpus restricted
+    * to the survivors while the TRAINER corpus stays whole — the
+    * frozen-tokenizer erasure contract (deletion removes documents,
+    * never retrains the merge table; [[writeBpeIndex]] fits the
+    * vocabulary on the full corpus at `d` and holds it fixed). The
+    * splice anchors on the encode chain's `dtoks` CTE specifically —
+    * a restriction landing in the trainer CTEs would gate against the
+    * wrong (survivors-trained) tokenizer, so the anchor includes the
+    * following CTE's header and is require-guarded (the incrOracleSql
+    * rule: wording drift fails loudly).
+    */
+  def deletedBpeScrubOracleSql(pred: String = "doc_id % 7 <> 6",
+      minLen: Int = 16, dfCap: Int = 64, nMerges: Int = 16): String = {
+    val base = bpeScrubOracleSql(minLen, dfCap, nMerges)
+    val anchor = "  FROM documents),\ndw AS ("
+    val out = base.replace(anchor,
+      s"  FROM documents WHERE $pred),\ndw AS (")
+    require(out != base,
+      "deletedBpeScrubOracleSql: encode-restriction splice found no anchor")
+    out
+  }
 
   /** Strip `spanSqlChain`'s final SELECT and append the cut +
     * reassembly tail — the span CTE chain is token-unit-agnostic, so

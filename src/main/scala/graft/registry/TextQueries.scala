@@ -76,6 +76,24 @@ object TextQueries {
     // a replayed or lost batch fails the hash
     "q_ppl_model_stats" -> ((s: SparkSession, d: String) =>
       Perplexity.modelStats(s, s"${indexRoot(d)}/ppl_model")),
+    // erasure through the TRAINED LM (r17): a right-to-be-forgotten
+    // request must remove not just the documents but their counts in
+    // the standing model — additive counts subtract exactly, so the
+    // tombstoned model scores/buckets the survivors as a from-scratch
+    // survivors-only train would (one spliced full oracle); the stats
+    // twin fscks the subtracted counts themselves, and the compacted
+    // row pins the fold-in
+    "q_perplexity_deleted_served" -> ((s: SparkSession, d: String) =>
+      Perplexity.scoreWithModel(s, d, s"${indexRoot(d)}/ppl_deleted",
+        docFilter = Some(org.apache.spark.sql.functions
+          .col("doc_id") % 7 =!= 6))),
+    "q_perplexity_del_compacted_served" -> ((s: SparkSession, d: String) =>
+      Perplexity.scoreWithModel(s, d,
+        s"${indexRoot(d)}/ppl_del_compacted",
+        docFilter = Some(org.apache.spark.sql.functions
+          .col("doc_id") % 7 =!= 6))),
+    "q_ppl_model_stats_deleted" -> ((s: SparkSession, d: String) =>
+      Perplexity.modelStats(s, s"${indexRoot(d)}/ppl_deleted")),
     // JL sign random projection: closed-form hash-seeded matrix, zero
     // shuffles — fully oracle-recomputable
     "q_rand_proj" -> ((s: SparkSession, d: String) =>
@@ -200,6 +218,20 @@ object TextQueries {
     "q_substring_scrub_bpe_served" -> ((s: SparkSession, d: String) =>
       Substring.substringScrubBpeFromIndex(s,
         s"${indexRoot(d)}/substr_bpe")),
+    // erasure through the BPE index (r17): the tombstoned docs'
+    // positions, per-gram counts AND persisted symbol streams all
+    // leave the serve — the tokenizer stays frozen (erasure removes
+    // documents, never retrains the merge table), which is exactly
+    // what the restricted oracle recomputes: survivors encoded under
+    // the full-corpus-trained merges
+    "q_substring_scrub_bpe_deleted_served" ->
+      ((s: SparkSession, d: String) =>
+        Substring.substringScrubBpeFromIndex(s,
+          s"${indexRoot(d)}/substr_bpe_deleted")),
+    "q_substring_scrub_bpe_del_compacted_served" ->
+      ((s: SparkSession, d: String) =>
+        Substring.substringScrubBpeFromIndex(s,
+          s"${indexRoot(d)}/substr_bpe_del_compacted")),
     // incremental ingest, post-tokenizer: inline (probe = filter above
     // the shared encoded-corpus frame) and served (batch encoded under
     // the frozen tokenizer, re-grams only itself, probed against the
@@ -362,6 +394,12 @@ object TextQueries {
     // per source — every component is the matching operator itself
     "q_curation_report" -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.report(s, d)),
+    // the training-mix MANIFEST (r17): the report's drop set +
+    // temperature weights over CLEAN token mass + the run's token
+    // budget, composed into the per-source table a pretraining run is
+    // configured from — full oracle, trainer-free composition
+    "q_mix_manifest" -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.mixManifest(s, d)),
     // ngramSize=4 so the scan produces rows on the driver's 25-word-
     // vocab corpus (no two synthetic docs share a 13-gram); the
     // operator default stays at the published-practice 13
@@ -567,6 +605,21 @@ object TextQueries {
     "q_novelty_served" -> ((s: SparkSession, d: String) =>
       Dedup.noveltyFromIndex(s, s"${indexRoot(d)}/novelty",
         graft.Tables.documents(s, d))),
+    // erasure through the first-seen index (r17): min is NOT
+    // subtractable, so the serve keeps surviving minima (removing docs
+    // can only raise a min), re-derives erased-vouched grams from the
+    // survivor probe frame, and the compacted twin pins the one
+    // corpus-pass fold-in ([[Dedup.compactNoveltyDeletes]]). Both
+    // answer the survivors-restricted full recompute
+    "q_novelty_deleted_served" -> ((s: SparkSession, d: String) =>
+      Dedup.noveltyFromIndex(s, s"${indexRoot(d)}/novelty_deleted",
+        graft.Tables.documents(s, d).filter(
+          org.apache.spark.sql.functions.col("doc_id") % 7 =!= 6))),
+    "q_novelty_del_compacted_served" -> ((s: SparkSession, d: String) =>
+      Dedup.noveltyFromIndex(s,
+        s"${indexRoot(d)}/novelty_del_compacted",
+        graft.Tables.documents(s, d).filter(
+          org.apache.spark.sql.functions.col("doc_id") % 7 =!= 6))),
     // the int8 scalar-quantized WARM tier: closed-form quantizer, so
     // (unlike the PQ goldens) BOTH the stored codes and the served
     // ranking carry full cross-engine oracles — the codes audit pins
@@ -624,10 +677,42 @@ object TextQueries {
       ScalarQuant.sqTopKFromIndex(s,
         s"${indexRoot(d)}/int8_del_compacted",
         annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
-    // the bit tier shares the tombstone machinery; one fixture pins it
+    // the bit tier shares the tombstone machinery — both lifecycle
+    // states pinned like the int8 pair
     "q_ann_bq_deleted_served" -> ((s: SparkSession, d: String) =>
       BinaryQuant.bqTopKFromIndex(s, s"${indexRoot(d)}/bq_deleted",
         annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
+    "q_ann_bq_del_compacted_served" -> ((s: SparkSession, d: String) =>
+      BinaryQuant.bqTopKFromIndex(s, s"${indexRoot(d)}/bq_del_compacted",
+        annProbeVectors(s, d), graft.Tables.embeddings(s, d))),
+    // erasure through the frozen-geometry approximate tiers (r17):
+    // deletion is the live-row anti-join — no refit, the model tables
+    // untouched — and compaction folds it into a fresh base. Both
+    // states serve the survivors-only build's exact ranking
+    // (AnnEraseSpec), pinned here as delete-restricted goldens (the
+    // families' own oracles are goldens; the restricted run is as
+    // deterministic as the unrestricted one)
+    "q_ann_ivf_deleted_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopKFromIndex(s, s"${indexRoot(d)}/ivf_deleted",
+        annProbeVectors(s, d))),
+    "q_ann_ivf_del_compacted_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopKFromIndex(s,
+        s"${indexRoot(d)}/ivf_del_compacted", annProbeVectors(s, d))),
+    "q_ann_ivfpq_deleted_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqTopKFromIndex(s, s"${indexRoot(d)}/ivfpq_deleted",
+        annProbeVectors(s, d), refine = 100,
+        refineFrom = Some(graft.Tables.embeddings(s, d)))),
+    "q_ann_ivfpq_del_compacted_served" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqTopKFromIndex(s,
+        s"${indexRoot(d)}/ivfpq_del_compacted",
+        annProbeVectors(s, d), refine = 100,
+        refineFrom = Some(graft.Tables.embeddings(s, d)))),
+    "q_ann_lsh_deleted_served" -> ((s: SparkSession, d: String) =>
+      Similarity.annTopKFromIndex(s, s"${indexRoot(d)}/lsh_deleted",
+        annProbeVectors(s, d))),
+    "q_ann_lsh_del_compacted_served" -> ((s: SparkSession, d: String) =>
+      Similarity.annTopKFromIndex(s,
+        s"${indexRoot(d)}/lsh_del_compacted", annProbeVectors(s, d))),
     // hybrid retrieval: BM25 + dense cosine fused by reciprocal-rank
     // fusion. The served twin composes the two PERSISTED indexes
     // (bm25 postings + the int8 codes tier); the int8 leg's exact
@@ -933,12 +1018,55 @@ object TextQueries {
           ScalarQuant.sqDeleteIds(s, dir, embDel, batchId = 1L)
           if (compact) ScalarQuant.compactDeletes(s, dir)
         }
-      val bqDel = s"$root/bq_deleted"
-      BinaryQuant.bqWriteIndex(s, d, bqDel,
-        assignOnly = Some(col("vec_id") % 5 =!= 4))
-      BinaryQuant.bqAppendBatch(s, bqDel,
-        emb.filter(col("vec_id") % 5 === 4), batchId = 1L)
-      BinaryQuant.bqDeleteIds(s, bqDel, embDel, batchId = 1L)
+      Seq("bq_deleted" -> false, "bq_del_compacted" -> true)
+        .foreach { case (name, compact) =>
+          val dir = s"$root/$name"
+          BinaryQuant.bqWriteIndex(s, d, dir,
+            assignOnly = Some(col("vec_id") % 5 =!= 4))
+          BinaryQuant.bqAppendBatch(s, dir,
+            emb.filter(col("vec_id") % 5 === 4), batchId = 1L)
+          BinaryQuant.bqDeleteIds(s, dir, embDel, batchId = 1L)
+          if (compact) BinaryQuant.compactDeletes(s, dir)
+        }
+      // the frozen-geometry families (r17): centroids / codebooks /
+      // planes are fit once on the FULL corpus and deletion never
+      // refits — the live-row anti-join IS the erasure, so a grown
+      // index carrying tombstones serves exactly what a survivors-only
+      // build under the same geometry serves (AnnEraseSpec pins that
+      // identity; the driver rows pin the concrete rankings)
+      Seq("ivf_deleted" -> false, "ivf_del_compacted" -> true)
+        .foreach { case (name, compact) =>
+          val dir = s"$root/$name"
+          Similarity.ivfWriteIndex(s, d, dir,
+            assignOnly = Some(col("vec_id") % 5 =!= 4))
+          Similarity.ivfAppendBatch(s, dir,
+            emb.filter(col("vec_id") % 5 === 4), batchId = 1L)
+          Similarity.annDeleteIds(s, dir, embDel, batchId = 1L)
+          if (compact) Similarity.compactAnnDeletes(s, dir)
+        }
+      Seq("ivfpq_deleted" -> false, "ivfpq_del_compacted" -> true)
+        .foreach { case (name, compact) =>
+          val dir = s"$root/$name"
+          Similarity.ivfPqWriteIndex(s, d, dir,
+            assignOnly = Some(col("vec_id") % 5 =!= 4))
+          Similarity.ivfPqAppendBatch(s, dir,
+            emb.filter(col("vec_id") % 5 === 4), batchId = 1L)
+          Similarity.annDeleteIds(s, dir, embDel, batchId = 1L)
+          if (compact)
+            Similarity.compactAnnDeletes(s, dir, table = "codes")
+        }
+      Seq("lsh_deleted" -> false, "lsh_del_compacted" -> true)
+        .foreach { case (name, compact) =>
+          val dir = s"$root/$name"
+          Similarity.lshWriteIndex(s, d, dir,
+            assignOnly = Some(col("vec_id") % 5 =!= 4))
+          Similarity.lshAppendBatch(s, dir,
+            emb.filter(col("vec_id") % 5 === 4), batchId = 1L)
+          Similarity.annDeleteIds(s, dir, embDel, batchId = 1L)
+          if (compact)
+            Similarity.compactAnnDeletes(s, dir, table = "buckets",
+              partitionCol = "bucket")
+        }
       val docs = graft.Tables.documents(s, d)
       Seq("bm25_deleted" -> false, "bm25_del_compacted" -> true)
         .foreach { case (name, compact) =>
@@ -978,6 +1106,50 @@ object TextQueries {
             all.filter(col("doc_id") % 5 === 4), batchId = 1L)
           Substring.deletePositions(s, dir, docDel, batchId = 1L)
           if (compact) Substring.compactPositionDeletes(s, dir)
+        }
+      // the BPE index's erasure pair (r17): same lifecycle-real build
+      // as substr_bpe (frozen full-corpus vocabulary, 80% base + one
+      // append batch) plus the tombstone batch; the compacted twin
+      // folds positions, counts AND symbol streams
+      Seq("substr_bpe_deleted" -> false,
+          "substr_bpe_del_compacted" -> true)
+        .foreach { case (name, compact) =>
+          val dir = s"$root/$name"
+          Substring.writeBpeIndex(s, d, dir,
+            buildOnly = Some(col("doc_id") % 5 =!= 4))
+          Substring.bpeAppendBatch(s, dir,
+            docs.filter(col("doc_id") % 5 === 4), batchId = 1L)
+          Substring.deletePositions(s, dir, docDel, batchId = 1L)
+          if (compact) Substring.compactPositionDeletes(s, dir)
+        }
+      // erasure reaches the DERIVED/MODEL artifacts too (r17): the
+      // novelty first-seen index (min re-derivation + the one-pass
+      // compaction) and the trained perplexity LM (additive count
+      // subtraction, BM25's trick) — a right-to-be-forgotten request
+      // that removed the documents but left their statistics standing
+      // would not be an erasure
+      Seq("novelty_deleted" -> false, "novelty_del_compacted" -> true)
+        .foreach { case (name, compact) =>
+          val dir = s"$root/$name"
+          Dedup.noveltyWriteIndex(s, d, dir,
+            buildOnly = Some(col("doc_id") % 5 =!= 4))
+          Dedup.noveltyAppendBatch(s, dir,
+            docs.filter(col("doc_id") % 5 === 4), batchId = 1L)
+          Dedup.noveltyDeleteDocs(s, dir,
+            docs.filter(col("doc_id") % 7 === 6), batchId = 1L)
+          if (compact) Dedup.compactNoveltyDeletes(s, dir,
+            docs.filter(col("doc_id") % 7 =!= 6))
+        }
+      Seq("ppl_deleted" -> false, "ppl_del_compacted" -> true)
+        .foreach { case (name, compact) =>
+          val dir = s"$root/$name"
+          Perplexity.writeModel(s, d, dir,
+            docFilter = Some(col("doc_id") % 5 =!= 4))
+          Perplexity.appendBatch(s, dir,
+            docs.filter(col("doc_id") % 5 === 4), batchId = 1L)
+          Perplexity.deleteDocs(s, dir,
+            docs.filter(col("doc_id") % 7 === 6), batchId = 1L)
+          if (compact) Perplexity.compactDeletes(s, dir)
         }
     }
     // frozen BPE tokenizer: trained once here, applied by
@@ -1039,6 +1211,37 @@ object TextQueries {
       "FROM documents WHERE doc_id % 7 <> 6)")
     require(out != base,
       "deletedBm25Oracle: corpus-restriction splice found no anchor")
+    out
+  }
+
+  private lazy val deletedNoveltyOracle: String = {
+    val base = baseOracle("q_novelty")
+    // one anchor: the shingle CTE's corpus scan — grams, first-seen
+    // minima and per-doc scores all flow from the restricted toks
+    val out = base.replace("FROM documents\n",
+      "FROM documents WHERE doc_id % 7 <> 6\n")
+    require(out != base,
+      "deletedNoveltyOracle: corpus-restriction splice found no anchor")
+    out
+  }
+
+  private lazy val deletedPerplexityOracle: String = {
+    val base = baseOracle("q_perplexity")
+    // the toks CTE feeds the training slice, the scored docs AND the
+    // tertile thresholds — one splice restricts the whole chain
+    val out = base.replace("FROM documents),",
+      "FROM documents WHERE doc_id % 7 <> 6),")
+    require(out != base,
+      "deletedPerplexityOracle: corpus-restriction splice found no anchor")
+    out
+  }
+
+  private lazy val deletedPplStatsOracle: String = {
+    val base = baseOracle("q_ppl_model_stats")
+    val out = base.replace("FROM documents WHERE lang = 'en'),",
+      "FROM documents WHERE lang = 'en' AND doc_id % 7 <> 6),")
+    require(out != base,
+      "deletedPplStatsOracle: corpus-restriction splice found no anchor")
     out
   }
 
@@ -1105,6 +1308,15 @@ object TextQueries {
       ("q_ann_int8_deleted_served" -> deletedBruteOracle) +
       ("q_ann_int8_del_compacted_served" -> deletedBruteOracle) +
       ("q_ann_bq_deleted_served" -> deletedBruteOracle) +
+      ("q_ann_bq_del_compacted_served" -> deletedBruteOracle) +
+      // the frozen-geometry tiers' compacted twins share the deleted
+      // goldens — compaction folds rows, never geometry or answers
+      ("q_ann_ivf_del_compacted_served" ->
+        baseOracle("q_ann_ivf_deleted_served")) +
+      ("q_ann_ivfpq_del_compacted_served" ->
+        baseOracle("q_ann_ivfpq_deleted_served")) +
+      ("q_ann_lsh_del_compacted_served" ->
+        baseOracle("q_ann_lsh_deleted_served")) +
       ("q_bm25_deleted_served" -> deletedBm25Oracle) +
       ("q_bm25_del_compacted_served" -> deletedBm25Oracle) +
       ("q_canonical_docs_deleted_served" -> deletedCanonicalOracle) +
@@ -1114,6 +1326,14 @@ object TextQueries {
         graft.operators.Substring.deletedScrubOracleSql()) +
       ("q_substring_scrub_del_compacted_served" ->
         graft.operators.Substring.deletedScrubOracleSql()) +
+      // derived/model-index erasure (r17): survivors-restricted full
+      // recomputes — a min still vouched by an erased doc, a count it
+      // still inflates, or a tertile it still shifts fails the hash
+      ("q_novelty_deleted_served" -> deletedNoveltyOracle) +
+      ("q_novelty_del_compacted_served" -> deletedNoveltyOracle) +
+      ("q_perplexity_deleted_served" -> deletedPerplexityOracle) +
+      ("q_perplexity_del_compacted_served" -> deletedPerplexityOracle) +
+      ("q_ppl_model_stats_deleted" -> deletedPplStatsOracle) +
       // served MMR: index-exact shortlist + raw-store relevance ⇒ the
       // identical greedy trajectory — shares the unrolled-rounds oracle
       ("q_mmr_rerank_served" -> baseOracle("q_mmr_rerank")) +
@@ -1444,6 +1664,54 @@ object TextQueries {
        |LEFT JOIN sc ON d0.doc_id = sc.doc_id
        |LEFT JOIN ct ON d0.doc_id = ct.doc_id
        |GROUP BY d0.source""".stripMargin
+  }
+
+  /** q_mix_manifest's full oracle: the curation report's component CTE
+    * chain (dup/PII/contamination/repetition flags + the substring
+    * scrub, all recomputed from scratch) extended with the manifest
+    * tail — kept-doc clean token mass, temperature weights over clean
+    * tokens (α = 0.3), the 50k-token budget allocation and the implied
+    * epochs. Derived doubles at 4 dp (the pow() ulp contract).
+    */
+  private def mixManifestOracle: String = {
+    val base = curationReportOracle
+    val anchor = "SELECT d0.source, count(*) AS n_docs,"
+    require(base.contains(anchor),
+      "mixManifestOracle: final-SELECT anchor missing from the report " +
+        "oracle")
+    val ctes = base.substring(0, base.indexOf(anchor)).trim
+      .stripSuffix(",")
+    s"""$ctes,
+       |flags AS (
+       |  SELECT d0.doc_id, d0.source, d0.ws,
+       |    coalesce(sc.n_cut, 0) AS n_cut,
+       |    CASE WHEN d0.exact_dup = 1 OR d0.pii = 1
+       |      OR rep.repetitive = 1 OR jac.doc_id IS NOT NULL
+       |      OR ct.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dropped
+       |  FROM d0
+       |  LEFT JOIN rep ON d0.doc_id = rep.doc_id
+       |  LEFT JOIN jac ON d0.doc_id = jac.doc_id
+       |  LEFT JOIN sc ON d0.doc_id = sc.doc_id
+       |  LEFT JOIN ct ON d0.doc_id = ct.doc_id),
+       |per AS (
+       |  SELECT source, count(*) AS raw_docs,
+       |    CAST(sum(ws) AS BIGINT) AS raw_tokens,
+       |    CAST(sum(CASE WHEN dropped = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS kept_docs,
+       |    CAST(sum(CASE WHEN dropped = 0 THEN ws - n_cut ELSE 0 END)
+       |      AS BIGINT) AS clean_tokens
+       |  FROM flags GROUP BY source),
+       |tot AS (SELECT CAST(sum(clean_tokens) AS DOUBLE) AS ctt FROM per),
+       |smw AS (SELECT per.*, clean_tokens / ctt AS p,
+       |    pow(clean_tokens / ctt, 0.3) AS pa
+       |  FROM per, tot),
+       |zz AS (SELECT sum(pa) AS z FROM smw)
+       |SELECT source, raw_docs, raw_tokens, kept_docs, clean_tokens,
+       |  round(p, 4) AS clean_share,
+       |  round(pa / z, 4) AS q_share,
+       |  round(pa / z * 50000, 4) AS alloc_tokens,
+       |  round(pa / z * 50000 / clean_tokens, 4) AS epochs
+       |FROM smw, zz""".stripMargin
   }
 
   private val shingleCte =
@@ -2098,6 +2366,12 @@ object TextQueries {
     "q_substring_dups_bpe_served" -> Substring.bpeOracleSql(),
     "q_substring_scrub_bpe" -> Substring.bpeScrubOracleSql(),
     "q_substring_scrub_bpe_served" -> Substring.bpeScrubOracleSql(),
+    // frozen-tokenizer erasure: encode corpus restricted to survivors,
+    // trainer corpus whole (see deletedBpeScrubOracleSql's anchor note)
+    "q_substring_scrub_bpe_deleted_served" ->
+      Substring.deletedBpeScrubOracleSql(),
+    "q_substring_scrub_bpe_del_compacted_served" ->
+      Substring.deletedBpeScrubOracleSql(),
     "q_substring_dups_bpe_incr" -> Substring.bpeIncrOracleSql(),
     "q_substring_dups_bpe_incr_served" -> Substring.bpeIncrOracleSql(),
     "q_substring_dups_incr" -> Substring.incrOracleSql(),
@@ -2320,6 +2594,22 @@ object TextQueries {
       s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
          | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
          |${annIvfGolden}) AS t(q, v, s, r)""".stripMargin,
+    // GOLDEN oracles: the erasure states of the frozen-geometry tiers
+    // (r17) — deleted ids anti-joined out of the candidate set, model
+    // untouched. Pinned at sf0.01 from the deleted fixtures; the
+    // _del_compacted twins share them (compaction preserves answers).
+    "q_ann_ivf_deleted_served" ->
+      s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+         | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
+         |${annIvfDeletedGolden}) AS t(q, v, s, r)""".stripMargin,
+    "q_ann_ivfpq_deleted_served" ->
+      s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+         | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
+         |${annIvfPqDeletedGolden}) AS t(q, v, s, r)""".stripMargin,
+    "q_ann_lsh_deleted_served" ->
+      s"""SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+         | CAST(s AS DOUBLE) AS sim, CAST(r AS INT) AS rk FROM (VALUES
+         |${annLshDeletedGolden}) AS t(q, v, s, r)""".stripMargin,
     // GOLDEN oracle: the filtered-IVF composite-key tier, pinned at
     // sf0.01 with the same determinism argument as q_ann_ivf (see
     // annFilteredIvfGolden's re-pin note). Its EXACT counterpart
@@ -2957,6 +3247,7 @@ object TextQueries {
     // (shared with q_curation_report's contaminated_docs component)
     "q_contamination" -> contaminationOracle,
     "q_curation_report" -> curationReportOracle,
+    "q_mix_manifest" -> mixManifestOracle,
     // semantic decontamination: full cross-engine recompute — every
     // probe×train cosine re-derived in SQL (sequential double sums,
     // bit-identical to the fused expression), argmax re-ranked on the
@@ -3179,6 +3470,73 @@ object TextQueries {
       |  (401,478,5),(418,452,6),(418,466,6),(422,426,6),(426,440,6),
       |  (435,486,3),(439,473,6),(453,493,4),(453,495,6),(458,462,3),
       |  (458,466,5),(462,466,6),(493,495,6)""".stripMargin
+
+  // delete-restricted goldens (r17, GoldenDump at sf0.01): the
+  // tombstoned/compacted serves of the frozen-geometry tiers. As
+  // deterministic as their unrestricted twins — same full-corpus fit,
+  // the candidate set merely anti-joins the fixture's vec_id % 7 == 6
+  // slice — and AnnEraseSpec pins each against a survivors-only build
+  // under the same geometry, so the pin's job is catching drift in
+  // the tombstone plumbing itself. Re-pin alongside the base goldens.
+  private val annIvfDeletedGolden: String =
+    """(0,190,0.2818,7),(0,334,0.3627,2),(0,365,0.37,1),
+      |  (0,387,0.3311,3),(0,388,0.2763,9),(0,423,0.2969,4),
+      |  (0,464,0.2766,8),(0,483,0.2567,10),(0,7,0.2928,6),
+      |  (0,73,0.2954,5),(1,124,0.3028,4),(1,203,0.2682,8),
+      |  (1,220,0.2898,7),(1,312,0.2591,9),(1,353,0.2466,10),
+      |  (1,386,0.3715,1),(1,402,0.2923,5),(1,407,0.327,2),
+      |  (1,472,0.2921,6),(1,64,0.3164,3),(2,109,0.2284,10),
+      |  (2,112,0.2453,7),(2,117,0.3181,1),(2,145,0.2635,3),
+      |  (2,172,0.2398,9),(2,320,0.255,4),(2,350,0.2401,8),
+      |  (2,418,0.254,5),(2,450,0.2663,2),(2,471,0.2472,6),
+      |  (3,134,0.2506,9),(3,192,0.2908,4),(3,207,0.2917,3),
+      |  (3,231,0.2988,2),(3,343,0.3085,1),(3,396,0.261,7),
+      |  (3,437,0.2805,5),(3,444,0.2445,10),(3,463,0.2609,8),
+      |  (3,474,0.2767,6),(4,114,0.3985,1),(4,249,0.2796,4),
+      |  (4,257,0.2724,5),(4,280,0.2798,3),(4,288,0.2286,9),
+      |  (4,332,0.2276,10),(4,346,0.2316,8),(4,408,0.3228,2),
+      |  (4,470,0.2525,7),(4,89,0.266,6)""".stripMargin
+
+  // equal to annIvfDeletedGolden at sf0.01 by the refine=100 exact
+  // re-rank recovery (the annIvfPqGolden precedent) — pinned
+  // separately so compressed-tier erasure drift reports its own values
+  private val annIvfPqDeletedGolden: String =
+    """(0,190,0.2818,7),(0,334,0.3627,2),(0,365,0.37,1),
+      |  (0,387,0.3311,3),(0,388,0.2763,9),(0,423,0.2969,4),
+      |  (0,464,0.2766,8),(0,483,0.2567,10),(0,7,0.2928,6),
+      |  (0,73,0.2954,5),(1,124,0.3028,4),(1,203,0.2682,8),
+      |  (1,220,0.2898,7),(1,312,0.2591,9),(1,353,0.2466,10),
+      |  (1,386,0.3715,1),(1,402,0.2923,5),(1,407,0.327,2),
+      |  (1,472,0.2921,6),(1,64,0.3164,3),(2,109,0.2284,10),
+      |  (2,112,0.2453,7),(2,117,0.3181,1),(2,145,0.2635,3),
+      |  (2,172,0.2398,9),(2,320,0.255,4),(2,350,0.2401,8),
+      |  (2,418,0.254,5),(2,450,0.2663,2),(2,471,0.2472,6),
+      |  (3,134,0.2506,9),(3,192,0.2908,4),(3,207,0.2917,3),
+      |  (3,231,0.2988,2),(3,343,0.3085,1),(3,396,0.261,7),
+      |  (3,437,0.2805,5),(3,444,0.2445,10),(3,463,0.2609,8),
+      |  (3,474,0.2767,6),(4,114,0.3985,1),(4,249,0.2796,4),
+      |  (4,257,0.2724,5),(4,280,0.2798,3),(4,288,0.2286,9),
+      |  (4,332,0.2276,10),(4,346,0.2316,8),(4,408,0.3228,2),
+      |  (4,470,0.2525,7),(4,89,0.266,6)""".stripMargin
+
+  private val annLshDeletedGolden: String =
+    """(0,320,0.2879,4),(0,323,0.2565,8),(0,344,0.2525,9),
+      |  (0,365,0.37,1),(0,387,0.3311,2),(0,388,0.2763,6),
+      |  (0,464,0.2766,5),(0,483,0.2567,7),(0,498,0.2507,10),
+      |  (0,7,0.2928,3),(1,124,0.3028,4),(1,203,0.2682,7),
+      |  (1,220,0.2898,6),(1,268,0.2455,10),(1,312,0.2591,8),
+      |  (1,353,0.2466,9),(1,386,0.3715,1),(1,407,0.327,2),
+      |  (1,472,0.2921,5),(1,64,0.3164,3),(2,109,0.2284,10),
+      |  (2,112,0.2453,6),(2,117,0.3181,1),(2,145,0.2635,2),
+      |  (2,172,0.2398,8),(2,197,0.2331,9),(2,320,0.255,3),
+      |  (2,350,0.2401,7),(2,418,0.254,4),(2,471,0.2472,5),
+      |  (3,130,0.3999,1),(3,149,0.3299,2),(3,192,0.2908,5),
+      |  (3,207,0.2917,4),(3,231,0.2988,3),(3,315,0.2852,6),
+      |  (3,396,0.261,8),(3,437,0.2805,7),(3,444,0.2445,9),
+      |  (3,449,0.2427,10),(4,114,0.3985,1),(4,249,0.2796,3),
+      |  (4,257,0.2724,4),(4,288,0.2286,8),(4,332,0.2276,9),
+      |  (4,346,0.2316,7),(4,353,0.225,10),(4,408,0.3228,2),
+      |  (4,470,0.2525,6),(4,89,0.266,5)""".stripMargin
 
   private val annIvfShardedGolden: String =
     """(0,190,0.2818,7),(0,320,0.2879,6),(0,334,0.3627,2),

@@ -252,22 +252,39 @@ object Streams {
       .start()
 
   /** Streaming right-to-be-forgotten: erasure REQUESTS flow as a
-    * stream of (doc_id, text) rows — the text rides along so the BM25
-    * tombstone records the deleted doc's length once, at delete time
-    * ([[graft.operators.Search.deleteDocs]]), keeping the serve-time
-    * N/Σdl adjustment index-local. Each micro-batch lands as one
-    * tombstone batch per index family keyed by the micro-batch id
-    * (overwrite-whole — the exactly-once contract every maintainer
-    * here shares), so checkpoint replay re-tombstones the same ids and
-    * changes nothing. The embedding tiers key on doc_id = vec_id (the
-    * curation pipeline's convention). Compaction
+    * stream of (doc_id, text) rows and fan to EVERY standing index's
+    * tombstones — a request that misses one family is not an erasure.
+    * The text rides along because three families record the deleted
+    * doc's contribution at delete time, while it is still available:
+    * BM25 its length ([[graft.operators.Search.deleteDocs]] — the
+    * serve-time N/Σdl adjustment stays index-local), the LM its bigram
+    * counts ([[graft.operators.Perplexity.deleteDocs]] — additive
+    * subtraction), the novelty index its gram set
+    * ([[graft.operators.Dedup.noveltyDeleteDocs]] — df honesty + the
+    * compaction's affected-gram detection). It must be the INDEXED
+    * text (the curation pipeline indexes the redacted form — feed the
+    * same). The embedding tiers (int8/bq and the frozen-geometry
+    * IVF/IVF-PQ/LSH via [[graft.operators.Similarity.annDeleteIds]])
+    * key on doc_id = vec_id; the position indexes (whitespace + BPE —
+    * [[graft.operators.Substring.deletePositions]] works on both) and
+    * the minhash bucket index key on doc_id alone.
+    *
+    * Each micro-batch lands as one tombstone batch per family keyed by
+    * the micro-batch id (overwrite-whole — the exactly-once contract
+    * every maintainer here shares), so checkpoint replay re-tombstones
+    * the same ids and changes nothing. Compaction
     * ([[graft.operators.ScalarQuant.compactDeletes]] et al.) runs at
     * admin cadence with the maintainer stopped, like promotion.
     */
   def erasureMaintainer(requests: DataFrame, bm25IndexDir: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
       int8IndexDir: Option[String] = None,
-      bqIndexDir: Option[String] = None): StreamingQuery =
+      bqIndexDir: Option[String] = None,
+      annIndexDirs: Seq[String] = Nil,
+      substrIndexDirs: Seq[String] = Nil,
+      minhashIndexDir: Option[String] = None,
+      noveltyIndexDir: Option[String] = None,
+      pplModelDir: Option[String] = None): StreamingQuery =
     requests.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
@@ -283,6 +300,24 @@ object Streams {
           bqIndexDir.foreach(dir =>
             graft.operators.BinaryQuant.bqDeleteIds(s, dir,
               batch.select(col("doc_id").as("vec_id")), batchId))
+          annIndexDirs.foreach(dir =>
+            graft.operators.Similarity.annDeleteIds(s, dir,
+              batch.select(col("doc_id").as("vec_id")), batchId))
+          substrIndexDirs.foreach(dir =>
+            graft.operators.Substring.deletePositions(s, dir,
+              batch.select(col("doc_id")), batchId))
+          minhashIndexDir.foreach(dir =>
+            graft.operators.Dedup.minhashDeleteIds(s, dir,
+              batch.select(col("doc_id")), batchId))
+          noveltyIndexDir.foreach(dir =>
+            graft.operators.Dedup.noveltyDeleteDocs(s, dir,
+              batch.select(col("doc_id"), col("text")), batchId))
+          // the curation LM trains every admitted doc (reference =
+          // true) — the delete mirrors it
+          pplModelDir.foreach(dir =>
+            graft.operators.Perplexity.deleteDocs(s, dir,
+              batch.select(col("doc_id"), col("text")), batchId,
+              reference = lit(true)))
         }
       }
       .start()

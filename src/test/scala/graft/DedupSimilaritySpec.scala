@@ -75,6 +75,59 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(split === got)
   }
 
+  test("novelty erasure: erasing the first-seen copy PROMOTES the " +
+      "earliest survivor (min is not subtractable — the re-derivation " +
+      "path); serve and compaction equal a survivors-only rebuild") {
+    // doc1 is the first-seen of the shared shingles {abc,bcd,cde};
+    // docs 2,3 are copies; doc4 is disjoint and arrives as an append
+    // batch. Erasing doc1 must make doc2 the cluster's novel copy.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"),
+      (4L, "p q r s t"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = tmpDir("novelty_del")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val idx = s"$dir/idx"
+    Dedup.noveltyWriteIndex(spark, dir, idx,
+      buildOnly = Some(col("doc_id") <= 3))
+    Dedup.noveltyAppendBatch(spark, idx,
+      docs.filter(col("doc_id") === 4).select("doc_id", "text"),
+      batchId = 1L)
+    Dedup.noveltyDeleteDocs(spark, idx,
+      docs.filter(col("doc_id") === 1).select("doc_id", "text"),
+      batchId = 1L)
+    val survivors = Tables.documents(spark, dir)
+      .filter(col("doc_id") =!= 1)
+    def served(from: String) = Dedup.noveltyFromIndex(spark, from,
+      survivors).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val got = served(idx)
+    assert(got(2L) === ((3L, 3L, 1.0))) // promoted to first-seen
+    assert(got(3L) === ((3L, 0L, 0.0)))
+    assert(got(4L) === ((3L, 3L, 1.0)))
+    // parity: a survivors-only from-scratch index serves identically
+    val ref = s"$dir/ref"
+    Dedup.noveltyWriteIndex(spark, dir, ref,
+      buildOnly = Some(col("doc_id") =!= 1))
+    assert(served(ref) === got)
+    // compaction pays the one corpus pass (affected grams re-min from
+    // the survivor corpus), retires tombstones + batch dirs, and the
+    // rewritten base equals the survivors-built base row-for-row
+    Dedup.compactNoveltyDeletes(spark, idx, survivors)
+    assert(!new java.io.File(s"$idx/tombstones").exists)
+    assert(!new java.io.File(s"$idx/firstseen_batches").exists)
+    assert(served(idx) === got)
+    val baseRows = spark.read.parquet(s"$idx/firstseen").collect()
+      .map(_.toSeq).toSet
+    assert(baseRows === spark.read.parquet(s"$ref/firstseen").collect()
+      .map(_.toSeq).toSet)
+    Dedup.compactNoveltyDeletes(spark, idx, survivors) // no-op re-run
+    assert(served(idx) === got)
+  }
+
   test("incremental minhash: finds new-vs-index and new-vs-new pairs, " +
     "never re-pairs the index with itself") {
     import spark.implicits._
@@ -1373,6 +1426,28 @@ class DedupSimilaritySpec extends SparkSuite {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(served === operators.Similarity.mmrTopK(spark, d)
       .collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
+  test("mmr greedy runs INSIDE executors: the plan groups by query_id " +
+      "(no LocalTableScan from a driver collect), and a 500-query " +
+      "batch — 100× the registry shape — completes with per-group " +
+      "kCand-bounded state") {
+    // sf0.01 has 500 vectors: every one of them queries, the scale
+    // axis the r16 driver-loop design couldn't generalize along
+    val d = "/root/testdata/sf0.01"
+    val df = operators.Similarity.mmrTopK(spark, d, nQueries = 500,
+      kCand = 12, k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      "mmr result must be computed distributed, not collected")
+    assert(plan.contains("MapGroups"),
+      "greedy must run per query group inside executors")
+    val rows = df.collect()
+    assert(rows.length === 500 * 5)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).distinct.length === rs.length)
+      assert(rs.map(_.getInt(2)).sorted.toSeq === (0 until 5))
+    }
   }
 
   test("matryoshka truncation recall: full-dim rows anchor at 1.0, " +

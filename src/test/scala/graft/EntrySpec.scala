@@ -64,7 +64,21 @@ class EntrySpec extends SparkSuite {
     "q_hard_negatives", "q_heavy_hitters", "q_histogram",
     "q_hll_mergeable", "q_hybrid_rrf", "q_hybrid_rrf_served",
     "q_join_size_ams", "q_pagerank", "q_perplexity",
-    "q_perplexity_served", "q_quality_ensemble", "q_quality_nb",
+    "q_perplexity_served",
+    // the LM erasure serves add the tombstone-watermark one-row
+    // broadcast (Search.statsMinusTombs' shape) on top of the
+    // perplexity family's documented V/total scalar crosses
+    "q_perplexity_deleted_served", "q_perplexity_del_compacted_served",
+    "q_ppl_model_stats_deleted",
+    // the manifest's clean-token total and temperature normalizer are
+    // one-row aggregates crossed back onto the per-source frame
+    "q_mix_manifest",
+    // the executor-side greedy exposes the candidate stage's plan
+    // (r17 — the result is no longer a driver-collected
+    // LocalTableScan): its shortlist pass is the q_ann_brute
+    // broadcast-probe cross, inherited here
+    "q_mmr_rerank",
+    "q_quality_ensemble", "q_quality_nb",
     // q_length_buckets: q_seq_pack's sharded prefix sum — the in-plan
     // one-row bounds aggregate broadcasts as BNLJ by design
     "q_scalar_subquery", "q_seq_pack", "q_length_buckets",

@@ -103,6 +103,54 @@ class PerplexitySpec extends SparkSuite {
     assert(served === inline)
   }
 
+  test("LM erasure: tombstoned docs' counts subtract to the survivors' " +
+      "from-scratch model; duplicate requests and the compaction " +
+      "window cannot double-subtract; compaction folds in") {
+    import graft.operators.Perplexity
+    import org.apache.spark.sql.functions.col
+    val d = sf("sf0.001")
+    val survPred = col("doc_id") % 7 =!= 6
+    // truth: the full train+score+bucket chain over survivors only
+    val survDir = tmpDir("ppl_surv")
+    Tables.documents(spark, d).filter(survPred)
+      .write.mode("overwrite").parquet(s"$survDir/documents.parquet")
+    val want = Perplexity.perplexityFilter(spark, survDir)
+      .collect().map(_.toString).sorted.toSeq
+    // non-vacuous: erasing the slice must actually move the model
+    assert(Perplexity.perplexityFilter(spark, d)
+      .filter(survPred).collect().map(_.toString).sorted.toSeq !== want)
+    // lifecycle-real: 80% base + committed batch + tombstones at once
+    val model = tmpDir("ppl_del")
+    val docs = Tables.documents(spark, d)
+    Perplexity.writeModel(spark, d, model,
+      docFilter = Some(col("doc_id") % 5 =!= 4))
+    Perplexity.appendBatch(spark, model,
+      docs.filter(col("doc_id") % 5 === 4), batchId = 1L)
+    val doomed = docs.filter(col("doc_id") % 7 === 6)
+    Perplexity.deleteDocs(spark, model, doomed, batchId = 1L)
+    def served = Perplexity.scoreWithModel(spark, d, model,
+      docFilter = Some(survPred))
+      .collect().map(_.toString).sorted.toSeq
+    assert(served === want, "tombstoned model drifted from survivors")
+    // a re-sent request in a SECOND live batch subtracts once
+    Perplexity.deleteDocs(spark, model, doomed, batchId = 2L)
+    assert(served === want, "duplicate erasure double-subtracted")
+    Perplexity.compactDeletes(spark, model)
+    assert(!new java.io.File(s"$model/tombstones").exists())
+    assert(!new java.io.File(s"$model/bigrams_batches").exists())
+    assert(served === want, "compaction changed the live counts")
+    Perplexity.compactDeletes(spark, model) // idempotent no-op
+    assert(served === want)
+    // crash-window replay: survivor-adjusted base with the folded
+    // delete batches still visible — the persisted watermark (tw = 2)
+    // makes them inert
+    Perplexity.deleteDocs(spark, model, doomed, batchId = 1L)
+    Perplexity.deleteDocs(spark, model, doomed, batchId = 2L)
+    assert(served === want, "window replay double-subtracted")
+    Perplexity.compactDeletes(spark, model) // recovery retires them
+    assert(served === want)
+  }
+
   test("approx-threshold scale path agrees with the exact tertiles " +
       "away from the boundaries") {
     // approx_percentile returns an element of the multiset while the

@@ -115,6 +115,11 @@ class SearchSpec extends SparkSuite {
     // delete retries are exactly-once: the batch dir replaces itself
     Search.deleteDocs(spark, idx, doomed, batchId = 1L)
     assert(Search.bm25FromIndex(spark, idx).collect().toSet === want)
+    // a RE-SENT erasure request landing as a SECOND live batch
+    // (at-least-once delivery) must not subtract its docs' (count, Σdl)
+    // twice — the doc-dedupe guard in statsMinusTombs
+    Search.deleteDocs(spark, idx, doomed, batchId = 2L)
+    assert(Search.bm25FromIndex(spark, idx).collect().toSet === want)
     // compaction folds deletions (and append batches) into the base,
     // retires the side dirs, and serves the same answer from the
     // minimal stored-stats plan
@@ -127,6 +132,18 @@ class SearchSpec extends SparkSuite {
     // the compacted corpus scalar equals the survivors' true count
     assert(spark.read.parquet(s"$idx/stats").collect().head.getLong(0)
       === graft.Tables.documents(spark, survivors).count())
+    // crash-window replay: a compaction interrupted between the stats
+    // swap and the tombstone retire leaves survivor-adjusted scalars
+    // WITH the folded batches still visible — the persisted fold
+    // watermark (tw = 2 here) must stop those batches from subtracting
+    // a second time. Recreate that exact state and serve through it.
+    Search.deleteDocs(spark, idx, doomed, batchId = 1L)
+    Search.deleteDocs(spark, idx, doomed, batchId = 2L)
+    assert(Search.bm25FromIndex(spark, idx).collect().toSet === want)
+    // the recovery re-run retires them and nothing changes
+    Search.compactDeletes(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists())
+    assert(Search.bm25FromIndex(spark, idx).collect().toSet === want)
   }
 
   test("phraseMatch counts exact consecutive spans, including " +

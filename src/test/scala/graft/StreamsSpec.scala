@@ -452,9 +452,9 @@ class StreamsSpec extends SparkSuite {
   }
 
   test("streaming erasure maintainer: micro-batched right-to-be-" +
-    "forgotten requests tombstone the BM25 + int8 indexes to the " +
-    "survivors-only answers, exactly-once across restarts") {
-    import graft.operators.{ScalarQuant, Search}
+    "forgotten requests fan to BM25 + int8 + IVF + LM tombstones, all " +
+    "serving survivors-only answers, exactly-once across restarts") {
+    import graft.operators.{Perplexity, ScalarQuant, Search, Similarity}
     val emb = Tables.embeddings(spark, sf())
     // survivors-only references: from-scratch builds without the
     // to-be-erased slice (doc_id/vec_id % 7 == 6)
@@ -469,11 +469,25 @@ class StreamsSpec extends SparkSuite {
     val wantSq = ScalarQuant.sqTopKFromIndex(spark, refSq,
       emb.filter(col("vec_id") < 5), emb)
       .collect().map(_.toString).sorted.toSeq
+    val refIvf = tmpDir("erase_ref_ivf")
+    Similarity.ivfWriteIndex(spark, sf(), refIvf,
+      assignOnly = Some(col("vec_id") % 7 =!= 6))
+    val wantIvf = Similarity.ivfTopKFromIndex(spark, refIvf,
+      emb.filter(col("vec_id") < 5))
+      .collect().map(_.toString).sorted.toSeq
+    // the stream-fed LM trains every doc (reference = true), so the
+    // survivors reference does too
+    val wantPpl = Perplexity.perplexityFilter(spark, survivorsDocs,
+      reference = lit(true)).collect().map(_.toString).sorted.toSeq
     // live indexes over the FULL corpus, then erase via the stream
     val bm25Idx = tmpDir("erase_bm25")
     val sqIdx = tmpDir("erase_sq")
+    val ivfIdx = tmpDir("erase_ivf")
+    val pplDir = tmpDir("erase_ppl")
     Search.buildIndex(spark, sf(), bm25Idx)
     ScalarQuant.sqWriteIndex(spark, sf(), sqIdx)
+    Similarity.ivfWriteIndex(spark, sf(), ivfIdx)
+    Perplexity.writeModel(spark, sf(), pplDir, reference = lit(true))
     val doomed = Tables.documents(spark, sf())
       .filter(col("doc_id") % 7 === 6)
       .select(col("doc_id"), col("text"))
@@ -494,34 +508,52 @@ class StreamsSpec extends SparkSuite {
     def stream() = spark.readStream
       .schema(doomed.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
-    val q = Streams.erasureMaintainer(stream(), bm25Idx, ckpt,
-      int8IndexDir = Some(sqIdx))
+    def run() = Streams.erasureMaintainer(stream(), bm25Idx, ckpt,
+      int8IndexDir = Some(sqIdx), annIndexDirs = Seq(ivfIdx),
+      pplModelDir = Some(pplDir))
+    val q = run()
     q.awaitTermination(180000)
     def gotBm25() = Search.bm25FromIndex(spark, bm25Idx)
       .collect().map(_.toString).sorted.toSeq
     def gotSq() = ScalarQuant.sqTopKFromIndex(spark, sqIdx,
       emb.filter(col("vec_id") < 5), emb)
       .collect().map(_.toString).sorted.toSeq
+    def gotIvf() = Similarity.ivfTopKFromIndex(spark, ivfIdx,
+      emb.filter(col("vec_id") < 5))
+      .collect().map(_.toString).sorted.toSeq
+    def gotPpl() = Perplexity.scoreWithModel(spark, sf(), pplDir,
+      reference = lit(true),
+      docFilter = Some(col("doc_id") % 7 =!= 6))
+      .collect().map(_.toString).sorted.toSeq
     assert(gotBm25() === wantBm25)
     assert(gotSq() === wantSq)
+    assert(gotIvf() === wantIvf)
+    assert(gotPpl() === wantPpl)
     // one tombstone batch per micro-batch, per family
     val tombDirs = new java.io.File(s"$bm25Idx/tombstones")
       .listFiles().toSeq.map(_.getName)
       .filter(_.startsWith("batch=")).sorted
     assert(tombDirs === Seq("batch=0", "batch=1"))
     // restart on the same checkpoint: nothing re-read, nothing changed
-    val q2 = Streams.erasureMaintainer(stream(), bm25Idx, ckpt,
-      int8IndexDir = Some(sqIdx))
+    val q2 = run()
     q2.awaitTermination(180000)
     assert(gotBm25() === wantBm25)
     assert(gotSq() === wantSq)
+    assert(gotIvf() === wantIvf)
+    assert(gotPpl() === wantPpl)
     // admin-cadence close-out with the maintainer stopped: compaction
     // folds the streamed tombstones in and serves the same answers
     Search.compactDeletes(spark, bm25Idx)
     ScalarQuant.compactDeletes(spark, sqIdx)
+    Similarity.compactAnnDeletes(spark, ivfIdx)
+    Perplexity.compactDeletes(spark, pplDir)
     assert(!new java.io.File(s"$bm25Idx/tombstones").exists())
+    assert(!new java.io.File(s"$ivfIdx/tombstones").exists())
+    assert(!new java.io.File(s"$pplDir/tombstones").exists())
     assert(gotBm25() === wantBm25)
     assert(gotSq() === wantSq)
+    assert(gotIvf() === wantIvf)
+    assert(gotPpl() === wantPpl)
   }
 
   test("streaming ANN index maintainer: micro-batched vector arrivals " +

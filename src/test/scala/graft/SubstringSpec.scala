@@ -328,6 +328,47 @@ class SubstringSpec extends SparkSuite {
     assert(served() === want)
   }
 
+  test("BPE index deletes: tombstoned docs leave positions, counts AND " +
+      "streams; the serve equals a survivors-only index under the " +
+      "frozen tokenizer, and compaction folds all three tables") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "text")
+    val survivors = docs.filter(col("doc_id") % 7 =!= 6)
+    // ground truth: survivors-only index under the SAME tokenizer
+    // (writeBpeIndex always trains the vocabulary on the full corpus
+    // at d — erasure never retrains the frozen merge table)
+    val ref = tmpDir("substr_bpe_del_ref")
+    Substring.writeBpeIndex(spark, d, ref, indexDocs = Some(survivors))
+    def scrub(dir: String) =
+      Substring.substringScrubBpeFromIndex(spark, dir)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val want = scrub(ref)
+    assert(want.nonEmpty)
+    // lifecycle-real: 80% base + committed batch + tombstones at once
+    val idx = tmpDir("substr_bpe_del")
+    Substring.writeBpeIndex(spark, d, idx,
+      buildOnly = Some(col("doc_id") % 5 =!= 4))
+    Substring.bpeAppendBatch(spark, idx,
+      docs.filter(col("doc_id") % 5 === 4), batchId = 1L)
+    Substring.deletePositions(spark, idx,
+      docs.filter(col("doc_id") % 7 === 6).select("doc_id"),
+      batchId = 1L)
+    assert(scrub(idx) === want)
+    // an erased doc must not resurface as a "clean text" row
+    assert(!scrub(idx).exists(_(0).asInstanceOf[Long] % 7 == 6))
+    // compaction rewrites positions, freq AND the symbol streams,
+    // retires the side dirs, and re-runs as a no-op
+    Substring.compactPositionDeletes(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists)
+    assert(!new java.io.File(s"$idx/streams_batches").exists)
+    assert(scrub(idx) === want)
+    Substring.compactPositionDeletes(spark, idx)
+    assert(scrub(idx) === want)
+    assert(spark.read.parquet(s"$idx/streams").count()
+      === survivors.count())
+  }
+
   test("curation report served from the position index equals the " +
       "inline report (the substring component is the only index seam)") {
     val d = "/root/testdata/sf0.001"
