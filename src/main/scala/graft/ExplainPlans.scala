@@ -9,8 +9,13 @@ import org.apache.spark.sql.SparkSession
 object ExplainPlans {
   def main(args: Array[String]): Unit = {
     // audit transparency: print the full candidate subtrees instead of
-    // the opaque ExistingRDD scans the lazy lineage cuts leave behind
-    sys.props("graft.audit.noCheckpoint") = "true"
+    // the opaque ExistingRDD scans the lazy lineage cuts leave behind.
+    // GRAFT_EXPLAIN_KEEP_CHECKPOINTS=1 flips to the RUNTIME plan shape
+    // (checkpoints materialized as ExistingRDD) — the view that shows
+    // whether a checkpoint-preserved partitioning is actually reused
+    // downstream (r17 substring layout work)
+    if (!sys.env.contains("GRAFT_EXPLAIN_KEEP_CHECKPOINTS"))
+      sys.props("graft.audit.noCheckpoint") = "true"
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -32,6 +32,7 @@ object ScaleProbe {
     if (args.headOption.contains("zorder")) { zorderProbe(); return }
     if (args.headOption.contains("fetch")) { fetchProbe(); return }
     if (args.headOption.contains("substr")) { substrProbe(); return }
+    if (args.headOption.contains("bpe")) { bpeProbe(); return }
     if (args.headOption.contains("erasure")) { erasureProbe(); return }
     if (args.headOption.contains("modelerase")) {
       modelEraseProbe(); return
@@ -121,6 +122,59 @@ object ScaleProbe {
     * under dfCap is its pigeonhole guarantee). Records positions,
     * spans and wall time vs the 1× baseline.
     */
+  /** Phase attribution for the BPE family (r17 measure-first): where do
+    * q_substring_dups_bpe's seconds actually go — trainer rounds,
+    * corpus encode, gram hashing, or the span join? Usage:
+    * `runMain graft.ScaleProbe bpe`. Times each public seam at sf0.1
+    * after a sf0.001 warm pass, steady state = min of 2.
+    */
+  private def bpeProbe(): Unit = {
+    import graft.operators.{Bpe, Substring}
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    val nRuns = sys.env.get("GRAFT_PROBE_RUNS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(2)
+    def min2(name: String)(f: => Unit): Unit = {
+      val ts = (1 to nRuns).map { _ =>
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name: ${ts.min}%.2f s (runs: ${ts.map(t => f"$t%.2f")
+        .mkString(", ")})")
+    }
+    // warm codegen/JIT on the small SF
+    Bpe.merges(spark, "/root/testdata/sf0.001").count()
+    Substring.substringDupsBpe(spark, "/root/testdata/sf0.001").count()
+    min2("wordFreq (corpus pass + vocab agg)") {
+      Bpe.wordFreq(spark, d).count(); ()
+    }
+    min2("learn: 16 trainer rounds (argmax jobs)") {
+      Bpe.learn(spark, d)._1; ()
+    }
+    min2("learn + encoded-state materialize") {
+      Bpe.learn(spark, d)._2.count(); ()
+    }
+    min2("encodeStats (trainer + corpus encode + agg)") {
+      Bpe.encodeStats(spark, d).count(); ()
+    }
+    min2("fertility (trainer + encode + group agg)") {
+      Bpe.fertility(spark, d).count(); ()
+    }
+    min2("substringDupsBpe (trainer + encode + grams + spans)") {
+      Substring.substringDupsBpe(spark, d).count(); ()
+    }
+    min2("substringScrubBpe (… + cut + reassembly)") {
+      Substring.substringScrubBpe(spark, d).count(); ()
+    }
+    spark.stop()
+  }
+
   private def substrProbe(): Unit = {
     import graft.operators.Substring
     val spark = SparkSession.builder()

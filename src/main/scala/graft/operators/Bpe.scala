@@ -46,6 +46,23 @@ object Bpe {
   /** Word-final marker (the standard end-of-word tag). */
   val Eow = "</w>"
 
+  /** Broadcast ceiling for the encoded vocabulary, in word types
+    * (r17, guide §3.1): every consumer joins corpus tokens against the
+    * vocabulary on `word`, and with the vocabulary behind a
+    * localCheckpoint its stats are unknown — the planner was measured
+    * picking the CORPUS token explode as the broadcast side
+    * (BuildLeft over a streamed vocab), which is exactly backwards at
+    * scale. The trainer knows the true type count (its round layout
+    * already depends on it), so it hints the side itself: ≤ 4M types
+    * (≲ 200 MB framed with symbol arrays — a production tokenizer
+    * vocabulary is ~1e5) broadcasts; above that the hint is withheld
+    * and the word-keyed shuffle join stands.
+    */
+  private val VocabBroadcastMaxTypes = 4L * 1024 * 1024
+
+  private def hintVocab(df: DataFrame, nTypes: Long): DataFrame =
+    if (nTypes <= VocabBroadcastMaxTypes) broadcast(df) else df
+
   /** Distinct corpus words with occurrence counts — the training state
     * seed. Vocabulary-sized output; one token explode + one word-keyed
     * aggregate over the corpus.
@@ -99,32 +116,59 @@ object Bpe {
     var state = wordFreq(s, d)
       .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
       .localCheckpoint()
+    // Size-adaptive round layout (r17, guide §2.2/§2.4): every trainer
+    // round is a vocabulary-sized job, and the vocabulary is orders of
+    // magnitude smaller than the corpus (31 word types in the driver
+    // fixture; ~10⁵ for a production tokenizer; ~10⁶–10⁷ types even at
+    // 100 TB). Inheriting the corpus stage's 32-partition layout made
+    // each argmax round a 2-stage job (partial agg → exchange → final
+    // agg/TakeOrdered) over mostly-empty tasks — measured 3.1 s for 16
+    // rounds over 31 rows, pure scheduling. Coalescing the checkpointed
+    // state to ~256k word types per partition (never above the default
+    // parallelism, floor 1) turns each round into ONE exchange-free
+    // single-stage job: a SinglePartition child satisfies the
+    // aggregate's ClusteredDistribution outright, and at real vocab
+    // sizes the 256k-rows/partition target keeps the rounds parallel.
+    // The count is free — the state was just checkpoint-materialized.
+    val nTypes = state.count()
+    val roundPartitions = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      nTypes / 262144L)).toInt
+    if (roundPartitions < state.rdd.getNumPartitions)
+      state = state.coalesce(roundPartitions)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
-    while (rank <= nMerges && !exhausted) {
-      val top = pairCounts(state)
-        .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, r, n) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank, l, r, n))
-        state = state.withColumn("syms", mergeFold(col("syms"), l, r))
-        // lineage cadence, not per-round: a checkpoint is a full extra
-        // job over the vocabulary, while re-running ≤3 pending narrow
-        // folds inside the next round's aggregate is nearly free —
-        // truncate every 4th round so plans stay bounded at HALF the
-        // loop's job count (20 vs 32 for 16 merges). Local wall time is
-        // unchanged (the argmax shuffle dominates at local[32]); the
-        // job-count cut is for real schedulers, where each sequential
-        // job pays a scheduler round-trip the loop cannot hide
-        if (rank % 4 == 0) state = state.localCheckpoint()
-        rank += 1
+    // rounds run AQE-free: their layout was just chosen explicitly, so
+    // adaptive stage wrapping is pure per-round driver cost (measured
+    // 2.6 s → 1.8 s over 16 rounds — Iterate.withoutAqe's scaladoc)
+    Iterate.withoutAqe(s) {
+      while (rank <= nMerges && !exhausted) {
+        val top = pairCounts(state)
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, n) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((rank, l, r, n))
+          state = state.withColumn("syms", mergeFold(col("syms"), l, r))
+          // lineage cadence, not per-round: a checkpoint is a full extra
+          // job over the vocabulary, while re-running ≤3 pending narrow
+          // folds inside the next round's aggregate is nearly free —
+          // truncate every 4th round so plans stay bounded at HALF the
+          // loop's job count (20 vs 32 for 16 merges). Local wall time is
+          // unchanged (the argmax shuffle dominates at local[32]); the
+          // job-count cut is for real schedulers, where each sequential
+          // job pays a scheduler round-trip the loop cannot hide
+          if (rank % 4 == 0) state = state.localCheckpoint()
+          rank += 1
+        }
       }
     }
-    (merges.result(), state)
+    // the returned word table is every consumer's join build side —
+    // hint it while the type count is in hand (see hintVocab)
+    (merges.result(), hintVocab(state, nTypes))
   }
 
   /** The learned merge table as a DataFrame (driver contract shape). */
@@ -208,11 +252,22 @@ object Bpe {
     var vocab = words.select(col("word")).distinct()
       .select(col("word"), charSyms(col("word")).as("syms"))
       .localCheckpoint()
-    merges.zipWithIndex.foreach { case ((l, r), i) =>
-      vocab = vocab.withColumn("syms", mergeFold(col("syms"), l, r))
-      if ((i + 1) % 4 == 0) vocab = vocab.localCheckpoint()
+    // same size-adaptive layout as [[learn]]'s rounds: the replay folds
+    // are vocabulary-sized, so run them over vocabulary-sized partitions
+    val nTypes = vocab.count()
+    val p = math.max(1L, math.min(
+      vocab.sparkSession.sparkContext.defaultParallelism.toLong,
+      nTypes / 262144L)).toInt
+    if (p < vocab.rdd.getNumPartitions) vocab = vocab.coalesce(p)
+    // same AQE-free rounds as [[learn]] — the replay's checkpoints are
+    // the only jobs in this loop and their layout is already chosen
+    Iterate.withoutAqe(vocab.sparkSession) {
+      merges.zipWithIndex.foreach { case ((l, r), i) =>
+        vocab = vocab.withColumn("syms", mergeFold(col("syms"), l, r))
+        if ((i + 1) % 4 == 0) vocab = vocab.localCheckpoint()
+      }
     }
-    vocab
+    hintVocab(vocab, nTypes)
   }
 
   /** [[encodeStats]] recomputed from a PERSISTED frozen model — with

@@ -96,9 +96,21 @@ object Substring {
 
   private def keptFromPositions(positions: DataFrame,
       dfCap: Int): DataFrame = {
-    val freq = positions.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    // dfCap as ONE h-clustered window count instead of a groupBy +
+    // self-back-join (r17, guide §2.3/§2.4): the join form shuffled the
+    // positions TWICE (once into the count aggregate, once into the
+    // probe side of the back-join — two Exchanges plus two HashAggregate
+    // passes); the window form pays a single h-exchange and filters in
+    // place (plan diff: plans/r17/q_substring_dups_{before,after}.txt,
+    // position-side Exchanges 2 → 1). Skew note: a hot boilerplate gram
+    // lands in one window partition, but the old SMJ back-join sorted
+    // the same h-clustered rows before dropping them — the sort cost
+    // class is unchanged, the cap still drops the rows, and two
+    // shuffles of every position became one.
+    val w = Window.partitionBy(col("h"))
     Dedup.lazyCheckpoint(
-      positions.join(freq.filter(col("n") <= dfCap), Seq("h"))
+      positions.withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") <= dfCap)
         .select(col("h"), col("doc_id"), col("pos")))
   }
 
