@@ -33,6 +33,7 @@ object ScaleProbe {
     if (args.headOption.contains("fetch")) { fetchProbe(); return }
     if (args.headOption.contains("substr")) { substrProbe(); return }
     if (args.headOption.contains("bpe")) { bpeProbe(); return }
+    if (args.headOption.contains("loops")) { loopsProbe(); return }
     if (args.headOption.contains("erasure")) { erasureProbe(); return }
     if (args.headOption.contains("modelerase")) {
       modelEraseProbe(); return
@@ -154,9 +155,20 @@ object ScaleProbe {
     min2("wordFreq (corpus pass + vocab agg)") {
       Bpe.wordFreq(spark, d).count(); ()
     }
-    min2("learn: 16 trainer rounds (argmax jobs)") {
-      Bpe.learn(spark, d)._1; ()
+    // interleaved A/B of the trainer's AQE-free rounds (Iterate knob)
+    val armTimes = (1 to nRuns).flatMap { _ =>
+      Seq("false", "true").map { keep =>
+        sys.props("graft.iterate.keepAqe") = keep
+        val t0 = System.nanoTime(); Bpe.learn(spark, d)._1
+        (keep, (System.nanoTime() - t0) / 1e9)
+      }
     }
+    sys.props.remove("graft.iterate.keepAqe")
+    def arm(k: String) = armTimes.filter(_._1 == k).map(_._2)
+    println(f"learn 16 rounds: AQE-scoped-off min ${arm("false").min}%.2f s" +
+      f" (${arm("false").map(t => f"$t%.2f").mkString(",")}) | " +
+      f"AQE-kept min ${arm("true").min}%.2f s" +
+      f" (${arm("true").map(t => f"$t%.2f").mkString(",")})")
     min2("learn + encoded-state materialize") {
       Bpe.learn(spark, d)._2.count(); ()
     }
@@ -171,6 +183,52 @@ object ScaleProbe {
     }
     min2("substringScrubBpe (… + cut + reassembly)") {
       Substring.substringScrubBpe(spark, d).count(); ()
+    }
+    spark.stop()
+  }
+
+  /** Interleaved A/B of the iterative graph/dedup loops with AQE on vs
+    * off (r17): the host is noisy, so runs alternate A,B,A,B,… in one
+    * JVM and each arm reports its min. Usage:
+    * `runMain graft.ScaleProbe loops`.
+    */
+  private def loopsProbe(): Unit = {
+    import graft.operators.{Graph, Dedup, Sampling}
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    graft.SparkEntry.prepare(spark, d)
+    val fns: Seq[(String, () => Unit)] = Seq(
+      "components" -> (() =>
+        { graft.SparkEntry.queries("q_components")(spark, d).count(); () }),
+      "pagerank" -> (() =>
+        { graft.SparkEntry.queries("q_pagerank")(spark, d).count(); () }),
+      "dup_clusters" -> (() =>
+        { graft.SparkEntry.queries("q_dup_clusters")(spark, d).count(); () }),
+      "coreset" -> (() =>
+        { graft.SparkEntry.queries("q_coreset")(spark, d).count(); () }))
+    val nRuns = sys.env.get("GRAFT_PROBE_RUNS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3)
+    fns.foreach { case (name, f) =>
+      f() // warm
+      val times = (1 to nRuns).flatMap { _ =>
+        Seq(true, false).map { aqe =>
+          spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+          val t0 = System.nanoTime(); f()
+          (aqe, (System.nanoTime() - t0) / 1e9)
+        }
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      def arm(aqe: Boolean) = times.filter(_._1 == aqe).map(_._2)
+      println(f"$name: AQE-on min ${arm(true).min}%.2f s " +
+        f"(${arm(true).map(t => f"$t%.2f").mkString(",")}) | " +
+        f"AQE-off min ${arm(false).min}%.2f s " +
+        f"(${arm(false).map(t => f"$t%.2f").mkString(",")})")
     }
     spark.stop()
   }

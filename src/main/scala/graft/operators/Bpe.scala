@@ -140,8 +140,9 @@ object Bpe {
     var rank = 1
     var exhausted = false
     // rounds run AQE-free: their layout was just chosen explicitly, so
-    // adaptive stage wrapping is pure per-round driver cost (measured
-    // 2.6 s → 1.8 s over 16 rounds — Iterate.withoutAqe's scaladoc)
+    // adaptive stage wrapping is pure per-round driver cost (in-JVM
+    // A/B: 2.36 s vs 2.50 s over 16 rounds — Iterate.withoutAqe's
+    // scaladoc; the scope stays OFF the loops AQE measurably helps)
     Iterate.withoutAqe(s) {
       while (rank <= nMerges && !exhausted) {
         val top = pairCounts(state)

@@ -623,18 +623,60 @@ object Extras {
     */
   def histogram(s: SparkSession, d: String, bins: Int = 10): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
-    val qs = (0 to bins).map(i => i.toDouble / bins)
-    // ONE array-percentile aggregate (a single collected buffer and
-    // one sort yields every boundary — 11 scalar percentile calls
-    // build 11 full-column buffers: measured 19.5 s vs 3.0 s at
-    // sf0.1), lazily materialized once for its two consumers. The
-    // remaining cost is the exact buffer's single-threaded final
-    // merge+sort over the column's distinct values — the structural
-    // reason the approx_percentile swap is mandatory at 100 TB.
-    val bounds = li
-      .agg(percentile(col("v"), array(qs.map(lit): _*)).as("bs"))
-      .select((0 to bins).map(i =>
-        r4(element_at(col("bs"), i + 1)).as(s"b$i")): _*)
+    // Exact boundaries via DISTRIBUTED order statistics (r17, guide §5:
+    // no single-node funnels). The previous form was one
+    // array-percentile aggregate — already 6× better than 11 scalar
+    // percentile calls (r10 note: 19.5 s vs 3.0 s at sf0.1), but its
+    // final merge+sort of every distinct value ran in ONE thread, the
+    // adjudicated reason this row pinned at ~3.4 s while scan-bound
+    // peers sat under 1 s, and the structural reason the scaladoc used
+    // to mandate the approx_percentile swap at 100 TB. Replaced by:
+    //   1. a global 1-based rank from the already-proven sharded
+    //      prefix-sum ([[Prefix.shardedRunningSum]] — parallel sort,
+    //      the q_length_buckets machinery; prices have 2 decimals so
+    //      `cents = cast(v*100 as long)` is an exact monotone order
+    //      key and equal values cannot straddle a shard boundary);
+    //   2. an 11-row boundary spec joined to the ranked rows at the
+    //      two target ranks per percentile;
+    //   3. Spark Percentile's own interpolation, reproduced exactly:
+    //      pos = pct * (n−1); lower = floor, higher = ceil;
+    //      b = vl when higher == lower else
+    //          (higher − pos)·vl + (pos − lower)·vh
+    //      — same double arithmetic, same literals, so the emitted
+    //      boundaries are bit-identical to the aggregate's (the sf0.01
+    //      and sf0.001 oracle gates pin this).
+    // The exact form now parallelizes end-to-end; approx_percentile
+    // (q_approx_percentiles/_tol) remains the cheaper swap when one
+    // pass instead of a sort is wanted, not a correctness necessity.
+    val ranked = Prefix.shardedRunningSum(
+        li.select(col("v"), (col("v") * lit(100)).cast("long")
+          .as("__cents"), lit(1).as("__key"), lit(1L).as("__one")),
+        "__key", Seq("__cents"), "__one", "rk",
+        shards = s.sparkContext.defaultParallelism)
+      .select(col("v"), (col("rk") - 1).as("idx"))
+    val nRow = li.agg(count(lit(1)).as("__n"))
+    import s.implicits._
+    val spec = (0 to bins).map(i => (i, i.toDouble / bins))
+      .toDF("qi", "pct")
+      .crossJoin(broadcast(nRow))
+      .select(col("qi"),
+        (col("pct") * (col("__n") - 1).cast("double")).as("pos"))
+      .select(col("qi"), col("pos"),
+        floor(col("pos")).as("lower"), ceil(col("pos")).as("higher"))
+    val perQ = ranked
+      .join(broadcast(spec),
+        col("idx") === col("lower") || col("idx") === col("higher"))
+      .groupBy(col("qi"), col("pos"), col("lower"), col("higher"))
+      .agg(min(when(col("idx") === col("lower"), col("v"))).as("vl"),
+        min(when(col("idx") === col("higher"), col("v"))).as("vh"))
+      .select(col("qi"), r4(
+        when(col("lower") === col("higher"), col("vl"))
+          .otherwise((col("higher") - col("pos")) * col("vl") +
+            (col("pos") - col("lower")) * col("vh"))).as("b"))
+    val bounds = perQ
+      .agg(min(when(col("qi") === 0, col("b"))).as("b0"),
+        (1 to bins).map(i =>
+          min(when(col("qi") === i, col("b"))).as(s"b$i")): _*)
       .localCheckpoint(eager = false)
     val counted = li.crossJoin(broadcast(bounds))
     val aggs = (1 to bins).map { i =>

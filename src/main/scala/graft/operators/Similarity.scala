@@ -320,32 +320,49 @@ object Similarity {
     */
   def bitextMine(s: SparkSession, d: String, k: Int = 4,
       minMargin: Double = 1.0): DataFrame = {
+    import s.implicits._
     val emb = Tables.embeddings(s, d)
     val a = emb.filter(col("label") < 5)
       .select(col("vec_id").as("a_id"), col("embedding").as("av"))
     val b = emb.filter(col("label") >= 5)
       .select(col("vec_id").as("b_id"), col("embedding").as("bv"))
-    val pairs = a.join(broadcast(b))
+    // materialized once: both per-side reductions below consume the
+    // scored cross — without the cut each re-runs the a×b cosine pass
+    val pairs = Dedup.lazyCheckpoint(a.join(broadcast(b))
       .select(col("a_id"), col("b_id"),
-        fusedCosine(col("av"), col("bv")).as("sim"))
-    val wa = Window.partitionBy(col("a_id"))
-      .orderBy(col("sim").desc, col("b_id"))
-    val wb = Window.partitionBy(col("b_id"))
-      .orderBy(col("sim").desc, col("a_id"))
-    // lazily materialized once: avgA, avgB and the mutual-best filter
-    // all read `ranked` — without the cut each consumer re-runs the
-    // a×b cosine cross and both ranking windows
-    val ranked = Dedup.lazyCheckpoint(pairs
-      .withColumn("rka", row_number().over(wa))
-      .withColumn("rkb", row_number().over(wb)))
-    val avgA = ranked.filter(col("rka") <= k).groupBy("a_id")
-      .agg(avg(col("sim")).as("knn_a"))
-    val avgB = ranked.filter(col("rkb") <= k).groupBy("b_id")
-      .agg(avg(col("sim")).as("knn_b"))
-    ranked.filter(col("rka") === 1 && col("rkb") === 1)
-      .join(avgA, "a_id").join(avgB, "b_id")
-      .select(col("a_id"), col("b_id"), r4(col("sim")).as("sim"),
-        r4(col("sim") / ((col("knn_a") + col("knn_b")) / 2.0))
+        fusedCosine(col("av"), col("bv")).as("sim")))
+    // Per-side top-k via the bounded TopK aggregator instead of two
+    // FULL-frame ranking windows (r17, guide §2.3 "aggregate before
+    // you shuffle"): the window form exchanged and sorted every scored
+    // pair TWICE (once per side) and then materialized the doubly
+    // ranked frame — the suite's largest leftover checkpoint (107 MB)
+    // — only to keep ≤k rows per id. The aggregator partial-aggregates
+    // map-side, so each exchange carries k rows per id per partition,
+    // never the cross; its (score DESC, id ASC) tie order is the same
+    // contract the windows used, and rank 1 = element 0. knn mean =
+    // sum/size over the k best — the same sum/count arithmetic avg()
+    // performs, fenced by the same r4 rounding.
+    def sideTop(keyCol: String, otherCol: String, bestName: String,
+        simName: String, knnName: String): DataFrame =
+      pairs.select(col(keyCol), col(otherCol), col("sim"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .agg(new Sampling.TopKByScoreAgg[Long](k).toColumn.name("topk"))
+        .toDF(keyCol, "topk")
+        .select(col(keyCol),
+          col("topk").getItem(0).getField("_1").as(bestName),
+          col("topk").getItem(0).getField("_2").as(simName),
+          (aggregate(col("topk"), lit(0.0d),
+            (acc, x) => acc + x.getField("_2")) / size(col("topk")))
+            .as(knnName))
+    val ta = sideTop("a_id", "b_id", "best_b", "sim_a", "knn_a")
+    val tb = sideTop("b_id", "a_id", "best_a", "sim_b", "knn_b")
+    // mutual top-1: a's best is b AND b's best is a — a k·|side|-row
+    // join on the reduced frames, never on the cross
+    ta.join(broadcast(tb),
+        col("best_b") === col("b_id") && col("best_a") === col("a_id"))
+      .select(col("a_id"), col("b_id"), r4(col("sim_a")).as("sim"),
+        r4(col("sim_a") / ((col("knn_a") + col("knn_b")) / 2.0))
           .as("margin"))
       .filter(col("margin") > minMargin)
   }
