@@ -76,11 +76,26 @@ object Substring {
     // sequence(1, size-minLen+1) must not run on short docs (it
     // would descend); dropping them loses nothing — no position
     val toks = toksIn.filter(size(col("t")) >= minLen)
-    // the U+0001 separator joins the window's tokens unambiguously
-    // (whitespace-split tokens and BPE symbols cannot contain it)
-    val gramArrs = Dedup.lazyCheckpoint(toks.select(col("doc_id"),
-      transform(sequence(lit(1), size(col("t")) - (minLen - 1)),
-        i => xxhash64(concat_ws("\u0001", slice(col("t"), i, lit(minLen)))))
+    // Window hash = xxhash64 over the window's PER-TOKEN xxhash64
+    // values (r17, guide §1.2 step 2 — per-task work): the old form
+    // joined each window's tokens into a ~100-byte U+0001-separated
+    // string per position (a slice allocation + a concat allocation +
+    // a hash over the copy, × every token position in the corpus);
+    // this form hashes each token ONCE per document, then each window
+    // is one varargs xxhash64 over `minLen` longs — fixed 8·minLen
+    // bytes streamed, zero string allocation. Collision class
+    // unchanged (64-bit xxhash either way, token hashes chain through
+    // the seed mixing), and the oracle still pairs on the gram STRING,
+    // so the gate polices collisions exactly as before. `th` is
+    // referenced `minLen` times by the window lambda, which keeps
+    // CollapseProject from inlining the per-token hash back under the
+    // generator (the shinglesFromTokens rule).
+    val hashed = toks.select(col("doc_id"),
+      transform(col("t"), x => xxhash64(x)).as("th"))
+    val gramArrs = Dedup.lazyCheckpoint(hashed.select(col("doc_id"),
+      transform(sequence(lit(1), size(col("th")) - (minLen - 1)),
+        i => xxhash64((0 until minLen).map(j =>
+          element_at(col("th"), i + lit(j))): _*))
         .as("g")))
     gramArrs
       .select(col("doc_id"), posexplode(col("g")))
