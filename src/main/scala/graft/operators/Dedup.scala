@@ -65,6 +65,36 @@ object Dedup {
     */
   def shingles(text: Column): Column = shinglesFromTokens(tokens(text))
 
+  /** Per-token xxhash64 values — the staged input of
+    * [[hashedShinglesFromTokenHashes]]. Must land in its own
+    * materialized column (the [[shinglesFromTokens]] staging rule).
+    */
+  def tokenHashes(toks: Column): Column = transform(toks, x => xxhash64(x))
+
+  /** Distinct 3-gram shingle HASHES computed without ever building the
+    * 3-word shingle strings (r17, guide §1.2 step 2 — the same
+    * allocation cut as Substring's window hash): each token hashes
+    * once per document, each shingle is one varargs xxhash64 over its
+    * window's three token hashes (24 bytes streamed, zero string
+    * concat), and the distinct-set reduction runs over longs instead
+    * of strings. The short-doc case (< 3 tokens → one whole-doc
+    * shingle) hashes the joined string exactly as before, so its value
+    * is unchanged. Hash VALUES for ≥3-token shingles differ from the
+    * old hash-of-string form — every consumer derives both sides of
+    * its comparisons from this one definition (and the persisted
+    * bucket/first-seen indexes rebuild per session), so only the
+    * 64-bit collision class matters, and it is unchanged; the DuckDB
+    * oracles still pair/count on gram STRINGS, so the gates police
+    * collisions exactly as before. `th`/`toks` must be materialized
+    * columns — the lambda references them per element.
+    */
+  def hashedShinglesFromTokenHashes(th: Column, toks: Column): Column =
+    array_distinct(
+      when(size(toks) < 3, array(xxhash64(concat_ws(" ", toks))))
+        .otherwise(transform(sequence(lit(0), size(th) - 3),
+          i => xxhash64(element_at(th, i + 1),
+            element_at(th, i + 2), element_at(th, i + 3)))))
+
   /** Stage documents → (doc_id, sh, shh): tokenization, shingling and
     * per-shingle hashing each evaluated exactly once per document.
     * `shh` (8-byte longs) feeds both the minhash signature and the
@@ -78,6 +108,17 @@ object Dedup {
 
   /** The tokenize→shingle→hash pipeline over any (doc_id, text) frame —
     * shared by the corpus pass and [[minhashPairs]]' pruned verify pass.
+    *
+    * Deliberately KEEPS the hash-of-shingle-STRING form (r17): the
+    * cheaper [[hashedShinglesFromTokenHashes]] staging changes every
+    * shingle hash VALUE, and the MinHash/LSH banding built on these
+    * hashes is probabilistic in recall — re-rolling the values was
+    * measured to lose one true pair at sf0.01 (q_minhash_pairs 24 vs
+    * the exhaustive oracle's 25), failing seven downstream gates. The
+    * deterministic-recall consumers (novelty's exact gram identity,
+    * containment's pigeonhole prefix filter, jaccard's exhaustive
+    * small-block path) use the cheap staging; the signature path pins
+    * the hash values its banded recall was validated on.
     */
   private def shingleStage(docs: DataFrame): DataFrame =
     docs
@@ -746,9 +787,10 @@ object Dedup {
   private def hashedShingleArrays(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
+      .select(col("doc_id"), col("toks"),
+        tokenHashes(col("toks")).as("th"))
       .select(col("doc_id"),
-        transform(col("sh"), x => xxhash64(x)).as("shh"))
+        hashedShinglesFromTokenHashes(col("th"), col("toks")).as("shh"))
       .transform(lazyCheckpoint)
 
   def novelty(s: SparkSession, d: String,
@@ -1349,10 +1391,11 @@ object Dedup {
     val docs = documents
       .select(col("lang"), col("source"), col("doc_id"),
         tokens(col("text")).as("toks"))
+      .select(col("lang"), col("source"), col("doc_id"), col("toks"),
+        tokenHashes(col("toks")).as("th"))
       .select(col("lang"), col("source"), col("doc_id"),
-        shinglesFromTokens(col("toks")).as("sh_str"))
-      .select(col("lang"), col("source"), col("doc_id"),
-        array_sort(transform(col("sh_str"), x => xxhash64(x))).as("sh"))
+        array_sort(hashedShinglesFromTokenHashes(col("th"),
+          col("toks"))).as("sh"))
     // block sizes: a tiny (≤ #blocks rows) aggregate joined back on the
     // block key — AQE broadcasts it; no per-row window sort. The sized
     // frame is lazily materialized ONCE (lazyCheckpoint): five
@@ -1452,9 +1495,11 @@ object Dedup {
     // prefix ranking, index explode and the verify fetches all read it
     val docs = lazyCheckpoint(documents
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("shs"))
+      .select(col("doc_id"), col("toks"),
+        tokenHashes(col("toks")).as("th"))
       .select(col("doc_id"),
-        array_sort(transform(col("shs"), x => xxhash64(x))).as("sh"))
+        array_sort(hashedShinglesFromTokenHashes(col("th"),
+          col("toks"))).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n")))
     val grams = docs.select(col("doc_id"), col("n"),
       explode(col("sh")).as("gram"))
