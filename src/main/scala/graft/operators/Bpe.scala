@@ -63,6 +63,157 @@ object Bpe {
   private def hintVocab(df: DataFrame, nTypes: Long): DataFrame =
     if (nTypes <= VocabBroadcastMaxTypes) broadcast(df) else df
 
+  /** Word-type ceiling for the driver-local trainer fast path (r18,
+    * guide §1.2 step 1: choose the algorithm by the data's size). Every
+    * trainer round is a job over the WORD-FREQUENCY table — never the
+    * corpus — and that table is the size a real tokenizer trainer holds
+    * in one process (reference BPE trainers aggregate word counts and
+    * then loop over the dictionary locally). Below this many types the
+    * 16 sequential argmax rounds are pure driver-side scheduling
+    * (~140 ms/round of planning over a 31-row state at sf0.1 — the r17
+    * "Not yet optimized #1"), so [[learn]] collects the (word, freq)
+    * table — the same bounded-collect class as [[readMerges]], which
+    * already ships the whole model — and runs the IDENTICAL loop
+    * in-process: same (count DESC, left ASC, right ASC) argmax compared
+    * on UTF-8 bytes exactly like Spark's UTF8String ordering, same
+    * greedy non-overlapping left-to-right fold. Above the ceiling the
+    * distributed rounds stand unchanged (at 100 TB word types run to
+    * ~10⁷ and the state no longer belongs on the driver). Gated by
+    * count, not hope: the ceiling bounds driver memory at ~tens of MB.
+    * Override with spark.graft.bpe.localTrainMaxTypes (set 0 to force
+    * the distributed rounds — the A/B and BpeSpec's distributed-path
+    * coverage use this).
+    */
+  private val LocalTrainMaxTypesDefault = 262144L
+
+  private def localTrainMaxTypes(s: SparkSession): Long =
+    scala.util.Try(
+      s.conf.get("spark.graft.bpe.localTrainMaxTypes").toLong)
+      .getOrElse(LocalTrainMaxTypesDefault)
+
+  /** Spark's string ordering is UTF8String.compareTo — unsigned
+    * lexicographic comparison of the UTF-8 bytes. The local argmax
+    * tie-break must match it bit-for-bit (Java String.compareTo orders
+    * by UTF-16 code unit, which DIVERGES above the BMP).
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** [[charSyms]] in-process: one symbol per CODE POINT (Spark's
+    * `length`/`substr` count code points, not UTF-16 units), word-final
+    * symbol tagged [[Eow]].
+    */
+  private def localCharSyms(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](
+      word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val w = Character.charCount(cp)
+      out += word.substring(i, i + w)
+      i += w
+    }
+    if (out.nonEmpty) out(out.length - 1) = out(out.length - 1) + Eow
+    out.toArray
+  }
+
+  /** [[mergeFold]] in-process: greedy left-to-right replacement of
+    * non-overlapping (l, r) occurrences — the merged symbol never
+    * re-matches `l` within the same pass, exactly like the lazy-CASE
+    * fold.
+    */
+  private def localMergeFold(syms: Array[String], l: String, r: String)
+      : Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (out.nonEmpty && out(out.length - 1) == l && x == r)
+        out(out.length - 1) = l + r
+      else out += x
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The trainer loop over a collected (word, freq) table: identical
+    * argmax and fold semantics to the distributed rounds (BpeSpec pins
+    * both paths; the golden/full oracles gate the outputs). Returns the
+    * merge table and the final per-word symbol arrays.
+    */
+  private def localTrainLoop(words: Array[(String, Long)], nMerges: Int)
+      : (Seq[(Int, String, String, Long)], Array[Array[String]]) = {
+    val syms: Array[Array[String]] = words.map(w => localCharSyms(w._1))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < syms.length) {
+        val sy = syms(wi)
+        val f = words(wi)._2
+        var i = 0
+        while (i < sy.length - 1) {
+          val k = (sy(i), sy(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestL: String = null
+        var bestR: String = null
+        var bestN = Long.MinValue
+        val it = counts.iterator
+        while (it.hasNext) {
+          val ((l, r), n) = it.next()
+          val better = n > bestN || (n == bestN && {
+            val cl = utf8Compare(l, bestL)
+            cl < 0 || (cl == 0 && utf8Compare(r, bestR) < 0)
+          })
+          if (better) { bestL = l; bestR = r; bestN = n }
+        }
+        merges += ((rank, bestL, bestR, bestN))
+        wi = 0
+        while (wi < syms.length) {
+          syms(wi) = localMergeFold(syms(wi), bestL, bestR)
+          wi += 1
+        }
+        rank += 1
+      }
+    }
+    (merges.result(), syms)
+  }
+
+  /** A locally-computed encoded vocabulary as the contract-shaped
+    * frame, broadcast-hinted like [[hintVocab]] (a LocalRelation this
+    * size always broadcasts).
+    */
+  private def localVocabFrame(s: SparkSession,
+      rows: Seq[Row], withFreq: Boolean): DataFrame = {
+    val fields = StructField("word", StringType, nullable = false) +:
+      (if (withFreq)
+        Seq(StructField("freq", LongType, nullable = false))
+      else Nil) :+
+      StructField("syms",
+        ArrayType(StringType, containsNull = false), nullable = false)
+    broadcast(s.createDataFrame(
+      s.sparkContext.parallelize(rows, 1), StructType(fields)))
+  }
+
   /** Distinct corpus words with occurrence counts — the training state
     * seed. Vocabulary-sized output; one token explode + one word-keyed
     * aggregate over the corpus.
@@ -116,6 +267,21 @@ object Bpe {
     var state = wordFreq(s, d)
       .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
       .localCheckpoint()
+    // driver-local fast path (r18): below the type ceiling the rounds
+    // are scheduling overhead, not data — collect the checkpointed
+    // (word, freq) table (one vocabulary-sized job) and run the
+    // identical loop in-process. See LocalTrainMaxTypesDefault.
+    val nTypes = state.count()
+    val localMax = localTrainMaxTypes(s)
+    if (localMax > 0 && nTypes <= localMax) {
+      val wf = state.select("word", "freq").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val (ms, syms) = localTrainLoop(wf, nMerges)
+      val rows: Seq[Row] = wf.toIndexedSeq.zip(syms.toIndexedSeq).map {
+        case ((w, f), sy) => Row(w, f, sy.toIndexedSeq)
+      }
+      return (ms, localVocabFrame(s, rows, withFreq = true))
+    }
     // Size-adaptive round layout (r17, guide §2.2/§2.4): every trainer
     // round is a vocabulary-sized job, and the vocabulary is orders of
     // magnitude smaller than the corpus (31 word types in the driver
@@ -130,7 +296,6 @@ object Bpe {
     // aggregate's ClusteredDistribution outright, and at real vocab
     // sizes the 256k-rows/partition target keeps the rounds parallel.
     // The count is free — the state was just checkpoint-materialized.
-    val nTypes = state.count()
     val roundPartitions = math.max(1L, math.min(
       s.sparkContext.defaultParallelism.toLong,
       nTypes / 262144L)).toInt
@@ -253,9 +418,24 @@ object Bpe {
     var vocab = words.select(col("word")).distinct()
       .select(col("word"), charSyms(col("word")).as("syms"))
       .localCheckpoint()
+    val nTypes = vocab.count()
+    // same driver-local fast path as [[learn]] (r18): the replay is a
+    // pure per-word fold over the vocabulary — below the type ceiling,
+    // collect the distinct words and replay the frozen merges
+    // in-process instead of scheduling nMerges fold rounds
+    val s0 = vocab.sparkSession
+    if (localTrainMaxTypes(s0) > 0 && nTypes <= localTrainMaxTypes(s0)) {
+      val rows: Seq[Row] = vocab.select("word").collect()
+        .toIndexedSeq.map { r =>
+          val w = r.getString(0)
+          var sy = localCharSyms(w)
+          merges.foreach { case (l, mr) => sy = localMergeFold(sy, l, mr) }
+          Row(w, sy.toIndexedSeq)
+        }
+      return localVocabFrame(s0, rows, withFreq = false)
+    }
     // same size-adaptive layout as [[learn]]'s rounds: the replay folds
     // are vocabulary-sized, so run them over vocabulary-sized partitions
-    val nTypes = vocab.count()
     val p = math.max(1L, math.min(
       vocab.sparkSession.sparkContext.defaultParallelism.toLong,
       nTypes / 262144L)).toInt

@@ -63,6 +63,40 @@ class BpeSpec extends SparkSuite {
     assert(got.length === 1)
   }
 
+  test("driver-local fast path equals the distributed rounds bit-for-" +
+      "bit: merges, final symbol table, and the frozen-merge replay " +
+      "(r18 — the size gate must be a layout choice, never a result " +
+      "change)") {
+    val d = plant(Seq(
+      (1L, Seq.fill(5)("low").mkString(" ") + " " +
+        Seq.fill(2)("lower").mkString(" ")),
+      (2L, Seq.fill(6)("newest").mkString(" ") + " " +
+        Seq.fill(3)("widest").mkString(" "))))
+    val key = "spark.graft.bpe.localTrainMaxTypes"
+    def run(): (Seq[(Int, String, String, Long)],
+        Seq[(String, Long, Seq[String])], Seq[(String, Seq[String])]) = {
+      val (ms, state) = Bpe.learn(spark, d, nMerges = 6)
+      val vocab = state.select("word", "freq", "syms").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+        .sortBy(_._1).toSeq
+      // replay path: include an OOV word so the fold actually runs
+      val replayed = Bpe.encodeVocabUnder(
+        Seq("lowest", "newest", "zz").toDF("word"),
+        ms.map(m => (m._2, m._3)))
+        .select("word", "syms").collect()
+        .map(r => (r.getString(0), r.getSeq[String](1)))
+        .sortBy(_._1).toSeq
+      (ms, vocab, replayed)
+    }
+    val local = run() // tiny corpus: under the default gate
+    spark.conf.set(key, "0") // force the distributed rounds
+    val dist =
+      try run() finally spark.conf.unset(key)
+    assert(local._1 === dist._1)
+    assert(local._2 === dist._2)
+    assert(local._3 === dist._3)
+  }
+
   test("frozen-model apply: persisted merges encode UNSEEN words by " +
       "rank-order replay; stats from the model equal the inline train " +
       "on the same corpus") {
