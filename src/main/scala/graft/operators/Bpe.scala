@@ -86,7 +86,7 @@ object Bpe {
     */
   private val LocalTrainMaxTypesDefault = 262144L
 
-  private def localTrainMaxTypes(s: SparkSession): Long =
+  private[operators] def localTrainMaxTypes(s: SparkSession): Long =
     scala.util.Try(
       s.conf.get("spark.graft.bpe.localTrainMaxTypes").toLong)
       .getOrElse(LocalTrainMaxTypesDefault)

@@ -531,14 +531,41 @@ object Substring {
     */
   private def symbolStreams(docs: DataFrame,
       vocab: DataFrame): DataFrame = {
-    val dw = docs
-      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
-      .toDF("doc_id", "wpos", "word")
-    dw.join(vocab, Seq("word"))
-      .groupBy(col("doc_id"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("wpos"), col("syms")))),
-        x => x.getField("syms"))).as("t"))
+    // r18 (guide §2.4 — remove shuffles outright): the join+groupBy
+    // form below pays a token explode, a word-keyed join, and a
+    // doc_id-keyed aggregate (two exchanges over per-token rows) just
+    // to restore an order the DOCUMENT ROW already had. Below the
+    // trainer's own type ceiling the vocabulary folds into ONE
+    // broadcast map row, and each document encodes in place:
+    // token array → per-word symbol arrays → flatten, zero exchanges,
+    // order preserved by construction. Semantics match the inner join
+    // exactly: words absent from the vocabulary drop (the null
+    // filter), and a document whose every token drops vanishes (the
+    // size guard — the groupBy form never saw a row for it). Above
+    // the ceiling the word-keyed join stands (a 10⁷-type map in one
+    // row is no longer broadcast material).
+    val nTypes = vocab.count()
+    if (nTypes <= Bpe.localTrainMaxTypes(docs.sparkSession)) {
+      val vm = broadcast(vocab.agg(map_from_entries(
+        collect_list(struct(col("word"), col("syms")))).as("__vm")))
+      docs.crossJoin(vm)
+        .select(col("doc_id"),
+          flatten(filter(
+            transform(TextOps.tokens(col("text")),
+              w => element_at(col("__vm"), w)),
+            a => a.isNotNull)).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), col("t"))
+    } else {
+      val dw = docs
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+        .toDF("doc_id", "wpos", "word")
+      dw.join(vocab, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("wpos"), col("syms")))),
+          x => x.getField("syms"))).as("t"))
+    }
   }
 
   /** Persist the BPE-symbol position index ([[substringDupsBpeFromIndex]]
