@@ -456,13 +456,73 @@ object Bpe {
     * (same merges, same greedy fold), so it shares the golden.
     */
   def encodeStatsFromModel(s: SparkSession, d: String,
-      modelDir: String): DataFrame =
-    encodeDocs(Tables.parallelized(Tables.documents(s, d)),
-        readMerges(s, modelDir))
+      modelDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val tokens = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+    statsAgg(docTokenStats(docs,
+      encodeVocabUnder(tokens, readMerges(s, modelDir))))
+  }
+
+  /** Per-document token statistics under an encoded vocabulary, with
+    * ZERO token explode and ZERO join below the type ceiling (r18,
+    * guide §2.3 — aggregate before you shuffle): the vocabulary folds
+    * into one broadcast (word → n_syms) map row and every document
+    * row computes its own (n_words, n_chars, n_syms) triple in place;
+    * the grouped aggregate then moves doc-count rows, not token-count
+    * rows. Inner-join semantics are matched exactly: words absent
+    * from the vocabulary drop (the null filter), and a document whose
+    * every token drops contributes no row (the size guard — the join
+    * form never saw it). Above the ceiling the exploded token join
+    * stands unchanged.
+    */
+  private def docTokenStats(docsIn: DataFrame, vocab: DataFrame)
+      : DataFrame = {
+    // keys = every caller column except the text payload (doc_id for
+    // the corpus stats; lang/source for the fertility report)
+    val docs = docsIn
+    val keys = docs.columns.filter(_ != "text").toSeq
+    val s = docs.sparkSession
+    val localMax = localTrainMaxTypes(s)
+    if (localMax > 0 && vocab.count() <= localMax) {
+      val vm = broadcast(vocab.agg(map_from_entries(collect_list(
+        struct(col("word"), size(col("syms")).as("ns")))).as("__vm")))
+      docs.crossJoin(vm)
+        .withColumn("__kept",
+          filter(TextOps.tokens(col("text")),
+            w => element_at(col("__vm"), w).isNotNull))
+        .filter(size(col("__kept")) > 0)
+        .select(keys.map(col) :+
+          size(col("__kept")).cast("long").as("n_words") :+
+          aggregate(col("__kept"), lit(0L),
+            (a, w) => a + length(w)).as("n_chars") :+
+          aggregate(col("__kept"), lit(0L), (a, w) =>
+            a + element_at(col("__vm"), w).cast("long")).as("n_syms")
+          : _*)
+    } else {
+      docs
+        .select(keys.map(col) :+
+          explode(TextOps.tokens(col("text"))).as("word"): _*)
+        .join(vocab.select(col("word"), size(col("syms")).as("ns")),
+          Seq("word"))
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word"))).cast("long").as("n_chars"),
+          sum(col("ns")).cast("long").as("n_syms"))
+    }
+  }
+
+  /** The corpus-level one-row reduction over [[docTokenStats]]'
+    * per-document triples (shared by [[encodeStats]] and
+    * [[encodeStatsFromModel]]).
+    */
+  private def statsAgg(perDoc: DataFrame): DataFrame =
+    perDoc
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_tokens"),
-        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("n_words")).cast("long").as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
         sum(col("n_syms")).cast("long").as("n_syms"))
       .select(col("n_docs"), col("n_tokens"), col("n_chars"),
         col("n_syms"),
@@ -526,12 +586,8 @@ object Bpe {
     * group-sized aggregate; documents are never re-folded.
     */
   def fertility(s: SparkSession, d: String, nMerges: Int = 16)
-      : DataFrame = {
-    val encoded = learn(s, d, nMerges)._2
-    fertilityAgg(groupedTokens(s, d)
-      .join(encoded.select(col("word"), size(col("syms")).as("ns")),
-        Seq("word")))
-  }
+      : DataFrame =
+    fertilityAgg(docTokenStats(groupDocs(s, d), learn(s, d, nMerges)._2))
 
   /** [[fertility]] from the PERSISTED frozen model ([[writeModel]]'s
     * merge table): the rank-order replay reproduces the training
@@ -541,25 +597,24 @@ object Bpe {
     */
   def fertilityFromModel(s: SparkSession, d: String,
       modelDir: String): DataFrame = {
-    val tokens = groupedTokens(s, d)
-    fertilityAgg(tokens.join(
-      encodeVocabUnder(tokens, readMerges(s, modelDir))
-        .select(col("word"), size(col("syms")).as("ns")),
-      Seq("word")))
+    val docs = groupDocs(s, d)
+    val tokens = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+    fertilityAgg(docTokenStats(docs,
+      encodeVocabUnder(tokens, readMerges(s, modelDir))))
   }
 
-  private def groupedTokens(s: SparkSession, d: String): DataFrame =
+  private def groupDocs(s: SparkSession, d: String): DataFrame =
     Tables.parallelized(Tables.documents(s, d))
-      .select(col("lang"), col("source"),
-        explode(TextOps.tokens(col("text"))).as("word"))
+      .select(col("lang"), col("source"), col("text"))
 
-  private def fertilityAgg(joined: DataFrame): DataFrame =
-    joined
+  private def fertilityAgg(perDoc: DataFrame): DataFrame =
+    perDoc
       .groupBy(col("lang"), col("source"))
       .agg(
-        count(lit(1)).as("n_words"),
-        sum(length(col("word"))).cast("long").as("n_chars"),
-        sum(col("ns")).cast("long").as("n_syms"))
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(col("n_syms")).cast("long").as("n_syms"))
       .select(col("lang"), col("source"), col("n_words"),
         col("n_chars"), col("n_syms"),
         r4(col("n_syms").cast("double") / col("n_words"))
@@ -597,19 +652,9 @@ object Bpe {
     * golden-pinned.
     */
   def encodeStats(s: SparkSession, d: String, nMerges: Int = 16)
-      : DataFrame = {
-    val encoded = learn(s, d, nMerges)._2 // (word, freq, syms)
-    val tokens = Tables.parallelized(Tables.documents(s, d))
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
-    tokens.join(encoded.select(col("word"), size(col("syms")).as("ns")),
-        Seq("word"))
-      .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_tokens"),
-        sum(length(col("word"))).cast("long").as("n_chars"),
-        sum(col("ns")).cast("long").as("n_syms"))
-      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
-        col("n_syms"),
-        r4(col("n_chars").cast("double") / col("n_syms")).as("compression"))
-  }
+      : DataFrame =
+    statsAgg(docTokenStats(
+      Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("text")),
+      learn(s, d, nMerges)._2))
 }
