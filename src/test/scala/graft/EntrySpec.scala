@@ -65,6 +65,12 @@ class EntrySpec extends SparkSuite {
     "q_hll_mergeable", "q_hybrid_rrf", "q_hybrid_rrf_served",
     "q_join_size_ams", "q_pagerank", "q_perplexity",
     "q_perplexity_served",
+    // r18: the BPE stats/fertility rows cross the one-row
+    // (word → n_syms) vocabulary MAP onto the document frame
+    // (Bpe.docTokenStats — the broadcast-map encode that replaced the
+    // token explode + join; same one-row-broadcast class as q11)
+    "q_bpe_encode_stats", "q_bpe_encode_served",
+    "q_bpe_fertility", "q_bpe_fertility_served",
     // the LM erasure serves add the tombstone-watermark one-row
     // broadcast (Search.statsMinusTombs' shape) on top of the
     // perplexity family's documented V/total scalar crosses
